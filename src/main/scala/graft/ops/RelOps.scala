@@ -1,0 +1,370 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational query surface (SURVEY.md §2.B: joins, aggregations, windows,
+  * sorts/top-k, set ops) over the TPC-H-ish driver testdata.
+  *
+  * The reference has no relational engine (SURVEY §2.A end note); this pack is
+  * the *(ext)* surface that makes the config⨝stream routing of O-10/O-14 and
+  * the batch analytics mandated by the north star declarative.
+  *
+  * Determinism contract (SURVEY §7.5): money arithmetic goes through
+  * decimal(18,2) (inputs are exact 2-dp values) so partial/final aggregation
+  * order cannot perturb low bits; arbitrary doubles are compared via
+  * `floor(x*1e6)` integer semantics; every query ends in a total ORDER BY.
+  */
+object RelOps {
+
+  /** Exact money sum: decimal in, double out — identical across engines
+    * regardless of aggregation order.
+    */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+  private val d2 = "decimal(18,2)"
+
+  /** TPC-H Q1-style pricing summary: the canonical partial+final hash
+    * aggregate; Catalyst plans HashAggregate(partial)→Exchange(2 keys)→
+    * HashAggregate(final) — the shape that scales to 100 TB.
+    */
+  val pricingSummary: Q = Q(
+    "t01_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+      |  count(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin
+  ) { (s, dir) =>
+    val li = Tables(s, dir, "lineitem").where(col("l_shipdate") <= lit("1998-09-01 00:00:00").cast("timestamp"))
+    val ext  = col("l_extendedprice").cast(d2)
+    val disc = col("l_discount").cast(d2)
+    val tax  = col("l_tax").cast(d2)
+    li.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(ext * (lit(1) - disc)).cast("double").as("sum_disc_price"),
+        sum(ext * (lit(1) - disc) * (lit(1) + tax)).cast("double").as("sum_charge"),
+        round(dsum(col("l_quantity")) / count(lit(1)), 6).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** TPC-H Q5-style revenue per region: 5-way join; `nation`/`region` are
+    * broadcast (no shuffle of the fact table for dim joins at 100 TB).
+    */
+  val revenuePerRegion: Q = Q(
+    "t02_revenue_region",
+    """SELECT r_name, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue, count(*) AS n_lines
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+  ) { (s, dir) =>
+    Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(
+        sum(col("l_extendedprice").cast(d2) * (lit(1) - col("l_discount").cast(d2))).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("r_name")
+  }
+
+  /** TPC-H Q3-style shipping priority: filter-pushdown join + top-k —
+    * Catalyst plans TakeOrderedAndProject, no global sort at scale.
+    */
+  val shippingPriority: Q = Q(
+    "t03_shipping_priority",
+    """SELECT o_orderkey, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue, o_orderdate
+      |FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1995-03-15'
+      |GROUP BY o_orderkey, o_orderdate ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+  ) { (s, dir) =>
+    Tables(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      .join(Tables(s, dir, "orders").where(col("o_orderdate") < lit("1998-03-15").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables(s, dir, "lineitem").where(col("l_shipdate") > lit("1995-03-15").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey", "o_orderdate")
+      .agg(sum(col("l_extendedprice").cast(d2) * (lit(1) - col("l_discount").cast(d2))).cast("double").as("revenue"))
+      .select("o_orderkey", "revenue", "o_orderdate")
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q4-style order-priority count via EXISTS → left-semi join. */
+  val orderPriority: Q = Q(
+    "t04_order_priority",
+    """SELECT o_orderpriority, count(*) AS order_count FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+      |AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > TIMESTAMP '1997-01-01')
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  ) { (s, dir) =>
+    Tables(s, dir, "orders")
+      .where(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+      .join(
+        Tables(s, dir, "lineitem").where(col("l_shipdate") > lit("1997-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q6-style forecast revenue: pure scan+filter+agg — the pushdown
+    * showcase (predicates reach the parquet reader).
+    */
+  val forecastRevenue: Q = Q(
+    "t05_forecast_revenue",
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue, count(*) AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24 ORDER BY n""".stripMargin
+  ) { (s, dir) =>
+    Tables(s, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+      .agg(
+        sum(col("l_extendedprice").cast(d2) * col("l_discount").cast(d2)).cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy("n")
+  }
+
+  /** Per-group top-k via ranking window: top-3 spenders per nation. */
+  val topSpendersPerNation: Q = Q(
+    "t06_top_spenders",
+    """SELECT n_name, c_custkey, spend, rk FROM (
+      |  SELECT n_name, c_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend,
+      |         row_number() OVER (PARTITION BY n_name ORDER BY CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) DESC, c_custkey) AS rk
+      |  FROM customer JOIN orders ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY n_name, c_custkey)
+      |WHERE rk <= 3 ORDER BY n_name, rk""".stripMargin
+  ) { (s, dir) =>
+    val spend = Tables(s, dir, "customer")
+      .join(Tables(s, dir, "orders"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name", "c_custkey")
+      .agg(dsum(col("o_totalprice")).as("spend"))
+    val w = Window.partitionBy("n_name").orderBy(col("spend").desc, col("c_custkey"))
+    spend.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select("n_name", "c_custkey", "spend", "rk")
+      .orderBy("n_name", "rk")
+  }
+
+  /** Analytic window frames: monthly revenue with running cumulative sum,
+    * lag delta, and a 3-month moving average.
+    */
+  val monthlyRevenueWindow: Q = Q(
+    "t07_monthly_window",
+    """SELECT y, m, rev,
+      |  round(sum(rev) OVER (PARTITION BY y ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_rev,
+      |  round(coalesce(lag(rev) OVER (PARTITION BY y ORDER BY m), 0), 2) AS prev_rev,
+      |  round(avg(rev) OVER (PARTITION BY y ORDER BY m ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg3
+      |FROM (SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+      |             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      |      FROM orders GROUP BY 1, 2)
+      |ORDER BY y, m""".stripMargin
+  ) { (s, dir) =>
+    val monthly = Tables(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+      .agg(dsum(col("o_totalprice")).as("rev"))
+    val wOrd = Window.partitionBy("y").orderBy("m")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wMov = wOrd.rowsBetween(-2, Window.currentRow)
+    monthly
+      .withColumn("running_rev", round(sum("rev").over(wRun), 2))
+      .withColumn("prev_rev", round(coalesce(lag("rev", 1).over(wOrd), lit(0)), 2))
+      .withColumn("mov_avg3", round(avg("rev").over(wMov), 6))
+      .orderBy("y", "m")
+  }
+
+  /** ROLLUP hierarchy totals (grouping sets family); NULL group keys
+    * canonicalized to -1 for a total order.
+    */
+  val revenueRollup: Q = Q(
+    "t08_revenue_rollup",
+    """SELECT coalesce(y, -1) AS yr, coalesce(m, -1) AS mo,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev, count(*) AS n
+      |FROM (SELECT year(o_orderdate) AS y, month(o_orderdate) AS m, o_totalprice FROM orders)
+      |GROUP BY ROLLUP(y, m) ORDER BY yr, mo""".stripMargin
+  ) { (s, dir) =>
+    Tables(s, dir, "orders")
+      .select(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"), col("o_totalprice"))
+      .rollup("y", "m")
+      .agg(dsum(col("o_totalprice")).as("rev"), count(lit(1)).as("n"))
+      .select(coalesce(col("y"), lit(-1)).as("yr"), coalesce(col("m"), lit(-1)).as("mo"), col("rev"), col("n"))
+      .orderBy("yr", "mo")
+  }
+
+  /** CUBE over two dims (full grouping-sets lattice). */
+  val statusCube: Q = Q(
+    "t09_status_cube",
+    """SELECT coalesce(o_orderstatus, '@ALL') AS status, coalesce(o_orderpriority, '@ALL') AS priority,
+      |       count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY status, priority""".stripMargin
+  ) { (s, dir) =>
+    Tables(s, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("rev"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("@ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("@ALL")).as("priority"),
+        col("n"), col("rev"))
+      .orderBy("status", "priority")
+  }
+
+  /** Set operations: repeat customers (INTERSECT) and churned customers
+    * (EXCEPT) between 1995 and 1996 order years, labeled and unioned.
+    */
+  val setOpsCustomers: Q = Q(
+    "t10_setops_customers",
+    """SELECT 'repeat' AS kind, c FROM (
+      |  SELECT o_custkey AS c FROM orders WHERE year(o_orderdate) = 1995
+      |  INTERSECT SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+      |UNION ALL
+      |SELECT 'churned' AS kind, c FROM (
+      |  SELECT o_custkey AS c FROM orders WHERE year(o_orderdate) = 1995
+      |  EXCEPT SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+      |ORDER BY kind, c""".stripMargin
+  ) { (s, dir) =>
+    val o  = Tables(s, dir, "orders")
+    val y95 = o.where(year(col("o_orderdate")) === 1995).select(col("o_custkey").as("c"))
+    val y96 = o.where(year(col("o_orderdate")) === 1996).select(col("o_custkey").as("c"))
+    y95.intersect(y96).select(lit("repeat").as("kind"), col("c"))
+      .unionByName(y95.except(y96).select(lit("churned").as("kind"), col("c")))
+      .orderBy("kind", "c")
+  }
+
+  /** Exact distinct-count aggregation (Catalyst expand+two-phase plan). */
+  val distinctCounts: Q = Q(
+    "t11_distinct_counts",
+    """SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations, count(DISTINCT o_orderpriority) AS n_prios, count(*) AS n_orders
+      |FROM customer JOIN orders ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+  ) { (s, dir) =>
+    Tables(s, dir, "customer")
+      .join(Tables(s, dir, "orders"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        countDistinct("c_nationkey").as("n_nations"),
+        countDistinct("o_orderpriority").as("n_prios"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** TPC-H Q17-style correlated scalar subquery, decorrelated to a join.
+    * The `5 * qty * cnt < sum_qty` comparison keeps the 0.2·avg predicate in
+    * exact integer arithmetic (quantities are integer-valued).
+    */
+  val smallQuantityRevenue: Q = Q(
+    "t12_small_qty_revenue",
+    """SELECT p_brand, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev, count(*) AS n
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |JOIN (SELECT l_partkey AS pk, sum(CAST(l_quantity AS BIGINT)) AS sum_qty, count(*) AS cnt FROM lineitem GROUP BY 1) agg
+      |  ON pk = l_partkey
+      |WHERE 5 * CAST(l_quantity AS BIGINT) * cnt < sum_qty
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+  ) { (s, dir) =>
+    val li  = Tables(s, dir, "lineitem")
+    val agg = li.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("l_quantity").cast("bigint")).as("sum_qty"), count(lit(1)).as("cnt"))
+    li.join(Tables(s, dir, "part"), col("p_partkey") === col("l_partkey"))
+      .join(agg, col("pk") === col("l_partkey"))
+      .where(lit(5) * col("l_quantity").cast("bigint") * col("cnt") < col("sum_qty"))
+      .groupBy("p_brand")
+      .agg(dsum(col("l_extendedprice")).as("rev"), count(lit(1)).as("n"))
+      .orderBy("p_brand")
+  }
+
+  /** Theta join (equi prefix + inequality residual): supplier/customer
+    * account-balance dominance pairs per nation. Supplier side broadcast.
+    */
+  val thetaBalancePairs: Q = Q(
+    "t13_theta_balance",
+    """SELECT s_nationkey AS nation, count(*) AS n_pairs
+      |FROM supplier JOIN customer ON s_nationkey = c_nationkey AND s_acctbal < c_acctbal
+      |GROUP BY s_nationkey ORDER BY nation""".stripMargin
+  ) { (s, dir) =>
+    broadcast(Tables(s, dir, "supplier"))
+      .join(Tables(s, dir, "customer"),
+        col("s_nationkey") === col("c_nationkey") && col("s_acctbal") < col("c_acctbal"))
+      .groupBy(col("s_nationkey").as("nation"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("nation")
+  }
+
+  /** As-of join (events→events): for each purchase, the latest click of the
+    * same user strictly before it (tie-break on event_id). Implemented
+    * shuffle-once: single window over the time-ordered per-user stream —
+    * no self-join, no range explosion at 100 TB.
+    */
+  val asofLastClick: Q = Q(
+    "t14_asof_last_click",
+    """SELECT p.event_id, p.user_id, p.ts,
+      |  (SELECT c.event_id FROM events c WHERE c.user_id = p.user_id AND c.event_type = 'click'
+      |    AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
+      |   ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS last_click_id
+      |FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id""".stripMargin
+  ) { (s, dir) =>
+    val ev = Tables(s, dir, "events").where(col("event_type").isin("click", "purchase"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("last_click_id",
+        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "last_click_id")
+      .orderBy("event_id")
+  }
+
+  /** Cross join (tiny×tiny): nation × region product with a derived label. */
+  val crossNationRegion: Q = Q(
+    "t15_cross_join",
+    """SELECT n_nationkey, r_regionkey, concat(n_name, '/', r_name) AS pair
+      |FROM nation CROSS JOIN region ORDER BY n_nationkey, r_regionkey""".stripMargin
+  ) { (s, dir) =>
+    Tables(s, dir, "nation")
+      .crossJoin(broadcast(Tables(s, dir, "region")))
+      .select(col("n_nationkey"), col("r_regionkey"), concat(col("n_name"), lit("/"), col("r_name")).as("pair"))
+      .orderBy("n_nationkey", "r_regionkey")
+  }
+
+  /** Outer-join family in one result: per-nation customer/supplier counts via
+    * FULL OUTER between two aggregates (nulls canonicalized).
+    */
+  val outerJoinCounts: Q = Q(
+    "t16_outer_join",
+    """SELECT coalesce(cn.k, sn.k) AS nation, coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+      |FROM (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer WHERE c_acctbal > 9000 GROUP BY 1) cn
+      |FULL OUTER JOIN (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier WHERE s_acctbal > 9000 GROUP BY 1) sn
+      |  ON cn.k = sn.k
+      |ORDER BY nation""".stripMargin
+  ) { (s, dir) =>
+    val cn = Tables(s, dir, "customer").where(col("c_acctbal") > 9000)
+      .groupBy(col("c_nationkey").as("ck")).agg(count(lit(1)).as("n_cust"))
+    val sn = Tables(s, dir, "supplier").where(col("s_acctbal") > 9000)
+      .groupBy(col("s_nationkey").as("sk")).agg(count(lit(1)).as("n_supp"))
+    cn.join(sn, col("ck") === col("sk"), "full_outer")
+      .select(
+        coalesce(col("ck"), col("sk")).as("nation"),
+        coalesce(col("n_cust"), lit(0)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0)).as("n_supp"))
+      .orderBy("nation")
+  }
+
+  val all: Seq[Q] = Seq(
+    pricingSummary, revenuePerRegion, shippingPriority, orderPriority,
+    forecastRevenue, topSpendersPerNation, monthlyRevenueWindow, revenueRollup,
+    statusCube, setOpsCustomers, distinctCounts, smallQuantityRevenue,
+    thetaBalancePairs, asofLastClick, crossNationRegion, outerJoinCounts)
+}
