@@ -1,0 +1,160 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline surface
+  * (builder mandate; SURVEY.md §2.B extension table): exact hash dedup,
+  * MinHash+LSH banding, SimHash, and exact n-gram Jaccard — all expressed as
+  * shuffle-parallel Dataset programs with no driver-side state, so the same
+  * plan runs on a 1000-executor cluster.
+  *
+  * Determinism: all hashing is md5-hex (identical in Spark and DuckDB);
+  * MinHash minima are compared as 16-hex-char strings, so no integer
+  * conversion is needed on either engine.
+  */
+object DedupOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "documents")
+
+  /** Word-3-gram shingle set, one row per distinct (doc_id, shingle).
+    * sequence() guarded: Spark's sequence(0, n) with n<0 would generate a
+    * descending range instead of an empty one.
+    */
+  private def shingled(s: SparkSession, dir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        explode(
+          when(size(w) >= 3,
+            transform(sequence(lit(0), size(w) - 3), i =>
+              concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))
+            .otherwise(array())).as("sh"))
+      .distinct()
+  }
+
+  /** DuckDB twin of [[shingled]] as a CTE body. */
+  private val shingleSql =
+    """SELECT DISTINCT doc_id,
+      |  unnest(list_transform(generate_series(1, greatest(len(string_split(text,' '))-2, 0)),
+      |         i -> concat_ws(' ', string_split(text,' ')[i], string_split(text,' ')[i+1], string_split(text,' ')[i+2]))) AS sh
+      |FROM documents""".stripMargin
+
+  /** Exact dedup: first doc_id per md5(text) survives; per-source survivor
+    * stats. At scale this is a single hash shuffle on the digest — never on
+    * the full text bytes.
+    */
+  val exactDedup: Q = Q(
+    "x01_exact_dedup",
+    """SELECT source, count(*) AS n_docs, sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_unique,
+      |       sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS n_dupes
+      |FROM (SELECT source, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM documents)
+      |GROUP BY source ORDER BY source""".stripMargin
+  ) { (s, dir) =>
+    val w = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
+    docs(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("rn") === 1, 1).otherwise(0)).as("n_unique"),
+        sum(when(col("rn") === 1, 0).otherwise(1)).as("n_dupes"))
+      .orderBy("source")
+  }
+
+  /** MinHash + LSH near-dup candidates: 12 hash functions (seeded md5), 4
+    * bands × 3 rows; docs sharing ≥1 band signature are candidate pairs.
+    * Per-band signatures shuffle by (band, signature) — the classic LSH
+    * bucket join; no all-pairs comparison anywhere.
+    */
+  val minhashLsh: Q = Q(
+    "x02_minhash_lsh",
+    s"""WITH sh AS ($shingleSql),
+       |mh AS (SELECT doc_id, seed, min(substr(md5(CAST(seed AS VARCHAR) || ':' || sh), 1, 16)) AS mh
+       |       FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS seed) seeds
+       |       GROUP BY doc_id, seed),
+       |bands AS (SELECT doc_id, seed // 3 AS band,
+       |                 md5(array_to_string(list_sort(list(lpad(CAST(seed AS VARCHAR), 2, '0') || ':' || mh)), ',')) AS sig
+       |          FROM mh GROUP BY doc_id, seed // 3)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+       |FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
+  ) { (s, dir) =>
+    val mh = shingled(s, dir)
+      .withColumn("seed", explode(sequence(lit(0), lit(11))))
+      .groupBy("doc_id", "seed")
+      .agg(min(substring(md5(concat(col("seed").cast("string"), lit(":"), col("sh"))), 1, 16)).as("mh"))
+    val bands = mh
+      .withColumn("band", expr("seed div 3"))
+      .groupBy("doc_id", "band")
+      .agg(md5(concat_ws(",",
+        array_sort(collect_list(concat(lpad(col("seed").cast("string"), 2, "0"), lit(":"), col("mh")))))).as("sig"))
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_bands"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 32-bit SimHash from word hashes: bit i of a word's hash is the parity
+    * of the i-th hex char of its md5; the document bit is the sign of the
+    * summed ±1 contributions (integer arithmetic — no float order issues).
+    */
+  val simhash: Q = Q(
+    "x03_simhash",
+    """SELECT doc_id, sum(CASE WHEN s > 0 THEN CAST(pow(2, i - 1) AS BIGINT) ELSE 0 END) AS simhash
+      |FROM (SELECT doc_id, i, sum(CASE WHEN ascii(substr(md5(w), CAST(i AS INT), 1)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+      |      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      |      CROSS JOIN (SELECT unnest(generate_series(1, 32)) AS i) bits
+      |      GROUP BY doc_id, i)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("i", explode(sequence(lit(1), lit(32))))
+      .groupBy("doc_id", "i")
+      .agg(sum(when(ascii(md5(col("w")).substr(col("i"), lit(1))) % 2 === 1, 1)
+        .otherwise(-1)).as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") > 0, pow(lit(2), col("i") - 1).cast("long")).otherwise(0L)).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs: distinct word-3-gram sets,
+    * intersection via shingle-key equi-join (shuffle on the shingle — Σdf²
+    * bounded, no cross join), |A∪B| = |A|+|B|−|A∩B|, threshold 0.6.
+    */
+  val ngramJaccard: Q = Q(
+    "x04_ngram_jaccard",
+    s"""WITH sh AS ($shingleSql),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+       |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+       |FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+       |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.6
+       |ORDER BY doc_a, doc_b""".stripMargin
+  ) { (s, dir) =>
+    val sh = shingled(s, dir).cache()
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    val jac = col("i").cast("double") /
+      (col("sa.n") + col("sb.n") - col("i"))
+    inter
+      .join(sz.as("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(sz.as("sb"), col("sb.doc_id") === col("doc_b"))
+      .where(jac >= 0.6)
+      .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val all: Seq[Q] = Seq(exactDedup, minhashLsh, simhash, ngramJaccard)
+}

@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity-search operators over the `embeddings` table
+  * (`Array[Float]`, dim 64): brute-force cosine top-k (the exact baseline),
+  * embedding-cosine near-dup pairs, and an LSH-bucketed ANN variant (the
+  * 100 TB scale path — candidate generation via random-hyperplane sign
+  * buckets, so no all-pairs shuffle).
+  *
+  * Determinism: elements are cast to double before multiply (matches the
+  * DuckDB `::DOUBLE[]` twin), the dot product is a sequential left fold
+  * (`aggregate`), and scores are rounded to 6 dp before ranking with a
+  * vec_id tiebreak.
+  */
+object SimilarityOps {
+
+  private def embs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "embeddings")
+
+  /** Sequential-fold dot product of two float arrays, in double. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** vec_id, embedding, L2 norm. */
+  private def normed(s: SparkSession, dir: String): DataFrame =
+    embs(s, dir).select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+
+  private val normedSql =
+    """SELECT vec_id, embedding::DOUBLE[] AS v, sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |FROM embeddings""".stripMargin
+
+  /** Embedding-cosine near-dup pairs: all pairs above 0.4 cosine. Exact
+    * (the oracle-checkable baseline); the LSH variant below is the scale
+    * path that avoids the quadratic join.
+    */
+  val cosineNearDup: Q = Q(
+    "x05_cosine_neardup",
+    s"""WITH n AS ($normedSql)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+       |FROM n a JOIN n b ON a.vec_id < b.vec_id
+       |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
+       |ORDER BY id_a, id_b""".stripMargin
+  ) { (s, dir) =>
+    val n = normed(s, dir)
+    val cos = round(dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")), 6)
+    n.as("a").join(n.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), cos.as("cos"))
+      .where(col("cos") >= 0.4)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Brute-force cosine top-k: for each query vector (vec_id % 50 = 0) the
+    * 5 nearest neighbors by rounded cosine, vec_id tiebreak. The query set
+    * is broadcast against the corpus — scan stays partition-parallel and the
+    * only shuffle is the per-query top-k window.
+    */
+  val cosineTopK: Q = Q(
+    "x06_cosine_topk",
+    s"""WITH n AS ($normedSql)
+       |SELECT q_id, rk, n_id, cos FROM (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |           ORDER BY round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) DESC, c.vec_id) AS rk
+       |  FROM n q JOIN n c ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id)
+       |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+  ) { (s, dir) =>
+    val n = normed(s, dir)
+    val q = n.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("qn"))
+    val cos = round(dot(col("qv"), col("embedding")) / (col("qn") * col("nrm")), 6)
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    n.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), cos.as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 5)
+      .select("q_id", "rk", "n_id", "cos")
+      .orderBy("q_id", "rk")
+  }
+
+  /** LSH-bucketed ANN: 8 deterministic random hyperplanes (coefficient ±1
+    * from the parity of md5(plane||'-'||dim)), bucket = 8-bit sign pattern;
+    * top-3 neighbors per query within its bucket. The equi-join on `bucket`
+    * replaces the quadratic cross join — at 100 TB the corpus shuffles once
+    * by bucket and each bucket compares internally.
+    */
+  val annLsh: Q = Q(
+    "x07_ann_lsh",
+    s"""WITH n AS ($normedSql),
+       |dims AS (SELECT vec_id, v, nrm, unnest(generate_series(0, len(v) - 1)) AS i FROM n),
+       |proj AS (SELECT vec_id, p,
+       |           sum(CASE WHEN ascii(substr(md5(CAST(p AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 1)) % 2 = 1
+       |                    THEN v[CAST(i AS INT) + 1] ELSE -v[CAST(i AS INT) + 1] END) AS s
+       |         FROM dims CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS p) planes
+       |         GROUP BY vec_id, p),
+       |buckets AS (SELECT vec_id, array_to_string(list_sort(list(CAST(p AS VARCHAR) ||
+       |                     (CASE WHEN round(s, 6) > 0 THEN '+' ELSE '-' END))), '') AS bucket
+       |            FROM proj GROUP BY vec_id),
+       |nb AS (SELECT n.vec_id, v, nrm, bucket FROM n JOIN buckets USING (vec_id))
+       |SELECT q_id, rk, n_id, cos FROM (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |           ORDER BY round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) DESC, c.vec_id) AS rk
+       |  FROM nb q JOIN nb c ON q.bucket = c.bucket AND q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id)
+       |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+  ) { (s, dir) =>
+    val n = normed(s, dir)
+    // per-plane signed sum: fold over dims with a md5-parity coefficient
+    val planeCols = (0 to 7).map { p =>
+      val signed = transform(col("embedding"), (x, i) =>
+        when(ascii(md5(concat(lit(s"$p-"), i.cast("string"))).substr(1, 1)) % 2 === 1,
+          x.cast("double")).otherwise(-x.cast("double")))
+      val sum = aggregate(signed, lit(0.0), (acc, v) => acc + v)
+      when(round(sum, 6) > 0, lit(s"$p+")).otherwise(lit(s"$p-"))
+    }
+    val withBucket = n.withColumn("bucket", concat(planeCols: _*))
+    val q = withBucket.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("qn"), col("bucket"))
+    val cos = round(dot(col("qv"), col("embedding")) / (col("qn") * col("nrm")), 6)
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    withBucket.join(q, Seq("bucket"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), cos.as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select("q_id", "rk", "n_id", "cos")
+      .orderBy("q_id", "rk")
+  }
+
+  val all: Seq[Q] = Seq(cosineNearDup, cosineTopK, annLsh)
+}

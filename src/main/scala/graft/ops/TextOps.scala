@@ -1,0 +1,152 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline surface
+  * (builder mandate; SURVEY.md §2.B extension table): language ID
+  * (stopword-profile heuristic), quality scoring, token counting
+  * (whitespace + BPE-ish regex), and bottom-k document fingerprinting.
+  *
+  * All four are single-pass projections/aggregations over `documents` —
+  * narrow transforms plus one hash aggregate, the shape that scales linearly
+  * with input size. Ratios are exact integer quotients rounded to 6 dp.
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "documents")
+
+  private val stopwords = Map(
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "la", "de", "los", "que"),
+    "fr" -> Seq("le", "la", "les", "et", "des"))
+
+  /** n matching words for one language profile (array intersection count —
+    * no explode, stays inside whole-stage codegen).
+    */
+  private def hits(lang: String): Column =
+    size(filter(split(col("text"), " "), w => w.isInCollection(stopwords(lang))))
+  private def hitsSql(lang: String): String = {
+    val set = stopwords(lang).map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(string_split(text, ' '), w -> w IN ($set)))"
+  }
+
+  /** Language ID via stopword-profile scores + CJK character detection;
+    * argmax with a fixed priority order (en > de > es > fr > zh > und).
+    * Output is the (label, predicted) confusion matrix.
+    */
+  val langId: Q = Q(
+    "x08_lang_id",
+    s"""SELECT lang, pred, count(*) AS n FROM (
+       |  SELECT lang,
+       |    CASE WHEN zh > 0 THEN 'zh'
+       |         WHEN en >= de AND en >= es AND en >= fr AND en > 0 THEN 'en'
+       |         WHEN de >= es AND de >= fr AND de > 0 THEN 'de'
+       |         WHEN es >= fr AND es > 0 THEN 'es'
+       |         WHEN fr > 0 THEN 'fr'
+       |         ELSE 'und' END AS pred
+       |  FROM (SELECT lang, ${hitsSql("en")} AS en, ${hitsSql("de")} AS de,
+       |               ${hitsSql("es")} AS es, ${hitsSql("fr")} AS fr,
+       |               len(regexp_extract_all(text, '[一-鿿]')) AS zh
+       |        FROM documents))
+       |GROUP BY lang, pred ORDER BY lang, pred""".stripMargin
+  ) { (s, dir) =>
+    val scored = docs(s, dir).select(
+      col("lang"),
+      hits("en").as("en"), hits("de").as("de"),
+      hits("es").as("es"), hits("fr").as("fr"),
+      size(expr("regexp_extract_all(text, '[一-鿿]', 0)")).as("zh"))
+    scored
+      .withColumn("pred",
+        when(col("zh") > 0, "zh")
+          .when(col("en") >= col("de") && col("en") >= col("es") && col("en") >= col("fr") && col("en") > 0, "en")
+          .when(col("de") >= col("es") && col("de") >= col("fr") && col("de") > 0, "de")
+          .when(col("es") >= col("fr") && col("es") > 0, "es")
+          .when(col("fr") > 0, "fr")
+          .otherwise("und"))
+      .groupBy("lang", "pred")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred")
+  }
+
+  /** Quality score per document: word count, stopword ratio, type-token
+    * ratio, composite score — length/stopword/diversity heuristics of a
+    * pretraining quality filter.
+    */
+  val qualityScore: Q = Q(
+    "x09_quality_score",
+    s"""SELECT doc_id, n_words,
+       |  round(CAST(stop_n AS DOUBLE) / n_words, 6) AS stop_ratio,
+       |  round(CAST(uniq_n AS DOUBLE) / n_words, 6) AS ttr,
+       |  round(least(n_words / 100.0, 1.0) * 0.5 + (CAST(stop_n AS DOUBLE) / n_words) * 0.3
+       |        + (CAST(uniq_n AS DOUBLE) / n_words) * 0.2, 6) AS score
+       |FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+       |             ${hitsSql("en")} AS stop_n,
+       |             len(list_distinct(string_split(text, ' '))) AS uniq_n
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val w = split(col("text"), " ")
+    val base = docs(s, dir).select(
+      col("doc_id"),
+      size(w).as("n_words"),
+      hits("en").as("stop_n"),
+      size(array_distinct(w)).as("uniq_n"))
+    val stopR = col("stop_n").cast("double") / col("n_words")
+    val ttr   = col("uniq_n").cast("double") / col("n_words")
+    base.select(
+        col("doc_id"), col("n_words"),
+        round(stopR, 6).as("stop_ratio"),
+        round(ttr, 6).as("ttr"),
+        round(least(col("n_words") / 100.0, lit(1.0)) * 0.5 + stopR * 0.3 + ttr * 0.2, 6).as("score"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting per source: whitespace tokens, alphabetic tokens, and a
+    * BPE-ish bounded-chunk tokenization (`[a-z]{1,4}|[0-9]{1,3}|punct`) —
+    * the greedy-regex token estimate used for corpus sizing.
+    */
+  val tokenCount: Q = Q(
+    "x10_token_count",
+    """SELECT source, count(*) AS n_docs,
+      |  sum(len(regexp_extract_all(text, '[^ ]+'))) AS ws_tokens,
+      |  sum(len(regexp_extract_all(text, '[a-z]+'))) AS alpha_tokens,
+      |  sum(len(regexp_extract_all(text, '[a-z]{1,4}|[0-9]{1,3}|[^a-z0-9 ]'))) AS bpe_tokens
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  ) { (s, dir) =>
+    docs(s, dir)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(expr("regexp_extract_all(text, '[^ ]+', 0)"))).as("ws_tokens"),
+        sum(size(expr("regexp_extract_all(text, '[a-z]+', 0)"))).as("alpha_tokens"),
+        sum(size(expr("regexp_extract_all(text, '[a-z]{1,4}|[0-9]{1,3}|[^a-z0-9 ]', 0)"))).as("bpe_tokens"))
+      .orderBy("source")
+  }
+
+  /** Document fingerprint: bottom-4 sketch over rolling 8-char shingle
+    * hashes (winnowing-style selection, deterministic). Array-only pipeline —
+    * no explode, no shuffle beyond the final sort.
+    */
+  val fingerprint: Q = Q(
+    "x11_fingerprint",
+    """SELECT doc_id,
+      |  array_to_string(list_sort(list_distinct(
+      |    list_transform(generate_series(1, greatest(length(text) - 7, 1)),
+      |                   i -> md5(substr(text, CAST(i AS INT), 8)))))[1:4], '|') AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        concat_ws("|", slice(
+          array_sort(array_distinct(
+            transform(sequence(lit(1), greatest(length(col("text")) - 7, lit(1))),
+              i => md5(col("text").substr(i, lit(8)))))),
+          1, 4)).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(langId, qualityScore, tokenCount, fingerprint)
+}
