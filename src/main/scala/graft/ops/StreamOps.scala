@@ -1,0 +1,139 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{LongType, StructType}
+
+/** Event-time windowing + Structured Streaming surface (SURVEY.md §2.B
+  * "Streaming"): tumbling/sliding/session windows over `events`, plus two
+  * genuine `readStream` pipelines (micro-batch with `Trigger.AvailableNow`,
+  * memory sink) whose results are still deterministic and oracle-checked —
+  * the same code shape that runs unbounded against a live topic table.
+  *
+  * Window starts are emitted as epoch seconds (BIGINT) to keep the oracle
+  * comparison timezone-free.
+  */
+object StreamOps {
+
+  private def events(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "events")
+
+  /** Tumbling 1-hour event-time windows per event type (`window()` — the
+    * same expression Structured Streaming aggregates under a watermark).
+    */
+  val tumbling: Q = Q(
+    "x14_tumbling_window",
+    """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start, event_type, count(*) AS n,
+      |       round(sum(CAST(value AS DECIMAL(18,6))), 6) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+  ) { (s, dir) =>
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,6)")), 6).as("sum_value"))
+      .select(unix_timestamp(col("win.start")).as("win_start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+  }
+
+  /** Sliding windows: 1 hour wide, 30-minute slide — every event lands in
+    * exactly two windows (the DuckDB twin materializes both memberships).
+    */
+  val sliding: Q = Q(
+    "x15_sliding_window",
+    """SELECT CAST((floor(epoch(ts) / 1800) - k) * 1800 AS BIGINT) AS win_start, count(*) AS n,
+      |       count(DISTINCT user_id) AS n_users
+      |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+      |GROUP BY 1 ORDER BY win_start""".stripMargin
+  ) { (s, dir) =>
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("win"))
+      .agg(count(lit(1)).as("n"), countDistinct("user_id").as("n_users"))
+      .select(unix_timestamp(col("win.start")).as("win_start"), col("n"), col("n_users"))
+      .orderBy("win_start")
+  }
+
+  /** Session windows per user, 30-minute gap (`session_window`, the
+    * streaming sessionization operator, here in batch mode; the DuckDB twin
+    * is the classic lag/cumsum sessionization).
+    */
+  val session: Q = Q(
+    "x16_session_window",
+    """SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start,
+      |       CAST(floor(epoch(max(ts))) + 1800 AS BIGINT) AS sess_end, count(*) AS n
+      |FROM (SELECT user_id, ts,
+      |        sum(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) >= 1800 THEN 1 ELSE 0 END)
+      |          OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess_id
+      |      FROM (SELECT user_id, ts, event_id,
+      |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |            FROM events))
+      |GROUP BY user_id, sess_id ORDER BY user_id, sess_start""".stripMargin
+  ) { (s, dir) =>
+    events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("sess"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        unix_timestamp(col("sess.start")).as("sess_start"),
+        unix_timestamp(col("sess.end")).as("sess_end"), col("n"))
+      .orderBy("user_id", "sess_start")
+  }
+
+  /** Runs a streaming transform of the events file source to completion
+    * (AvailableNow) and returns the sink table. Checkpoint is a throwaway
+    * temp dir — identity of the "subscription" in reference terms (O-8).
+    */
+  private def runStream(s: SparkSession, dir: String, sinkName: String, mode: String)(
+      transform: DataFrame => DataFrame): DataFrame = {
+    val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+    // The file streaming source wants a directory to list; testdata ships a
+    // single parquet file, so stage it into a throwaway dir (a real topic
+    // table is a directory of append segments — see SURVEY.md §7.1 topics/).
+    val staged = Files.createTempDirectory(s"graft-src-$sinkName")
+    Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events.parquet"))
+    val raw = s.readStream.schema(batchSchema).parquet(staged.toString)
+    // events.ts is parquet TIMESTAMP(NANOS) read as long (see Tables)
+    val stream =
+      if (batchSchema("ts").dataType == LongType)
+        raw.withColumn("ts", expr("timestamp_micros(`ts` div 1000)"))
+      else raw
+    val q = transform(stream).writeStream
+      .format("memory").queryName(sinkName).outputMode(mode)
+      .option("checkpointLocation", Files.createTempDirectory(s"graft-$sinkName").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(sinkName)
+  }
+
+  /** Genuine micro-batch pipeline: readStream → event-time tumbling window
+    * aggregate → complete-mode memory sink. Must equal the batch tumbling
+    * result — the exactly-once contract of checkpointed micro-batching.
+    */
+  val streamTumbling: Q = Q(
+    "x17_stream_tumbling",
+    """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start, event_type, count(*) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+  ) { (s, dir) =>
+    runStream(s, dir, "x17_sink", "complete") { ev =>
+      ev.groupBy(window(col("ts"), "1 hour"), col("event_type")).agg(count(lit(1)).as("n"))
+    }
+      .select(unix_timestamp(col("window.start")).as("win_start"), col("event_type"), col("n"))
+      .orderBy("win_start", "event_type")
+  }
+
+  /** Stateful streaming dedup (`dropDuplicates` keyed state, ref O-16's
+    * latest-by-key semantics): emits each user_id once across micro-batches;
+    * projecting the key alone keeps the output set deterministic.
+    */
+  val streamDedup: Q = Q(
+    "x18_stream_dedup",
+    "SELECT DISTINCT user_id FROM events ORDER BY user_id"
+  ) { (s, dir) =>
+    runStream(s, dir, "x18_sink", "append") { ev =>
+      ev.select("user_id").dropDuplicates("user_id")
+    }.distinct().orderBy("user_id")
+  }
+
+  val all: Seq[Q] = Seq(tumbling, sliding, session, streamTumbling, streamDedup)
+}
