@@ -1,0 +1,241 @@
+package graft.serve
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.KeyPair
+import java.util.concurrent.Semaphore
+import java.util.zip.GZIPInputStream
+
+import scala.util.Try
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.model._
+import graft.store.{Json => J, TopicStore}
+import graft.topics.TopicTable
+
+/** Thin HTTP shim over the engine (SURVEY.md §2.C routes, §7.1 `serve/`):
+  * all semantics live in `topics/`/`store/`/`streaming/` — this layer only
+  * binds routes, auth (O-24/O-25), rate limiting (O-27), and JSON bodies.
+  *
+  * Implemented routes (ref src/route/routes.go:25-160):
+  *  - POST /v1/firehose                 (header TopicFn, NoAuth — ref :93-99)
+  *  - POST /v2/firehose/{p}/{t}/{ns}/{topic}        (JWT — ref :100-106)
+  *  - GET  /v2/poll/{p}/{t}/{ns}/{topic}?batchSize= (JWT — ref :114-120)
+  *  - GET/POST/DELETE /v2/topic[/{key}]             (JWT — ref :124-160)
+  *  - GET  /subject/{sub}               (superrole mints a token — ref :25-33)
+  *  - GET  /status                      (ref :86-92)
+  *
+  * The SSE route's push semantics live in [[graft.streaming.WebhookEngine]]
+  * (a webhook is the reference's push path); poll covers the pull path.
+  */
+final class BeamServer(
+    topics: TopicTable,
+    store: TopicStore,
+    keys: KeyPair,
+    superRoles: Set[String] = Set("superuser"),
+    port: Int = 0) {
+
+  private val sema   = new Semaphore(200) // O-27, ref middleware.go:13-18
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+  def boundPort: Int = server.getAddress.getPort
+  def start(): Unit  = server.start()
+  def stop(): Unit   = server.stop(0)
+
+  /** Mint a token for tests/clients (O-26). */
+  def mintToken(subject: String): String = Jwt.sign(subject, keys.getPrivate)
+
+  server.createContext("/", (ex: HttpExchange) => {
+    if (!sema.tryAcquire()) respond(ex, 429, "too many requests")
+    else
+      try route(ex)
+      catch { case e: Exception => respond(ex, 500, s"internal: ${e.getMessage}") }
+      finally sema.release()
+  })
+
+  private def route(ex: HttpExchange): Unit = {
+    val path  = ex.getRequestURI.getPath.stripSuffix("/")
+    val parts = path.stripPrefix("/").split("/", -1).toList
+    (ex.getRequestMethod, parts) match {
+      case ("GET", "status" :: Nil) =>
+        // AuthHeaderRequired (ref routes.go:86-92)
+        if (Option(ex.getRequestHeaders.getFirst("Authorization")).isEmpty)
+          respond(ex, 401, "unauthorized")
+        else respond(ex, 200, """{"status":"ok"}""")
+
+      case ("POST", "v1" :: "firehose" :: Nil) =>
+        // NoAuth; topic from TopicFn header (ref handlers.go:122-128)
+        Option(ex.getRequestHeaders.getFirst("TopicFn")) match {
+          case None          => respond(ex, 422, "missing TopicFn header")
+          case Some(topicFn) => ingest(ex, topicFn)
+        }
+
+      case ("POST", "v2" :: "firehose" :: p :: tenant :: ns :: topic :: Nil) =>
+        withAuthorizedTenant(ex, tenant) { _ =>
+          TopicName.build(p, tenant, ns, topic) match {
+            case Right(fn) => ingest(ex, fn)
+            case Left(err) => respond(ex, 422, err)
+          }
+        }
+
+      case ("GET", "v2" :: "poll" :: p :: tenant :: ns :: topic :: Nil) =>
+        withAuthorizedTenant(ex, tenant) { _ =>
+          TopicName.build(p, tenant, ns, topic) match {
+            case Left(err) => respond(ex, 422, err)
+            case Right(fn) =>
+              val size = queryParam(ex, "batchSize").flatMap(s => Try(s.toInt).toOption)
+                .getOrElse(10) // ref handlers.go:163
+              val rows = topics.poll(fn, size).collect()
+              if (rows.isEmpty) respond(ex, 204, "") // ref docs/api.go:106-109
+              else {
+                val msgs = rows.map { r =>
+                  J.obj(
+                    "payload"     -> J.str(new String(r.getAs[Array[Byte]]("payload"), UTF_8)),
+                    "topic"       -> J.str(r.getAs[String]("topic")),
+                    "messageId"   -> J.str(r.getAs[String]("messageId")),
+                    "publishTime" -> J.str(r.getAs[java.sql.Timestamp]("publishTime").toInstant.toString))
+                }
+                respond(ex, 200,
+                  s"""{"limit":$size,"size":${rows.length},"messages":[${msgs.mkString(",")}]}""")
+              }
+          }
+        }
+
+      case ("GET", "v2" :: "topic" :: key :: Nil) =>
+        withSubject(ex) { sub =>
+          store.getByKey(key) match {
+            case Some(cfg) if authorized(cfg.topicFullName, sub) => respond(ex, 200, topicJson(cfg))
+            case Some(_)                                         => respond(ex, 403, "forbidden")
+            case None                                            => respond(ex, 404, "not found")
+          }
+        }
+
+      case ("POST", "v2" :: "topic" :: Nil) =>
+        withSubject(ex) { sub =>
+          val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+          parseTopicConfig(body) match {
+            case Left(err) => respond(ex, 422, err)
+            case Right(cfg) =>
+              if (!authorized(cfg.topicFullName, sub)) respond(ex, 403, "forbidden")
+              else store.update(cfg) match {
+                case Left(err)  => respond(ex, 422, err)
+                case Right(key) => respond(ex, 201, topicJson(store.getByKey(key).get))
+              }
+          }
+        }
+
+      case ("DELETE", "v2" :: "topic" :: key :: Nil) =>
+        withSubject(ex) { sub =>
+          store.getByKey(key) match {
+            case Some(cfg) if authorized(cfg.topicFullName, sub) =>
+              store.deleteByKey(key); respond(ex, 200, """{"deleted":true}""")
+            case Some(_) => respond(ex, 403, "forbidden")
+            case None    => respond(ex, 404, "not found")
+          }
+        }
+
+      case ("GET", "subject" :: sub :: Nil) =>
+        // only a superrole mints tokens (ref handlers.go:41-68)
+        withSubject(ex) { caller =>
+          if (!superRoles(caller)) respond(ex, 403, "forbidden")
+          else respond(ex, 200, s"""{"token":"${mintToken(sub)}"}""")
+        }
+
+      case _ => respond(ex, 404, "no route")
+    }
+  }
+
+  /** O-1/O-2: gzip-aware body read, then append to the topic table. */
+  private def ingest(ex: HttpExchange, topicFn: String): Unit = {
+    val raw = ex.getRequestBody.readAllBytes()
+    val body =
+      if (Option(ex.getRequestHeaders.getFirst("Content-Encoding")).contains("gzip"))
+        new GZIPInputStream(new java.io.ByteArrayInputStream(raw)).readAllBytes()
+      else raw
+    if (body.isEmpty) respond(ex, 422, "empty body")
+    else {
+      topics.ingestPayload(body, topicFn)
+      respond(ex, 200, """{"status":"published"}""")
+    }
+  }
+
+  /** O-24: JWT → subject ("injectedSubs" equivalent, ref middleware.go:32-44). */
+  private def withSubject(ex: HttpExchange)(f: String => Unit): Unit =
+    Option(ex.getRequestHeaders.getFirst("Authorization"))
+      .map(_.stripPrefix("Bearer ").trim) match {
+      case None => respond(ex, 401, "unauthorized")
+      case Some(token) =>
+        Jwt.verify(token, keys.getPublic) match {
+          case Left(err)  => respond(ex, 401, err)
+          case Right(sub) => f(sub)
+        }
+    }
+
+  /** O-25 tenant authorization on a route's tenant segment. */
+  private def withAuthorizedTenant(ex: HttpExchange, tenant: String)(f: String => Unit): Unit =
+    withSubject(ex) { sub =>
+      if (Auth.verifySubject(tenant, sub, superRoles)) f(sub)
+      else respond(ex, 403, "forbidden")
+    }
+
+  private def queryParam(ex: HttpExchange, name: String): Option[String] =
+    Option(ex.getRequestURI.getQuery).flatMap(_.split("&").collectFirst {
+      case kv if kv.startsWith(name + "=") => kv.substring(name.length + 1)
+    })
+
+  private def authorized(topicFn: String, sub: String): Boolean =
+    Auth.verifySubjectForTopic(topicFn, sub, superRoles)
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    if (code == 204) ex.sendResponseHeaders(204, -1)
+    else { ex.sendResponseHeaders(code, bytes.length); ex.getResponseBody.write(bytes) }
+    ex.close()
+  }
+
+  private def topicJson(cfg: TopicConfig): String = {
+    import graft.store.Json._
+    obj(
+      "topicFullName" -> str(cfg.topicFullName), "tenant" -> str(cfg.tenant),
+      "key" -> str(cfg.key), "notes" -> str(cfg.notes),
+      "topicStatus" -> num(cfg.topicStatus), "pulsarURL" -> str(cfg.pulsarURL),
+      "webhooks" -> arr(cfg.webhooks.map(wh => obj(
+        "url" -> str(wh.url), "headers" -> arr(wh.headers.map(str)),
+        "subscription" -> str(wh.subscription),
+        "subscriptionType" -> str(wh.subscriptionType),
+        "initialPosition" -> str(wh.initialPosition),
+        "webhookStatus" -> num(wh.webhookStatus)))))
+  }
+
+  /** Minimal JSON body binding for TopicConfig (flat fields + webhook
+    * array) — regex-based field extraction; full schema-on-read lives in the
+    * Spark path (`CompactedLogStore.log`).
+    */
+  private def parseTopicConfig(body: String): Either[String, TopicConfig] = {
+    def strField(obj: String, name: String): Option[String] =
+      (""""""" + name + """"\s*:\s*"((?:[^"\\]|\\.)*)"""").r.findFirstMatchIn(obj).map(_.group(1))
+    def numField(obj: String, name: String): Option[Int] =
+      (""""""" + name + """"\s*:\s*(\d+)""").r.findFirstMatchIn(obj).map(_.group(1).toInt)
+    val fn  = strField(body, "topicFullName")
+    val url = strField(body, "pulsarURL").orElse(strField(body, "pulsarUrl"))
+    (fn, url) match {
+      case (Some(f), Some(u)) =>
+        val whObjs = """\{[^{}]*"url"[^{}]*\}""".r.findAllIn(body).toSeq
+        val whs = whObjs.map { w =>
+          WebhookConfig(
+            strField(w, "url").getOrElse(""),
+            Nil,
+            strField(w, "subscription").getOrElse(""),
+            strField(w, "subscriptionType").getOrElse(""),
+            strField(w, "initialPosition").getOrElse(""),
+            numField(w, "webhookStatus").getOrElse(Status.Activated))
+        }
+        Right(TopicConfig(f, strField(body, "token").getOrElse(""),
+          strField(body, "tenant").getOrElse(""), "", strField(body, "notes").getOrElse(""),
+          numField(body, "topicStatus").getOrElse(Status.Activated), u, whs))
+      case _ => Left("topicFullName and pulsarURL are required")
+    }
+  }
+}

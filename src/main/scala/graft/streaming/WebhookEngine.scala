@@ -1,0 +1,174 @@
+package graft.streaming
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+import java.time.Duration
+
+import scala.jdk.CollectionConverters._
+import scala.util.Try
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.model.{Status, TopicConfig, WebhookConfig}
+import graft.store.TopicStore
+import graft.topics.TopicTable
+
+/** Webhook push pipeline (SURVEY.md §2 O-10..O-15, §7.1 `streaming/`):
+  * one Structured Streaming query per Activated (topic, webhook) pair.
+  *
+  *  - fan-out (O-10): `readStream(topic) → foreachBatch → HTTP POST per row`
+  *  - header enrichment (O-11): PulsarMessageId/PublishedTime/Topic/
+  *    EventTime + flattened `PulsarProperties-*` + JSON content-type sniff
+  *  - ack/at-least-once (O-12): the micro-batch checkpoint is the ack; a
+  *    failed batch rethrows and is redelivered on restart. 2xx and 422 both
+  *    count as delivered (ref src/broker/webhook.go:153-167)
+  *  - retry (O-30): max 1 retry with bounded backoff
+  *    (ref src/broker/webhook.go:99-101)
+  *  - reply-sink (O-13): a 2xx response carrying `TopicFn` re-publishes the
+  *    response body to that topic (ref src/broker/webhook.go:131-151)
+  *  - reconcile (O-14): desired-vs-running set difference on subscription
+  *    keys every tick (ref src/broker/webhook.go:243-273)
+  *
+  * Executor-vs-driver note: config rows are bounded (SURVEY §7.4), so the
+  * per-batch `collect()` moves only the micro-batch being delivered — the
+  * same per-message motion as the reference's consumer loop; the analytic
+  * path never collects.
+  */
+final class WebhookEngine(
+    spark: SparkSession,
+    topics: TopicTable,
+    store: TopicStore,
+    checkpointRoot: String = Files.createTempDirectory("graft-wh").toString,
+    retryBackoffMs: Long = 100, // ref 2-28s; compressed for tests
+    triggerMs: Long = 500) {
+
+  private val http = HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(30)).build()
+
+  /** subscription key ≈ cfg.key + webhook url (ref webhook.go:249-259). */
+  private def subKey(cfg: TopicConfig, wh: WebhookConfig): String =
+    graft.model.Keys.sha1Hex(cfg.key + wh.url + wh.subscription)
+
+  private val running = scala.collection.concurrent.TrieMap.empty[String, StreamingQuery]
+
+  /** O-14 reconciliation: start queries for Activated webhooks not running,
+    * stop running queries no longer desired. Declarative twin: the
+    * `desired.except(actual)` / `actual.except(desired)` anti-joins.
+    */
+  def reconcile(): Unit = synchronized {
+    val desired: Map[String, (TopicConfig, WebhookConfig)] = (for {
+      cfg <- store.load()
+      wh  <- cfg.webhooks
+      if wh.webhookStatus == Status.Activated // O-15 status filter
+    } yield subKey(cfg, wh) -> (cfg, wh)).toMap
+
+    // actual \ desired → cancel (ref webhook.go:265-271)
+    for ((k, q) <- running.toMap if !desired.contains(k)) {
+      Try(q.stop())
+      running.remove(k)
+    }
+    // desired \ actual → start (ref webhook.go:258-263)
+    for ((k, (cfg, wh)) <- desired if !running.contains(k)) {
+      running.put(k, startQuery(k, cfg, wh))
+    }
+  }
+
+  def activeCount: Int = running.size
+
+  def stopAll(): Unit = synchronized {
+    running.values.foreach(q => Try(q.stop()))
+    running.clear()
+  }
+
+  /** Blocks until every running query has processed all currently-available
+    * input (test/bounded-replay helper).
+    */
+  def processAllAvailable(): Unit = running.values.foreach(_.processAllAvailable())
+
+  private def startQuery(key: String, cfg: TopicConfig, wh: WebhookConfig): StreamingQuery = {
+    val enriched = enrich(topics.readStream(cfg.topicFullName))
+    enriched.writeStream
+      .queryName(s"webhook-$key")
+      .option("checkpointLocation", s"$checkpointRoot/$key") // exclusive sub identity (O-9)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // bounded micro-batch → per-message POST, ref ConsumeLoop webhook.go:171-241
+        batch.collect().foreach(row => deliver(row, wh))
+      }
+      .start()
+  }
+
+  /** O-11 delivery header enrichment as a projection. */
+  private def enrich(stream: DataFrame): DataFrame =
+    stream.select(
+      col("payload"), col("topic"), col("messageId"), col("publishTime"),
+      col("eventTime"), col("props"),
+      // JSON sniff (ref webhook.go:234-236): valid JSON payload → content-type
+      when(try_parse_json(col("payload").cast("string")).isNotNull,
+        lit("application/json")).otherwise(lit("text/plain")).as("contentType"))
+
+  /** O-10/O-12/O-30: POST with one retry; 2xx/422 = delivered (ack via
+    * checkpoint); anything else throws → micro-batch redelivery.
+    */
+  private def deliver(row: Row, wh: WebhookConfig): Unit = {
+    val payload = row.getAs[Array[Byte]]("payload")
+    val builder = HttpRequest.newBuilder(URI.create(wh.url))
+      .timeout(Duration.ofSeconds(30))
+      .POST(HttpRequest.BodyPublishers.ofByteArray(payload))
+      .header("Content-Type", row.getAs[String]("contentType"))
+      .header("PulsarMessageId", row.getAs[String]("messageId"))
+      .header("PulsarPublishedTime", row.getAs[java.sql.Timestamp]("publishTime").toInstant.toString)
+      .header("PulsarTopic", row.getAs[String]("topic"))
+    // conditional event time (non-zero only, ref webhook.go:225-228)
+    Option(row.getAs[java.sql.Timestamp]("eventTime"))
+      .foreach(t => builder.header("PulsarEventTime", t.toInstant.toString))
+    // property flattening (ref webhook.go:229-231)
+    Option(row.getAs[Map[String, String]]("props")).getOrElse(Map.empty)
+      .foreach { case (k, v) => builder.header(s"PulsarProperties-$k", v) }
+    // user-configured headers "K: V" (ref webhook.go:109-117 SplitAfterN)
+    wh.headers.foreach { h =>
+      h.split(":", 2) match {
+        case Array(k, v) => builder.header(k.trim, v.trim)
+        case _           => ()
+      }
+    }
+    val req = builder.build()
+
+    def send(): Either[Throwable, HttpResponse[Array[Byte]]] =
+      try Right(http.send(req, HttpResponse.BodyHandlers.ofByteArray()))
+      catch { case e: Exception => Left(e) }
+    def delivered(r: HttpResponse[Array[Byte]]): Boolean =
+      (r.statusCode() >= 200 && r.statusCode() < 300) || r.statusCode() == 422
+
+    // max 1 retry with backoff (ref webhook.go:99-101), then ack on
+    // 2xx/422 (ref webhook.go:153-167) or throw → micro-batch redelivery
+    val outcome = send() match {
+      case Right(r) if delivered(r) => Right(r)
+      case _                        => Thread.sleep(retryBackoffMs); send()
+    }
+    outcome match {
+      case Right(r) if r.statusCode() >= 200 && r.statusCode() < 300 => replyToPulsar(r) // O-13
+      case Right(r) if r.statusCode() == 422 => () // ack, no redelivery
+      case Right(r) => throw new RuntimeException(s"webhook ${wh.url} -> ${r.statusCode()}")
+      case Left(e)  => throw new RuntimeException(s"webhook ${wh.url} unreachable", e)
+    }
+  }
+
+  /** O-13 reply-sink: 2xx response with `TopicFn` header re-publishes the
+    * response body (same ReceiverHeader contract as ingest,
+    * ref util.go:61-75).
+    */
+  private def replyToPulsar(res: HttpResponse[Array[Byte]]): Unit = {
+    val headers = res.headers()
+    val topicFn = headers.firstValue("TopicFn")
+    if (topicFn.isPresent && res.body().nonEmpty) {
+      val props = headers.map().asScala.collect {
+        case (k, vs) if k.toLowerCase.startsWith("pulsarproperties-") =>
+          k.substring("PulsarProperties-".length) -> vs.asScala.mkString(",")
+      }.toMap
+      topics.ingestPayload(res.body(), topicFn.get(), props)
+    }
+  }
+}

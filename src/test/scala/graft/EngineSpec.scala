@@ -1,0 +1,180 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model._
+import graft.serve.Jwt
+import graft.store.{CompactedLogStore, InMemoryStore, TopicStore}
+import graft.streaming.WebhookEngine
+import graft.topics.TopicTable
+
+/** Engine integration tests.
+  *
+  * The e2e scenario mirrors ref src/e2e/e2etest.go:19-27: register a webhook
+  * config → ingest a message → the streaming engine POSTs it to a local HTTP
+  * stub → the stub's 2xx reply carries `TopicFn` headers → the reply body
+  * lands in the second topic table → delete the config → reconcile stops the
+  * consumer query.
+  */
+class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-engine-test")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmp(prefix: String): String = Files.createTempDirectory(prefix).toString
+
+  // --- store CRUD lifecycle (mirrors ref src/unit-test/db_test.go:19-105) ---
+
+  private def crudLifecycle(store: TopicStore): Unit = {
+    val wh = WebhookConfig("http://localhost:9998/hook", Seq("Authorization: Bearer x"),
+      "crud-sub", "exclusive", "earliest", Status.Activated)
+    val cfg = TopicConfig("persistent://tenant-a/ns/crud-topic", "tok", "tenant-a",
+      "", "note", Status.Activated, "pulsar://broker0:6650", Seq(wh))
+
+    val Right(key) = store.update(cfg)
+    assert(key == Keys.genKey(cfg.topicFullName, cfg.pulsarURL))
+    assert(store.getByKey(key).exists(_.notes == "note"))
+    assert(store.getByTopic(cfg.topicFullName, cfg.pulsarURL).isDefined)
+    assert(store.load().size == 1)
+
+    val Right(key2) = store.update(cfg.copy(notes = "updated"))
+    assert(key2 == key)
+    assert(store.getByKey(key).exists(_.notes == "updated"))
+    assert(store.load().size == 1)
+
+    assert(store.deleteByKey(key))
+    assert(!store.deleteByKey(key))
+    assert(store.getByKey(key).isEmpty)
+
+    assert(store.update(cfg.copy(pulsarURL = "not a url")).isLeft)
+  }
+
+  test("in-memory store CRUD lifecycle")(crudLifecycle(new InMemoryStore))
+
+  test("compacted-log store CRUD lifecycle + tombstone replay") {
+    val dir   = tmp("graft-store")
+    val store = new CompactedLogStore(spark, dir)
+    crudLifecycle(store)
+    // a fresh store over the same log sees the compacted state (O-16):
+    // the last row per key is a tombstone → table is empty after replay
+    val replayed = new CompactedLogStore(spark, dir)
+    assert(replayed.load().isEmpty)
+    // and a re-create after delete survives replay
+    val cfg = TopicConfig("persistent://tenant-a/ns/crud-topic", "tok", "tenant-a",
+      "", "back", Status.Activated, "pulsar://broker0:6650", Nil)
+    val Right(key) = replayed.update(cfg)
+    val again = new CompactedLogStore(spark, dir)
+    assert(again.getByKey(key).exists(_.notes == "back"))
+  }
+
+  // --- topic tables: ingest → poll round-trip (§7.2 minimum slice) ---
+
+  test("ingest stamps metadata and poll returns arrival order") {
+    val topics  = new TopicTable(spark, tmp("graft-topics"))
+    val topicFn = "persistent://tenant-a/ns/ingest-test"
+    (1 to 3).foreach(i => topics.ingestPayload(s"msg-$i".getBytes, topicFn))
+    val rows = topics.poll(topicFn, 2).collect()
+    assert(rows.length == 2)
+    val first = rows(0)
+    assert(first.getAs[String]("topic") == topicFn)
+    assert(first.getAs[String]("messageId").nonEmpty)
+    assert(Option(first.getAs[java.sql.Timestamp]("publishTime")).isDefined)
+    assert(first.getAs[Map[String, String]]("props").contains("PulsarBeamId"))
+    assert(topics.poll(topicFn, 10).count() == 3)
+  }
+
+  // --- e2e webhook pipeline (ref e2etest.go:19-27) ---
+
+  test("webhook pipeline delivers, replies re-ingest, reconcile stops") {
+    val topics = new TopicTable(spark, tmp("graft-topics-e2e"))
+    val store  = new InMemoryStore
+    val engine = new WebhookEngine(spark, topics, store, tmp("graft-ck"), triggerMs = 200)
+
+    val sourceFn = "persistent://tenant-a/ns/e2e-source"
+    val replyFn  = "persistent://tenant-a/ns/e2e-reply"
+    val hits     = new AtomicInteger(0)
+    @volatile var seenHeaders = Map.empty[String, String]
+
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    server.createContext("/hook", (ex: HttpExchange) => {
+      val body = ex.getRequestBody.readAllBytes()
+      hits.incrementAndGet()
+      seenHeaders = Seq("Pulsarmessageid", "Pulsartopic", "Content-type")
+        .flatMap(h => Option(ex.getRequestHeaders.getFirst(h)).map(h -> _)).toMap
+      // reply-sink contract (O-13): 2xx + TopicFn header → body re-published
+      ex.getResponseHeaders.set("TopicFn", replyFn)
+      ex.getResponseHeaders.set("PulsarUrl", "pulsar://broker0:6650")
+      val reply = new String(body) + ":processed"
+      ex.sendResponseHeaders(200, reply.length)
+      ex.getResponseBody.write(reply.getBytes)
+      ex.close()
+    })
+    server.start()
+    val port = server.getAddress.getPort
+
+    try {
+      val wh = WebhookConfig(s"http://localhost:$port/hook", Nil,
+        "e2e-sub", "exclusive", "earliest", Status.Activated)
+      val cfg = TopicConfig(sourceFn, "", "tenant-a", "", "", Status.Activated,
+        "pulsar://broker0:6650", Seq(wh))
+      assert(store.update(cfg).isRight)
+
+      engine.reconcile()
+      assert(engine.activeCount == 1)
+
+      topics.ingestPayload("""{"hello":"beam"}""".getBytes, sourceFn)
+      engine.processAllAvailable()
+      // the reply hop lands asynchronously within the same call chain
+      engine.processAllAvailable()
+
+      assert(hits.get() >= 1)
+      assert(seenHeaders.get("Pulsartopic").contains(sourceFn))
+      assert(seenHeaders.get("Content-type").contains("application/json"))
+
+      val replies = topics.read(replyFn).collect()
+      assert(replies.length == 1)
+      assert(new String(replies(0).getAs[Array[Byte]]("payload"))
+        == """{"hello":"beam"}:processed""")
+
+      // delete config → reconcile stops the consumer (O-14)
+      store.deleteByKey(store.load().head.key)
+      engine.reconcile()
+      assert(engine.activeCount == 0)
+    } finally {
+      engine.stopAll()
+      server.stop(0)
+    }
+  }
+
+  // --- JWT (O-24/O-26) ---
+
+  test("JWT sign/verify round-trip and tamper rejection") {
+    val kp    = Jwt.generateKeyPair()
+    val token = Jwt.sign("picasso", kp.getPrivate)
+    assert(Jwt.verify(token, kp.getPublic) == Right("picasso"))
+    assert(Jwt.verify(token.dropRight(2), kp.getPublic).isLeft)
+    assert(Jwt.verify("a.b", kp.getPublic).isLeft)
+    val other = Jwt.generateKeyPair()
+    assert(Jwt.verify(token, other.getPublic).isLeft)
+    // key serialization round-trip
+    val pub = Jwt.decodePublic(Jwt.encodePublic(kp.getPublic))
+    assert(Jwt.verify(token, pub) == Right("picasso"))
+    val priv = Jwt.decodePrivate(Jwt.encodePrivate(kp.getPrivate))
+    assert(Jwt.verify(Jwt.sign("monet", priv), pub) == Right("monet"))
+  }
+}

@@ -1,0 +1,129 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.serve.{BeamServer, Jwt}
+import graft.store.InMemoryStore
+import graft.topics.TopicTable
+
+/** HTTP shim tests (SURVEY.md §2.C route surface; status-code contract from
+  * ref src/docs/api.go:8-176 and unit-test/handlers_test.go).
+  */
+class ServeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-serve-test")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val kp     = Jwt.generateKeyPair()
+  private lazy val topics = new TopicTable(spark, Files.createTempDirectory("graft-serve").toString)
+  private lazy val store  = new InMemoryStore
+  private lazy val server = new BeamServer(topics, store, kp)
+  private lazy val base   = { server.start(); s"http://localhost:${server.boundPort}" }
+  private val http        = HttpClient.newHttpClient()
+
+  override def afterAll(): Unit = { server.stop(); spark.stop() }
+
+  private def req(method: String, path: String, body: String = "",
+      headers: Map[String, String] = Map.empty): HttpResponse[String] = {
+    var b = HttpRequest.newBuilder(URI.create(base + path))
+    b = method match {
+      case "GET"    => b.GET()
+      case "POST"   => b.POST(HttpRequest.BodyPublishers.ofString(body))
+      case "DELETE" => b.DELETE()
+    }
+    headers.foreach { case (k, v) => b = b.header(k, v) }
+    http.send(b.build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  private def auth(sub: String) = Map("Authorization" -> s"Bearer ${Jwt.sign(sub, kp.getPrivate)}")
+
+  test("status requires an auth header (ref routes.go:86-92)") {
+    assert(req("GET", "/status").statusCode() == 401)
+    assert(req("GET", "/status", headers = Map("Authorization" -> "anything")).statusCode() == 200)
+  }
+
+  test("v1 firehose needs TopicFn; v2 firehose + poll round-trip with JWT") {
+    assert(req("POST", "/v1/firehose", "x").statusCode() == 422)
+
+    // unauthenticated + wrong-tenant rejections (ref handlers_test.go:96-111)
+    assert(req("POST", "/v2/firehose/persistent/tenant-a/ns/t1", "x").statusCode() == 401)
+    assert(req("POST", "/v2/firehose/persistent/tenant-a/ns/t1", "x",
+      auth("tenant-b")).statusCode() == 403)
+
+    // happy path: 2 ingests (one suffix-rule subject), then poll
+    assert(req("POST", "/v2/firehose/persistent/tenant-a/ns/t1", """{"n":1}""",
+      auth("tenant-a")).statusCode() == 200)
+    assert(req("POST", "/v2/firehose/persistent/tenant-a/ns/t1", """{"n":2}""",
+      auth("tenant-a-client0")).statusCode() == 200)
+
+    val poll = req("GET", "/v2/poll/persistent/tenant-a/ns/t1?batchSize=5", headers = auth("tenant-a"))
+    assert(poll.statusCode() == 200)
+    assert(poll.body().contains(""""size":2"""))
+    assert(poll.body().contains("""{\"n\":1}""")) // payload JSON-escaped in envelope
+
+    // empty topic → 204 (ref docs/api.go:106-109)
+    assert(req("GET", "/v2/poll/persistent/tenant-a/ns/empty", headers = auth("tenant-a"))
+      .statusCode() == 204)
+  }
+
+  test("topic CRUD over HTTP with tenant auth") {
+    val cfgJson =
+      """{"topicFullName":"persistent://tenant-c/ns/hooked","pulsarURL":"pulsar://broker0:6650",
+        |"tenant":"tenant-c","notes":"via-http","webhooks":[
+        |{"url":"http://localhost:1/nope","subscription":"sub-http","subscriptionType":"exclusive",
+        |"initialPosition":"earliest","webhookStatus":1}]}""".stripMargin
+    assert(req("POST", "/v2/topic", cfgJson).statusCode() == 401)
+    assert(req("POST", "/v2/topic", cfgJson, auth("tenant-x")).statusCode() == 403)
+
+    val created = req("POST", "/v2/topic", cfgJson, auth("tenant-c"))
+    assert(created.statusCode() == 201)
+    val key = """"key":"([0-9a-f]{40})"""".r.findFirstMatchIn(created.body()).get.group(1)
+
+    val got = req("GET", s"/v2/topic/$key", headers = auth("tenant-c"))
+    assert(got.statusCode() == 200)
+    assert(got.body().contains("sub-http"))
+    assert(req("GET", s"/v2/topic/$key", headers = auth("tenant-x")).statusCode() == 403)
+
+    // superrole can read and delete any topic (ref O-25)
+    assert(req("GET", s"/v2/topic/$key", headers = auth("superuser")).statusCode() == 200)
+    assert(req("DELETE", s"/v2/topic/$key", headers = auth("tenant-c")).statusCode() == 200)
+    assert(req("GET", s"/v2/topic/$key", headers = auth("tenant-c")).statusCode() == 404)
+
+    // malformed body → 422 (ref handlers_test.go TestTopicHandler)
+    assert(req("POST", "/v2/topic", """{"nope":1}""", auth("tenant-c")).statusCode() == 422)
+  }
+
+  test("token minting is superrole-only (ref handlers.go:41-68)") {
+    assert(req("GET", "/subject/newrole", headers = auth("tenant-a")).statusCode() == 403)
+    val minted = req("GET", "/subject/newrole", headers = auth("superuser"))
+    assert(minted.statusCode() == 200)
+    val token = """"token":"([^"]+)"""".r.findFirstMatchIn(minted.body()).get.group(1)
+    assert(Jwt.verify(token, kp.getPublic) == Right("newrole"))
+  }
+
+  test("gzip ingest decodes before publish (O-2)") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz  = new java.util.zip.GZIPOutputStream(bos)
+    gz.write("""{"zipped":true}""".getBytes); gz.close()
+    val resp = http.send(
+      HttpRequest.newBuilder(URI.create(base + "/v2/firehose/persistent/tenant-g/ns/gz"))
+        .POST(HttpRequest.BodyPublishers.ofByteArray(bos.toByteArray))
+        .header("Content-Encoding", "gzip")
+        .header("Authorization", s"Bearer ${Jwt.sign("tenant-g", kp.getPrivate)}")
+        .build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(resp.statusCode() == 200)
+    val rows = topics.poll("persistent://tenant-g/ns/gz", 1).collect()
+    assert(new String(rows(0).getAs[Array[Byte]]("payload")) == """{"zipped":true}""")
+  }
+}
