@@ -82,15 +82,23 @@ object DedupOps {
        |FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
   ) { (s, dir) =>
-    val mh = shingled(s, dir)
-      .withColumn("seed", explode(sequence(lit(0), lit(11))))
-      .groupBy("doc_id", "seed")
-      .agg(min(substring(md5(concat(col("seed").cast("string"), lit(":"), col("sh"))), 1, 16)).as("mh"))
-    val bands = mh
-      .withColumn("band", expr("seed div 3"))
-      .groupBy("doc_id", "band")
-      .agg(md5(concat_ws(",",
-        array_sort(collect_list(concat(lpad(col("seed").cast("string"), 2, "0"), lit(":"), col("mh")))))).as("sig"))
+    // single-pass signature: all 12 minima in one hash aggregate (no ×12
+    // explode, no second shuffle — one pass over the shingle set)
+    val minCols = (0 to 11).map(j =>
+      min(substring(md5(concat(lit(s"$j:"), col("sh"))), 1, 16)).as(s"mh$j"))
+    val sig = shingled(s, dir)
+      .groupBy("doc_id")
+      .agg(minCols.head, minCols.tail: _*)
+    // band signatures from the signature columns; element order == seed
+    // order == lexicographic lpad order, matching the oracle's list_sort
+    def bandSig(b: Int): Column =
+      md5(concat_ws(",", (3 * b to 3 * b + 2).map(j =>
+        concat(lit(f"$j%02d:"), col(s"mh$j"))): _*))
+    val bands = sig.select(
+      col("doc_id"),
+      explode(array((0 to 3).map(b =>
+        struct(lit(b).as("band"), bandSig(b).as("sig"))): _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
     val a = bands.as("a")
     val b = bands.as("b")
     a.join(b,

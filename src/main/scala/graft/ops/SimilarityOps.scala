@@ -19,10 +19,11 @@ object SimilarityOps {
 
   private def embs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "embeddings")
 
-  /** Sequential-fold dot product of two float arrays, in double. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Sequential-fold dot product of two float arrays, in double —
+    * codegen'd custom expression (graft.functions.DotF32), bit-identical to
+    * the HOF fold and the DuckDB twin.
+    */
+  private def dot(a: Column, b: Column): Column = graft.functions.GraftFunctions.dotF32(a, b)
 
   /** vec_id, embedding, L2 norm. */
   private def normed(s: SparkSession, dir: String): DataFrame =

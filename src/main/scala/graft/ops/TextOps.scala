@@ -52,11 +52,16 @@ object TextOps {
        |        FROM documents))
        |GROUP BY lang, pred ORDER BY lang, pred""".stripMargin
   ) { (s, dir) =>
-    val scored = docs(s, dir).select(
-      col("lang"),
-      hits("en").as("en"), hits("de").as("de"),
-      hits("es").as("es"), hits("fr").as("fr"),
-      size(expr("regexp_extract_all(text, '[一-鿿]', 0)")).as("zh"))
+    // split once, score all profiles over the same words array
+    def hitsIn(lang: String): Column =
+      size(filter(col("ws"), w => w.isInCollection(stopwords(lang))))
+    val scored = docs(s, dir)
+      .select(col("lang"), col("text"), split(col("text"), " ").as("ws"))
+      .select(
+        col("lang"),
+        hitsIn("en").as("en"), hitsIn("de").as("de"),
+        hitsIn("es").as("es"), hitsIn("fr").as("fr"),
+        regexp_count(col("text"), lit("[一-鿿]")).as("zh"))
     scored
       .withColumn("pred",
         when(col("zh") > 0, "zh")
@@ -119,9 +124,9 @@ object TextOps {
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(size(expr("regexp_extract_all(text, '[^ ]+', 0)"))).as("ws_tokens"),
-        sum(size(expr("regexp_extract_all(text, '[a-z]+', 0)"))).as("alpha_tokens"),
-        sum(size(expr("regexp_extract_all(text, '[a-z]{1,4}|[0-9]{1,3}|[^a-z0-9 ]', 0)"))).as("bpe_tokens"))
+        sum(regexp_count(col("text"), lit("[^ ]+"))).as("ws_tokens"),
+        sum(regexp_count(col("text"), lit("[a-z]+"))).as("alpha_tokens"),
+        sum(regexp_count(col("text"), lit("[a-z]{1,4}|[0-9]{1,3}|[^a-z0-9 ]"))).as("bpe_tokens"))
       .orderBy("source")
   }
 
