@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.DotF32
+
+/** Session extension wiring (SURVEY.md §4.2): registers the engine's custom
+  * expressions so SQL users get them too:
+  *
+  * {{{
+  *   SparkSession.builder()
+  *     .config("spark.sql.extensions", "graft.GraftExtensions")
+  *     ...
+  *   spark.sql("SELECT dot_f32(a.embedding, b.embedding) FROM ...")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectFunction(GraftExtensions.dotF32Descriptor)
+}
+
+object GraftExtensions {
+
+  private[graft] val dotF32Descriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("dot_f32"),
+    new ExpressionInfo(classOf[DotF32].getName, "dot_f32"),
+    (children: Seq[Expression]) => DotF32(children(0), children(1)))
+
+  /** Late registration into an already-built session (e.g. one handed to us
+    * by a host process that didn't set `spark.sql.extensions`). SessionState
+    * is `private[sql]` in Scala but public in bytecode — same reflective
+    * bridge as [[graft.functions.GraftFunctions]].
+    */
+  def register(spark: SparkSession): Boolean =
+    try {
+      val state = spark.getClass.getMethod("sessionState").invoke(spark)
+      val reg   = state.getClass.getMethod("functionRegistry").invoke(state)
+      val m = reg.getClass.getMethods.find(m =>
+        m.getName == "createOrReplaceTempFunction" && m.getParameterCount == 3).get
+      val (_, _, builder) = dotF32Descriptor
+      m.invoke(reg, "dot_f32", builder, "scala_udf")
+      true
+    } catch { case _: Throwable => false }
+}

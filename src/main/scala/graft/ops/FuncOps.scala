@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar-function pack (SURVEY.md §2.B "Scalar functions"): the hash/
+  * crypto, date/time, and math families as oracle-checked projections, plus
+  * the approximate-distinct sketch (HLL++) as a rows-only query.
+  *
+  * Only functions with bit-identical cross-engine semantics go in oracle
+  * queries (md5/sha256/base64 are specified byte-exact; sqrt is IEEE
+  * correctly-rounded; floor/ceil/abs/sign/mod are exact). `pow`/`log`/`exp`
+  * are NOT correctly-rounded by libm and may differ in the last ulp between
+  * engines — deliberately excluded from oracle surface.
+  */
+object FuncOps {
+
+  private def events(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "events")
+
+  /** Hash + encode family (O-21/O-31 provenance: key derivation, AES/base64
+    * utilities — ref src/model/topic.go:119-123, src/icrypto/util.go:23-45).
+    */
+  val hashFuncs: Q = Q(
+    "f01_hash_funcs",
+    """SELECT event_id,
+      |  md5(props) AS h_md5,
+      |  sha256(props) AS h_sha256,
+      |  to_base64(encode(props)) AS b64,
+      |  length(props) AS n
+      |FROM events WHERE event_id % 97 = 0 ORDER BY event_id""".stripMargin
+  ) { (s, dir) =>
+    events(s, dir)
+      .where(col("event_id") % 97 === 0)
+      .select(
+        col("event_id"),
+        md5(col("props")).as("h_md5"),
+        sha2(col("props"), 256).as("h_sha256"),
+        base64(col("props").cast("binary")).as("b64"),
+        length(col("props")).as("n"))
+      .orderBy("event_id")
+  }
+
+  /** Date/time family (EventTime/PublishTime handling, TTL arithmetic —
+    * ref src/pulsardriver/pulsar-producer.go:91, src/util/cache-item.go:31-43).
+    * Weekday via ISO numbering (both engines agree); month-start via
+    * date_trunc, emitted as epoch seconds.
+    */
+  val datetimeFuncs: Q = Q(
+    "f02_datetime_funcs",
+    """SELECT CAST(floor(epoch(date_trunc('month', ts))) AS BIGINT) AS month_start,
+      |       isodow(ts) AS iso_dow, hour(ts) AS hr,
+      |       count(*) AS n,
+      |       min(datediff('day', TIMESTAMP '2024-01-01', ts)) AS min_day_off,
+      |       max(datediff('day', TIMESTAMP '2024-01-01', ts)) AS max_day_off
+      |FROM events GROUP BY 1, 2, 3 ORDER BY month_start, iso_dow, hr""".stripMargin
+  ) { (s, dir) =>
+    events(s, dir)
+      .groupBy(
+        unix_timestamp(date_trunc("month", col("ts"))).as("month_start"),
+        (weekday(col("ts")) + 1).as("iso_dow"),
+        hour(col("ts")).as("hr"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(datediff(col("ts"), lit("2024-01-01").cast("date"))).as("min_day_off"),
+        max(datediff(col("ts"), lit("2024-01-01").cast("date"))).as("max_day_off"))
+      .orderBy("month_start", "iso_dow", "hr")
+  }
+
+  /** Math family — exact/correctly-rounded subset (see object doc). */
+  val mathFuncs: Q = Q(
+    "f03_math_funcs",
+    """SELECT event_type,
+      |  CAST(sum(CAST(round(sqrt(abs(value)), 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_sqrt,
+      |  sum(CAST(floor(value) AS BIGINT)) AS sum_floor,
+      |  sum(CAST(ceil(value) AS BIGINT)) AS sum_ceil,
+      |  sum(CASE WHEN CAST(round(value * 100) AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END) AS n_even_cents,
+      |  sum(CAST(sign(value - 100) AS BIGINT)) AS sign_sum
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  ) { (s, dir) =>
+    // 6-dp-rounded sqrt summed through decimal → aggregation-order-proof
+    events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        sum(round(sqrt(abs(col("value"))), 6).cast("decimal(18,6)")).cast("double").as("sum_sqrt"),
+        sum(floor(col("value")).cast("long")).as("sum_floor"),
+        sum(ceil(col("value")).cast("long")).as("sum_ceil"),
+        sum(when(round(col("value") * 100, 0).cast("long") % 2 === 0, 1).otherwise(0)).as("n_even_cents"),
+        sum(signum(col("value") - 100).cast("long")).as("sign_sum"))
+      .orderBy("event_type")
+  }
+
+  /** AES round-trip (O-31, ref src/icrypto/icrypto.go:44-94): encrypt and
+    * decrypt every payload with a 128-bit key in deterministic ECB mode; the
+    * oracle states the contract — every row round-trips.
+    */
+  val aesRoundtrip: Q = Q(
+    "f04_aes_roundtrip",
+    "SELECT event_type, count(*) AS n_ok, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type"
+  ) { (s, dir) =>
+    val key = lit("0123456789abcdef")
+    val roundtrip = expr(
+      "cast(aes_decrypt(aes_encrypt(cast(props as binary), '0123456789abcdef', 'ECB'), " +
+        "'0123456789abcdef', 'ECB') as string)")
+    events(s, dir)
+      .select(col("event_type"), (roundtrip === col("props")).as("ok"))
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
+  /** Approximate distinct (HLL++): sketch estimates are engine-specific →
+    * rows-only driver check, with the exact count alongside for sanity.
+    */
+  val approxDistinct: Q = Q.noOracle("f05_approx_distinct") { (s, dir) =>
+    events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct("user_id", 0.01).as("approx_users"),
+        countDistinct("user_id").as("exact_users"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[Q] = Seq(hashFuncs, datetimeFuncs, mathFuncs, aesRoundtrip, approxDistinct)
+}

@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StatefulOps
+import graft.streaming.StatefulOps.KeyedEvent
+
+/** O-28 stateful TTL cache semantics + custom-function registration. */
+class StatefulSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-stateful-test")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("mapGroupsWithState keeps latest value per key and counts touches across batches") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft-state-src").toString
+    val ck     = Files.createTempDirectory("graft-state-ck").toString
+
+    def write(batch: Seq[KeyedEvent]): Unit =
+      batch.toDS().write.mode("append").parquet(srcDir)
+
+    def source = spark.readStream
+      .schema(Seq.empty[KeyedEvent].toDS().schema)
+      .parquet(srcDir).as[KeyedEvent]
+
+    // run 1 seeds two keys and drains (AvailableNow)
+    write(Seq(
+      KeyedEvent("a", new Timestamp(1000), "v1"),
+      KeyedEvent("a", new Timestamp(2000), "v2"),
+      KeyedEvent("b", new Timestamp(1500), "w1")))
+    val outDir = Files.createTempDirectory("graft-state-out").toString
+    val q1 = StatefulOps.run(spark, source, ttlMs = 600000L, outDir, ck, withTtl = false)
+    q1.awaitTermination()
+    val after1 = spark.read.parquet(outDir).as[StatefulOps.CacheEntry]
+      .collect().map(e => e.key -> e).toMap
+    assert(after1("a").value == "v2" && after1("a").touches == 2)
+    assert(after1("b").value == "w1" && after1("b").touches == 1)
+
+    // run 2 from the same checkpoint: keyed state survives the restart
+    write(Seq(KeyedEvent("a", new Timestamp(3000), "v3")))
+    val q2 = StatefulOps.run(spark, source, ttlMs = 600000L, outDir, ck, withTtl = false)
+    q2.awaitTermination()
+    val entries = spark.read.parquet(outDir).as[StatefulOps.CacheEntry].collect()
+    val lastA   = entries.filter(_.key == "a").maxBy(_.touches)
+    assert(lastA.value == "v3" && lastA.touches == 3 && !lastA.evicted)
+  }
+
+  test("dot_f32 registers into an existing session and evaluates in SQL") {
+    assert(GraftExtensions.register(spark))
+    val r = spark.sql(
+      "SELECT dot_f32(array(CAST(1.5 AS FLOAT), CAST(2 AS FLOAT)), " +
+        "array(CAST(4 AS FLOAT), CAST(0.5 AS FLOAT))) AS d").head().getDouble(0)
+    assert(r == 7.0)
+  }
+
+  test("GraftExtensions wires into SparkSessionExtensions without error") {
+    val exts = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(exts) // injection list accepts the descriptor
+  }
+}
