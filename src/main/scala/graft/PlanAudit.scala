@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-shape audit: prints `explain(formatted)` for headline queries and
+  * greps the physical plan for the properties that matter at 100 TB —
+  * parquet pushdown (`PushedFilters`), column pruning (`ReadSchema`),
+  * broadcast of dims, `TakeOrderedAndProject` for top-k, whole-stage
+  * codegen coverage. Run: `sbt "runMain graft.PlanAudit [queryName ...]"`.
+  */
+object PlanAudit {
+
+  private val checks: Map[String, Seq[String]] = Map(
+    // pushdown showcase: both filters reach the scan, 2-column read
+    "t05_forecast_revenue" -> Seq("PushedFilters: \\[.*GreaterThanOrEqual\\(l_shipdate", "codegen id"),
+    // dims broadcast, no fact-table shuffle on dim keys
+    "t02_revenue_region" -> Seq("BroadcastHashJoin", "BroadcastExchange"),
+    // top-k must not global-sort
+    "t03_shipping_priority" -> Seq("TakeOrderedAndProject"),
+    "r01_poll_batch"        -> Seq("TakeOrderedAndProject"),
+    // semi join stays a join (no aggregate blowup)
+    "t04_order_priority" -> Seq("LeftSemi"),
+    // LSH bucket join is an equi join, not a nested loop
+    "x07_ann_lsh" -> Seq("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+    // codegen'd custom expression appears inline in the projection
+    "x05_cosine_neardup" -> Seq("dot_f32", "codegen id"))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val names = if (args.nonEmpty) args.toSeq else checks.keys.toSeq.sorted
+    var bad   = 0
+    names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect() // execute THIS QueryExecution so AQE finalizes + codegen ids materialize
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      println(s"\n========== $name ==========")
+      println(plan.linesIterator.take(40).mkString("\n"))
+      checks.getOrElse(name, Nil).foreach { pat =>
+        val ok = pat.r.findFirstIn(plan).isDefined
+        if (!ok) bad += 1
+        println(s"  [${if (ok) "PASS" else "FAIL"}] plan contains /$pat/")
+      }
+    }
+    println(s"\nplan audit: ${if (bad == 0) "all checks passed" else s"$bad FAILED"}")
+    spark.stop()
+    if (bad > 0) sys.exit(1)
+  }
+}
