@@ -135,5 +135,51 @@ object StreamOps {
     }.distinct().orderBy("user_id")
   }
 
-  val all: Seq[Q] = Seq(tumbling, sliding, session, streamTumbling, streamDedup)
+  /** Watermarked append-mode aggregation: 10-minute watermark, 1-hour
+    * tumbling windows; append emits exactly the windows whose end the final
+    * watermark (max event time − delay) has passed. The whole file arrives
+    * in one micro-batch (single segment), so the emitted set is the windows
+    * with `end <= max(ts) − 10 min` — which is what the oracle states.
+    */
+  val streamWatermark: Q = Q(
+    "x19_stream_watermark",
+    """SELECT win_start, count(*) AS n FROM (
+      |  SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start FROM events)
+      |GROUP BY win_start
+      |HAVING win_start + 3600 <= (SELECT CAST(floor(epoch(max(ts) - INTERVAL 10 MINUTE)) AS BIGINT) FROM events)
+      |ORDER BY win_start""".stripMargin
+  ) { (s, dir) =>
+    runStream(s, dir, "x19_sink", "append") { ev =>
+      ev.withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"))
+    }
+      .select(unix_timestamp(col("window.start")).as("win_start"), col("n"))
+      .orderBy("win_start")
+  }
+
+  /** Stream-static join (§2.B; the O-10 config⨝stream routing shape): the
+    * stream side joins a static per-user aggregate — Catalyst broadcasts the
+    * static side into every micro-batch, no stream-side state.
+    */
+  val streamStaticJoin: Q = Q(
+    "x20_stream_static_join",
+    """SELECT user_bucket, count(*) AS n, sum(n_user_events) AS weighted
+      |FROM (SELECT e.user_id % 10 AS user_bucket, s.n_user_events
+      |      FROM events e JOIN (SELECT user_id, count(*) AS n_user_events FROM events GROUP BY user_id) s
+      |        ON e.user_id = s.user_id)
+      |GROUP BY user_bucket ORDER BY user_bucket""".stripMargin
+  ) { (s, dir) =>
+    val static = events(s, dir).groupBy("user_id").agg(count(lit(1)).as("n_user_events"))
+    runStream(s, dir, "x20_sink", "append") { ev =>
+      ev.select(col("user_id")).join(broadcast(static), "user_id")
+    }
+      .groupBy((col("user_id") % 10).as("user_bucket"))
+      .agg(count(lit(1)).as("n"), sum("n_user_events").as("weighted"))
+      .orderBy("user_bucket")
+  }
+
+  val all: Seq[Q] = Seq(
+    tumbling, sliding, session, streamTumbling, streamDedup,
+    streamWatermark, streamStaticJoin)
 }
