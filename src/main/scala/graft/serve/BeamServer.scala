@@ -38,6 +38,8 @@ final class BeamServer(
 
   private val sema   = new Semaphore(200) // O-27, ref middleware.go:13-18
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  // thread-per-request so a long-lived SSE connection can't starve routes
+  server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
 
   def boundPort: Int = server.getAddress.getPort
   def start(): Unit  = server.start()
@@ -102,6 +104,14 @@ final class BeamServer(
           }
         }
 
+      case ("GET", "v2" :: "sse" :: p :: tenant :: ns :: topic :: Nil) =>
+        withAuthorizedTenant(ex, tenant) { _ =>
+          TopicName.build(p, tenant, ns, topic) match {
+            case Left(err) => respond(ex, 422, err)
+            case Right(fn) => sse(ex, fn)
+          }
+        }
+
       case ("GET", "v2" :: "topic" :: key :: Nil) =>
         withSubject(ex) { sub =>
           store.getByKey(key) match {
@@ -158,6 +168,56 @@ final class BeamServer(
       topics.ingestPayload(body, topicFn)
       respond(ex, 200, """{"status":"published"}""")
     }
+  }
+
+  /** O-8 SSE: `id:`/`data:` frames per message, flushed per event, until the
+    * client disconnects (ref src/route/handlers.go:188-237). Position
+    * tracking by (publishTime, messageId) — the topic table's arrival order;
+    * `?initialPosition=earliest` replays from the beginning (O-9 default is
+    * latest). Each poll round is a pushed-down incremental scan.
+    */
+  private def sse(ex: HttpExchange, topicFn: String): Unit = {
+    val earliest = queryParam(ex, "initialPosition").contains("earliest")
+    ex.getResponseHeaders.set("Content-Type", "text/event-stream")
+    ex.getResponseHeaders.set("Cache-Control", "no-cache")
+    ex.sendResponseHeaders(200, 0) // chunked
+    val os = ex.getResponseBody
+    var last: Option[(java.sql.Timestamp, String)] =
+      if (earliest) None
+      else {
+        val head = topics.read(topicFn)
+          .orderBy(org.apache.spark.sql.functions.col("publishTime").desc,
+            org.apache.spark.sql.functions.col("messageId").desc).limit(1).collect()
+        head.headOption.map(r =>
+          (r.getAs[java.sql.Timestamp]("publishTime"), r.getAs[String]("messageId")))
+      }
+    try {
+      while (true) {
+        import org.apache.spark.sql.functions.{col => c}
+        val base = topics.read(topicFn)
+        val fresh = last match {
+          case None => base
+          case Some((t, m)) =>
+            base.where(c("publishTime") > t ||
+              (c("publishTime") === t && c("messageId") > m))
+        }
+        val rows = fresh.orderBy("publishTime", "messageId").collect()
+        rows.foreach { r =>
+          val frame = s"id: ${r.getAs[String]("messageId")}\ndata: ${new String(
+              r.getAs[Array[Byte]]("payload"), UTF_8)}\n\n"
+          os.write(frame.getBytes(UTF_8))
+        }
+        if (rows.nonEmpty) {
+          val lastRow = rows.last
+          last = Some((lastRow.getAs[java.sql.Timestamp]("publishTime"),
+            lastRow.getAs[String]("messageId")))
+        } else os.write(":keepalive\n\n".getBytes(UTF_8)) // detect disconnect
+        os.flush()
+        Thread.sleep(200)
+      }
+    } catch {
+      case _: java.io.IOException => () // client disconnected (ref :216-220)
+    } finally Try(ex.close())
   }
 
   /** O-24: JWT → subject ("injectedSubs" equivalent, ref middleware.go:32-44). */

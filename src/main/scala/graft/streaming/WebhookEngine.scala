@@ -64,6 +64,10 @@ final class WebhookEngine(
       if wh.webhookStatus == Status.Activated // O-15 status filter
     } yield subKey(cfg, wh) -> (cfg, wh)).toMap
 
+    // failed/terminated queries are not running — restart them next diff
+    // (query restart policy, ref webhook.go:193-216 consumer retry loop)
+    for ((k, q) <- running.toMap if !q.isActive) running.remove(k)
+
     // actual \ desired → cancel (ref webhook.go:265-271)
     for ((k, q) <- running.toMap if !desired.contains(k)) {
       Try(q.stop())
@@ -77,6 +81,9 @@ final class WebhookEngine(
 
   def activeCount: Int = running.size
 
+  /** Registered queries that are actually running (a failed one is not). */
+  def liveCount: Int = running.values.count(_.isActive)
+
   def stopAll(): Unit = synchronized {
     running.values.foreach(q => Try(q.stop()))
     running.clear()
@@ -87,6 +94,33 @@ final class WebhookEngine(
     */
   def processAllAvailable(): Unit = running.values.foreach(_.processAllAvailable())
 
+  /** Delivered-pair suppression (SURVEY.md §7.4): a redelivered micro-batch
+    * (failure mid-batch → restart) must not re-POST messages already
+    * acknowledged. Per-subscription append-only log of delivered messageIds,
+    * hydrated on (re)start — the engine's at-least-once becomes
+    * effectively-once per (messageId, webhook).
+    */
+  private val delivered = scala.collection.concurrent.TrieMap
+    .empty[String, scala.collection.mutable.Set[String]]
+
+  private def deliveredLog(key: String) = java.nio.file.Paths.get(s"$checkpointRoot/$key.delivered")
+
+  private def loadDelivered(key: String): scala.collection.mutable.Set[String] =
+    delivered.getOrElseUpdate(key, {
+      val p = deliveredLog(key)
+      val s = scala.collection.mutable.Set.empty[String]
+      if (java.nio.file.Files.exists(p))
+        s ++= scala.jdk.CollectionConverters.ListHasAsScala(
+          java.nio.file.Files.readAllLines(p)).asScala
+      s
+    })
+
+  private def markDelivered(key: String, messageId: String): Unit = {
+    loadDelivered(key) += messageId
+    java.nio.file.Files.write(deliveredLog(key), (messageId + "\n").getBytes,
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+  }
+
   private def startQuery(key: String, cfg: TopicConfig, wh: WebhookConfig): StreamingQuery = {
     val enriched = enrich(topics.readStream(cfg.topicFullName))
     enriched.writeStream
@@ -95,7 +129,14 @@ final class WebhookEngine(
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // bounded micro-batch → per-message POST, ref ConsumeLoop webhook.go:171-241
-        batch.collect().foreach(row => deliver(row, wh))
+        val seen = loadDelivered(key)
+        batch.collect().foreach { row =>
+          val mid = row.getAs[String]("messageId")
+          if (!seen.contains(mid)) {
+            deliver(row, wh)
+            markDelivered(key, mid)
+          }
+        }
       }
       .start()
   }

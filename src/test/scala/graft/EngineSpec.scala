@@ -161,6 +161,66 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("redelivered batch suppresses already-delivered messages (§7.4)") {
+    val topics = new TopicTable(spark, tmp("graft-topics-redeliver"))
+    val store  = new InMemoryStore
+    val engine = new WebhookEngine(spark, topics, store, tmp("graft-ck2"),
+      retryBackoffMs = 10, triggerMs = 200)
+
+    val sourceFn = "persistent://tenant-r/ns/redeliver-source"
+    val received = scala.collection.mutable.ArrayBuffer.empty[String]
+    @volatile var failSecond = true
+
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    server.createContext("/hook", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes())
+      // first message always 200; second 500s until the flag clears →
+      // the micro-batch fails mid-way and is replayed on restart
+      if (body == "msg-2" && failSecond) {
+        ex.sendResponseHeaders(500, -1); ex.close()
+      } else {
+        received.synchronized(received += body)
+        ex.sendResponseHeaders(200, -1); ex.close()
+      }
+    })
+    server.start()
+
+    try {
+      val wh = WebhookConfig(s"http://localhost:${server.getAddress.getPort}/hook",
+        Nil, "redel-sub", "exclusive", "earliest", Status.Activated)
+      assert(store.update(TopicConfig(sourceFn, "", "tenant-r", "", "", Status.Activated,
+        "pulsar://broker0:6650", Seq(wh))).isRight)
+
+      // ordered batch: msg-1 then msg-2 (same ingest batch)
+      import spark.implicits._
+      topics.ingest(
+        Seq(("msg-1".getBytes, Option.empty[java.sql.Timestamp], Option("a"), Map.empty[String, String]),
+            ("msg-2".getBytes, Option.empty[java.sql.Timestamp], Option("b"), Map.empty[String, String]))
+          .toDF("payload", "eventTime", "key", "props").coalesce(1), sourceFn)
+
+      engine.reconcile()
+      // msg-1 delivered, then the batch fails on msg-2 → the query dies
+      eventually(60, 500)(
+        received.synchronized(received.toList) == List("msg-1") && engine.liveCount == 0)
+
+      // heal the webhook, reconcile restarts the failed query; the replayed
+      // batch must NOT re-POST msg-1
+      failSecond = false
+      engine.reconcile()
+      eventually(40, 500)(received.synchronized(received.size) == 2)
+      assert(received.synchronized(received.toList) == List("msg-1", "msg-2"))
+    } finally {
+      engine.stopAll()
+      server.stop(0)
+    }
+  }
+
+  private def eventually(rounds: Int, sleepMs: Long)(cond: => Boolean): Unit = {
+    var i = 0
+    while (i < rounds && !cond) { Thread.sleep(sleepMs); i += 1 }
+    assert(cond, "condition not met in time")
+  }
+
   // --- JWT (O-24/O-26) ---
 
   test("JWT sign/verify round-trip and tamper rejection") {

@@ -111,6 +111,42 @@ class ServeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Jwt.verify(token, kp.getPublic) == Right("newrole"))
   }
 
+  test("SSE streams existing and new messages as id/data frames (O-8)") {
+    val fn = "persistent://tenant-s/ns/ssetopic"
+    assert(req("POST", "/v2/firehose/persistent/tenant-s/ns/ssetopic", "first",
+      auth("tenant-s")).statusCode() == 200)
+
+    val sseReq = HttpRequest.newBuilder(
+        URI.create(base + "/v2/sse/persistent/tenant-s/ns/ssetopic?initialPosition=earliest"))
+      .header("Authorization", s"Bearer ${Jwt.sign("tenant-s", kp.getPrivate)}")
+      .GET().build()
+    val resp = http.send(sseReq, HttpResponse.BodyHandlers.ofInputStream())
+    assert(resp.statusCode() == 200)
+    assert(resp.headers().firstValue("Content-Type").orElse("") == "text/event-stream")
+
+    val reader = new java.io.BufferedReader(new java.io.InputStreamReader(resp.body()))
+    def readFrame(): (String, String) = {
+      var id = ""; var data = ""
+      var line = reader.readLine()
+      while (line != null && (line.isEmpty || line.startsWith(":"))) line = reader.readLine()
+      while (line != null && line.nonEmpty) {
+        if (line.startsWith("id: ")) id = line.drop(4)
+        if (line.startsWith("data: ")) data = line.drop(6)
+        line = reader.readLine()
+      }
+      (id, data)
+    }
+    val (id1, data1) = readFrame()
+    assert(id1.nonEmpty && data1 == "first")
+
+    // a message published while connected is pushed
+    assert(req("POST", "/v2/firehose/persistent/tenant-s/ns/ssetopic", "second",
+      auth("tenant-s")).statusCode() == 200)
+    val (_, data2) = readFrame()
+    assert(data2 == "second")
+    resp.body().close() // disconnect ends the server-side loop
+  }
+
   test("gzip ingest decodes before publish (O-2)") {
     val bos = new java.io.ByteArrayOutputStream()
     val gz  = new java.util.zip.GZIPOutputStream(bos)
