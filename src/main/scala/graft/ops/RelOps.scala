@@ -362,9 +362,52 @@ object RelOps {
       .orderBy("nation")
   }
 
+  /** collect_list over groups (the Webhooks-array-per-topic shape, §1.1):
+    * per-nation sorted list of high-balance supplier names, serialized
+    * deterministically (array_sort before join — SURVEY §2.B).
+    */
+  val collectSuppliers: Q = Q(
+    "t17_collect_list",
+    """SELECT n_name, array_to_string(list_sort(list(s_name)), ',') AS suppliers, count(*) AS n
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE s_acctbal > 5000
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+  ) { (s, dir) =>
+    Tables(s, dir, "supplier").where(col("s_acctbal") > 5000)
+      .join(broadcast(Tables(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        concat_ws(",", array_sort(collect_list(col("s_name")))).as("suppliers"),
+        count(lit(1)).as("n"))
+      .orderBy("n_name")
+  }
+
+  /** Ranking-function family in one result: rank, dense_rank, ntile(4),
+    * lead — over per-clerk order totals.
+    */
+  val rankFamily: Q = Q(
+    "t18_rank_family",
+    """SELECT o_orderpriority AS prio, o_orderkey,
+      |  rank() OVER w AS rk, dense_rank() OVER w AS drk, ntile(4) OVER w AS quartile,
+      |  lead(o_orderkey) OVER w AS next_key
+      |FROM orders WHERE o_orderkey % 50 = 0
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey)
+      |ORDER BY prio, rk, o_orderkey""".stripMargin
+  ) { (s, dir) =>
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").cast(d2).desc, col("o_orderkey"))
+    Tables(s, dir, "orders").where(col("o_orderkey") % 50 === 0)
+      .select(
+        col("o_orderpriority").as("prio"), col("o_orderkey"),
+        rank().over(w).as("rk"), dense_rank().over(w).as("drk"),
+        ntile(4).over(w).as("quartile"), lead("o_orderkey", 1).over(w).as("next_key"))
+      .orderBy("prio", "rk", "o_orderkey")
+  }
+
   val all: Seq[Q] = Seq(
     pricingSummary, revenuePerRegion, shippingPriority, orderPriority,
     forecastRevenue, topSpendersPerNation, monthlyRevenueWindow, revenueRollup,
     statusCube, setOpsCustomers, distinctCounts, smallQuantityRevenue,
-    thetaBalancePairs, asofLastClick, crossNationRegion, outerJoinCounts)
+    thetaBalancePairs, asofLastClick, crossNationRegion, outerJoinCounts,
+    collectSuppliers, rankFamily)
 }

@@ -79,6 +79,18 @@ object StreamOps {
       .orderBy("user_id", "sess_start")
   }
 
+  /** The file streaming source wants a directory to list; testdata ships a
+    * single parquet file, so stage it into a temp dir once per (process,
+    * sfDir) — a real topic table is already a directory of append segments
+    * (SURVEY.md §7.1 topics/).
+    */
+  private val staged = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def stagedDir(dir: String): String = staged.getOrElseUpdate(dir, {
+    val d = Files.createTempDirectory("graft-events-src")
+    Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), d.resolve("events.parquet"))
+    d.toString
+  })
+
   /** Runs a streaming transform of the events file source to completion
     * (AvailableNow) and returns the sink table. Checkpoint is a throwaway
     * temp dir — identity of the "subscription" in reference terms (O-8).
@@ -86,13 +98,7 @@ object StreamOps {
   private def runStream(s: SparkSession, dir: String, sinkName: String, mode: String)(
       transform: DataFrame => DataFrame): DataFrame = {
     val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
-    // The file streaming source wants a directory to list; testdata ships a
-    // single parquet file, so stage it into a throwaway dir (a real topic
-    // table is a directory of append segments — see SURVEY.md §7.1 topics/).
-    val staged = Files.createTempDirectory(s"graft-src-$sinkName")
-    Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
-      staged.resolve("events.parquet"))
-    val raw = s.readStream.schema(batchSchema).parquet(staged.toString)
+    val raw = s.readStream.schema(batchSchema).parquet(stagedDir(dir))
     // events.ts is parquet TIMESTAMP(NANOS) read as long (see Tables)
     val stream =
       if (batchSchema("ts").dataType == LongType)
