@@ -134,5 +134,73 @@ object SimilarityOps {
       .orderBy("q_id", "rk")
   }
 
-  val all: Seq[Q] = Seq(cosineNearDup, cosineTopK, annLsh)
+  /** Multiprobe LSH ANN: each query probes its own bucket plus all 8
+    * Hamming-distance-1 buckets (one sign flipped) — the classic recall
+    * lever for sign-LSH without growing the table. Probe fan-out is 9
+    * bucket keys per query; candidate generation stays an equi join.
+    * Bucket strings are fixed-layout ("0±1±…7±"), so flipping plane p is a
+    * 1-char substring splice at position 2p+2.
+    */
+  val annMultiprobe: Q = Q(
+    "x21_ann_multiprobe",
+    s"""WITH n AS ($normedSql),
+       |dims AS (SELECT vec_id, v, nrm, unnest(generate_series(0, len(v) - 1)) AS i FROM n),
+       |proj AS (SELECT vec_id, p,
+       |           sum(CASE WHEN ascii(substr(md5(CAST(p AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 1)) % 2 = 1
+       |                    THEN v[CAST(i AS INT) + 1] ELSE -v[CAST(i AS INT) + 1] END) AS s
+       |         FROM dims CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS p) planes
+       |         GROUP BY vec_id, p),
+       |buckets AS (SELECT vec_id, array_to_string(list_sort(list(CAST(p AS VARCHAR) ||
+       |                     (CASE WHEN round(s, 6) > 0 THEN '+' ELSE '-' END))), '') AS bucket
+       |            FROM proj GROUP BY vec_id),
+       |nb AS (SELECT n.vec_id, v, nrm, bucket FROM n JOIN buckets USING (vec_id)),
+       |probes AS (
+       |  SELECT vec_id, v, nrm, bucket AS probe FROM nb WHERE vec_id % 50 = 0
+       |  UNION ALL
+       |  SELECT vec_id, v, nrm,
+       |         substr(bucket, 1, CAST(2*p+1 AS INT)) ||
+       |         (CASE WHEN substr(bucket, CAST(2*p+2 AS INT), 1) = '+' THEN '-' ELSE '+' END) ||
+       |         substr(bucket, CAST(2*p+3 AS INT), 16) AS probe
+       |  FROM nb CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS p) flips
+       |  WHERE vec_id % 50 = 0)
+       |SELECT q_id, rk, n_id, cos FROM (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |           ORDER BY round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) DESC, c.vec_id) AS rk
+       |  FROM probes q JOIN nb c ON q.probe = c.bucket AND c.vec_id <> q.vec_id)
+       |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+  ) { (s, dir) =>
+    val n = normed(s, dir)
+    val planeCols = (0 to 7).map { p =>
+      val signed = transform(col("embedding"), (x, i) =>
+        when(ascii(md5(concat(lit(s"$p-"), i.cast("string"))).substr(1, 1)) % 2 === 1,
+          x.cast("double")).otherwise(-x.cast("double")))
+      val sum = aggregate(signed, lit(0.0), (acc, v) => acc + v)
+      when(round(sum, 6) > 0, lit(s"$p+")).otherwise(lit(s"$p-"))
+    }
+    val nb = n.withColumn("bucket", concat(planeCols: _*))
+    val queries = nb.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("qn"), col("bucket"))
+    val flip = (p: Column) => concat(
+      col("bucket").substr(lit(1), (p * 2 + 1).cast("int")),
+      when(col("bucket").substr(p * 2 + 2, lit(1)) === "+", lit("-")).otherwise(lit("+")),
+      col("bucket").substr(p * 2 + 3, lit(16)))
+    val probes = queries.select(col("q_id"), col("qv"), col("qn"), col("bucket").as("probe"))
+      .unionByName(
+        queries
+          .withColumn("p", explode(sequence(lit(0), lit(7))))
+          .select(col("q_id"), col("qv"), col("qn"), flip(col("p")).as("probe")))
+    val cos = round(dot(col("qv"), col("embedding")) / (col("qn") * col("nrm")), 6)
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    nb.join(probes, col("probe") === col("bucket"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), cos.as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select("q_id", "rk", "n_id", "cos")
+      .orderBy("q_id", "rk")
+  }
+
+  val all: Seq[Q] = Seq(cosineNearDup, cosineTopK, annLsh, annMultiprobe)
 }
