@@ -20,8 +20,9 @@ object PlanAudit {
     "r01_poll_batch"        -> Seq("TakeOrderedAndProject"),
     // semi join stays a join (no aggregate blowup)
     "t04_order_priority" -> Seq("LeftSemi"),
-    // LSH bucket join is an equi join, not a nested loop
-    "x07_ann_lsh" -> Seq("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+    // LSH bucket joins are equi joins, not nested loops
+    "x07_ann_lsh"        -> Seq("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+    "x21_ann_multiprobe" -> Seq("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
     // codegen'd custom expression appears inline in the projection
     "x05_cosine_neardup" -> Seq("dot_f32", "codegen id"))
 
