@@ -5,6 +5,12 @@ import org.apache.spark.sql.SparkSession
   * JSON line out (BENCH_r{N}.json). Queries run in name order after a
   * warmup pass so the first timed query doesn't absorb JVM/codegen/IO
   * session warmup.
+  *
+  * Each query is fully materialized: a `count()` would let Catalyst prune
+  * columns and drop sorts, under-measuring projection-heavy plans, so we
+  * hash-reduce every column of every row instead (xxhash64 across the row,
+  * xor-aggregated — the whole result is computed and read, but nothing is
+  * collected to the driver beyond one row per query).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -17,18 +23,29 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
     // warmup: shuffle machinery + parquet reader + codegen paths
-    spark.range(1 << 20).groupBy(org.apache.spark.sql.functions.col("id") % 7).count().count()
+    spark.range(1 << 20).groupBy(col("id") % 7).count().count()
     ops.Tables(spark, sfDir, "nation").count()
+
+    // Materialize: hash every column of every row, fold to one long.
+    def materialize(df: org.apache.spark.sql.DataFrame): Long = {
+      val hashed = df.select(xxhash64(df.columns.map(c => col(c).cast("string")): _*).as("h"))
+      hashed.agg(coalesce(sum("h"), lit(0L))).collect()(0).getLong(0)
+    }
+
+    var errs = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { materialize(fn(spark, sfDir)) }
+      catch { case e: Throwable => errs ::= s"$name:${e.getClass.getSimpleName}" }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errJson = errs.reverse.map(e => "\"" + e + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

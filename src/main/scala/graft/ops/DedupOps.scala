@@ -18,9 +18,18 @@ object DedupOps {
 
   private def docs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "documents")
 
-  /** Word-3-gram shingle set, one row per distinct (doc_id, shingle).
-    * sequence() guarded: Spark's sequence(0, n) with n<0 would generate a
-    * descending range instead of an empty one.
+  /** Max document frequency a shingle may have and still participate in the
+    * x04 exact-jaccard self-join (Σdf² guard; behavior-neutral at test SF —
+    * max observed df at sf0.01 is 7).
+    */
+  private val DfCap = 1000
+
+  /** Word-3-gram shingle set, one row per distinct (doc_id, shingle),
+    * keyed by the shingle's md5 DIGEST — the digest is projected BEFORE the
+    * distinct so the dedup shuffle (and every downstream join) moves
+    * 32-hex-char keys, never the raw trigram text. sequence() guarded:
+    * Spark's sequence(0, n) with n<0 would generate a descending range
+    * instead of an empty one.
     */
   private def shingled(s: SparkSession, dir: String): DataFrame = {
     val w = split(col("text"), " ")
@@ -31,16 +40,18 @@ object DedupOps {
           when(size(w) >= 3,
             transform(sequence(lit(0), size(w) - 3), i =>
               concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))
-            .otherwise(array())).as("sh"))
+            .otherwise(array())).as("raw"))
+      .select(col("doc_id"), md5(col("raw")).as("sh"))
       .distinct()
   }
 
   /** DuckDB twin of [[shingled]] as a CTE body. */
   private val shingleSql =
-    """SELECT DISTINCT doc_id,
-      |  unnest(list_transform(generate_series(1, greatest(len(string_split(text,' '))-2, 0)),
-      |         i -> concat_ws(' ', string_split(text,' ')[i], string_split(text,' ')[i+1], string_split(text,' ')[i+2]))) AS sh
-      |FROM documents""".stripMargin
+    """SELECT DISTINCT doc_id, md5(raw) AS sh FROM (
+      |  SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, greatest(len(string_split(text,' '))-2, 0)),
+      |           i -> concat_ws(' ', string_split(text,' ')[i], string_split(text,' ')[i+1], string_split(text,' ')[i+2]))) AS raw
+      |  FROM documents)""".stripMargin
 
   /** Exact dedup: first doc_id per md5(text) survives; per-source survivor
     * stats. At scale this is a single hash shuffle on the digest — never on
@@ -48,13 +59,16 @@ object DedupOps {
     */
   val exactDedup: Q = Q(
     "x01_exact_dedup",
-    """SELECT source, count(*) AS n_docs, sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_unique,
-      |       sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS n_dupes
+    """SELECT source, count(*) AS n_docs, CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+      |       CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_dupes
       |FROM (SELECT source, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM documents)
       |GROUP BY source ORDER BY source""".stripMargin
   ) { (s, dir) =>
-    val w = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
+    val w = Window.partitionBy(col("digest")).orderBy("doc_id")
+    // Project the 16-byte digest BEFORE the window exchange so the shuffle
+    // moves (source, doc_id, digest) — never the full text bytes.
     docs(s, dir)
+      .select(col("source"), col("doc_id"), md5(col("text")).as("digest"))
       .withColumn("rn", row_number().over(w))
       .groupBy("source")
       .agg(
@@ -115,7 +129,7 @@ object DedupOps {
     */
   val simhash: Q = Q(
     "x03_simhash",
-    """SELECT doc_id, sum(CASE WHEN s > 0 THEN CAST(pow(2, i - 1) AS BIGINT) ELSE 0 END) AS simhash
+    """SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, i - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
       |FROM (SELECT doc_id, i, sum(CASE WHEN ascii(substr(md5(w), CAST(i AS INT), 1)) % 2 = 1 THEN 1 ELSE -1 END) AS s
       |      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
       |      CROSS JOIN (SELECT unnest(generate_series(1, 32)) AS i) bits
@@ -139,7 +153,9 @@ object DedupOps {
     */
   val ngramJaccard: Q = Q(
     "x04_ngram_jaccard",
-    s"""WITH sh AS ($shingleSql),
+    s"""WITH sh0 AS ($shingleSql),
+       |sh AS (SELECT doc_id, sh FROM sh0
+       |       QUALIFY count(*) OVER (PARTITION BY sh) <= $DfCap),
        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
        |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
@@ -148,7 +164,16 @@ object DedupOps {
        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.6
        |ORDER BY doc_a, doc_b""".stripMargin
   ) { (s, dir) =>
-    val sh = shingled(s, dir).cache()
+    // Document-frequency cap: a shingle shared by d docs contributes d² join
+    // rows, so one hot shingle at corpus scale is a cartesian bomb. Shingles
+    // with df > DfCap are dropped from the universe ON BOTH ENGINES (jaccard
+    // is then over the capped sets — near-ubiquitous shingles carry no
+    // near-dup signal). The df window rides the same hash partitioning the
+    // self-join needs, so the guard adds no extra shuffle of the big side.
+    val sh = shingled(s, dir)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+      .where(col("df") <= DfCap)
+      .select("doc_id", "sh")
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))

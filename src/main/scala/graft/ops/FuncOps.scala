@@ -71,20 +71,24 @@ object FuncOps {
     "f03_math_funcs",
     """SELECT event_type,
       |  CAST(sum(CAST(round(sqrt(abs(value)), 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_sqrt,
-      |  sum(CAST(floor(value) AS BIGINT)) AS sum_floor,
-      |  sum(CAST(ceil(value) AS BIGINT)) AS sum_ceil,
-      |  sum(CASE WHEN CAST(round(value * 100) AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END) AS n_even_cents,
-      |  sum(CAST(sign(value - 100) AS BIGINT)) AS sign_sum
+      |  CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_floor,
+      |  CAST(sum(CAST(ceil(value) AS BIGINT)) AS BIGINT) AS sum_ceil,
+      |  CAST(sum(CASE WHEN CAST(floor(value * 100 + 0.5) AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even_cents,
+      |  CAST(sum(CAST(sign(value - 100) AS BIGINT)) AS BIGINT) AS sign_sum
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   ) { (s, dir) =>
-    // 6-dp-rounded sqrt summed through decimal → aggregation-order-proof
+    // 6-dp-rounded sqrt summed through decimal → aggregation-order-proof.
+    // Integer sums CAST to BIGINT on the oracle side: DuckDB sum(int) is
+    // HUGEINT, which pandas renders as float64 and the driver hash then
+    // diverges from Spark's int64. floor(x+0.5) instead of round(): the
+    // identical IEEE ops run on both engines, so .5-boundary ties agree.
     events(s, dir)
       .groupBy("event_type")
       .agg(
         sum(round(sqrt(abs(col("value"))), 6).cast("decimal(18,6)")).cast("double").as("sum_sqrt"),
         sum(floor(col("value")).cast("long")).as("sum_floor"),
         sum(ceil(col("value")).cast("long")).as("sum_ceil"),
-        sum(when(round(col("value") * 100, 0).cast("long") % 2 === 0, 1).otherwise(0)).as("n_even_cents"),
+        sum(when(floor(col("value") * 100 + 0.5).cast("long") % 2 === 0, 1).otherwise(0)).as("n_even_cents"),
         sum(signum(col("value") - 100).cast("long")).as("sign_sum"))
       .orderBy("event_type")
   }

@@ -63,13 +63,15 @@ object MultimodalOps {
     */
   val mmMetadata: Q = Q(
     "x12_mm_metadata",
-    """SELECT fmt, count(*) AS n, sum(n_bytes) AS total_bytes, min(n_bytes) AS min_bytes, max(n_bytes) AS max_bytes
+    """SELECT fmt, count(*) AS n, CAST(sum(n_bytes) AS BIGINT) AS total_bytes, min(n_bytes) AS min_bytes, max(n_bytes) AS max_bytes
       |FROM (SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'jpg' WHEN 1 THEN 'png' ELSE 'wav' END AS fmt,
       |             strlen(text) AS n_bytes FROM documents)
       |GROUP BY fmt ORDER BY fmt""".stripMargin
   ) { (s, dir) =>
+    // n_bytes as long on the Spark side too: DuckDB strlen is BIGINT, so
+    // min/max must agree on int64 for the driver's dtype-sensitive hash.
     media(s, dir)
-      .select(col("fmt"), length(col("payload")).as("n_bytes"))
+      .select(col("fmt"), length(col("payload")).cast("long").as("n_bytes"))
       .groupBy("fmt")
       .agg(count(lit(1)).as("n"), sum("n_bytes").as("total_bytes"),
         min("n_bytes").as("min_bytes"), max("n_bytes").as("max_bytes"))

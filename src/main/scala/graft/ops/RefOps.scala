@@ -103,8 +103,8 @@ object RefOps {
     */
   val authTenant: Q = Q(
     "r06_auth_tenant",
-    """SELECT tenant, sum(CASE WHEN sub = 'admin' OR tenant = sub OR tenant = regexp_extract(sub, '(.*)-[^-]*$', 1)
-      |                        THEN 1 ELSE 0 END) AS n_authorized, count(*) AS n_total
+    """SELECT tenant, CAST(sum(CASE WHEN sub = 'admin' OR tenant = sub OR tenant = regexp_extract(sub, '(.*)-[^-]*$', 1)
+      |                        THEN 1 ELSE 0 END) AS BIGINT) AS n_authorized, count(*) AS n_total
       |FROM (SELECT CASE WHEN user_id % 50 = 0 THEN 'admin'
       |                  WHEN event_id % 3 = 0 THEN concat('tenant', CAST(user_id % 7 AS VARCHAR), '-client0')
       |                  ELSE concat('tenant', CAST(user_id % 7 AS VARCHAR)) END AS sub,
@@ -192,7 +192,7 @@ object RefOps {
     */
   val jsonProps: Q = Q(
     "r09_json_props",
-    """SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k, count(*) AS n
+    """SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, count(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   ) { (s, dir) =>
     events(s, dir)
@@ -210,13 +210,19 @@ object RefOps {
   val jsonValid: Q = Q(
     "r10_json_valid",
     """SELECT event_type,
-      |       sum(CASE WHEN json_valid(mangled) THEN 1 ELSE 0 END) AS n_valid,
-      |       sum(CASE WHEN json_valid(mangled) THEN 0 ELSE 1 END) AS n_invalid
-      |FROM (SELECT event_type, CASE WHEN event_id % 7 = 0 THEN substr(props, 2) ELSE props END AS mangled FROM events)
+      |       CAST(sum(CASE WHEN json_valid(mangled) THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+      |       CAST(sum(CASE WHEN json_valid(mangled) THEN 0 ELSE 1 END) AS BIGINT) AS n_invalid
+      |FROM (SELECT event_type, CASE WHEN event_id % 7 = 0 THEN 'x' || props ELSE props END AS mangled FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
   ) { (s, dir) =>
-    val mangled = when(col("event_id") % 7 === 0, expr("substr(props, 2)")).otherwise(col("props"))
-    val valid   = from_json(mangled, MapType(StringType, LongType)).isNotNull
+    // Leading-garbage corruption: Spark's variant parser accepts a complete
+    // JSON value with TRAILING junk (`"k": 87}` parses as the string "k"),
+    // DuckDB's json_valid does not — a leading-garbage mangle is rejected by
+    // both engines, so the validity contract is engine-agnostic.
+    val mangled = when(col("event_id") % 7 === 0, concat(lit("x"), col("props"))).otherwise(col("props"))
+    // Syntax-only validity (matches DuckDB json_valid / Go json.Valid):
+    // from_json(schema) would also reject schema-mismatched-but-valid JSON.
+    val valid = try_parse_json(mangled).isNotNull
     events(s, dir)
       .select(col("event_type"), valid.as("is_valid"))
       .groupBy("event_type")

@@ -84,11 +84,40 @@ object SimilarityOps {
       .orderBy("q_id", "rk")
   }
 
+  /** The (plane, dim) hyperplane coefficient is a CONSTANT — the parity of
+    * the first hex char of md5("p-i") — so it is computed once here on the
+    * driver and shipped as a literal ±-flag array per plane, not re-derived
+    * with an md5 call per row per element (the round-1 hot spot: 512 md5s
+    * per vector per join side). The Spark-side fold applies +x / -x in the
+    * same element order as before, so the per-plane sums are bit-identical
+    * to both the round-1 plan and the DuckDB twin's per-element CASE.
+    */
+  private val Dim = 64
+  private def planeSigns(p: Int): Seq[Int] = (0 until Dim).map { i =>
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p-$i".getBytes("UTF-8"))
+    val firstHexChar = "%02x".format(d(0) & 0xff).charAt(0)
+    if (firstHexChar.toInt % 2 == 1) 1 else -1
+  }
+
+  /** 8-plane sign bucket ("0±1±…7±") from literal coefficient arrays. */
+  private def bucketCol: Column = {
+    val planeCols = (0 to 7).map { p =>
+      val signed = zip_with(col("embedding"), typedLit(planeSigns(p)), (x, sg) =>
+        when(sg === 1, x.cast("double")).otherwise(-x.cast("double")))
+      val s = aggregate(signed, lit(0.0), (acc, v) => acc + v)
+      when(round(s, 6) > 0, lit(s"$p+")).otherwise(lit(s"$p-"))
+    }
+    concat(planeCols: _*)
+  }
+
   /** LSH-bucketed ANN: 8 deterministic random hyperplanes (coefficient ±1
     * from the parity of md5(plane||'-'||dim)), bucket = 8-bit sign pattern;
     * top-3 neighbors per query within its bucket. The equi-join on `bucket`
     * replaces the quadratic cross join — at 100 TB the corpus shuffles once
-    * by bucket and each bucket compares internally.
+    * by bucket and each bucket compares internally. Buckets are recomputed
+    * per join side rather than cached: post-fix the bucket is ~512 fused
+    * multiply-adds per row — far cheaper than materializing a 100 TB corpus.
     */
   val annLsh: Q = Q(
     "x07_ann_lsh",
@@ -112,15 +141,7 @@ object SimilarityOps {
        |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
   ) { (s, dir) =>
     val n = normed(s, dir)
-    // per-plane signed sum: fold over dims with a md5-parity coefficient
-    val planeCols = (0 to 7).map { p =>
-      val signed = transform(col("embedding"), (x, i) =>
-        when(ascii(md5(concat(lit(s"$p-"), i.cast("string"))).substr(1, 1)) % 2 === 1,
-          x.cast("double")).otherwise(-x.cast("double")))
-      val sum = aggregate(signed, lit(0.0), (acc, v) => acc + v)
-      when(round(sum, 6) > 0, lit(s"$p+")).otherwise(lit(s"$p-"))
-    }
-    val withBucket = n.withColumn("bucket", concat(planeCols: _*))
+    val withBucket = n.withColumn("bucket", bucketCol)
     val q = withBucket.where(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("qn"), col("bucket"))
     val cos = round(dot(col("qv"), col("embedding")) / (col("qn") * col("nrm")), 6)
@@ -172,14 +193,7 @@ object SimilarityOps {
        |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
   ) { (s, dir) =>
     val n = normed(s, dir)
-    val planeCols = (0 to 7).map { p =>
-      val signed = transform(col("embedding"), (x, i) =>
-        when(ascii(md5(concat(lit(s"$p-"), i.cast("string"))).substr(1, 1)) % 2 === 1,
-          x.cast("double")).otherwise(-x.cast("double")))
-      val sum = aggregate(signed, lit(0.0), (acc, v) => acc + v)
-      when(round(sum, 6) > 0, lit(s"$p+")).otherwise(lit(s"$p-"))
-    }
-    val nb = n.withColumn("bucket", concat(planeCols: _*))
+    val nb = n.withColumn("bucket", bucketCol)
     val queries = nb.where(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("qn"), col("bucket"))
     val flip = (p: Column) => concat(

@@ -26,13 +26,16 @@ object StreamOps {
   val tumbling: Q = Q(
     "x14_tumbling_window",
     """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start, event_type, count(*) AS n,
-      |       round(sum(CAST(value AS DECIMAL(18,6))), 6) AS sum_value
+      |       CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
   ) { (s, dir) =>
+    // sum_value in integer micro-units: double→decimal CAST ties round
+    // half-up in Spark vs half-even in DuckDB; floor(x*1e6+0.5) is the same
+    // IEEE arithmetic on both engines and the BIGINT sum is order-free.
     events(s, dir)
       .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("value").cast("decimal(18,6)")), 6).as("sum_value"))
+        sum(floor(col("value") * 1000000 + 0.5).cast("long")).as("sum_value"))
       .select(unix_timestamp(col("win.start")).as("win_start"), col("event_type"), col("n"), col("sum_value"))
       .orderBy("win_start", "event_type")
   }
@@ -170,7 +173,7 @@ object StreamOps {
     */
   val streamStaticJoin: Q = Q(
     "x20_stream_static_join",
-    """SELECT user_bucket, count(*) AS n, sum(n_user_events) AS weighted
+    """SELECT user_bucket, count(*) AS n, CAST(sum(n_user_events) AS BIGINT) AS weighted
       |FROM (SELECT e.user_id % 10 AS user_bucket, s.n_user_events
       |      FROM events e JOIN (SELECT user_id, count(*) AS n_user_events FROM events GROUP BY user_id) s
       |        ON e.user_id = s.user_id)

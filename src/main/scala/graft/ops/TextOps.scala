@@ -115,9 +115,9 @@ object TextOps {
   val tokenCount: Q = Q(
     "x10_token_count",
     """SELECT source, count(*) AS n_docs,
-      |  sum(len(regexp_extract_all(text, '[^ ]+'))) AS ws_tokens,
-      |  sum(len(regexp_extract_all(text, '[a-z]+'))) AS alpha_tokens,
-      |  sum(len(regexp_extract_all(text, '[a-z]{1,4}|[0-9]{1,3}|[^a-z0-9 ]'))) AS bpe_tokens
+      |  CAST(sum(len(regexp_extract_all(text, '[^ ]+'))) AS BIGINT) AS ws_tokens,
+      |  CAST(sum(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS alpha_tokens,
+      |  CAST(sum(len(regexp_extract_all(text, '[a-z]{1,4}|[0-9]{1,3}|[^a-z0-9 ]'))) AS BIGINT) AS bpe_tokens
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
   ) { (s, dir) =>
     docs(s, dir)

@@ -34,7 +34,8 @@ final class BeamServer(
     store: TopicStore,
     keys: KeyPair,
     superRoles: Set[String] = Set("superuser"),
-    port: Int = 0) {
+    port: Int = 0,
+    allowedClusters: Seq[String] = Seq("pulsar://localhost:6650")) {
 
   private val sema   = new Semaphore(200) // O-27, ref middleware.go:13-18
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
@@ -67,17 +68,32 @@ final class BeamServer(
         else respond(ex, 200, """{"status":"ok"}""")
 
       case ("POST", "v1" :: "firehose" :: Nil) =>
-        // NoAuth; topic from TopicFn header (ref handlers.go:122-128)
-        Option(ex.getRequestHeaders.getFirst("TopicFn")) match {
-          case None          => respond(ex, 422, "missing TopicFn header")
-          case Some(topicFn) => ingest(ex, topicFn)
+        // NoAuth; topic from TopicFn header; PulsarUrl header validated
+        // against the allowed clusters (ref handlers.go:100-105,122-128)
+        receiverHeader(ex) match {
+          case Left(err) => respond(ex, 401, err)
+          case Right((topicHdr, _)) =>
+            topicHdr match {
+              case None          => respond(ex, 422, "missing TopicFn header")
+              case Some(topicFn) => ingest(ex, topicFn)
+            }
         }
 
       case ("POST", "v2" :: "firehose" :: p :: tenant :: ns :: topic :: Nil) =>
         withAuthorizedTenant(ex, tenant) { _ =>
-          TopicName.build(p, tenant, ns, topic) match {
-            case Right(fn) => ingest(ex, fn)
-            case Left(err) => respond(ex, 422, err)
+          receiverHeader(ex) match {
+            case Left(err) => respond(ex, 401, err)
+            case Right((topicHdr, _)) =>
+              TopicName.build(p, tenant, ns, topic) match {
+                // header TopicFn overwrites the topic from the route
+                // (ref handlers.go:128 util.AssignString)
+                case Right(fn) => ingest(ex, topicHdr.getOrElse(fn))
+                case Left(err) =>
+                  topicHdr match {
+                    case Some(fn) => ingest(ex, fn)
+                    case None     => respond(ex, 422, err)
+                  }
+              }
           }
         }
 
@@ -88,18 +104,32 @@ final class BeamServer(
             case Right(fn) =>
               val size = queryParam(ex, "batchSize").flatMap(s => Try(s.toInt).toOption)
                 .getOrElse(10) // ref handlers.go:163
-              val rows = topics.poll(fn, size).collect()
-              if (rows.isEmpty) respond(ex, 204, "") // ref docs/api.go:106-109
-              else {
-                val msgs = rows.map { r =>
-                  J.obj(
-                    "payload"     -> J.str(new String(r.getAs[Array[Byte]]("payload"), UTF_8)),
-                    "topic"       -> J.str(r.getAs[String]("topic")),
-                    "messageId"   -> J.str(r.getAs[String]("messageId")),
-                    "publishTime" -> J.str(r.getAs[java.sql.Timestamp]("publishTime").toInstant.toString))
-                }
-                respond(ex, 200,
-                  s"""{"limit":$size,"size":${rows.length},"messages":[${msgs.mkString(",")}]}""")
+              // perMessageTimeoutMs (ref :164) is parsed for API parity; the
+              // local table answers immediately, so no per-message wait.
+              queryParam(ex, "perMessageTimeoutMs").foreach(s => Try(s.toInt))
+              // O-9 consumer params: validated name/type; absent name → a
+              // fresh non-resumable subscription (ref handlers.go:440-461).
+              val subType = ConsumerParams.subscriptionType(
+                queryParam(ex, "subscriptionType").getOrElse(""))
+              val subName = ConsumerParams.subscriptionName(
+                queryParam(ex, "subscriptionName").getOrElse(""))
+              (subName, subType) match {
+                case (Left(err), _) => respond(ex, 422, err)
+                case (_, Left(err)) => respond(ex, 422, err)
+                case (Right(sub), Right(_)) =>
+                  val rows = topics.pollBatch(fn, sub, size)
+                  if (rows.isEmpty) respond(ex, 204, "") // ref docs/api.go:106-109
+                  else {
+                    val msgs = rows.map { r =>
+                      J.obj(
+                        "payload"     -> J.str(new String(r.getAs[Array[Byte]]("payload"), UTF_8)),
+                        "topic"       -> J.str(r.getAs[String]("topic")),
+                        "messageId"   -> J.str(r.getAs[String]("messageId")),
+                        "publishTime" -> J.str(r.getAs[java.sql.Timestamp]("publishTime").toInstant.toString))
+                    }
+                    respond(ex, 200,
+                      s"""{"limit":$size,"size":${rows.length},"messages":[${msgs.mkString(",")}]}""")
+                  }
               }
           }
         }
@@ -156,7 +186,30 @@ final class BeamServer(
     }
   }
 
-  /** O-1/O-2: gzip-aware body read, then append to the topic table. */
+  /** `PulsarUrl` + `TopicFn` receiver headers with allowed-cluster
+    * enforcement (ref src/util/util.go:61-75): a missing URL falls back to
+    * the first allowed cluster; an unlisted URL is rejected.
+    */
+  private def receiverHeader(ex: HttpExchange): Either[String, (Option[String], String)] = {
+    val topicFn = Option(ex.getRequestHeaders.getFirst("TopicFn")).filter(_.nonEmpty)
+    val url     = Option(ex.getRequestHeaders.getFirst("PulsarUrl")).filter(_.nonEmpty)
+    if (allowedClusters.exists(_.nonEmpty)) url match {
+      case None                                   => Right((topicFn, allowedClusters.head))
+      case Some(u) if allowedClusters.contains(u) => Right((topicFn, u))
+      case Some(u)                                => Left(s"pulsar cluster $u is not allowed")
+    }
+    else url match {
+      case None    => Left("missing configured Pulsar URL")
+      case Some(u) => Right((topicFn, u))
+    }
+  }
+
+  /** O-1/O-2: gzip-aware body read, then append to the topic table.
+    * `?includeHeaders=true` wraps the payload in the `InfoRichMessage`
+    * envelope `{"headers":{...},"body":"..."}` (ref handlers.go:76-80,
+    * 107-120); `?mode=async` selects fire-and-forget (ref :131, sync is the
+    * default).
+    */
   private def ingest(ex: HttpExchange, topicFn: String): Unit = {
     val raw = ex.getRequestBody.readAllBytes()
     val body =
@@ -165,7 +218,19 @@ final class BeamServer(
       else raw
     if (body.isEmpty) respond(ex, 422, "empty body")
     else {
-      topics.ingestPayload(body, topicFn)
+      // ref :107-111: any value except the literal "false" opts in
+      val withHeaders = queryParam(ex, "includeHeaders").exists(_ != "false")
+      val payload =
+        if (!withHeaders) body
+        else {
+          import scala.jdk.CollectionConverters._
+          val hdrs = ex.getRequestHeaders.entrySet().asScala.toSeq.sortBy(_.getKey).map { e =>
+            e.getKey -> J.arr(e.getValue.asScala.toSeq.map(J.str))
+          }
+          J.obj("headers" -> J.obj(hdrs: _*), "body" -> J.str(new String(body, UTF_8)))
+            .getBytes(UTF_8)
+        }
+      topics.ingestPayload(payload, topicFn, async = queryParam(ex, "mode").contains("async"))
       respond(ex, 200, """{"status":"published"}""")
     }
   }
@@ -283,10 +348,16 @@ final class BeamServer(
     (fn, url) match {
       case (Some(f), Some(u)) =>
         val whObjs = """\{[^{}]*"url"[^{}]*\}""".r.findAllIn(body).toSeq
+        // delivery headers: "headers": ["Name: value", ...] (O-11 contract —
+        // dropping them would silently strip auth headers from deliveries)
+        def headerList(obj: String): Seq[String] =
+          """"headers"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(obj)
+            .map(m => """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
+            .getOrElse(Nil)
         val whs = whObjs.map { w =>
           WebhookConfig(
             strField(w, "url").getOrElse(""),
-            Nil,
+            headerList(w),
             strField(w, "subscription").getOrElse(""),
             strField(w, "subscriptionType").getOrElse(""),
             strField(w, "initialPosition").getOrElse(""),

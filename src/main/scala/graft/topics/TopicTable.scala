@@ -54,13 +54,16 @@ final class TopicTable(spark: SparkSession, baseDir: String) {
     out.write.mode("append").parquet(dir(topicFn))
   }
 
-  /** Ingest raw payload bytes (the HTTP POST body path, O-1). */
+  /** Ingest raw payload bytes (the HTTP POST body path, O-1). `async`
+    * follows the route's `?mode=async` (O-5, ref handlers.go:131 — default
+    * is synchronous send).
+    */
   def ingestPayload(payload: Array[Byte], topicFn: String,
-      props: Map[String, String] = Map.empty): Unit = {
+      props: Map[String, String] = Map.empty, async: Boolean = false): Unit = {
     import spark.implicits._
     val df = Seq((payload, Option.empty[java.sql.Timestamp], Option.empty[String], props))
       .toDF("payload", "eventTime", "key", "props")
-    ingest(df, topicFn)
+    ingest(df, topicFn, async)
   }
 
   def exists(topicFn: String): Boolean =
@@ -71,11 +74,55 @@ final class TopicTable(spark: SparkSession, baseDir: String) {
     if (exists(topicFn)) spark.read.schema(schema).parquet(dir(topicFn))
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
-  /** Bounded poll (O-6): earliest-position arrival order, capped batch —
-    * Catalyst plans TakeOrderedAndProject (no global sort at scale).
+  /** Bounded peek (O-6): earliest-position arrival order, capped batch —
+    * Catalyst plans TakeOrderedAndProject (no global sort at scale). Read
+    * only; consumption semantics live in [[pollBatch]].
     */
   def poll(topicFn: String, limit: Int = 10): DataFrame =
     read(topicFn).orderBy("publishTime", "messageId").limit(limit)
+
+  /** Per-(topic, subscription) consumption position: the (publishTime,
+    * messageId) of the last delivered message. Mirrors the reference's
+    * ack-on-receive in `PollBatchMessages` (ref src/broker/sse-broker.go:34-61
+    * — every delivered message is acked, so the subscription advances).
+    * An absent entry = a new subscription at the earliest position (poll
+    * always subscribes earliest, ref src/route/handlers.go:166).
+    */
+  private val cursors =
+    scala.collection.concurrent.TrieMap.empty[(String, String), (java.sql.Timestamp, String)]
+
+  /** Destructive poll (O-6/O-7 + O-12 ack): deliver the next `limit`
+    * messages after the subscription's cursor and advance it — poll #2
+    * returns the NEXT batch, and an exhausted topic returns an empty batch
+    * (the route's 204). A subscription named with the non-resumable prefix
+    * is dropped after the poll (ref `consumer.Unsubscribe()` for
+    * `model.NonResumable`, src/broker/sse-broker.go:40-42), so the next poll
+    * under that name restarts from earliest.
+    *
+    * The scan itself stays declarative: the cursor predicate is pushed into
+    * the parquet scan (publishTime/messageId are min/max-pruned per
+    * segment), then TakeOrderedAndProject caps the batch — no full-topic
+    * materialization however large the backlog.
+    */
+  def pollBatch(topicFn: String, subscription: String, limit: Int = 10)
+      : Array[org.apache.spark.sql.Row] = {
+    val key  = (topicFn, subscription)
+    val base = read(topicFn)
+    val fresh = cursors.get(key) match {
+      case None => base
+      case Some((t, m)) =>
+        base.where(col("publishTime") > t ||
+          (col("publishTime") === t && col("messageId") > m))
+    }
+    val rows = fresh.orderBy("publishTime", "messageId").limit(limit).collect()
+    rows.lastOption.foreach { r =>
+      cursors.put(key,
+        (r.getAs[java.sql.Timestamp]("publishTime"), r.getAs[String]("messageId")))
+    }
+    if (subscription.startsWith(graft.model.ConsumerParams.NonResumablePrefix))
+      cursors.remove(key)
+    rows
+  }
 
   /** Continuous subscription (O-8): micro-batch file stream. The
     * subscription's identity (exclusive-by-name, O-9) is the caller's

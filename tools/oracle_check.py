@@ -37,6 +37,15 @@ def main(sf_dir: str, out_dir: str) -> int:
             continue
         spark_df, duck_df = spark_df[sc], duck_df[sc]
         bad = None
+        # dtype-strict: the driver hashes values, so int64 5 vs float64 5.0
+        # mismatch even though Python == says equal (DuckDB sum(int) returns
+        # HUGEINT -> pandas float64 — CAST oracle sums to BIGINT).
+        kind = lambda d: "f" if d.kind == "f" else ("i" if d.kind in "iu" else d.kind)
+        dt_bad = [c for c in sc if kind(spark_df[c].dtype) != kind(duck_df[c].dtype)]
+        if dt_bad:
+            print(f"FAIL {name}: dtype mismatch {[ (c, str(spark_df[c].dtype), str(duck_df[c].dtype)) for c in dt_bad ]}")
+            n_bad += 1
+            continue
         for c in sc:
             a, b = spark_df[c].tolist(), duck_df[c].tolist()
             for i, (x, y) in enumerate(zip(a, b)):
