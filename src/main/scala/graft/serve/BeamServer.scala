@@ -42,9 +42,11 @@ final class BeamServer(
   // thread-per-request so a long-lived SSE connection can't starve routes
   server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
 
+  private val sseHub = new graft.streaming.SseHub(topics)
+
   def boundPort: Int = server.getAddress.getPort
   def start(): Unit  = server.start()
-  def stop(): Unit   = server.stop(0)
+  def stop(): Unit   = { sseHub.stopAll(); server.stop(0) }
 
   /** Mint a token for tests/clients (O-26). */
   def mintToken(subject: String): String = Jwt.sign(subject, keys.getPrivate)
@@ -236,10 +238,12 @@ final class BeamServer(
   }
 
   /** O-8 SSE: `id:`/`data:` frames per message, flushed per event, until the
-    * client disconnects (ref src/route/handlers.go:188-237). Position
-    * tracking by (publishTime, messageId) — the topic table's arrival order;
+    * client disconnects (ref src/route/handlers.go:188-237).
     * `?initialPosition=earliest` replays from the beginning (O-9 default is
-    * latest). Each poll round is a pushed-down incremental scan.
+    * latest). Delivery comes from the shared per-topic streaming hub
+    * ([[graft.streaming.SseHub]]) — the HTTP thread only drains its queue,
+    * so an idle connection costs no Spark jobs and N connections share one
+    * delivery query per topic.
     */
   private def sse(ex: HttpExchange, topicFn: String): Unit = {
     val earliest = queryParam(ex, "initialPosition").contains("earliest")
@@ -247,42 +251,21 @@ final class BeamServer(
     ex.getResponseHeaders.set("Cache-Control", "no-cache")
     ex.sendResponseHeaders(200, 0) // chunked
     val os = ex.getResponseBody
-    var last: Option[(java.sql.Timestamp, String)] =
-      if (earliest) None
-      else {
-        val head = topics.read(topicFn)
-          .orderBy(org.apache.spark.sql.functions.col("publishTime").desc,
-            org.apache.spark.sql.functions.col("messageId").desc).limit(1).collect()
-        head.headOption.map(r =>
-          (r.getAs[java.sql.Timestamp]("publishTime"), r.getAs[String]("messageId")))
-      }
+    val (subId, queue) = sseHub.subscribe(topicFn, earliest)
     try {
       while (true) {
-        import org.apache.spark.sql.functions.{col => c}
-        val base = topics.read(topicFn)
-        val fresh = last match {
-          case None => base
-          case Some((t, m)) =>
-            base.where(c("publishTime") > t ||
-              (c("publishTime") === t && c("messageId") > m))
-        }
-        val rows = fresh.orderBy("publishTime", "messageId").collect()
-        rows.foreach { r =>
-          val frame = s"id: ${r.getAs[String]("messageId")}\ndata: ${new String(
-              r.getAs[Array[Byte]]("payload"), UTF_8)}\n\n"
-          os.write(frame.getBytes(UTF_8))
-        }
-        if (rows.nonEmpty) {
-          val lastRow = rows.last
-          last = Some((lastRow.getAs[java.sql.Timestamp]("publishTime"),
-            lastRow.getAs[String]("messageId")))
-        } else os.write(":keepalive\n\n".getBytes(UTF_8)) // detect disconnect
+        val frame = queue.poll(1, java.util.concurrent.TimeUnit.SECONDS)
+        if (frame == null) os.write(":keepalive\n\n".getBytes(UTF_8)) // detect disconnect
+        else os.write(
+          s"id: ${frame.messageId}\ndata: ${new String(frame.payload, UTF_8)}\n\n".getBytes(UTF_8))
         os.flush()
-        Thread.sleep(200)
       }
     } catch {
       case _: java.io.IOException => () // client disconnected (ref :216-220)
-    } finally Try(ex.close())
+    } finally {
+      sseHub.unsubscribe(topicFn, subId)
+      Try(ex.close())
+    }
   }
 
   /** O-24: JWT → subject ("injectedSubs" equivalent, ref middleware.go:32-44). */

@@ -1,0 +1,147 @@
+package graft.streaming
+
+import java.util.concurrent.{LinkedBlockingQueue, TimeUnit}
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.collection.concurrent.TrieMap
+import scala.util.Try
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.topics.TopicTable
+
+/** Shared SSE push hub (O-8): ONE Structured Streaming query per topic
+  * feeds every connected SSE client, replacing the round-1 per-connection
+  * poll loop that ran a full read→sort→collect Spark job every 200 ms per
+  * client (a driver-side bottleneck at fan-out).
+  *
+  * Fan-out model (same shape as the reference's consumer channel,
+  * ref src/route/handlers.go:223-237): the topic's micro-batch stream
+  * broadcasts each batch to per-connection bounded queues; the HTTP thread
+  * blocks on its queue and writes frames. Steady-state cost is one
+  * streaming query per topic regardless of connection count, and an idle
+  * topic runs NO Spark jobs (empty micro-batches never launch one).
+  *
+  * Per-connection initial position (O-9): `earliest` replays the backlog via
+  * a one-shot batch snapshot at subscribe time; `latest` (default) starts
+  * from the current high-water mark. Each subscriber carries a
+  * (publishTime, messageId) watermark, so the snapshot and the stream
+  * compose without duplicates.
+  */
+final class SseHub(
+    topics: TopicTable,
+    checkpointRoot: String =
+      java.nio.file.Files.createTempDirectory("graft-sse").toString,
+    triggerMs: Long = 200,
+    queueCapacity: Int = 1024) {
+
+  final case class Frame(messageId: String, payload: Array[Byte])
+
+  private final class Sub(val queue: LinkedBlockingQueue[Frame]) {
+    // strictly-increasing delivery watermark, same cursor the reference's
+    // ack advances; rows at or below it are already delivered
+    @volatile var last: Option[(java.sql.Timestamp, String)] = None
+  }
+
+  private final class Hub(fn: String) {
+    val subs = TrieMap.empty[Long, Sub]
+    @volatile var query: StreamingQuery = _
+
+    private def afterLast(sub: Sub, t: java.sql.Timestamp, m: String): Boolean =
+      sub.last match {
+        case None         => true
+        case Some((lt, lm)) =>
+          t.after(lt) || (t.equals(lt) && m > lm)
+      }
+
+    def push(sub: Sub, rows: Iterable[org.apache.spark.sql.Row]): Unit =
+      rows.foreach { r =>
+        val t = r.getAs[java.sql.Timestamp]("publishTime")
+        val m = r.getAs[String]("messageId")
+        if (afterLast(sub, t, m)) {
+          // offer with timeout: a stalled client sheds load instead of
+          // blocking the topic's single delivery query forever
+          sub.queue.offer(Frame(m, r.getAs[Array[Byte]]("payload")), 5, TimeUnit.SECONDS)
+          sub.last = Some((t, m))
+        }
+      }
+
+    def start(): Unit = {
+      query = topics.readStream(fn)
+        .writeStream
+        .queryName(s"sse-${graft.model.Keys.sha1Hex(fn)}")
+        .option("checkpointLocation",
+          s"$checkpointRoot/${graft.model.Keys.sha1Hex(fn)}-${System.nanoTime()}")
+        .trigger(Trigger.ProcessingTime(triggerMs))
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val rows = batch
+            .select("publishTime", "messageId", "payload")
+            .orderBy("publishTime", "messageId")
+            .collect() // bounded: one micro-batch (same motion as WebhookEngine)
+          if (rows.nonEmpty) Hub.this.synchronized {
+            subs.values.foreach(push(_, rows))
+          }
+        }
+        .start()
+    }
+  }
+
+  private val hubs   = TrieMap.empty[String, Hub]
+  private val nextId = new AtomicLong(0)
+
+  /** Register a connection; returns (subscriberId, frame queue). The
+    * caller polls the queue (timeout → keepalive) and MUST `unsubscribe`
+    * on disconnect.
+    */
+  def subscribe(topicFn: String, earliest: Boolean): (Long, LinkedBlockingQueue[Frame]) =
+    synchronized {
+      val hub = hubs.getOrElseUpdate(topicFn, {
+        val h = new Hub(topicFn)
+        h.start()
+        h
+      })
+      val sub = new Sub(new LinkedBlockingQueue[Frame](queueCapacity))
+      val id  = nextId.incrementAndGet()
+      hub.synchronized {
+        if (earliest) {
+          // one-shot backlog replay; watermark then splices into the stream
+          val backlog = topics.read(topicFn)
+            .select("publishTime", "messageId", "payload")
+            .orderBy("publishTime", "messageId")
+            .collect()
+          hub.push(sub, backlog)
+        } else {
+          // latest: start after the current high-water mark
+          topics.read(topicFn)
+            .select("publishTime", "messageId")
+            .orderBy(col("publishTime").desc, col("messageId").desc)
+            .limit(1).collect().headOption
+            .foreach(r => sub.last =
+              Some((r.getAs[java.sql.Timestamp]("publishTime"), r.getAs[String]("messageId"))))
+        }
+        hub.subs.put(id, sub)
+      }
+      (id, sub.queue)
+    }
+
+  /** Drop a connection; the topic's query stops when the last one leaves. */
+  def unsubscribe(topicFn: String, id: Long): Unit = synchronized {
+    hubs.get(topicFn).foreach { hub =>
+      hub.subs.remove(id)
+      if (hub.subs.isEmpty) {
+        Try(hub.query.stop())
+        hubs.remove(topicFn)
+      }
+    }
+  }
+
+  def stopAll(): Unit = synchronized {
+    hubs.values.foreach(h => Try(h.query.stop()))
+    hubs.clear()
+  }
+
+  /** Active per-topic delivery queries (test hook). */
+  def activeTopics: Set[String] = hubs.keySet.toSet
+}

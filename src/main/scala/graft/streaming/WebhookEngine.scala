@@ -96,30 +96,61 @@ final class WebhookEngine(
 
   /** Delivered-pair suppression (SURVEY.md §7.4): a redelivered micro-batch
     * (failure mid-batch → restart) must not re-POST messages already
-    * acknowledged. Per-subscription append-only log of delivered messageIds,
-    * hydrated on (re)start — the engine's at-least-once becomes
-    * effectively-once per (messageId, webhook).
+    * acknowledged. The log is scoped to the micro-batch EPOCH: Structured
+    * Streaming only ever redelivers the last uncommitted batch, so entries
+    * from any earlier (committed) batch can never be replayed — they are
+    * compacted away when the next epoch starts. Memory and disk are thus
+    * bounded by one micro-batch per subscription on a stream of any length,
+    * and the engine's at-least-once is still effectively-once per
+    * (messageId, webhook) across restarts.
     */
   private val delivered = scala.collection.concurrent.TrieMap
-    .empty[String, scala.collection.mutable.Set[String]]
+    .empty[String, (Long, scala.collection.mutable.Set[String])]
 
   private def deliveredLog(key: String) = java.nio.file.Paths.get(s"$checkpointRoot/$key.delivered")
 
-  private def loadDelivered(key: String): scala.collection.mutable.Set[String] =
-    delivered.getOrElseUpdate(key, {
-      val p = deliveredLog(key)
-      val s = scala.collection.mutable.Set.empty[String]
-      if (java.nio.file.Files.exists(p))
-        s ++= scala.jdk.CollectionConverters.ListHasAsScala(
-          java.nio.file.Files.readAllLines(p)).asScala
-      s
-    })
+  /** Delivered messageIds for this (subscription, batch epoch). First call
+    * per epoch hydrates from the log (restart case) and rewrites it keeping
+    * only the current epoch's entries — the commit of epoch N-1 is implied
+    * by the arrival of epoch N.
+    */
+  private def loadDelivered(key: String, batchId: Long): scala.collection.mutable.Set[String] =
+    delivered.get(key) match {
+      case Some((b, s)) if b == batchId => s
+      case _ =>
+        val p = deliveredLog(key)
+        val s = scala.collection.mutable.Set.empty[String]
+        if (java.nio.file.Files.exists(p))
+          scala.jdk.CollectionConverters.ListHasAsScala(java.nio.file.Files.readAllLines(p))
+            .asScala.foreach { line =>
+              line.split(":", 2) match {
+                case Array(b, mid) if b.nonEmpty && b.forall(_.isDigit) && b.toLong == batchId =>
+                  s += mid
+                case _ => ()
+              }
+            }
+        java.nio.file.Files.write(p, s.map(mid => s"$batchId:$mid\n").mkString.getBytes,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+        delivered.put(key, (batchId, s))
+        s
+    }
 
-  private def markDelivered(key: String, messageId: String): Unit = {
-    loadDelivered(key) += messageId
-    java.nio.file.Files.write(deliveredLog(key), (messageId + "\n").getBytes,
+  private def markDelivered(key: String, batchId: Long, messageId: String): Unit = {
+    loadDelivered(key, batchId) += messageId
+    java.nio.file.Files.write(deliveredLog(key), (s"$batchId:$messageId\n").getBytes,
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
   }
+
+  /** Test/introspection hook: current suppression-log line count for a
+    * subscription key (bounded by the last epoch's size).
+    */
+  private[graft] def deliveredLogSize(key: String): Int = {
+    val p = deliveredLog(key)
+    if (java.nio.file.Files.exists(p)) java.nio.file.Files.readAllLines(p).size() else 0
+  }
+
+  private[graft] def runningKeys: Set[String] = running.keySet.toSet
 
   private def startQuery(key: String, cfg: TopicConfig, wh: WebhookConfig): StreamingQuery = {
     val enriched = enrich(topics.readStream(cfg.topicFullName))
@@ -127,14 +158,14 @@ final class WebhookEngine(
       .queryName(s"webhook-$key")
       .option("checkpointLocation", s"$checkpointRoot/$key") // exclusive sub identity (O-9)
       .trigger(Trigger.ProcessingTime(triggerMs))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // bounded micro-batch → per-message POST, ref ConsumeLoop webhook.go:171-241
-        val seen = loadDelivered(key)
+        val seen = loadDelivered(key, batchId)
         batch.collect().foreach { row =>
           val mid = row.getAs[String]("messageId")
           if (!seen.contains(mid)) {
             deliver(row, wh)
-            markDelivered(key, mid)
+            markDelivered(key, batchId, mid)
           }
         }
       }

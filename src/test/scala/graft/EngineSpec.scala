@@ -209,6 +209,14 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       engine.reconcile()
       eventually(40, 500)(received.synchronized(received.size) == 2)
       assert(received.synchronized(received.toList) == List("msg-1", "msg-2"))
+
+      // The suppression log is epoch-scoped: a later micro-batch implies the
+      // earlier epoch committed, so its entries compact away — the log stays
+      // bounded by one batch on an arbitrarily long stream.
+      topics.ingestPayload("msg-3".getBytes, sourceFn)
+      eventually(40, 500)(received.synchronized(received.size) == 3)
+      val key = engine.runningKeys.head
+      eventually(40, 200)(engine.deliveredLogSize(key) <= 1)
     } finally {
       engine.stopAll()
       server.stop(0)

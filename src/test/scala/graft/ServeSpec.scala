@@ -147,6 +147,111 @@ class ServeSpec extends AnyFunSuite with BeforeAndAfterAll {
     resp.body().close() // disconnect ends the server-side loop
   }
 
+  test("named-subscription poll is destructive: batch #2 is the NEXT batch, 204 at exhaustion (O-6/O-12)") {
+    for (n <- 1 to 3)
+      assert(req("POST", "/v2/firehose/persistent/tenant-d/ns/drain", s"msg$n",
+        auth("tenant-d")).statusCode() == 200)
+
+    val p1 = req("GET", "/v2/poll/persistent/tenant-d/ns/drain?batchSize=2&subscriptionName=drain-sub",
+      headers = auth("tenant-d"))
+    assert(p1.statusCode() == 200)
+    assert(p1.body().contains(""""size":2"""))
+    assert(p1.body().contains("msg1") && p1.body().contains("msg2") && !p1.body().contains("msg3"))
+
+    // consumption advanced: second poll returns only the remaining message
+    val p2 = req("GET", "/v2/poll/persistent/tenant-d/ns/drain?batchSize=2&subscriptionName=drain-sub",
+      headers = auth("tenant-d"))
+    assert(p2.statusCode() == 200)
+    assert(p2.body().contains(""""size":1""") && p2.body().contains("msg3"))
+
+    // exhausted subscription → 204 (ref docs/api.go:106-109)
+    assert(req("GET", "/v2/poll/persistent/tenant-d/ns/drain?batchSize=2&subscriptionName=drain-sub",
+      headers = auth("tenant-d")).statusCode() == 204)
+
+    // an unnamed poll is a fresh non-resumable subscription: earliest again
+    val fresh = req("GET", "/v2/poll/persistent/tenant-d/ns/drain?batchSize=5", headers = auth("tenant-d"))
+    assert(fresh.statusCode() == 200)
+    assert(fresh.body().contains(""""size":3"""))
+
+    // short names rejected (ref handlers.go:455-459)
+    assert(req("GET", "/v2/poll/persistent/tenant-d/ns/drain?subscriptionName=abc",
+      headers = auth("tenant-d")).statusCode() == 422)
+  }
+
+  test("includeHeaders wraps the payload in the InfoRichMessage envelope (O-3)") {
+    assert(req("POST", "/v1/firehose?includeHeaders=true", "plain-body",
+      Map("TopicFn" -> "persistent://tenant-h/ns/rich", "X-Custom-Tag" -> "tag42"))
+      .statusCode() == 200)
+    val rows = topics.poll("persistent://tenant-h/ns/rich", 1).collect()
+    val payload = new String(rows(0).getAs[Array[Byte]]("payload"))
+    assert(payload.contains(""""body":"plain-body""""))
+    assert(payload.contains(""""headers""""))
+    assert(payload.contains("tag42"))
+    // explicit false opts out (ref handlers.go:111)
+    assert(req("POST", "/v1/firehose?includeHeaders=false", "bare",
+      Map("TopicFn" -> "persistent://tenant-h/ns/rich2")).statusCode() == 200)
+    val bare = topics.poll("persistent://tenant-h/ns/rich2", 1).collect()
+    assert(new String(bare(0).getAs[Array[Byte]]("payload")) == "bare")
+  }
+
+  test("PulsarUrl header is enforced against allowed clusters (ref util.go:61-75)") {
+    assert(req("POST", "/v1/firehose", "x",
+      Map("TopicFn" -> "persistent://tenant-u/ns/t", "PulsarUrl" -> "pulsar://rogue:6650"))
+      .statusCode() == 401)
+    assert(req("POST", "/v1/firehose", "x",
+      Map("TopicFn" -> "persistent://tenant-u/ns/t", "PulsarUrl" -> "pulsar://localhost:6650"))
+      .statusCode() == 200)
+    // ?mode=async accepted on the same route (O-5, ref handlers.go:131)
+    assert(req("POST", "/v1/firehose?mode=async", "y",
+      Map("TopicFn" -> "persistent://tenant-u/ns/t")).statusCode() == 200)
+  }
+
+  test("header TopicFn overrides the v2 route topic (ref handlers.go:128)") {
+    assert(req("POST", "/v2/firehose/persistent/tenant-o/ns/routed", "overridden",
+      auth("tenant-o") + ("TopicFn" -> "persistent://tenant-o/ns/actual")).statusCode() == 200)
+    assert(topics.poll("persistent://tenant-o/ns/routed", 1).collect().isEmpty)
+    val rows = topics.poll("persistent://tenant-o/ns/actual", 1).collect()
+    assert(new String(rows(0).getAs[Array[Byte]]("payload")) == "overridden")
+  }
+
+  test("webhook delivery headers survive the topic-config POST (O-11)") {
+    val cfg =
+      """{"topicFullName":"persistent://tenant-w/ns/hdrs","pulsarURL":"pulsar://broker0:6650",
+        |"tenant":"tenant-w","webhooks":[
+        |{"url":"http://localhost:1/h","headers":["Authorization: Bearer wh-token","X-Trace: on"],
+        |"subscription":"sub-hdr","subscriptionType":"exclusive",
+        |"initialPosition":"earliest","webhookStatus":1}]}""".stripMargin
+    val created = req("POST", "/v2/topic", cfg, auth("tenant-w"))
+    assert(created.statusCode() == 201)
+    assert(created.body().contains("Authorization: Bearer wh-token"))
+    assert(created.body().contains("X-Trace: on"))
+  }
+
+  test("idle SSE connection launches no per-tick Spark jobs (shared hub push)") {
+    assert(req("POST", "/v2/firehose/persistent/tenant-i/ns/idle", "seed",
+      auth("tenant-i")).statusCode() == 200)
+    val sseReq = HttpRequest.newBuilder(
+        URI.create(base + "/v2/sse/persistent/tenant-i/ns/idle"))
+      .header("Authorization", s"Bearer ${Jwt.sign("tenant-i", kp.getPrivate)}")
+      .GET().build()
+    val resp = http.send(sseReq, HttpResponse.BodyHandlers.ofInputStream())
+    assert(resp.statusCode() == 200)
+    val reader = new java.io.BufferedReader(new java.io.InputStreamReader(resp.body()))
+    // first keepalive ⇒ subscription (and its registration jobs) completed
+    assert(reader.readLine().startsWith(":keepalive"))
+
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    Thread.sleep(3000) // ≥ 15 trigger intervals; the old poll loop ran a job per tick
+    spark.sparkContext.removeSparkListener(listener)
+    assert(jobs <= 2, s"idle SSE connection launched $jobs Spark jobs")
+    resp.body().close()
+  }
+
   test("gzip ingest decodes before publish (O-2)") {
     val bos = new java.io.ByteArrayOutputStream()
     val gz  = new java.util.zip.GZIPOutputStream(bos)
