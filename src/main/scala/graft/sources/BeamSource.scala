@@ -1,0 +1,242 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector for Beam topic tables — `format("beam")`
+  * (SURVEY.md §4.2 `BeamSource`; the Spark-native analogue of the
+  * reference's Pulsar consumer surface, ref src/broker/sse-broker.go).
+  *
+  * A topic is a directory of immutable append-only parquet segments (see
+  * [[graft.topics.TopicTable]]). The connector exposes it as:
+  *
+  *  - a BATCH table: one [[InputPartition]] per segment file — scan
+  *    parallelism scales with the segment count, and column pruning is
+  *    pushed into the decoder (only requested fields are materialized);
+  *  - a MICRO_BATCH stream: the offset is the count of segment files in
+  *    (lastModified, name) order — the same monotone arrival order the
+  *    engine's cursors use. `planInputPartitions(start, end)` is the file
+  *    slice `(start, end]`, so each micro-batch reads exactly the new
+  *    segments, checkpoint recovery replays deterministically from the
+  *    sorted listing, and a late-arriving file extends the next batch.
+  *
+  * Segments are decoded with parquet-mr's column-assembled [[Group]] API
+  * against the FIXED BeamMessage schema — no Spark-internal reader APIs.
+  * The hot analytic path (the ops package) still reads via Spark's vectorized parquet
+  * source; this connector is the topic/serving surface, where batches are
+  * micro-batch-sized.
+  */
+final class BeamSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "beam"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = BeamSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val path = Option(properties.get("path"))
+      .getOrElse(throw new IllegalArgumentException("beam source requires a path"))
+    new BeamTable(path)
+  }
+}
+
+object BeamSource {
+  /** BeamMessage wire schema (must match [[graft.topics.TopicTable.schema]]). */
+  val schema: StructType = StructType(Seq(
+    StructField("payload", BinaryType),
+    StructField("topic", StringType),
+    StructField("eventTime", TimestampType),
+    StructField("publishTime", TimestampType),
+    StructField("messageId", StringType),
+    StructField("key", StringType),
+    StructField("props", MapType(StringType, StringType))))
+
+  /** Segment listing in (lastModified, name) order — the stream's offset
+    * domain. Spark writer temporaries/markers (`_*`, `.*`) are skipped.
+    */
+  def listSegments(dir: String): Seq[java.io.File] = {
+    val d = new java.io.File(dir)
+    if (!d.isDirectory) Seq.empty
+    else d.listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .sortBy(f => (f.lastModified(), f.getName))
+      .toSeq
+  }
+}
+
+final class BeamTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"beam:$path"
+  override def schema(): StructType = BeamSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new BeamScanBuilder(path)
+}
+
+final class BeamScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = BeamSource.schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  override def build(): Scan = new BeamScan(path, required)
+}
+
+final class BeamScan(path: String, required: StructType) extends Scan {
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"BeamScan path=$path, ReadSchema: ${required.simpleString}"
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      BeamSource.listSegments(path).map(f => BeamInputPartition(f.getAbsolutePath)).toArray
+    override def createReaderFactory(): PartitionReaderFactory =
+      new BeamReaderFactory(required)
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new BeamMicroBatchStream(path, required)
+}
+
+final case class BeamInputPartition(file: String) extends InputPartition
+
+final case class BeamOffset(count: Long) extends Offset {
+  override def json(): String = s"""{"count":$count}"""
+}
+
+/** Offset = prefix length of the (lastModified, name)-sorted segment list.
+  * Immutable segments + monotone listing ⇒ deterministic replay on
+  * checkpoint recovery (the same prefix always names the same files).
+  */
+final class BeamMicroBatchStream(path: String, required: StructType)
+    extends MicroBatchStream {
+
+  override def initialOffset(): Offset = BeamOffset(0)
+
+  override def latestOffset(): Offset = BeamOffset(BeamSource.listSegments(path).size.toLong)
+
+  override def deserializeOffset(json: String): Offset =
+    BeamOffset(""""count"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong)
+      .getOrElse(throw new IllegalArgumentException(s"bad beam offset: $json")))
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[BeamOffset].count.toInt
+    val e = end.asInstanceOf[BeamOffset].count.toInt
+    BeamSource.listSegments(path).slice(s, e).map(f => BeamInputPartition(f.getAbsolutePath)).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new BeamReaderFactory(required)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+final class BeamReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new BeamPartitionReader(partition.asInstanceOf[BeamInputPartition].file, required)
+}
+
+/** Decodes one parquet segment to InternalRows for the pruned schema.
+  * Timestamps accept INT96 (legacy Spark default) and INT64
+  * MICROS/MILLIS/NANOS annotations, so segments written under any
+  * `spark.sql.parquet.outputTimestampType` read back identically.
+  */
+final class BeamPartitionReader(file: String, required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val reader: ParquetReader[Group] =
+    ParquetReader.builder(new GroupReadSupport(), new Path(file))
+      .withConf(new Configuration())
+      .build()
+
+  private var current: Group = _
+
+  override def next(): Boolean = { current = reader.read(); current != null }
+
+  override def get(): InternalRow = {
+    val row = new GenericInternalRow(required.length)
+    var i = 0
+    while (i < required.length) {
+      row.update(i, readField(current, required(i)))
+      i += 1
+    }
+    row
+  }
+
+  private def present(g: Group, name: String): Boolean =
+    g.getType.containsField(name) && g.getFieldRepetitionCount(name) > 0
+
+  private def readField(g: Group, f: StructField): Any =
+    if (!present(g, f.name)) null
+    else f.dataType match {
+      case BinaryType    => g.getBinary(f.name, 0).getBytes
+      case StringType    => UTF8String.fromBytes(g.getBinary(f.name, 0).getBytes)
+      case TimestampType => readTimestampMicros(g, f.name)
+      case MapType(StringType, StringType, _) =>
+        val kv = g.getGroup(f.name, 0)
+        val n  = if (kv.getType.containsField("key_value")) kv.getFieldRepetitionCount("key_value") else 0
+        val keys = new Array[AnyRef](n)
+        val vals = new Array[AnyRef](n)
+        var j = 0
+        while (j < n) {
+          val entry = kv.getGroup("key_value", j)
+          keys(j) = UTF8String.fromBytes(entry.getBinary("key", 0).getBytes)
+          vals(j) =
+            if (entry.getFieldRepetitionCount("value") > 0)
+              UTF8String.fromBytes(entry.getBinary("value", 0).getBytes)
+            else null
+          j += 1
+        }
+        ArrayBasedMapData(keys, vals)
+      case other => throw new UnsupportedOperationException(s"beam field type $other")
+    }
+
+  private def readTimestampMicros(g: Group, name: String): java.lang.Long = {
+    val prim = g.getType.getType(name).asPrimitiveType()
+    prim.getPrimitiveTypeName match {
+      case PrimitiveType.PrimitiveTypeName.INT96 =>
+        // 8 bytes nanos-of-day (LE) + 4 bytes julian day (LE), UTC-normalized
+        val bytes = g.getInt96(name, 0).getBytes
+        val buf   = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val nanosOfDay = buf.getLong
+        val julianDay  = buf.getInt
+        (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
+      case PrimitiveType.PrimitiveTypeName.INT64 =>
+        val v = g.getLong(name, 0)
+        prim.getLogicalTypeAnnotation match {
+          case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            ts.getUnit match {
+              case LogicalTypeAnnotation.TimeUnit.MILLIS => v * 1000L
+              case LogicalTypeAnnotation.TimeUnit.MICROS => v
+              case LogicalTypeAnnotation.TimeUnit.NANOS  => v / 1000L
+            }
+          case _ => v // unannotated int64: assume micros
+        }
+      case other =>
+        throw new UnsupportedOperationException(s"beam timestamp physical type $other")
+    }
+  }
+
+  override def close(): Unit = reader.close()
+}

@@ -24,14 +24,7 @@ final class TopicTable(spark: SparkSession, baseDir: String) {
   /** Topic directory: sha1 of the full name keeps paths safe (O-21 reuse). */
   private def dir(topicFn: String): String = s"$baseDir/${Keys.sha1Hex(topicFn)}"
 
-  val schema: StructType = StructType(Seq(
-    StructField("payload", BinaryType),
-    StructField("topic", StringType),
-    StructField("eventTime", TimestampType),
-    StructField("publishTime", TimestampType),
-    StructField("messageId", StringType),
-    StructField("key", StringType),
-    StructField("props", MapType(StringType, StringType))))
+  val schema: StructType = graft.sources.BeamSource.schema
 
   /** Ingest (O-1/O-4): stamp eventTime=now, a `PulsarBeamId` uuid property,
     * publishTime, and a per-row messageId, then append. `async` mirrors
@@ -69,9 +62,12 @@ final class TopicTable(spark: SparkSession, baseDir: String) {
   def exists(topicFn: String): Boolean =
     new java.io.File(dir(topicFn)).exists()
 
-  /** Batch scan over everything published so far. */
+  /** Batch scan over everything published so far, through the DSv2
+    * connector (`format("beam")`, SURVEY.md §4.2): one partition per
+    * segment, pruned columns pushed into the decode.
+    */
   def read(topicFn: String): DataFrame =
-    if (exists(topicFn)) spark.read.schema(schema).parquet(dir(topicFn))
+    if (exists(topicFn)) spark.read.format("beam").load(dir(topicFn))
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
   /** Bounded peek (O-6): earliest-position arrival order, capped batch —
@@ -131,6 +127,6 @@ final class TopicTable(spark: SparkSession, baseDir: String) {
   def readStream(topicFn: String): DataFrame = {
     val d = new java.io.File(dir(topicFn))
     if (!d.exists()) d.mkdirs() // subscribe-before-publish is legal (latest position)
-    spark.readStream.schema(schema).parquet(d.toString)
+    spark.readStream.format("beam").load(d.toString)
   }
 }

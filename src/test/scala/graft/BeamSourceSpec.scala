@@ -1,0 +1,120 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.topics.TopicTable
+
+/** DSv2 `format("beam")` connector (SURVEY.md §4.2): batch fidelity vs the
+  * native parquet reader, column pruning, partition-per-segment planning,
+  * and micro-batch offsets over arriving segments.
+  */
+class BeamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-beamsource-test")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def freshTopics() =
+    new TopicTable(spark, Files.createTempDirectory("graft-beamsrc").toString)
+
+  test("batch read through format(\"beam\") matches the parquet reader row-for-row") {
+    val topics = freshTopics()
+    val fn     = "persistent://t/ns/fidelity"
+    topics.ingestPayload("alpha".getBytes, fn, Map("a" -> "1", "b" -> "2"))
+    topics.ingestPayload("beta".getBytes, fn)
+
+    val viaBeam = topics.read(fn)
+    assert(viaBeam.schema == topics.schema)
+    val rows = viaBeam.orderBy("publishTime", "messageId").collect()
+    assert(rows.length == 2)
+    assert(rows.map(r => new String(r.getAs[Array[Byte]]("payload"))).toSet == Set("alpha", "beta"))
+    assert(rows.forall(_.getAs[String]("topic") == fn))
+    assert(rows.forall(_.getAs[Map[String, String]]("props").contains("PulsarBeamId")))
+    val withProps = rows.find(r => new String(r.getAs[Array[Byte]]("payload")) == "alpha").get
+    assert(withProps.getAs[Map[String, String]]("props")("a") == "1")
+
+    assert(rows.forall(_.getAs[java.sql.Timestamp]("publishTime").getTime > 0))
+  }
+
+  test("beam timestamps decode identically to the native parquet reader") {
+    val base   = Files.createTempDirectory("graft-beamsrc-ts").toString
+    val topics = new TopicTable(spark, base)
+    val fn     = "persistent://t/ns/ts"
+    topics.ingestPayload("tsrow".getBytes, fn)
+    val dir = s"$base/${graft.model.Keys.sha1Hex(fn)}"
+    val viaParquet = spark.read.parquet(dir)
+      .select("messageId", "publishTime", "eventTime").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+    val viaBeam = spark.read.format("beam").load(dir)
+      .select("messageId", "publishTime", "eventTime").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+    assert(viaBeam == viaParquet)
+  }
+
+  test("column pruning reaches the beam scan (ReadSchema shrinks)") {
+    val topics = freshTopics()
+    val fn     = "persistent://t/ns/prune"
+    topics.ingestPayload("p".getBytes, fn)
+    val pruned = topics.read(fn).select("messageId")
+    val plan   = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("BeamScan"))
+    assert(plan.contains("ReadSchema: struct<messageId:string>"), plan)
+    assert(pruned.collect().length == 1)
+  }
+
+  test("one input partition per segment file") {
+    val base   = Files.createTempDirectory("graft-beamsrc-parts").toString
+    val topics = new TopicTable(spark, base)
+    val fn     = "persistent://t/ns/parts"
+    for (i <- 1 to 3) topics.ingestPayload(s"m$i".getBytes, fn)
+    val dir  = s"$base/${graft.model.Keys.sha1Hex(fn)}"
+    val segs = graft.sources.BeamSource.listSegments(dir)
+    assert(segs.size >= 3) // one append per ingest
+    assert(topics.read(fn).rdd.getNumPartitions == segs.size)
+  }
+
+  test("micro-batch stream delivers only NEW segments per batch (offset slicing)") {
+    val topics = freshTopics()
+    val fn     = "persistent://t/ns/stream"
+    topics.ingestPayload("first".getBytes, fn)
+
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[String])]
+    val q = topics.readStream(fn)
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("beamsrc-ck").toString)
+      .trigger(Trigger.ProcessingTime(100))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val payloads = batch.select("payload").collect()
+          .map(r => new String(r.getAs[Array[Byte]]("payload"))).toSeq
+        seen.synchronized(seen += ((id, payloads)))
+        ()
+      }
+      .start()
+    try {
+      def flat = seen.synchronized(seen.flatMap(_._2).toList)
+      var i = 0
+      while (i < 100 && !flat.contains("first")) { Thread.sleep(100); i += 1 }
+      assert(flat == List("first"))
+
+      topics.ingestPayload("second".getBytes, fn)
+      i = 0
+      while (i < 100 && !flat.contains("second")) { Thread.sleep(100); i += 1 }
+      // "second" arrived in a LATER batch containing only the new segment
+      assert(flat == List("first", "second"))
+      val batchWithSecond = seen.synchronized(seen.find(_._2.contains("second")).get)
+      assert(batchWithSecond._2 == Seq("second"))
+    } finally q.stop()
+  }
+}
