@@ -31,7 +31,7 @@ object Bench {
     // Materialize: hash every column of every row, fold to one long.
     def materialize(df: org.apache.spark.sql.DataFrame): Long = {
       val hashed = df.select(xxhash64(df.columns.map(c => col(c).cast("string")): _*).as("h"))
-      hashed.agg(coalesce(sum("h"), lit(0L))).collect()(0).getLong(0)
+      hashed.agg(coalesce(expr("bit_xor(h)"), lit(0L))).collect()(0).getLong(0)
     }
 
     var errs = List.empty[String]

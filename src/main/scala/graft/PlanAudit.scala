@@ -23,6 +23,9 @@ object PlanAudit {
     // LSH bucket joins are equi joins, not nested loops
     "x07_ann_lsh"        -> Seq("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
     "x21_ann_multiprobe" -> Seq("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+    // IVF: centroids broadcast into the assignment, cell join is equi
+    "x22_ann_ivf" -> Seq("BroadcastNestedLoopJoin|BroadcastExchange",
+      "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
     // codegen'd custom expression appears inline in the projection
     "x05_cosine_neardup" -> Seq("dot_f32", "codegen id"))
 

@@ -216,5 +216,53 @@ object SimilarityOps {
       .orderBy("q_id", "rk")
   }
 
-  val all: Seq[Q] = Seq(cosineNearDup, cosineTopK, annLsh, annMultiprobe)
+  /** IVF (inverted-file) ANN: a deterministic centroid sample partitions the
+    * corpus into cells (assignment = argmax rounded cosine, centroid-id
+    * tiebreak); each query searches only its own cell (nprobe=1). The
+    * 100 TB shape: centroids broadcast to the scan (8 dot products per row,
+    * no shuffle), then ONE hash shuffle by cell_id co-locates each query
+    * with its candidates — candidate volume is corpus/cells per query
+    * instead of the whole corpus.
+    */
+  val annIvf: Q = Q(
+    "x22_ann_ivf",
+    s"""WITH n AS ($normedSql),
+       |cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 250 = 1),
+       |assign AS (SELECT vec_id, v, nrm, c_id, rk FROM (
+       |  SELECT n.vec_id, n.v, n.nrm, c.c_id,
+       |         row_number() OVER (PARTITION BY n.vec_id
+       |           ORDER BY round(list_dot_product(n.v, c.cv) / (n.nrm * c.cn), 6) DESC, c.c_id) AS rk
+       |  FROM n CROSS JOIN cents c) WHERE rk = 1)
+       |SELECT q_id, rk, n_id, cos FROM (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |           ORDER BY round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) DESC, c.vec_id) AS rk
+       |  FROM assign q JOIN assign c ON q.c_id = c.c_id AND q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id)
+       |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+  ) { (s, dir) =>
+    val n = normed(s, dir)
+    val cents = n.where(col("vec_id") % 250 === 1)
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"), col("nrm").as("cn"))
+    val centCos = round(dot(col("embedding"), col("cv")) / (col("nrm") * col("cn")), 6)
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("c_id"))
+    val assign = n.crossJoin(broadcast(cents))
+      .withColumn("ccos", centCos)
+      .withColumn("rk", row_number().over(wAssign))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id"))
+    val q = assign.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("qn"), col("c_id"))
+    val cos = round(dot(col("qv"), col("embedding")) / (col("qn") * col("nrm")), 6)
+    val wTop = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    assign.join(q, Seq("c_id"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), cos.as("cos"))
+      .withColumn("rk", row_number().over(wTop))
+      .where(col("rk") <= 3)
+      .select("q_id", "rk", "n_id", "cos")
+      .orderBy("q_id", "rk")
+  }
+
+  val all: Seq[Q] = Seq(cosineNearDup, cosineTopK, annLsh, annMultiprobe, annIvf)
 }
