@@ -130,17 +130,21 @@ object DedupOps {
   val simhash: Q = Q(
     "x03_simhash",
     """SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, i - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
-      |FROM (SELECT doc_id, i, sum(CASE WHEN ascii(substr(md5(w), CAST(i AS INT), 1)) % 2 = 1 THEN 1 ELSE -1 END) AS s
-      |      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      |FROM (SELECT doc_id, i, sum(CASE WHEN ascii(substr(h, CAST(i AS INT), 1)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+      |      FROM (SELECT doc_id, md5(w) AS h
+      |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents))
       |      CROSS JOIN (SELECT unnest(generate_series(1, 32)) AS i) bits
       |      GROUP BY doc_id, i)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   ) { (s, dir) =>
+    // md5 hoisted ABOVE the 32-way bit explode: one digest per word, then
+    // the per-bit rows only substr into it (round 1 ran 32 md5s per word).
     docs(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), md5(col("w")).as("h"))
       .withColumn("i", explode(sequence(lit(1), lit(32))))
       .groupBy("doc_id", "i")
-      .agg(sum(when(ascii(md5(col("w")).substr(col("i"), lit(1))) % 2 === 1, 1)
+      .agg(sum(when(ascii(col("h").substr(col("i"), lit(1))) % 2 === 1, 1)
         .otherwise(-1)).as("s"))
       .groupBy("doc_id")
       .agg(sum(when(col("s") > 0, pow(lit(2), col("i") - 1).cast("long")).otherwise(0L)).as("simhash"))
@@ -163,16 +167,22 @@ object DedupOps {
        |FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.6
        |ORDER BY doc_a, doc_b""".stripMargin
-  ) { (s, dir) =>
-    // Document-frequency cap: a shingle shared by d docs contributes d² join
-    // rows, so one hot shingle at corpus scale is a cartesian bomb. Shingles
-    // with df > DfCap are dropped from the universe ON BOTH ENGINES (jaccard
-    // is then over the capped sets — near-ubiquitous shingles carry no
-    // near-dup signal). The df window rides the same hash partitioning the
-    // self-join needs, so the guard adds no extra shuffle of the big side.
+  ) { (s, dir) => jaccardPairs(s, dir, DfCap) }
+
+  /** x04 body with an explicit df cap (spec asserts cap-equivalence at test
+    * SF, where no shingle approaches the cap).
+    *
+    * Document-frequency cap: a shingle shared by d docs contributes d² join
+    * rows, so one hot shingle at corpus scale is a cartesian bomb. Shingles
+    * with df > cap are dropped from the universe ON BOTH ENGINES (jaccard
+    * is then over the capped sets — near-ubiquitous shingles carry no
+    * near-dup signal). The df window rides the same hash partitioning the
+    * self-join needs, so the guard adds no extra shuffle of the big side.
+    */
+  private[graft] def jaccardPairs(s: SparkSession, dir: String, cap: Int): DataFrame = {
     val sh = shingled(s, dir)
       .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
-      .where(col("df") <= DfCap)
+      .where(col("df") <= cap)
       .select("doc_id", "sh")
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a")

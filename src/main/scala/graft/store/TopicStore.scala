@@ -61,16 +61,8 @@ final class CompactedLogStore(spark: SparkSession, logDir: String) extends Topic
 
   private val cache = TrieMap.empty[String, TopicConfig]
 
-  private val whSchema = ArrayType(StructType(Seq(
-    StructField("url", StringType), StructField("headers", ArrayType(StringType)),
-    StructField("subscription", StringType), StructField("subscriptionType", StringType),
-    StructField("initialPosition", StringType), StructField("webhookStatus", IntegerType))))
-  private val rowSchema = StructType(Seq(
-    StructField("seq", LongType), StructField("topicFullName", StringType),
-    StructField("token", StringType), StructField("tenant", StringType),
-    StructField("key", StringType), StructField("notes", StringType),
-    StructField("topicStatus", IntegerType), StructField("pulsarURL", StringType),
-    StructField("webhooks", whSchema)))
+  private val rowSchema =
+    StructType(StructField("seq", LongType) +: ConfigSerde.rowSchema.fields)
 
   /** The raw event log as a DataFrame (schema-on-read, bad lines dropped —
     * ref pulsardb.go:112-115 skips unmarshal errors).
@@ -109,18 +101,8 @@ final class CompactedLogStore(spark: SparkSession, logDir: String) extends Topic
 
   private def append(cfg: TopicConfig, status: Int): Unit = synchronized {
     seq += 1
-    val line = Json.obj(
-      "seq" -> Json.num(seq), "topicFullName" -> Json.str(cfg.topicFullName),
-      "token" -> Json.str(cfg.token), "tenant" -> Json.str(cfg.tenant),
-      "key" -> Json.str(cfg.key), "notes" -> Json.str(cfg.notes),
-      "topicStatus" -> Json.num(status), "pulsarURL" -> Json.str(cfg.pulsarURL),
-      "webhooks" -> Json.arr(cfg.webhooks.map(wh => Json.obj(
-        "url" -> Json.str(wh.url),
-        "headers" -> Json.arr(wh.headers.map(Json.str)),
-        "subscription" -> Json.str(wh.subscription),
-        "subscriptionType" -> Json.str(wh.subscriptionType),
-        "initialPosition" -> Json.str(wh.initialPosition),
-        "webhookStatus" -> Json.num(wh.webhookStatus)))))
+    val line = ConfigSerde.toJson(cfg,
+      extra = Seq("seq" -> Json.num(seq)), statusOverride = Some(status))
     Files.write(logPath, (line + "\n").getBytes(UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
   }
@@ -131,17 +113,7 @@ final class CompactedLogStore(spark: SparkSession, logDir: String) extends Topic
     if (!Files.exists(logPath)) return
     val rows = compactedView().collect() // config table is bounded (SURVEY §7.4)
     var maxSeq = 0L
-    rows.foreach { r =>
-      val whs = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("webhooks")).map { w =>
-        WebhookConfig(w.getString(0), Option(w.getSeq[String](1)).getOrElse(Nil),
-          w.getString(2), w.getString(3), w.getString(4), w.getInt(5))
-      }
-      val cfg = TopicConfig(
-        r.getAs[String]("topicFullName"), r.getAs[String]("token"),
-        r.getAs[String]("tenant"), r.getAs[String]("key"), r.getAs[String]("notes"),
-        r.getAs[Int]("topicStatus"), r.getAs[String]("pulsarURL"), whs)
-      cache.put(cfg.key, cfg)
-    }
+    rows.foreach { r => val cfg = ConfigSerde.fromRow(r); cache.put(cfg.key, cfg) }
     // continue the sequence after the largest logged seq
     val seqRow = log().agg(max("seq")).collect()(0)
     if (!seqRow.isNullAt(0)) maxSeq = seqRow.getLong(0)
@@ -149,6 +121,102 @@ final class CompactedLogStore(spark: SparkSession, logDir: String) extends Topic
   }
 
   replay() // hydrate like dbListener (ref pulsardb.go:86-127); must run after field init
+}
+
+/** Third backend, completing the reference's trio of Db implementations
+  * (in-memory / pulsar-as-db / Mongo — ref src/db/mongo.go:1-262): a
+  * document store keyed by config key, one JSON document per key, mirroring
+  * the Mongo collection's upsert/delete-by-key/find-all surface. The
+  * external store owns durability; a driver write-through cache mirrors the
+  * reference's `dbListener` read path. Hydration is a Spark schema-on-read
+  * scan over the document directory (bad documents dropped, like
+  * mongo.go's unmarshal-error skip).
+  */
+final class DocumentStore(spark: SparkSession, dir: String) extends TopicStore {
+
+  private val root = Paths.get(dir)
+  Files.createDirectories(root)
+
+  private val cache = TrieMap.empty[String, TopicConfig]
+
+  private def docPath(key: String) = root.resolve(s"$key.json")
+
+  def getByKey(key: String): Option[TopicConfig] = cache.get(key)
+  def load(): Seq[TopicConfig]                   = cache.values.toSeq.sortBy(_.key)
+
+  def update(cfg: TopicConfig): Either[String, String] =
+    Validation.validateTopicConfig(cfg).map { key =>
+      val stamped = cfg.copy(key = key)
+      // replace-upsert, the FindOneAndReplace(upsert) shape (ref mongo.go:99-118)
+      Files.write(docPath(key), (ConfigSerde.toJson(stamped) + "\n").getBytes(UTF_8),
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      cache.put(key, stamped)
+      key
+    }
+
+  def deleteByKey(key: String): Boolean = {
+    val existed = cache.remove(key).isDefined
+    Files.deleteIfExists(docPath(key))
+    existed
+  }
+
+  /** Rebuild the cache from the document directory (restart path). */
+  def hydrate(): Unit = {
+    cache.clear()
+    val listing = Files.list(root)
+    val hasDocs = try listing.iterator().hasNext finally listing.close()
+    if (!hasDocs) return
+    spark.read.schema(ConfigSerde.rowSchema).json(root.toString)
+      .where(col("key").isNotNull)
+      .collect()
+      .foreach { r => val cfg = ConfigSerde.fromRow(r); cache.put(cfg.key, cfg) }
+  }
+
+  hydrate() // must run after field init (constructor-order gotcha)
+}
+
+/** TopicConfig ⇄ JSON document serde shared by the log and document
+  * backends (write: [[Json]]; read: Spark schema-on-read).
+  */
+private[store] object ConfigSerde {
+  val whSchema: ArrayType = ArrayType(StructType(Seq(
+    StructField("url", StringType), StructField("headers", ArrayType(StringType)),
+    StructField("subscription", StringType), StructField("subscriptionType", StringType),
+    StructField("initialPosition", StringType), StructField("webhookStatus", IntegerType))))
+
+  val rowSchema: StructType = StructType(Seq(
+    StructField("topicFullName", StringType), StructField("token", StringType),
+    StructField("tenant", StringType), StructField("key", StringType),
+    StructField("notes", StringType), StructField("topicStatus", IntegerType),
+    StructField("pulsarURL", StringType), StructField("webhooks", whSchema)))
+
+  def toJson(cfg: TopicConfig, extra: Seq[(String, String)] = Nil,
+      statusOverride: Option[Int] = None): String =
+    Json.obj(extra ++ Seq(
+      "topicFullName" -> Json.str(cfg.topicFullName),
+      "token" -> Json.str(cfg.token), "tenant" -> Json.str(cfg.tenant),
+      "key" -> Json.str(cfg.key), "notes" -> Json.str(cfg.notes),
+      "topicStatus" -> Json.num(statusOverride.getOrElse(cfg.topicStatus).toLong),
+      "pulsarURL" -> Json.str(cfg.pulsarURL),
+      "webhooks" -> Json.arr(cfg.webhooks.map(wh => Json.obj(
+        "url" -> Json.str(wh.url),
+        "headers" -> Json.arr(wh.headers.map(Json.str)),
+        "subscription" -> Json.str(wh.subscription),
+        "subscriptionType" -> Json.str(wh.subscriptionType),
+        "initialPosition" -> Json.str(wh.initialPosition),
+        "webhookStatus" -> Json.num(wh.webhookStatus))))): _*)
+
+  def fromRow(r: org.apache.spark.sql.Row): TopicConfig = {
+    val whs = Option(r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("webhooks")))
+      .getOrElse(Seq.empty).map { w =>
+        WebhookConfig(w.getString(0), Option(w.getSeq[String](1)).getOrElse(Nil),
+          w.getString(2), w.getString(3), w.getString(4), w.getInt(5))
+      }
+    TopicConfig(
+      r.getAs[String]("topicFullName"), r.getAs[String]("token"),
+      r.getAs[String]("tenant"), r.getAs[String]("key"), r.getAs[String]("notes"),
+      r.getAs[Int]("topicStatus"), r.getAs[String]("pulsarURL"), whs)
+  }
 }
 
 /** Tiny JSON writer for the config log (no external json lib in the

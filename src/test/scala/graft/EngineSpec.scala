@@ -12,7 +12,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.model._
 import graft.serve.Jwt
-import graft.store.{CompactedLogStore, InMemoryStore, TopicStore}
+import graft.store.{CompactedLogStore, DocumentStore, InMemoryStore, TopicStore}
 import graft.streaming.WebhookEngine
 import graft.topics.TopicTable
 
@@ -80,6 +80,23 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val Right(key) = replayed.update(cfg)
     val again = new CompactedLogStore(spark, dir)
     assert(again.getByKey(key).exists(_.notes == "back"))
+  }
+
+  test("document store CRUD lifecycle + hydration from disk (mongo-shaped backend)") {
+    val dir   = tmp("graft-docstore")
+    val store = new DocumentStore(spark, dir)
+    crudLifecycle(store)
+    // delete removed the document → a fresh store over the same dir is empty
+    assert(new DocumentStore(spark, dir).load().isEmpty)
+    // upserts (with webhooks + headers) survive hydration document-for-document
+    val cfg = TopicConfig("persistent://tenant-a/ns/doc-topic", "tok", "tenant-a",
+      "", "doc", Status.Activated, "pulsar://broker0:6650",
+      Seq(WebhookConfig("http://localhost:1/h", Seq("X-H: v"), "sub-doc1",
+        "exclusive", "earliest", Status.Activated)))
+    val Right(key) = store.update(cfg)
+    val hydrated = new DocumentStore(spark, dir)
+    assert(hydrated.getByKey(key).exists(c =>
+      c.notes == "doc" && c.webhooks.head.headers == Seq("X-H: v")))
   }
 
   // --- topic tables: ingest → poll round-trip (§7.2 minimum slice) ---

@@ -68,6 +68,13 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(missed.isEmpty, s"LSH missed high-jaccard pairs: $missed")
   }
 
+  test("x04 df-cap is behavior-neutral below the cap (0.6 threshold)") {
+    val capped   = graft.ops.DedupOps.jaccardPairs(spark, sfDir, 1000).collect().toSet
+    val uncapped = graft.ops.DedupOps.jaccardPairs(spark, sfDir, Int.MaxValue).collect().toSet
+    assert(capped == uncapped)
+    assert(capped.nonEmpty)
+  }
+
   test("brute-force top-k and LSH ANN agree on bucket-colocated neighbors") {
     val exact = SparkEntry.queries("x06_cosine_topk")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
