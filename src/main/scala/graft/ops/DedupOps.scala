@@ -78,19 +78,32 @@ object DedupOps {
       .orderBy("source")
   }
 
-  /** MinHash + LSH near-dup candidates: 12 hash functions (seeded md5), 4
-    * bands × 3 rows; docs sharing ≥1 band signature are candidate pairs.
-    * Per-band signatures shuffle by (band, signature) — the classic LSH
-    * bucket join; no all-pairs comparison anywhere.
+  /** Universal-hash minhash family: ONE md5 per shingle (already paid in
+    * [[shingled]]), then h_j = (a_j·H + b_j) mod p over the digest's
+    * leading 60 bits — the standard Carter-Wegman construction, replacing
+    * round-1's 12 full md5 evaluations per shingle. Constants are inlined
+    * identically into the Spark plan and the DuckDB twin; products stay
+    * under 2^63 (a_j < 2^31.5, H mod p < 2^31), so no ANSI overflow.
+    */
+  private val MinhashP = 2147483647L // 2^31 - 1 (Mersenne prime)
+  private def minhashA(j: Int): Long = (2654435761L * (j + 1)) % MinhashP
+  private def minhashB(j: Int): Long = (40503L * (j + 7) + 97) % MinhashP
+
+  /** MinHash + LSH near-dup candidates: 12 universal hash functions over
+    * the shingle digest, 4 bands × 3 rows; docs sharing ≥1 band signature
+    * are candidate pairs. Per-band signatures shuffle by (band, signature)
+    * — the classic LSH bucket join; no all-pairs comparison anywhere.
     */
   val minhashLsh: Q = Q(
     "x02_minhash_lsh",
     s"""WITH sh AS ($shingleSql),
-       |mh AS (SELECT doc_id, seed, min(substr(md5(CAST(seed AS VARCHAR) || ':' || sh), 1, 16)) AS mh
-       |       FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS seed) seeds
+       |hv AS (SELECT doc_id, CAST(concat('0x', substr(sh, 1, 15)) AS BIGINT) % $MinhashP AS h FROM sh),
+       |mh AS (SELECT doc_id, seed,
+       |              min((CASE ${(0 to 11).map(j => s"WHEN seed = $j THEN ${minhashA(j)} * h + ${minhashB(j)}").mkString(" ")} END) % $MinhashP) AS mh
+       |       FROM hv CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS seed) seeds
        |       GROUP BY doc_id, seed),
        |bands AS (SELECT doc_id, seed // 3 AS band,
-       |                 md5(array_to_string(list_sort(list(lpad(CAST(seed AS VARCHAR), 2, '0') || ':' || mh)), ',')) AS sig
+       |                 md5(array_to_string(list_sort(list(lpad(CAST(seed AS VARCHAR), 2, '0') || ':' || CAST(mh AS VARCHAR))), ',')) AS sig
        |          FROM mh GROUP BY doc_id, seed // 3)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
        |FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
@@ -98,16 +111,18 @@ object DedupOps {
   ) { (s, dir) =>
     // single-pass signature: all 12 minima in one hash aggregate (no ×12
     // explode, no second shuffle — one pass over the shingle set)
+    val h = expr(s"cast(conv(substring(sh, 1, 15), 16, 10) as bigint) % $MinhashP")
     val minCols = (0 to 11).map(j =>
-      min(substring(md5(concat(lit(s"$j:"), col("sh"))), 1, 16)).as(s"mh$j"))
+      min((lit(minhashA(j)) * col("h") + lit(minhashB(j))) % MinhashP).as(s"mh$j"))
     val sig = shingled(s, dir)
+      .withColumn("h", h)
       .groupBy("doc_id")
       .agg(minCols.head, minCols.tail: _*)
     // band signatures from the signature columns; element order == seed
     // order == lexicographic lpad order, matching the oracle's list_sort
     def bandSig(b: Int): Column =
       md5(concat_ws(",", (3 * b to 3 * b + 2).map(j =>
-        concat(lit(f"$j%02d:"), col(s"mh$j"))): _*))
+        concat(lit(f"$j%02d:"), col(s"mh$j").cast("string"))): _*))
     val bands = sig.select(
       col("doc_id"),
       explode(array((0 to 3).map(b =>

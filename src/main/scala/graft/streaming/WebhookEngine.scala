@@ -45,7 +45,15 @@ final class WebhookEngine(
     retryBackoffMs: Long = 100, // ref 2-28s; compressed for tests
     triggerMs: Long = 500) {
 
-  private val http = HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(30)).build()
+  /** O-29 keyed connection cache: one HttpClient (its own connection pool)
+    * per webhook origin, TTL-evicted like the reference's producer cache
+    * (ref pulsar-producer.go:15-20, default 900 s).
+    */
+  private val clients = new TtlCache[String, HttpClient](
+    ttlMs = sys.env.getOrElse("GRAFT_CLIENT_CACHE_TTL_MS", "900000").toLong,
+    build = _ => HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(30)).build())
+
+  private def http(url: String): HttpClient = clients.get(URI.create(url).getAuthority)
 
   /** subscription key ≈ cfg.key + webhook url (ref webhook.go:249-259). */
   private def subKey(cfg: TopicConfig, wh: WebhookConfig): String =
@@ -209,7 +217,7 @@ final class WebhookEngine(
     val req = builder.build()
 
     def send(): Either[Throwable, HttpResponse[Array[Byte]]] =
-      try Right(http.send(req, HttpResponse.BodyHandlers.ofByteArray()))
+      try Right(http(wh.url).send(req, HttpResponse.BodyHandlers.ofByteArray()))
       catch { case e: Exception => Left(e) }
     def delivered(r: HttpResponse[Array[Byte]]): Boolean =
       (r.statusCode() >= 200 && r.statusCode() < 300) || r.statusCode() == 422

@@ -56,6 +56,31 @@ class StatefulSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lastA.value == "v3" && lastA.touches == 3 && !lastA.evicted)
   }
 
+  test("TtlCache builds once per key, expires on TTL, and fires the eviction hook (O-29)") {
+    var built   = 0
+    var evicted = 0
+    val cache = new graft.streaming.TtlCache[String, String](
+      ttlMs = 200, build = k => { built += 1; s"client-$k" }, onEvict = _ => evicted += 1)
+    assert(cache.get("a") == "client-a")
+    assert(cache.get("a") == "client-a")
+    assert(cache.get("b") == "client-b")
+    assert(built == 2 && cache.size == 2)
+    Thread.sleep(300) // both idle past TTL
+    assert(cache.get("a") == "client-a") // rebuilt; sweep evicted both stale entries
+    assert(built == 3 && evicted == 2 && cache.size == 1)
+  }
+
+  test("AES-GCM round-trips payloads (O-31; reference icrypto.go GCM mode)") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq("payload-one", "payload-two", "").toDF("s")
+    val ok = df.selectExpr(
+      """cast(aes_decrypt(aes_encrypt(cast(s as binary), '0123456789abcdef', 'GCM'),
+        |'0123456789abcdef', 'GCM') as string) = s AS ok""".stripMargin)
+      .collect().map(_.getBoolean(0))
+    assert(ok.forall(identity))
+  }
+
   test("dot_f32 registers into an existing session and evaluates in SQL") {
     assert(GraftExtensions.register(spark))
     val r = spark.sql(
