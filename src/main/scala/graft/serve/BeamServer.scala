@@ -138,9 +138,17 @@ final class BeamServer(
 
       case ("GET", "v2" :: "sse" :: p :: tenant :: ns :: topic :: Nil) =>
         withAuthorizedTenant(ex, tenant) { _ =>
-          TopicName.build(p, tenant, ns, topic) match {
-            case Left(err) => respond(ex, 422, err)
-            case Right(fn) => sse(ex, fn)
+          // O-9: same consumer-param validation as poll (ref
+          // ConsumerConfigFromHTTPParts, handlers.go:440-461) — the hub
+          // keys subscriptions per connection, but bad params still 422
+          val params = Seq(
+            ConsumerParams.subscriptionName(queryParam(ex, "subscriptionName").getOrElse("")),
+            ConsumerParams.subscriptionType(queryParam(ex, "subscriptionType").getOrElse("")),
+            ConsumerParams.initialPosition(queryParam(ex, "initialPosition").getOrElse("")))
+          (TopicName.build(p, tenant, ns, topic), params.collectFirst { case Left(e) => e }) match {
+            case (Left(err), _)        => respond(ex, 422, err)
+            case (_, Some(err))        => respond(ex, 422, err)
+            case (Right(fn), None)     => sse(ex, fn)
           }
         }
 

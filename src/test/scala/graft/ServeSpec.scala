@@ -176,6 +176,12 @@ class ServeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // short names rejected (ref handlers.go:455-459)
     assert(req("GET", "/v2/poll/persistent/tenant-d/ns/drain?subscriptionName=abc",
       headers = auth("tenant-d")).statusCode() == 422)
+
+    // SSE validates the same consumer params (ref ConsumerConfigFromHTTPParts)
+    assert(req("GET", "/v2/sse/persistent/tenant-d/ns/drain?subscriptionType=bogus",
+      headers = auth("tenant-d")).statusCode() == 422)
+    assert(req("GET", "/v2/sse/persistent/tenant-d/ns/drain?initialPosition=middle",
+      headers = auth("tenant-d")).statusCode() == 422)
   }
 
   test("includeHeaders wraps the payload in the InfoRichMessage envelope (O-3)") {
