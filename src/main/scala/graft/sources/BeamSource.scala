@@ -81,6 +81,68 @@ object BeamSource {
       .sortBy(f => (f.lastModified(), f.getName))
       .toSeq
   }
+
+  /** Lower bound on `publishTime` implied by a pushed filter tree:
+    * (micros, inclusive). `And` takes the tighter bound, `Or` the looser —
+    * so the poll cursor's `pt > t OR (pt = t AND mid > m)` collapses to
+    * `pt ≥ t`, which is exactly what segment pruning needs.
+    */
+  private[sources] def publishTimeLowerBound(
+      f: org.apache.spark.sql.sources.Filter): Option[(Long, Boolean)] = {
+    import org.apache.spark.sql.sources._
+    def micros(v: Any): Option[Long] = v match {
+      case t: java.sql.Timestamp  => Some(t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L)
+      case i: java.time.Instant   => Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+      case _                      => None
+    }
+    f match {
+      case GreaterThan("publishTime", v)        => micros(v).map((_, false))
+      case GreaterThanOrEqual("publishTime", v) => micros(v).map((_, true))
+      case EqualTo("publishTime", v)            => micros(v).map((_, true))
+      case And(l, r) =>
+        (publishTimeLowerBound(l), publishTimeLowerBound(r)) match {
+          case (Some(a), Some(b)) => Some(if (tighter(a, b)) a else b)
+          case (a, b)             => a.orElse(b)
+        }
+      case Or(l, r) =>
+        for (a <- publishTimeLowerBound(l); b <- publishTimeLowerBound(r))
+          yield if (tighter(a, b)) b else a
+      case _ => None
+    }
+  }
+
+  /** a strictly prunes more than b. */
+  private[sources] def tighter(a: (Long, Boolean), b: (Long, Boolean)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && !a._2 && b._2)
+
+  private val statsCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long, Long), Option[Long]]
+
+  /** Max publishTime (micros) recorded in the segment's parquet footer, or
+    * None when unavailable (INT96 legacy stats, missing column). Footers are
+    * read once per (path, mtime, size) on the driver and cached.
+    */
+  def maxPublishTimeMicros(file: java.io.File): Option[Long] =
+    statsCache.getOrElseUpdate((file.getAbsolutePath, file.lastModified(), file.length()), {
+      try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(file.getAbsolutePath), new Configuration())
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val blocks = reader.getFooter.getBlocks.asScala
+          val maxes = blocks.flatMap { b =>
+            b.getColumns.asScala
+              .find(_.getPath.toDotString == "publishTime")
+              .filter(c => c.getPrimitiveType.getPrimitiveTypeName ==
+                PrimitiveType.PrimitiveTypeName.INT64)
+              .flatMap(c => Option(c.getStatistics))
+              .filter(s => !s.isEmpty && s.hasNonNullValue)
+              .map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+          }
+          if (maxes.isEmpty || maxes.size != blocks.size) None else Some(maxes.max)
+        } finally reader.close()
+      } catch { case _: Exception => None } // unreadable footer → never prune
+    })
 }
 
 final class BeamTable(path: String) extends Table with SupportsRead {
@@ -94,22 +156,54 @@ final class BeamTable(path: String) extends Table with SupportsRead {
 }
 
 final class BeamScanBuilder(path: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = BeamSource.schema
+  private var bound: Option[(Long, Boolean)] = None
+  private var pruning: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
-  override def build(): Scan = new BeamScan(path, required)
+  /** All filters stay residual (Spark re-evaluates them — stats pruning is
+    * conservative); the conjunction's tightest publishTime lower bound
+    * drives segment skipping.
+    */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    val bounds = filters.flatMap(BeamSource.publishTimeLowerBound(_).toSeq)
+    bound = bounds.reduceOption((a, b) => if (BeamSource.tighter(a, b)) a else b)
+    pruning = filters.filter(BeamSource.publishTimeLowerBound(_).isDefined)
+    filters
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pruning
+
+  override def build(): Scan = new BeamScan(path, required, bound)
 }
 
-final class BeamScan(path: String, required: StructType) extends Scan {
+final class BeamScan(path: String, required: StructType,
+    bound: Option[(Long, Boolean)]) extends Scan {
   override def readSchema(): StructType = required
   override def description(): String =
-    s"BeamScan path=$path, ReadSchema: ${required.simpleString}"
+    s"BeamScan path=$path, ReadSchema: ${required.simpleString}" +
+      bound.map { case (v, incl) => s", PublishTimeBound: ${if (incl) ">=" else ">"} $v" }
+        .getOrElse("")
+
+  /** A segment can satisfy a publishTime lower bound only if its footer max
+    * reaches it; unknown stats never prune (INT96 legacy, missing footer).
+    */
+  private def mayMatch(f: java.io.File): Boolean = bound match {
+    case None => true
+    case Some((v, inclusive)) =>
+      BeamSource.maxPublishTimeMicros(f) match {
+        case None      => true
+        case Some(max) => if (inclusive) max >= v else max > v
+      }
+  }
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      BeamSource.listSegments(path).map(f => BeamInputPartition(f.getAbsolutePath)).toArray
+      BeamSource.listSegments(path).filter(mayMatch)
+        .map(f => BeamInputPartition(f.getAbsolutePath)).toArray
     override def createReaderFactory(): PartitionReaderFactory =
       new BeamReaderFactory(required)
   }

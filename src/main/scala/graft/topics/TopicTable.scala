@@ -21,6 +21,11 @@ import graft.model.Keys
   */
 final class TopicTable(spark: SparkSession, baseDir: String) {
 
+  // Segments carry INT64-micros timestamps (not legacy INT96) so parquet
+  // footer min/max statistics on publishTime are usable — the beam source
+  // prunes whole segments under a poll cursor's publishTime bound.
+  spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+
   /** Topic directory: sha1 of the full name keeps paths safe (O-21 reuse). */
   private def dir(topicFn: String): String = s"$baseDir/${Keys.sha1Hex(topicFn)}"
 

@@ -85,6 +85,32 @@ class BeamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(topics.read(fn).rdd.getNumPartitions == segs.size)
   }
 
+  test("publishTime cursor filter prunes whole segments via footer stats") {
+    val base   = Files.createTempDirectory("graft-beamsrc-prune").toString
+    val topics = new TopicTable(spark, base)
+    val fn     = "persistent://t/ns/prunets"
+    for (i <- 1 to 3) { topics.ingestPayload(s"m$i".getBytes, fn); Thread.sleep(30) }
+
+    val all = topics.read(fn).orderBy("publishTime", "messageId").collect()
+    assert(all.length == 3)
+    val t3 = all(2).getAs[java.sql.Timestamp]("publishTime")
+
+    val filtered = topics.read(fn).where(col("publishTime") >= t3)
+    // only the third segment's footer max reaches t3 → one partition planned
+    assert(filtered.rdd.getNumPartitions == 1,
+      s"expected 1 surviving segment, got ${filtered.rdd.getNumPartitions}")
+    assert(filtered.collect().map(r => new String(r.getAs[Array[Byte]]("payload"))).toSeq
+      == Seq("m3"))
+
+    // the poll cursor's OR-shape (pt > t OR (pt = t AND mid > m)) also prunes
+    val t2  = all(1).getAs[java.sql.Timestamp]("publishTime")
+    val m2  = all(1).getAs[String]("messageId")
+    val cur = topics.read(fn).where(
+      col("publishTime") > t2 || (col("publishTime") === t2 && col("messageId") > m2))
+    assert(cur.rdd.getNumPartitions <= 2) // segment 1 pruned
+    assert(cur.collect().map(r => new String(r.getAs[Array[Byte]]("payload"))).toSeq == Seq("m3"))
+  }
+
   test("micro-batch stream delivers only NEW segments per batch (offset slicing)") {
     val topics = freshTopics()
     val fn     = "persistent://t/ns/stream"
