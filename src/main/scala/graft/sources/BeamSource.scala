@@ -181,7 +181,16 @@ final class BeamScanBuilder(path: String)
 }
 
 final class BeamScan(path: String, required: StructType,
-    bound: Option[(Long, Boolean)]) extends Scan {
+    bound: Option[(Long, Boolean)]) extends Scan with SupportsReportStatistics {
+
+  /** Size estimate = bytes of the surviving (post-pruning) segments —
+    * lets Catalyst auto-broadcast a small topic table into a join.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes = BeamSource.listSegments(path).filter(mayMatch).map(_.length()).sum
+    override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+  }
   override def readSchema(): StructType = required
   override def description(): String =
     s"BeamScan path=$path, ReadSchema: ${required.simpleString}" +

@@ -111,6 +111,22 @@ class BeamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cur.collect().map(r => new String(r.getAs[Array[Byte]]("payload"))).toSeq == Seq("m3"))
   }
 
+  test("scan reports segment-bytes statistics; small topic side broadcasts in a join") {
+    val base   = Files.createTempDirectory("graft-beamsrc-stats").toString
+    val topics = new TopicTable(spark, base)
+    val fn     = "persistent://t/ns/stats"
+    topics.ingestPayload("s1".getBytes, fn)
+    val dir  = s"$base/${graft.model.Keys.sha1Hex(fn)}"
+    val scan = new graft.sources.BeamScan(dir, graft.sources.BeamSource.schema, None)
+    val expected = graft.sources.BeamSource.listSegments(dir).map(_.length()).sum
+    assert(expected > 0)
+    assert(scan.estimateStatistics().sizeInBytes().getAsLong == expected)
+
+    val big    = spark.range(5000).select(col("id").cast("string").as("messageId"))
+    val joined = big.join(topics.read(fn), "messageId")
+    assert(joined.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
   test("micro-batch stream delivers only NEW segments per batch (offset slicing)") {
     val topics = freshTopics()
     val fn     = "persistent://t/ns/stream"
