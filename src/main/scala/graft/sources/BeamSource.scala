@@ -16,7 +16,7 @@ import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -54,7 +54,7 @@ final class BeamSource extends TableProvider with DataSourceRegister {
       properties: util.Map[String, String]): Table = {
     val path = Option(properties.get("path"))
       .getOrElse(throw new IllegalArgumentException("beam source requires a path"))
-    new BeamTable(path)
+    new BeamTable(path, Option(properties.get("maxSegmentsPerTrigger")).map(_.toInt))
   }
 }
 
@@ -145,17 +145,21 @@ object BeamSource {
     })
 }
 
-final class BeamTable(path: String) extends Table with SupportsRead {
+final class BeamTable(path: String, maxSegmentsPerTrigger: Option[Int] = None)
+    extends Table with SupportsRead {
   override def name(): String = s"beam:$path"
   override def schema(): StructType = BeamSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new BeamScanBuilder(path)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val maxSeg = Option(options.get("maxSegmentsPerTrigger")).map(_.toInt)
+      .orElse(maxSegmentsPerTrigger)
+    new BeamScanBuilder(path, maxSeg)
+  }
 }
 
-final class BeamScanBuilder(path: String)
+final class BeamScanBuilder(path: String, maxSegmentsPerTrigger: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = BeamSource.schema
   private var bound: Option[(Long, Boolean)] = None
@@ -177,11 +181,12 @@ final class BeamScanBuilder(path: String)
 
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pruning
 
-  override def build(): Scan = new BeamScan(path, required, bound)
+  override def build(): Scan = new BeamScan(path, required, bound, maxSegmentsPerTrigger)
 }
 
 final class BeamScan(path: String, required: StructType,
-    bound: Option[(Long, Boolean)]) extends Scan with SupportsReportStatistics {
+    bound: Option[(Long, Boolean)],
+    maxSegmentsPerTrigger: Option[Int] = None) extends Scan with SupportsReportStatistics {
 
   /** Size estimate = bytes of the surviving (post-pruning) segments —
     * lets Catalyst auto-broadcast a small topic table into a join.
@@ -218,7 +223,7 @@ final class BeamScan(path: String, required: StructType,
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new BeamMicroBatchStream(path, required)
+    new BeamMicroBatchStream(path, required, maxSegmentsPerTrigger)
 }
 
 final case class BeamInputPartition(file: String) extends InputPartition
@@ -230,13 +235,31 @@ final case class BeamOffset(count: Long) extends Offset {
 /** Offset = prefix length of the (lastModified, name)-sorted segment list.
   * Immutable segments + monotone listing ⇒ deterministic replay on
   * checkpoint recovery (the same prefix always names the same files).
+  *
+  * Admission control: `maxSegmentsPerTrigger` caps how many new segments a
+  * micro-batch admits, so a week-long backlog drains in bounded batches
+  * instead of one giant first batch (the FileStreamSource
+  * `maxFilesPerTrigger` contract).
   */
-final class BeamMicroBatchStream(path: String, required: StructType)
-    extends MicroBatchStream {
+final class BeamMicroBatchStream(path: String, required: StructType,
+    maxSegmentsPerTrigger: Option[Int] = None)
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   override def initialOffset(): Offset = BeamOffset(0)
 
   override def latestOffset(): Offset = BeamOffset(BeamSource.listSegments(path).size.toLong)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxSegmentsPerTrigger.map(n => ReadLimit.maxFiles(n)).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val total = BeamSource.listSegments(path).size.toLong
+    val s     = start.asInstanceOf[BeamOffset].count
+    limit match {
+      case mf: ReadMaxFiles => BeamOffset(math.min(total, s + mf.maxFiles()))
+      case _                => BeamOffset(total)
+    }
+  }
 
   override def deserializeOffset(json: String): Offset =
     BeamOffset(""""count"\s*:\s*(\d+)""".r.findFirstMatchIn(json)

@@ -111,6 +111,32 @@ class BeamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cur.collect().map(r => new String(r.getAs[Array[Byte]]("payload"))).toSeq == Seq("m3"))
   }
 
+  test("maxSegmentsPerTrigger drains a backlog in bounded micro-batches") {
+    val base   = Files.createTempDirectory("graft-beamsrc-ac").toString
+    val topics = new TopicTable(spark, base)
+    val fn     = "persistent://t/ns/backlog"
+    for (i <- 1 to 3) { topics.ingestPayload(s"b$i".getBytes, fn); Thread.sleep(20) }
+    val dir = s"$base/${graft.model.Keys.sha1Hex(fn)}"
+
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val q = spark.readStream.format("beam").option("maxSegmentsPerTrigger", 1).load(dir)
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("beamsrc-ac-ck").toString)
+      .trigger(Trigger.ProcessingTime(100))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = batch.count().toInt
+        if (n > 0) batchSizes.synchronized(batchSizes += n)
+        ()
+      }
+      .start()
+    try {
+      var i = 0
+      while (i < 100 && batchSizes.synchronized(batchSizes.sum) < 3) { Thread.sleep(100); i += 1 }
+      // each pre-existing segment arrived in its own batch — never all at once
+      assert(batchSizes.synchronized(batchSizes.toList) == List(1, 1, 1))
+    } finally q.stop()
+  }
+
   test("scan reports segment-bytes statistics; small topic side broadcasts in a join") {
     val base   = Files.createTempDirectory("graft-beamsrc-stats").toString
     val topics = new TopicTable(spark, base)
