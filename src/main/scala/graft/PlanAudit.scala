@@ -27,7 +27,10 @@ object PlanAudit {
     "x22_ann_ivf" -> Seq("BroadcastNestedLoopJoin|BroadcastExchange",
       "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
     // codegen'd custom expression appears inline in the projection
-    "x05_cosine_neardup" -> Seq("dot_f32", "codegen id"))
+    "x05_cosine_neardup" -> Seq("dot_f32", "codegen id"),
+    // dedup pack: band/shingle joins are equi joins, never nested loops
+    "x02_minhash_lsh"   -> Seq("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+    "x04_ngram_jaccard" -> Seq("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

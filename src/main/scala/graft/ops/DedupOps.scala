@@ -41,13 +41,16 @@ object DedupOps {
             transform(sequence(lit(0), size(w) - 3), i =>
               concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))
             .otherwise(array())).as("raw"))
-      .select(col("doc_id"), md5(col("raw")).as("sh"))
+      .select(col("doc_id"), substring(md5(col("raw")), 1, 16).as("sh"))
       .distinct()
   }
 
-  /** DuckDB twin of [[shingled]] as a CTE body. */
+  /** DuckDB twin of [[shingled]] as a CTE body. 16 hex chars (64 bits) per
+    * digest: collision odds at corpus scale are ~(n²/2⁶⁵) — negligible —
+    * and every downstream shuffle/join moves half the key bytes.
+    */
   private val shingleSql =
-    """SELECT DISTINCT doc_id, md5(raw) AS sh FROM (
+    """SELECT DISTINCT doc_id, substr(md5(raw), 1, 16) AS sh FROM (
       |  SELECT doc_id,
       |    unnest(list_transform(generate_series(1, greatest(len(string_split(text,' '))-2, 0)),
       |           i -> concat_ws(' ', string_split(text,' ')[i], string_split(text,' ')[i+1], string_split(text,' ')[i+2]))) AS raw
