@@ -291,10 +291,25 @@ final class BeamReaderFactory(required: StructType) extends PartitionReaderFacto
 final class BeamPartitionReader(file: String, required: StructType)
     extends PartitionReader[InternalRow] {
 
-  private val reader: ParquetReader[Group] =
+  private val reader: ParquetReader[Group] = {
+    val conf = new Configuration()
+    // True projection: hand the pruned schema to parquet-mr so unrequested
+    // columns are never decoded (not just dropped after assembly).
+    if (required.length < BeamSource.schema.length) {
+      val want = required.fieldNames.toSet
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(file), conf)
+      val fr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val fileSchema =
+        try fr.getFooter.getFileMetaData.getSchema finally fr.close()
+      val projected = new org.apache.parquet.schema.MessageType(fileSchema.getName,
+        fileSchema.getFields.asScala.filter(f => want(f.getName)).asJava)
+      conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+        projected.toString)
+    }
     ParquetReader.builder(new GroupReadSupport(), new Path(file))
-      .withConf(new Configuration())
+      .withConf(conf)
       .build()
+  }
 
   private var current: Group = _
 
