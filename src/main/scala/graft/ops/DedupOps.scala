@@ -176,14 +176,15 @@ object DedupOps {
   val ngramJaccard: Q = Q(
     "x04_ngram_jaccard",
     s"""WITH sh0 AS ($shingleSql),
-       |sh AS (SELECT doc_id, sh FROM sh0
-       |       QUALIFY count(*) OVER (PARTITION BY sh) <= $DfCap),
-       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+       |capped AS (SELECT doc_id, sh FROM sh0
+       |           QUALIFY count(*) OVER (PARTITION BY sh) <= $DfCap),
+       |sh AS (SELECT doc_id, sh, count(*) OVER (PARTITION BY doc_id) AS n FROM capped),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i,
+       |                 any_value(a.n) AS na, any_value(b.n) AS nb
        |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
-       |SELECT doc_a, doc_b, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
-       |FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
-       |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.6
+       |SELECT doc_a, doc_b, round(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jaccard
+       |FROM inter
+       |WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.6
        |ORDER BY doc_a, doc_b""".stripMargin
   ) { (s, dir) => jaccardPairs(s, dir, DfCap) }
 
@@ -196,22 +197,23 @@ object DedupOps {
     * is then over the capped sets — near-ubiquitous shingles carry no
     * near-dup signal). The df window rides the same hash partitioning the
     * self-join needs, so the guard adds no extra shuffle of the big side.
+    * The per-doc set size rides ON the join rows (a second window) instead
+    * of a separate size aggregate — no third recomputation of the shingle
+    * lineage and no post-join size lookups; the two join sides are
+    * identical subtrees, which Spark's exchange reuse deduplicates.
     */
   private[graft] def jaccardPairs(s: SparkSession, dir: String, cap: Int): DataFrame = {
     val sh = shingled(s, dir)
       .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
       .where(col("df") <= cap)
-      .select("doc_id", "sh")
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .select("doc_id", "sh", "n")
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("i"))
-    val jac = col("i").cast("double") /
-      (col("sa.n") + col("sb.n") - col("i"))
+      .agg(count(lit(1)).as("i"), first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+    val jac = col("i").cast("double") / (col("na") + col("nb") - col("i"))
     inter
-      .join(sz.as("sa"), col("sa.doc_id") === col("doc_a"))
-      .join(sz.as("sb"), col("sb.doc_id") === col("doc_b"))
       .where(jac >= 0.6)
       .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")

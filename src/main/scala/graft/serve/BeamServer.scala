@@ -82,21 +82,22 @@ final class BeamServer(
         }
 
       case ("POST", "v2" :: "firehose" :: p :: tenant :: ns :: topic :: Nil) =>
-        withAuthorizedTenant(ex, tenant) { _ =>
-          receiverHeader(ex) match {
-            case Left(err) => respond(ex, 401, err)
-            case Right((topicHdr, _)) =>
-              TopicName.build(p, tenant, ns, topic) match {
-                // header TopicFn overwrites the topic from the route
-                // (ref handlers.go:128 util.AssignString)
-                case Right(fn) => ingest(ex, topicHdr.getOrElse(fn))
-                case Left(err) =>
-                  topicHdr match {
-                    case Some(fn) => ingest(ex, fn)
-                    case None     => respond(ex, 422, err)
-                  }
-              }
-          }
+        receiverHeader(ex) match {
+          case Left(err) => respond(ex, 401, err)
+          case Right((topicHdr, _)) =>
+            // header TopicFn overwrites the topic from the route (ref
+            // handlers.go:128 util.AssignString) — so authorization runs
+            // against the EFFECTIVE topic's tenant, never the route's: a
+            // tenant-a token must not write into tenant-b via the header.
+            val effective = topicHdr.map(Right(_)).getOrElse(TopicName.build(p, tenant, ns, topic))
+            effective match {
+              case Left(err) => respond(ex, 422, err)
+              case Right(fn) =>
+                withSubject(ex) { sub =>
+                  if (authorized(fn, sub)) ingest(ex, fn)
+                  else respond(ex, 403, "forbidden")
+                }
+            }
         }
 
       case ("GET", "v2" :: "poll" :: p :: tenant :: ns :: topic :: Nil) =>
@@ -261,10 +262,16 @@ final class BeamServer(
     val os = ex.getResponseBody
     val (subId, queue) = sseHub.subscribe(topicFn, earliest)
     try {
-      while (true) {
+      var open = true
+      while (open) {
         val frame = queue.poll(1, java.util.concurrent.TimeUnit.SECONDS)
         if (frame == null) os.write(":keepalive\n\n".getBytes(UTF_8)) // detect disconnect
-        else os.write(
+        else if (frame.messageId == null) {
+          // Overflow sentinel: this connection fell behind and was dropped
+          // by the hub — close so the client reconnects and resumes
+          os.write(":overflow - closing\n\n".getBytes(UTF_8))
+          open = false
+        } else os.write(
           s"id: ${frame.messageId}\ndata: ${new String(frame.payload, UTF_8)}\n\n".getBytes(UTF_8))
         os.flush()
       }

@@ -33,11 +33,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    parallelism scales with the segment count, and column pruning is
   *    pushed into the decoder (only requested fields are materialized);
   *  - a MICRO_BATCH stream: the offset is the count of segment files in
-  *    (lastModified, name) order — the same monotone arrival order the
-  *    engine's cursors use. `planInputPartitions(start, end)` is the file
-  *    slice `(start, end]`, so each micro-batch reads exactly the new
-  *    segments, checkpoint recovery replays deterministically from the
-  *    sorted listing, and a late-arriving file extends the next batch.
+  *    NAME order, where names carry a per-topic monotone sequence assigned
+  *    at registration — the listing is append-only by construction.
+  *    `planInputPartitions(start, end)` is the file slice `(start, end]`,
+  *    so each micro-batch reads exactly the new segments, checkpoint
+  *    recovery replays deterministically from the sorted listing, and a
+  *    late-registered segment always extends the next batch (it can never
+  *    sort inside a committed prefix).
   *
   * Segments are decoded with parquet-mr's column-assembled [[Group]] API
   * against the FIXED BeamMessage schema — no Spark-internal reader APIs.
@@ -54,7 +56,8 @@ final class BeamSource extends TableProvider with DataSourceRegister {
       properties: util.Map[String, String]): Table = {
     val path = Option(properties.get("path"))
       .getOrElse(throw new IllegalArgumentException("beam source requires a path"))
-    new BeamTable(path, Option(properties.get("maxSegmentsPerTrigger")).map(_.toInt))
+    new BeamTable(path, Option(properties.get("maxSegmentsPerTrigger")).map(_.toInt),
+      Option(properties.get("startingPosition")).contains("latest"))
   }
 }
 
@@ -69,16 +72,22 @@ object BeamSource {
     StructField("key", StringType),
     StructField("props", MapType(StringType, StringType))))
 
-  /** Segment listing in (lastModified, name) order — the stream's offset
-    * domain. Spark writer temporaries/markers (`_*`, `.*`) are skipped.
+  /** Segment listing in NAME order — the stream's offset domain. Writers
+    * register segments under a per-topic monotone name sequence
+    * ([[graft.topics.TopicTable.ingest]]), so the sorted listing is
+    * append-only: a new segment can never sort inside a previously-listed
+    * prefix (mtime ordering can — same-millisecond writes or a slow
+    * writer's late visibility would skip/duplicate batches). Spark writer
+    * temporaries/markers (`_*`, `.*`) are skipped; `listFiles` is
+    * null-guarded against concurrent directory removal.
     */
   def listSegments(dir: String): Seq[java.io.File] = {
     val d = new java.io.File(dir)
     if (!d.isDirectory) Seq.empty
-    else d.listFiles()
+    else Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
         !f.getName.startsWith("_") && !f.getName.startsWith("."))
-      .sortBy(f => (f.lastModified(), f.getName))
+      .sortBy(_.getName)
       .toSeq
   }
 
@@ -145,7 +154,8 @@ object BeamSource {
     })
 }
 
-final class BeamTable(path: String, maxSegmentsPerTrigger: Option[Int] = None)
+final class BeamTable(path: String, maxSegmentsPerTrigger: Option[Int] = None,
+    startAtLatest: Boolean = false)
     extends Table with SupportsRead {
   override def name(): String = s"beam:$path"
   override def schema(): StructType = BeamSource.schema
@@ -155,11 +165,14 @@ final class BeamTable(path: String, maxSegmentsPerTrigger: Option[Int] = None)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val maxSeg = Option(options.get("maxSegmentsPerTrigger")).map(_.toInt)
       .orElse(maxSegmentsPerTrigger)
-    new BeamScanBuilder(path, maxSeg)
+    val latest = Option(options.get("startingPosition")).map(_ == "latest")
+      .getOrElse(startAtLatest)
+    new BeamScanBuilder(path, maxSeg, latest)
   }
 }
 
-final class BeamScanBuilder(path: String, maxSegmentsPerTrigger: Option[Int] = None)
+final class BeamScanBuilder(path: String, maxSegmentsPerTrigger: Option[Int] = None,
+    startAtLatest: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = BeamSource.schema
   private var bound: Option[(Long, Boolean)] = None
@@ -181,12 +194,14 @@ final class BeamScanBuilder(path: String, maxSegmentsPerTrigger: Option[Int] = N
 
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pruning
 
-  override def build(): Scan = new BeamScan(path, required, bound, maxSegmentsPerTrigger)
+  override def build(): Scan =
+    new BeamScan(path, required, bound, maxSegmentsPerTrigger, startAtLatest)
 }
 
 final class BeamScan(path: String, required: StructType,
     bound: Option[(Long, Boolean)],
-    maxSegmentsPerTrigger: Option[Int] = None) extends Scan with SupportsReportStatistics {
+    maxSegmentsPerTrigger: Option[Int] = None,
+    startAtLatest: Boolean = false) extends Scan with SupportsReportStatistics {
 
   /** Size estimate = bytes of the surviving (post-pruning) segments —
     * lets Catalyst auto-broadcast a small topic table into a join.
@@ -223,7 +238,7 @@ final class BeamScan(path: String, required: StructType,
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new BeamMicroBatchStream(path, required, maxSegmentsPerTrigger)
+    new BeamMicroBatchStream(path, required, maxSegmentsPerTrigger, startAtLatest)
 }
 
 final case class BeamInputPartition(file: String) extends InputPartition
@@ -232,9 +247,10 @@ final case class BeamOffset(count: Long) extends Offset {
   override def json(): String = s"""{"count":$count}"""
 }
 
-/** Offset = prefix length of the (lastModified, name)-sorted segment list.
-  * Immutable segments + monotone listing ⇒ deterministic replay on
-  * checkpoint recovery (the same prefix always names the same files).
+/** Offset = prefix length of the name-sorted segment list (names are
+  * sequence-registered, so the listing is append-only). Immutable segments
+  * + monotone listing ⇒ deterministic replay on checkpoint recovery (the
+  * same prefix always names the same files).
   *
   * Admission control: `maxSegmentsPerTrigger` caps how many new segments a
   * micro-batch admits, so a week-long backlog drains in bounded batches
@@ -242,10 +258,18 @@ final case class BeamOffset(count: Long) extends Offset {
   * `maxFilesPerTrigger` contract).
   */
 final class BeamMicroBatchStream(path: String, required: StructType,
-    maxSegmentsPerTrigger: Option[Int] = None)
+    maxSegmentsPerTrigger: Option[Int] = None,
+    startAtLatest: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl {
 
-  override def initialOffset(): Offset = BeamOffset(0)
+  /** `startingPosition=latest` subscribes at the current end of the topic
+    * (the kafka-style `startingOffsets` contract); the default replays from
+    * the beginning. Only consulted on a FRESH checkpoint — recovery always
+    * resumes from the committed offset.
+    */
+  override def initialOffset(): Offset =
+    if (startAtLatest) BeamOffset(BeamSource.listSegments(path).size.toLong)
+    else BeamOffset(0)
 
   override def latestOffset(): Offset = BeamOffset(BeamSource.listSegments(path).size.toLong)
 

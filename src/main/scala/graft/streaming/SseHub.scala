@@ -39,6 +39,12 @@ final class SseHub(
 
   final case class Frame(messageId: String, payload: Array[Byte])
 
+  /** Sentinel telling the connection thread it was dropped for falling
+    * behind — standard SSE slow-consumer policy (disconnect; the client
+    * reconnects and resumes from its own position).
+    */
+  val Overflow: Frame = Frame(null, null)
+
   private final class Sub(val queue: LinkedBlockingQueue[Frame]) {
     // strictly-increasing delivery watermark, same cursor the reference's
     // ack advances; rows at or below it are already delivered
@@ -48,6 +54,8 @@ final class SseHub(
   private final class Hub(fn: String) {
     val subs = TrieMap.empty[Long, Sub]
     @volatile var query: StreamingQuery = _
+    val checkpoint: String =
+      s"$checkpointRoot/${graft.model.Keys.sha1Hex(fn)}-${System.nanoTime()}"
 
     private def afterLast(sub: Sub, t: java.sql.Timestamp, m: String): Boolean =
       sub.last match {
@@ -56,24 +64,38 @@ final class SseHub(
           t.after(lt) || (t.equals(lt) && m > lm)
       }
 
-    def push(sub: Sub, rows: Iterable[org.apache.spark.sql.Row]): Unit =
+    /** Non-blocking enqueue under the hub lock: a full queue means the
+      * client stopped reading — it is kicked (queue cleared, Overflow
+      * sentinel delivered) rather than stalling the topic's single
+      * delivery query or silently losing frames while pretending to
+      * advance. Returns false when the subscriber was kicked.
+      */
+    def push(sub: Sub, rows: Iterable[org.apache.spark.sql.Row]): Boolean = {
       rows.foreach { r =>
         val t = r.getAs[java.sql.Timestamp]("publishTime")
         val m = r.getAs[String]("messageId")
         if (afterLast(sub, t, m)) {
-          // offer with timeout: a stalled client sheds load instead of
-          // blocking the topic's single delivery query forever
-          sub.queue.offer(Frame(m, r.getAs[Array[Byte]]("payload")), 5, TimeUnit.SECONDS)
+          if (!sub.queue.offer(Frame(m, r.getAs[Array[Byte]]("payload")))) {
+            sub.queue.clear()
+            sub.queue.offer(Overflow)
+            return false
+          }
           sub.last = Some((t, m))
         }
       }
+      true
+    }
 
     def start(): Unit = {
-      query = topics.readStream(fn)
+      // startingPosition=latest: the hub never replays the backlog —
+      // per-connection `earliest` is served by a one-shot snapshot in
+      // subscribe(), so the stream only ever carries NEW segments, and a
+      // deep topic history cannot land in the first micro-batch.
+      // maxSegmentsPerTrigger bounds each batch's collect().
+      query = topics.readStream(fn, startingPosition = "latest", maxSegmentsPerTrigger = Some(64))
         .writeStream
         .queryName(s"sse-${graft.model.Keys.sha1Hex(fn)}")
-        .option("checkpointLocation",
-          s"$checkpointRoot/${graft.model.Keys.sha1Hex(fn)}-${System.nanoTime()}")
+        .option("checkpointLocation", checkpoint)
         .trigger(Trigger.ProcessingTime(triggerMs))
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val rows = batch
@@ -81,10 +103,21 @@ final class SseHub(
             .orderBy("publishTime", "messageId")
             .collect() // bounded: one micro-batch (same motion as WebhookEngine)
           if (rows.nonEmpty) Hub.this.synchronized {
-            subs.values.foreach(push(_, rows))
+            val kicked = subs.filter { case (_, sub) => !push(sub, rows) }
+            kicked.keys.foreach(subs.remove)
           }
         }
         .start()
+    }
+
+    def stop(): Unit = {
+      Try(query.stop())
+      // per-start checkpoints would otherwise accumulate in the temp root
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(checkpoint))
     }
   }
 
@@ -131,14 +164,14 @@ final class SseHub(
     hubs.get(topicFn).foreach { hub =>
       hub.subs.remove(id)
       if (hub.subs.isEmpty) {
-        Try(hub.query.stop())
+        hub.stop()
         hubs.remove(topicFn)
       }
     }
   }
 
   def stopAll(): Unit = synchronized {
-    hubs.values.foreach(h => Try(h.query.stop()))
+    hubs.values.foreach(_.stop())
     hubs.clear()
   }
 

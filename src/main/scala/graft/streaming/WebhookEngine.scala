@@ -161,7 +161,11 @@ final class WebhookEngine(
   private[graft] def runningKeys: Set[String] = running.keySet.toSet
 
   private def startQuery(key: String, cfg: TopicConfig, wh: WebhookConfig): StreamingQuery = {
-    val enriched = enrich(topics.readStream(cfg.topicFullName))
+    // O-9 initial position: "latest" subscribes at the end of the topic;
+    // anything else (incl. the reference's empty default at this layer)
+    // replays from earliest — the pre-hub behavior every spec encodes.
+    val startPos = if (wh.initialPosition == "latest") "latest" else "earliest"
+    val enriched = enrich(topics.readStream(cfg.topicFullName, startingPosition = startPos))
     enriched.writeStream
       .queryName(s"webhook-$key")
       .option("checkpointLocation", s"$checkpointRoot/$key") // exclusive sub identity (O-9)

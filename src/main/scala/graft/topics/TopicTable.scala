@@ -21,11 +21,6 @@ import graft.model.Keys
   */
 final class TopicTable(spark: SparkSession, baseDir: String) {
 
-  // Segments carry INT64-micros timestamps (not legacy INT96) so parquet
-  // footer min/max statistics on publishTime are usable — the beam source
-  // prunes whole segments under a poll cursor's publishTime bound.
-  spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-
   /** Topic directory: sha1 of the full name keeps paths safe (O-21 reuse). */
   private def dir(topicFn: String): String = s"$baseDir/${Keys.sha1Hex(topicFn)}"
 
@@ -49,7 +44,52 @@ final class TopicTable(spark: SparkSession, baseDir: String) {
       .withColumn("props",
         map_concat(coalesce(col("props"), map()), map(lit("PulsarBeamId"), expr("uuid()"))))
       .select("payload", "topic", "eventTime", "publishTime", "messageId", "key", "props")
-    out.write.mode("append").parquet(dir(topicFn))
+    // Stage, then register under a per-topic monotone sequence: the beam
+    // stream's offset is a prefix of the NAME-sorted listing, so a segment
+    // must never become visible with a name that sorts inside an
+    // already-committed prefix (same-millisecond mtimes or slow writers
+    // would otherwise skip/duplicate batches). Names are assigned and moved
+    // under the topic's lock, in ascending order — readers only ever see an
+    // append-only listing.
+    val staging = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(baseDir), ".staging-")
+    try {
+      // Segments carry INT64-micros timestamps (not legacy INT96) so
+      // parquet footer min/max statistics on publishTime are usable — the
+      // beam source prunes whole segments under a poll cursor's bound.
+      // (Session-scoped conf: parquet exposes no per-write option for it.)
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      out.write.mode("overwrite").parquet(staging.toString)
+      registerSegments(topicFn, staging.toFile)
+    } finally {
+      staging.toFile.listFiles().foreach(_.delete())
+      java.nio.file.Files.deleteIfExists(staging)
+    }
+  }
+
+  private val seqs = scala.collection.concurrent.TrieMap.empty[String, java.util.concurrent.atomic.AtomicLong]
+
+  private val SeqName = """^(\d{20})-.*""".r
+
+  private def registerSegments(topicFn: String, staging: java.io.File): Unit = {
+    val d = new java.io.File(dir(topicFn))
+    d.mkdirs()
+    val seq = seqs.getOrElseUpdate(topicFn, {
+      val existing = Option(d.listFiles()).getOrElse(Array.empty)
+        .flatMap(f => f.getName match { case SeqName(n) => Some(n.toLong); case _ => None })
+      new java.util.concurrent.atomic.AtomicLong(if (existing.isEmpty) 0L else existing.max)
+    })
+    seq.synchronized {
+      staging.listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+        .sortBy(_.getName)
+        .foreach { f =>
+          val n = seq.incrementAndGet()
+          java.nio.file.Files.move(f.toPath,
+            new java.io.File(d, f"$n%020d-${f.getName}").toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
+    }
   }
 
   /** Ingest raw payload bytes (the HTTP POST body path, O-1). `async`
@@ -92,6 +132,17 @@ final class TopicTable(spark: SparkSession, baseDir: String) {
   private val cursors =
     scala.collection.concurrent.TrieMap.empty[(String, String), (java.sql.Timestamp, String)]
 
+  // Concurrent polls on one subscription serialize (a Pulsar consumer's
+  // receive loop is serial per subscription) — otherwise two polls could
+  // read the same cursor and double-deliver a batch. Non-resumable names
+  // are a fresh UUID per request (no contention possible), so they get a
+  // throwaway monitor instead of leaking one map entry per poll.
+  private val locks = scala.collection.concurrent.TrieMap.empty[(String, String), Object]
+
+  private def pollLock(topicFn: String, subscription: String): Object =
+    if (subscription.startsWith(graft.model.ConsumerParams.NonResumablePrefix)) new Object
+    else locks.getOrElseUpdate((topicFn, subscription), new Object)
+
   /** Destructive poll (O-6/O-7 + O-12 ack): deliver the next `limit`
     * messages after the subscription's cursor and advance it — poll #2
     * returns the NEXT batch, and an exhausted topic returns an empty batch
@@ -106,7 +157,7 @@ final class TopicTable(spark: SparkSession, baseDir: String) {
     * materialization however large the backlog.
     */
   def pollBatch(topicFn: String, subscription: String, limit: Int = 10)
-      : Array[org.apache.spark.sql.Row] = {
+      : Array[org.apache.spark.sql.Row] = pollLock(topicFn, subscription).synchronized {
     val key  = (topicFn, subscription)
     val base = read(topicFn)
     val fresh = cursors.get(key) match {
@@ -129,9 +180,13 @@ final class TopicTable(spark: SparkSession, baseDir: String) {
     * subscription's identity (exclusive-by-name, O-9) is the caller's
     * checkpoint location.
     */
-  def readStream(topicFn: String): DataFrame = {
+  def readStream(topicFn: String, startingPosition: String = "earliest",
+      maxSegmentsPerTrigger: Option[Int] = None): DataFrame = {
     val d = new java.io.File(dir(topicFn))
     if (!d.exists()) d.mkdirs() // subscribe-before-publish is legal (latest position)
-    spark.readStream.format("beam").load(d.toString)
+    val reader = spark.readStream.format("beam")
+      .option("startingPosition", startingPosition)
+    maxSegmentsPerTrigger.foreach(n => reader.option("maxSegmentsPerTrigger", n))
+    reader.load(d.toString)
   }
 }

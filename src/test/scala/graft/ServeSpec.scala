@@ -218,6 +218,15 @@ class ServeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(topics.poll("persistent://tenant-o/ns/routed", 1).collect().isEmpty)
     val rows = topics.poll("persistent://tenant-o/ns/actual", 1).collect()
     assert(new String(rows(0).getAs[Array[Byte]]("payload")) == "overridden")
+
+    // the override is authorized against the EFFECTIVE topic's tenant —
+    // a tenant-o token cannot write into tenant-z through the header
+    assert(req("POST", "/v2/firehose/persistent/tenant-o/ns/routed", "smuggled",
+      auth("tenant-o") + ("TopicFn" -> "persistent://tenant-z/ns/leak")).statusCode() == 403)
+    assert(topics.poll("persistent://tenant-z/ns/leak", 1).collect().isEmpty)
+    // and a garbage header topic cannot be authorized at all
+    assert(req("POST", "/v2/firehose/persistent/tenant-o/ns/routed", "x",
+      auth("tenant-o") + ("TopicFn" -> "not-a-topic")).statusCode() == 403)
   }
 
   test("webhook delivery headers survive the topic-config POST (O-11)") {
