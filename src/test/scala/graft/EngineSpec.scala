@@ -178,6 +178,52 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("webhook with initialPosition=latest skips the pre-subscription backlog (O-9)") {
+    val topics = new TopicTable(spark, tmp("graft-topics-latest"))
+    val store  = new InMemoryStore
+    val engine = new WebhookEngine(spark, topics, store, tmp("graft-ck3"), triggerMs = 200)
+    val fn     = "persistent://tenant-l/ns/latest-src"
+    val seen   = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    server.createContext("/hook", (ex: HttpExchange) => {
+      seen.synchronized(seen += new String(ex.getRequestBody.readAllBytes()))
+      ex.sendResponseHeaders(200, -1); ex.close()
+    })
+    server.start()
+    try {
+      topics.ingestPayload("backlog".getBytes, fn) // published BEFORE subscribing
+      val wh = WebhookConfig(s"http://localhost:${server.getAddress.getPort}/hook",
+        Nil, "latest-sub", "exclusive", "latest", Status.Activated)
+      assert(store.update(TopicConfig(fn, "", "tenant-l", "", "", Status.Activated,
+        "pulsar://broker0:6650", Seq(wh))).isRight)
+      engine.reconcile()
+      engine.processAllAvailable()
+      topics.ingestPayload("fresh".getBytes, fn)
+      eventually(40, 250)(seen.synchronized(seen.toList) == List("fresh"))
+    } finally {
+      engine.stopAll()
+      server.stop(0)
+    }
+  }
+
+  test("SSE hub kicks a slow consumer with the overflow sentinel instead of dropping frames") {
+    val topics = new TopicTable(spark, tmp("graft-topics-ssekick"))
+    val hub    = new graft.streaming.SseHub(topics, triggerMs = 150, queueCapacity = 2)
+    val fn     = "persistent://tenant-k/ns/slow"
+    try {
+      val (_, queue) = hub.subscribe(fn, earliest = false)
+      // 4 messages into a capacity-2 queue nobody drains → overflow kick;
+      // the stalled client never polls, so the sentinel lands IN the queue
+      (1 to 4).foreach(i => topics.ingestPayload(s"k$i".getBytes, fn))
+      def hasSentinel =
+        queue.toArray.exists(f => f.asInstanceOf[hub.Frame].messageId == null)
+      var i = 0
+      while (!hasSentinel && i < 60) { Thread.sleep(250); i += 1 }
+      assert(hasSentinel, "expected the Overflow sentinel for a stalled subscriber")
+    } finally hub.stopAll()
+  }
+
   test("redelivered batch suppresses already-delivered messages (§7.4)") {
     val topics = new TopicTable(spark, tmp("graft-topics-redeliver"))
     val store  = new InMemoryStore
