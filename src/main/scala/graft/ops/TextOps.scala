@@ -153,5 +153,84 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(langId, qualityScore, tokenCount, fingerprint)
+  /** The composed training-data cleaning pipeline — the flow the extension
+    * pack exists for, as ONE declarative program: language-ID gate (en) →
+    * quality-score gate → exact dedup (first doc per digest), reported as a
+    * per-source funnel (docs in → en → quality → kept) plus kept token
+    * volume. Single scan, two hash aggregates, one digest window — no stage
+    * materializes an intermediate corpus, so the same plan runs at 100 TB.
+    * The quality threshold compares the UNROUNDED score: both engines run
+    * the identical IEEE arithmetic, whereas rounding first could flip a
+    * boundary doc between engines.
+    */
+  val corpusClean: Q = Q(
+    "x23_corpus_clean",
+    s"""WITH scored AS (
+       |  SELECT doc_id, source, text,
+       |    len(string_split(text, ' ')) AS n_words,
+       |    ${hitsSql("en")} AS en, ${hitsSql("de")} AS de,
+       |    ${hitsSql("es")} AS es, ${hitsSql("fr")} AS fr,
+       |    len(regexp_extract_all(text, '[一-鿿]')) AS zh,
+       |    len(list_distinct(string_split(text, ' '))) AS uniq_n
+       |  FROM documents),
+       |flags AS (
+       |  SELECT *, (zh = 0 AND en > 0 AND en >= de AND en >= es AND en >= fr) AS is_en,
+       |    least(n_words / 100.0, 1.0) * 0.5 + (CAST(en AS DOUBLE) / n_words) * 0.3
+       |      + (CAST(uniq_n AS DOUBLE) / n_words) * 0.2 AS score
+       |  FROM scored),
+       |base_agg AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+       |    CAST(sum(CASE WHEN is_en AND score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality
+       |  FROM flags GROUP BY source),
+       |elig AS (
+       |  SELECT source, n_words,
+       |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |  FROM flags WHERE is_en AND score >= 0.5),
+       |kept AS (
+       |  SELECT source,
+       |    CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |    CAST(sum(CASE WHEN rn = 1 THEN n_words ELSE 0 END) AS BIGINT) AS kept_tokens
+       |  FROM elig GROUP BY source)
+       |SELECT b.source AS source, n_docs, n_en, n_quality,
+       |       coalesce(n_kept, 0) AS n_kept, coalesce(kept_tokens, 0) AS kept_tokens
+       |FROM base_agg b LEFT JOIN kept k ON b.source = k.source
+       |ORDER BY source""".stripMargin
+  ) { (s, dir) =>
+    def hitsIn(lang: String): Column =
+      size(filter(col("ws"), w => w.isInCollection(stopwords(lang))))
+    val scored = docs(s, dir)
+      .select(col("doc_id"), col("source"), col("text"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("source"), col("text"),
+        size(col("ws")).as("n_words"),
+        hitsIn("en").as("en"), hitsIn("de").as("de"),
+        hitsIn("es").as("es"), hitsIn("fr").as("fr"),
+        regexp_count(col("text"), lit("[一-鿿]")).as("zh"),
+        size(array_distinct(col("ws"))).as("uniq_n"))
+    val flags = scored
+      .withColumn("is_en", col("zh") === 0 && col("en") > 0 &&
+        col("en") >= col("de") && col("en") >= col("es") && col("en") >= col("fr"))
+      .withColumn("score",
+        least(col("n_words") / 100.0, lit(1.0)) * 0.5 +
+          (col("en").cast("double") / col("n_words")) * 0.3 +
+          (col("uniq_n").cast("double") / col("n_words")) * 0.2)
+    val baseAgg = flags.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("is_en"), 1).otherwise(0)).as("n_en"),
+      sum(when(col("is_en") && col("score") >= 0.5, 1).otherwise(0)).as("n_quality"))
+    val elig = flags.where(col("is_en") && col("score") >= 0.5)
+      .select(col("source"), col("n_words"), col("doc_id"), md5(col("text")).as("digest"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("digest").orderBy("doc_id")))
+    val kept = elig.groupBy("source").agg(
+      sum(when(col("rn") === 1, 1).otherwise(0)).as("n_kept"),
+      sum(when(col("rn") === 1, col("n_words")).otherwise(0L)).as("kept_tokens"))
+    baseAgg.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_en"), col("n_quality"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+      .orderBy("source")
+  }
+
+  val all: Seq[Q] = Seq(langId, qualityScore, tokenCount, fingerprint, corpusClean)
 }
