@@ -75,6 +75,29 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(capped.nonEmpty)
   }
 
+  test("ANN recall@3 vs exact top-k: multiprobe dominates single-probe; all variants non-trivial") {
+    import org.apache.spark.sql.functions.{col => c}
+    def top3(name: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(name)(spark, sfDir).where(c("rk") <= 3)
+        .select("q_id", "n_id").collect().toSeq
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val exact = top3("x06_cosine_topk")
+    def recall(name: String): Double = {
+      val variant = top3(name)
+      val hits = exact.toSeq.map { case (q, ex) =>
+        (variant.getOrElse(q, Set.empty) & ex).size.toDouble / ex.size
+      }
+      hits.sum / exact.size
+    }
+    val (rLsh, rMulti, rIvf) = (recall("x07_ann_lsh"), recall("x21_ann_multiprobe"), recall("x22_ann_ivf"))
+    info(f"recall@3  lsh=$rLsh%.3f  multiprobe=$rMulti%.3f  ivf=$rIvf%.3f")
+    // multiprobe's candidate buckets are a superset of the single probe's, and
+    // a global-top-3 member present in a candidate set always survives its
+    // top-3 (at most 2 items outrank it anywhere) — so recall is monotone
+    assert(rMulti >= rLsh)
+    assert(rLsh > 0.0 && rIvf > 0.0, "ANN variants must recover some exact neighbors")
+  }
+
   test("brute-force top-k and LSH ANN agree on bucket-colocated neighbors") {
     val exact = SparkEntry.queries("x06_cosine_topk")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
