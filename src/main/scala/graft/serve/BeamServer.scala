@@ -154,11 +154,23 @@ final class BeamServer(
         }
 
       case ("GET", "v2" :: "topic" :: key :: Nil) =>
+        withSubject(ex) { sub => getTopic(ex, key, sub) }
+
+      // key-less lookup/delete: key derived from {topicFullName, pulsarURL}
+      // in the body (ref GetTopicKey, handlers.go:350-372)
+      case ("GET", "v2" :: "topic" :: Nil) =>
         withSubject(ex) { sub =>
-          store.getByKey(key) match {
-            case Some(cfg) if authorized(cfg.topicFullName, sub) => respond(ex, 200, topicJson(cfg))
-            case Some(_)                                         => respond(ex, 403, "forbidden")
-            case None                                            => respond(ex, 404, "not found")
+          bodyTopicKey(ex) match {
+            case Left(err)  => respond(ex, 422, err)
+            case Right(key) => getTopic(ex, key, sub)
+          }
+        }
+
+      case ("DELETE", "v2" :: "topic" :: Nil) =>
+        withSubject(ex) { sub =>
+          bodyTopicKey(ex) match {
+            case Left(err)  => respond(ex, 422, err)
+            case Right(key) => deleteTopic(ex, key, sub)
           }
         }
 
@@ -177,14 +189,7 @@ final class BeamServer(
         }
 
       case ("DELETE", "v2" :: "topic" :: key :: Nil) =>
-        withSubject(ex) { sub =>
-          store.getByKey(key) match {
-            case Some(cfg) if authorized(cfg.topicFullName, sub) =>
-              store.deleteByKey(key); respond(ex, 200, """{"deleted":true}""")
-            case Some(_) => respond(ex, 403, "forbidden")
-            case None    => respond(ex, 404, "not found")
-          }
-        }
+        withSubject(ex) { sub => deleteTopic(ex, key, sub) }
 
       case ("GET", "subject" :: sub :: Nil) =>
         // only a superrole mints tokens (ref handlers.go:41-68)
@@ -280,6 +285,34 @@ final class BeamServer(
     } finally {
       sseHub.unsubscribe(topicFn, subId)
       Try(ex.close())
+    }
+  }
+
+  private def getTopic(ex: HttpExchange, key: String, sub: String): Unit =
+    store.getByKey(key) match {
+      case Some(cfg) if authorized(cfg.topicFullName, sub) => respond(ex, 200, topicJson(cfg))
+      case Some(_)                                         => respond(ex, 403, "forbidden")
+      case None                                            => respond(ex, 404, "not found")
+    }
+
+  private def deleteTopic(ex: HttpExchange, key: String, sub: String): Unit =
+    store.getByKey(key) match {
+      case Some(cfg) if authorized(cfg.topicFullName, sub) =>
+        store.deleteByKey(key); respond(ex, 200, """{"deleted":true}""")
+      case Some(_) => respond(ex, 403, "forbidden")
+      case None    => respond(ex, 404, "not found")
+    }
+
+  /** Key from a `{topicFullName, pulsarURL}` request body — the same
+    * derivation `update` uses (ref model.GetKeyFromNames).
+    */
+  private def bodyTopicKey(ex: HttpExchange): Either[String, String] = {
+    val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+    def strField(name: String): Option[String] =
+      (""""""" + name + """"\s*:\s*"((?:[^"\\]|\\.)*)"""").r.findFirstMatchIn(body).map(_.group(1))
+    (strField("topicFullName"), strField("pulsarURL").orElse(strField("pulsarUrl"))) match {
+      case (Some(fn), Some(url)) => Right(graft.model.Keys.genKey(fn, url))
+      case _                     => Left("missing topic key or topic names in body")
     }
   }
 

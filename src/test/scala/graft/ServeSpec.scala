@@ -36,11 +36,11 @@ class ServeSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def req(method: String, path: String, body: String = "",
       headers: Map[String, String] = Map.empty): HttpResponse[String] = {
     var b = HttpRequest.newBuilder(URI.create(base + path))
-    b = method match {
-      case "GET"    => b.GET()
-      case "POST"   => b.POST(HttpRequest.BodyPublishers.ofString(body))
-      case "DELETE" => b.DELETE()
-    }
+    // generic method() so GET/DELETE can carry a body (the reference's
+    // key-less /v2/topic routes read {topicFullName, pulsarURL} from it)
+    b = b.method(method,
+      if (body.isEmpty) HttpRequest.BodyPublishers.noBody()
+      else HttpRequest.BodyPublishers.ofString(body))
     headers.foreach { case (k, v) => b = b.header(k, v) }
     http.send(b.build(), HttpResponse.BodyHandlers.ofString())
   }
@@ -101,6 +101,20 @@ class ServeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     // malformed body → 422 (ref handlers_test.go TestTopicHandler)
     assert(req("POST", "/v2/topic", """{"nope":1}""", auth("tenant-c")).statusCode() == 422)
+
+    // key-less GET/DELETE derive the key from the body (ref GetTopicKey)
+    val cfg2 =
+      """{"topicFullName":"persistent://tenant-c/ns/bykey","pulsarURL":"pulsar://broker0:6650",
+        |"tenant":"tenant-c","webhooks":[]}""".stripMargin
+    assert(req("POST", "/v2/topic", cfg2, auth("tenant-c")).statusCode() == 201)
+    val lookupBody =
+      """{"topicFullName":"persistent://tenant-c/ns/bykey","pulsarURL":"pulsar://broker0:6650"}"""
+    val byBody = req("GET", "/v2/topic", lookupBody, auth("tenant-c"))
+    assert(byBody.statusCode() == 200)
+    assert(byBody.body().contains("persistent://tenant-c/ns/bykey"))
+    assert(req("GET", "/v2/topic", """{"oops":1}""", auth("tenant-c")).statusCode() == 422)
+    assert(req("DELETE", "/v2/topic", lookupBody, auth("tenant-c")).statusCode() == 200)
+    assert(req("GET", "/v2/topic", lookupBody, auth("tenant-c")).statusCode() == 404)
   }
 
   test("token minting is superrole-only (ref handlers.go:41-68)") {
