@@ -139,12 +139,24 @@ final class SseHub(
       val id  = nextId.incrementAndGet()
       hub.synchronized {
         if (earliest) {
-          // one-shot backlog replay; watermark then splices into the stream
-          val backlog = topics.read(topicFn)
-            .select("publishTime", "messageId", "payload")
-            .orderBy("publishTime", "messageId")
-            .collect()
-          hub.push(sub, backlog)
+          // Paged backlog replay: each page is a cursor-bounded top-k scan
+          // (the publishTime predicate prunes already-replayed segments via
+          // footer stats), so the driver never holds more than one page of
+          // a topic however deep its history; the watermark then splices
+          // into the stream.
+          val PageRows = 1024
+          var more = true
+          while (more) {
+            val base = topics.read(topicFn).select("publishTime", "messageId", "payload")
+            val fresh = sub.last match {
+              case None => base
+              case Some((t, m)) =>
+                base.where(col("publishTime") > t ||
+                  (col("publishTime") === t && col("messageId") > m))
+            }
+            val page = fresh.orderBy("publishTime", "messageId").limit(PageRows).collect()
+            more = page.nonEmpty && hub.push(sub, page) && page.length == PageRows
+          }
         } else {
           // latest: start after the current high-water mark
           topics.read(topicFn)

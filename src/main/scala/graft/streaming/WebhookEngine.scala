@@ -165,7 +165,11 @@ final class WebhookEngine(
     // anything else (incl. the reference's empty default at this layer)
     // replays from earliest — the pre-hub behavior every spec encodes.
     val startPos = if (wh.initialPosition == "latest") "latest" else "earliest"
-    val enriched = enrich(topics.readStream(cfg.topicFullName, startingPosition = startPos))
+    // maxSegmentsPerTrigger bounds the per-batch collect: an earliest
+    // subscription on a deep topic drains its backlog in capped batches
+    // instead of one whole-history micro-batch on the driver.
+    val enriched = enrich(topics.readStream(cfg.topicFullName,
+      startingPosition = startPos, maxSegmentsPerTrigger = Some(64)))
     enriched.writeStream
       .queryName(s"webhook-$key")
       .option("checkpointLocation", s"$checkpointRoot/$key") // exclusive sub identity (O-9)
