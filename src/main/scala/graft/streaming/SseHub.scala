@@ -127,16 +127,26 @@ final class SseHub(
   /** Register a connection; returns (subscriberId, frame queue). The
     * caller polls the queue (timeout → keepalive) and MUST `unsubscribe`
     * on disconnect.
+    *
+    * The global lock is held only for hub creation/lookup — a deep-topic
+    * backlog replay runs under the TOPIC's lock alone, so subscriptions to
+    * other topics are never blocked behind it. If the hub is concurrently
+    * stopped (last subscriber of another connection left between our
+    * lookup and registration), the registration retries on a fresh hub.
     */
-  def subscribe(topicFn: String, earliest: Boolean): (Long, LinkedBlockingQueue[Frame]) =
-    synchronized {
-      val hub = hubs.getOrElseUpdate(topicFn, {
+  @annotation.tailrec
+  def subscribe(topicFn: String, earliest: Boolean): (Long, LinkedBlockingQueue[Frame]) = {
+    val hub = synchronized {
+      hubs.getOrElseUpdate(topicFn, {
         val h = new Hub(topicFn)
         h.start()
         h
       })
-      val sub = new Sub(new LinkedBlockingQueue[Frame](queueCapacity))
-      val id  = nextId.incrementAndGet()
+    }
+    val sub = new Sub(new LinkedBlockingQueue[Frame](queueCapacity))
+    val id  = nextId.incrementAndGet()
+    val registered = {
+      // per-TOPIC lock: serializes the splice against this hub's pushes
       hub.synchronized {
         if (earliest) {
           // Paged backlog replay: each page is a cursor-bounded top-k scan
@@ -168,8 +178,12 @@ final class SseHub(
         }
         hub.subs.put(id, sub)
       }
-      (id, sub.queue)
+      // registration is valid only if the hub is still the live one
+      synchronized { hubs.get(topicFn).contains(hub) }
     }
+    if (registered) (id, sub.queue)
+    else subscribe(topicFn, earliest)
+  }
 
   /** Drop a connection; the topic's query stops when the last one leaves. */
   def unsubscribe(topicFn: String, id: Long): Unit = synchronized {
