@@ -128,9 +128,37 @@ final class TopicTable(spark: SparkSession, baseDir: String) {
     * — every delivered message is acked, so the subscription advances).
     * An absent entry = a new subscription at the earliest position (poll
     * always subscribes earliest, ref src/route/handlers.go:166).
+    *
+    * DURABLE like a broker subscription: each advance writes the cursor
+    * to `<topicDir>/.cursors/<sha1(sub)>` (one tiny file per named
+    * subscription), and a fresh TopicTable over the same baseDir resumes
+    * from it — acked messages are not re-delivered across restarts.
+    * Non-resumable subscriptions never persist.
     */
   private val cursors =
     scala.collection.concurrent.TrieMap.empty[(String, String), (java.sql.Timestamp, String)]
+
+  private def cursorFile(topicFn: String, sub: String): java.io.File =
+    new java.io.File(s"${dir(topicFn)}/.cursors/${Keys.sha1Hex(sub)}")
+
+  private def loadCursor(topicFn: String, sub: String): Option[(java.sql.Timestamp, String)] = {
+    val f = cursorFile(topicFn, sub)
+    if (!f.isFile) None
+    else scala.util.Try {
+      val Array(micros, mid) =
+        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.split("\t", 2)
+      val ts = new java.sql.Timestamp(micros.toLong / 1000L)
+      ts.setNanos(((micros.toLong % 1000000L) * 1000L).toInt)
+      (ts, mid)
+    }.toOption
+  }
+
+  private def saveCursor(topicFn: String, sub: String, pos: (java.sql.Timestamp, String)): Unit = {
+    val f = cursorFile(topicFn, sub)
+    f.getParentFile.mkdirs()
+    val micros = pos._1.getTime * 1000L + (pos._1.getNanos % 1000000L) / 1000L
+    java.nio.file.Files.write(f.toPath, s"$micros\t${pos._2}\n".getBytes("UTF-8"))
+  }
 
   // Concurrent polls on one subscription serialize (a Pulsar consumer's
   // receive loop is serial per subscription) — otherwise two polls could
@@ -158,9 +186,12 @@ final class TopicTable(spark: SparkSession, baseDir: String) {
     */
   def pollBatch(topicFn: String, subscription: String, limit: Int = 10)
       : Array[org.apache.spark.sql.Row] = pollLock(topicFn, subscription).synchronized {
-    val key  = (topicFn, subscription)
-    val base = read(topicFn)
-    val fresh = cursors.get(key) match {
+    val key        = (topicFn, subscription)
+    val resumable  = !subscription.startsWith(graft.model.ConsumerParams.NonResumablePrefix)
+    val base       = read(topicFn)
+    val cursor = cursors.get(key)
+      .orElse(if (resumable) loadCursor(topicFn, subscription) else None)
+    val fresh = cursor match {
       case None => base
       case Some((t, m)) =>
         base.where(col("publishTime") > t ||
@@ -168,8 +199,9 @@ final class TopicTable(spark: SparkSession, baseDir: String) {
     }
     val rows = fresh.orderBy("publishTime", "messageId").limit(limit).collect()
     rows.lastOption.foreach { r =>
-      cursors.put(key,
-        (r.getAs[java.sql.Timestamp]("publishTime"), r.getAs[String]("messageId")))
+      val pos = (r.getAs[java.sql.Timestamp]("publishTime"), r.getAs[String]("messageId"))
+      if (resumable) saveCursor(topicFn, subscription, pos)
+      cursors.put(key, pos)
     }
     if (subscription.startsWith(graft.model.ConsumerParams.NonResumablePrefix))
       cursors.remove(key)

@@ -115,6 +115,19 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(topics.poll(topicFn, 10).count() == 3)
   }
 
+  test("named-subscription cursors survive a TopicTable restart (durable subscription)") {
+    val base = tmp("graft-topics-durable")
+    val t1   = new TopicTable(spark, base)
+    val fn   = "persistent://tenant-p/ns/durable"
+    (1 to 3).foreach(i => t1.ingestPayload(s"d$i".getBytes, fn))
+    assert(t1.pollBatch(fn, "dur-sub", 2).length == 2)
+
+    val t2   = new TopicTable(spark, base) // process restart
+    val next = t2.pollBatch(fn, "dur-sub", 5)
+    assert(next.map(r => new String(r.getAs[Array[Byte]]("payload"))).toSeq == Seq("d3"))
+    assert(t2.pollBatch(fn, "dur-sub", 5).isEmpty) // acked messages stay acked
+  }
+
   // --- e2e webhook pipeline (ref e2etest.go:19-27) ---
 
   test("webhook pipeline delivers, replies re-ingest, reconcile stops") {
