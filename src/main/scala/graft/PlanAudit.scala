@@ -26,6 +26,8 @@ object PlanAudit {
     // IVF: centroids broadcast into the assignment, cell join is equi
     "x22_ann_ivf" -> Seq("BroadcastNestedLoopJoin|BroadcastExchange",
       "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+    // multi-table LSH: the table union is ONE (t, bucket) equi join
+    "x24_ann_lsh_multitable" -> Seq("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
     // codegen'd custom expression appears inline in the projection
     "x05_cosine_neardup" -> Seq("dot_f32", "codegen id"),
     // dedup pack: band/shingle joins are equi joins, never nested loops

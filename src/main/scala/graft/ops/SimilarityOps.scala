@@ -100,16 +100,24 @@ object SimilarityOps {
     if (firstHexChar.toInt % 2 == 1) 1 else -1
   }
 
-  /** 8-plane sign bucket ("0±1±…7±") from literal coefficient arrays. */
-  private def bucketCol: Column = {
-    val planeCols = (0 to 7).map { p =>
+  /** Sign bucket over an arbitrary plane set from literal coefficient
+    * arrays; plane p contributes "$p+" or "$p-" to the bucket string
+    * (zero-padded plane label when `pad` — needed once plane ids exceed
+    * one digit so the DuckDB twin's list_sort agrees with plane order).
+    */
+  private def bucketFor(planes: Seq[Int], pad: Boolean = false): Column = {
+    val planeCols = planes.map { p =>
       val signed = zip_with(col("embedding"), typedLit(planeSigns(p)), (x, sg) =>
         when(sg === 1, x.cast("double")).otherwise(-x.cast("double")))
-      val s = aggregate(signed, lit(0.0), (acc, v) => acc + v)
-      when(round(s, 6) > 0, lit(s"$p+")).otherwise(lit(s"$p-"))
+      val s     = aggregate(signed, lit(0.0), (acc, v) => acc + v)
+      val label = if (pad) f"$p%02d" else s"$p"
+      when(round(s, 6) > 0, lit(s"$label+")).otherwise(lit(s"$label-"))
     }
     concat(planeCols: _*)
   }
+
+  /** 8-plane sign bucket ("0±1±…7±") — single-table LSH (x07/x21). */
+  private def bucketCol: Column = bucketFor(0 to 7)
 
   /** LSH-bucketed ANN: 8 deterministic random hyperplanes (coefficient ±1
     * from the parity of md5(plane||'-'||dim)), bucket = 8-bit sign pattern;
@@ -264,5 +272,62 @@ object SimilarityOps {
       .orderBy("q_id", "rk")
   }
 
-  val all: Seq[Q] = Seq(cosineNearDup, cosineTopK, annLsh, annMultiprobe, annIvf)
+  /** Multi-table LSH ANN: L=4 independent tables of k=6 planes each
+    * (planes 8..31 — disjoint from x07's), candidates = union over tables,
+    * expressed as ONE equi-join on (table, bucket): every row replicates
+    * ×L with its per-table bucket, so the union costs no extra join and
+    * shuffles once. The standard recall lever — P(candidate) =
+    * 1-(1-s^k)^L — at the cost of L× replication, vs multiprobe's probe
+    * fan-out on one table. Candidate pairs dedup BEFORE scoring (a pair
+    * colliding in several tables scores once).
+    */
+  val annMultitable: Q = Q(
+    "x24_ann_lsh_multitable",
+    s"""WITH n AS ($normedSql),
+       |dims AS (SELECT vec_id, v, nrm, unnest(generate_series(0, len(v) - 1)) AS i FROM n),
+       |proj AS (SELECT vec_id, p,
+       |           sum(CASE WHEN ascii(substr(md5(CAST(p AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 1)) % 2 = 1
+       |                    THEN v[CAST(i AS INT) + 1] ELSE -v[CAST(i AS INT) + 1] END) AS s
+       |         FROM dims CROSS JOIN (SELECT unnest(generate_series(8, 31)) AS p) planes
+       |         GROUP BY vec_id, p),
+       |tb AS (SELECT vec_id, CAST((p - 8) // 6 AS INT) AS t,
+       |              array_to_string(list_sort(list(lpad(CAST(p AS VARCHAR), 2, '0') ||
+       |                     (CASE WHEN round(s, 6) > 0 THEN '+' ELSE '-' END))), '') AS bucket
+       |       FROM proj GROUP BY vec_id, CAST((p - 8) // 6 AS INT)),
+       |cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+       |         FROM tb q JOIN tb c ON q.t = c.t AND q.bucket = c.bucket
+       |           AND q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id)
+       |SELECT q_id, rk, n_id, cos FROM (
+       |  SELECT q_id, n_id,
+       |         round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos,
+       |         row_number() OVER (PARTITION BY q_id
+       |           ORDER BY round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) DESC, n_id) AS rk
+       |  FROM cand JOIN n a ON a.vec_id = q_id JOIN n b ON b.vec_id = n_id)
+       |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+  ) { (s, dir) =>
+    val n = normed(s, dir)
+    val tables = (0 to 3).map(t =>
+      struct(lit(t).as("t"), bucketFor(8 + 6 * t to 8 + 6 * t + 5, pad = true).as("bucket")))
+    val keyed = n
+      .select(col("vec_id"), explode(array(tables: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val qk = keyed.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("t"), col("bucket"))
+    val cand = keyed.join(qk, Seq("t", "bucket"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"))
+      .distinct()
+    val na = n.select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("qn"))
+    val nb = n.select(col("vec_id").as("n_id"), col("embedding").as("nv"), col("nrm").as("nn"))
+    val cos = round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6)
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    cand.join(na, "q_id").join(nb, "n_id")
+      .select(col("q_id"), col("n_id"), cos.as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select("q_id", "rk", "n_id", "cos")
+      .orderBy("q_id", "rk")
+  }
+
+  val all: Seq[Q] = Seq(cosineNearDup, cosineTopK, annLsh, annMultiprobe, annIvf, annMultitable)
 }

@@ -89,13 +89,16 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
       hits.sum / exact.size
     }
-    val (rLsh, rMulti, rIvf) = (recall("x07_ann_lsh"), recall("x21_ann_multiprobe"), recall("x22_ann_ivf"))
-    info(f"recall@3  lsh=$rLsh%.3f  multiprobe=$rMulti%.3f  ivf=$rIvf%.3f")
+    val (rLsh, rMulti, rIvf, rTables) =
+      (recall("x07_ann_lsh"), recall("x21_ann_multiprobe"),
+        recall("x22_ann_ivf"), recall("x24_ann_lsh_multitable"))
+    info(f"recall@3  lsh=$rLsh%.3f  multiprobe=$rMulti%.3f  ivf=$rIvf%.3f  multitable=$rTables%.3f")
     // multiprobe's candidate buckets are a superset of the single probe's, and
     // a global-top-3 member present in a candidate set always survives its
     // top-3 (at most 2 items outrank it anywhere) — so recall is monotone
     assert(rMulti >= rLsh)
-    assert(rLsh > 0.0 && rIvf > 0.0, "ANN variants must recover some exact neighbors")
+    assert(rLsh > 0.0 && rIvf > 0.0 && rTables > 0.0,
+      "ANN variants must recover some exact neighbors")
   }
 
   test("brute-force top-k and LSH ANN agree on bucket-colocated neighbors") {
