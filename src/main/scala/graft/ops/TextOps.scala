@@ -27,6 +27,12 @@ object TextOps {
     */
   private def hits(lang: String): Column =
     size(filter(split(col("text"), " "), w => w.isInCollection(stopwords(lang))))
+
+  /** Same profile count over a pre-split `ws` words column (shared by the
+    * lang-ID and pipeline queries so the gates can't silently diverge).
+    */
+  private def hitsInWs(lang: String): Column =
+    size(filter(col("ws"), w => w.isInCollection(stopwords(lang))))
   private def hitsSql(lang: String): String = {
     val set = stopwords(lang).map(w => s"'$w'").mkString(", ")
     s"len(list_filter(string_split(text, ' '), w -> w IN ($set)))"
@@ -53,14 +59,12 @@ object TextOps {
        |GROUP BY lang, pred ORDER BY lang, pred""".stripMargin
   ) { (s, dir) =>
     // split once, score all profiles over the same words array
-    def hitsIn(lang: String): Column =
-      size(filter(col("ws"), w => w.isInCollection(stopwords(lang))))
     val scored = docs(s, dir)
       .select(col("lang"), col("text"), split(col("text"), " ").as("ws"))
       .select(
         col("lang"),
-        hitsIn("en").as("en"), hitsIn("de").as("de"),
-        hitsIn("es").as("es"), hitsIn("fr").as("fr"),
+        hitsInWs("en").as("en"), hitsInWs("de").as("de"),
+        hitsInWs("es").as("es"), hitsInWs("fr").as("fr"),
         regexp_count(col("text"), lit("[一-鿿]")).as("zh"))
     scored
       .withColumn("pred",
@@ -197,14 +201,12 @@ object TextOps {
        |FROM base_agg b LEFT JOIN kept k ON b.source = k.source
        |ORDER BY source""".stripMargin
   ) { (s, dir) =>
-    def hitsIn(lang: String): Column =
-      size(filter(col("ws"), w => w.isInCollection(stopwords(lang))))
     val scored = docs(s, dir)
       .select(col("doc_id"), col("source"), col("text"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), col("source"), col("text"),
         size(col("ws")).as("n_words"),
-        hitsIn("en").as("en"), hitsIn("de").as("de"),
-        hitsIn("es").as("es"), hitsIn("fr").as("fr"),
+        hitsInWs("en").as("en"), hitsInWs("de").as("de"),
+        hitsInWs("es").as("es"), hitsInWs("fr").as("fr"),
         regexp_count(col("text"), lit("[一-鿿]")).as("zh"),
         size(array_distinct(col("ws"))).as("uniq_n"))
     val flags = scored

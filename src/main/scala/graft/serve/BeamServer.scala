@@ -265,8 +265,14 @@ final class BeamServer(
     ex.getResponseHeaders.set("Cache-Control", "no-cache")
     ex.sendResponseHeaders(200, 0) // chunked
     val os = ex.getResponseBody
-    val (subId, queue) = sseHub.subscribe(topicFn, earliest)
+    val (subId, queue, backlog) = sseHub.subscribe(topicFn, earliest)
     try {
+      // history first (socket-paced pages), then the live queue
+      backlog.foreach { frame =>
+        os.write(
+          s"id: ${frame.messageId}\ndata: ${new String(frame.payload, UTF_8)}\n\n".getBytes(UTF_8))
+        os.flush()
+      }
       var open = true
       while (open) {
         val frame = queue.poll(1, java.util.concurrent.TimeUnit.SECONDS)
@@ -303,15 +309,20 @@ final class BeamServer(
       case None    => respond(ex, 404, "not found")
     }
 
+  /** Quoted-string field extraction shared by the config-body parsers. */
+  private def strField(obj: String, name: String): Option[String] =
+    (""""""" + name + """"\s*:\s*"((?:[^"\\]|\\.)*)"""").r.findFirstMatchIn(obj).map(_.group(1))
+
   /** Key from a `{topicFullName, pulsarURL}` request body — the same
-    * derivation `update` uses (ref model.GetKeyFromNames).
+    * trimmed + URL-validated derivation `update` stores under
+    * (Keys.keyFromNames, ref model.GetKeyFromNames), so a body lookup
+    * always finds what a create stored.
     */
   private def bodyTopicKey(ex: HttpExchange): Either[String, String] = {
     val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
-    def strField(name: String): Option[String] =
-      (""""""" + name + """"\s*:\s*"((?:[^"\\]|\\.)*)"""").r.findFirstMatchIn(body).map(_.group(1))
-    (strField("topicFullName"), strField("pulsarURL").orElse(strField("pulsarUrl"))) match {
-      case (Some(fn), Some(url)) => Right(graft.model.Keys.genKey(fn, url))
+    (strField(body, "topicFullName"),
+      strField(body, "pulsarURL").orElse(strField(body, "pulsarUrl"))) match {
+      case (Some(fn), Some(url)) => Keys.keyFromNames(fn, url)
       case _                     => Left("missing topic key or topic names in body")
     }
   }
@@ -370,8 +381,6 @@ final class BeamServer(
     * Spark path (`CompactedLogStore.log`).
     */
   private def parseTopicConfig(body: String): Either[String, TopicConfig] = {
-    def strField(obj: String, name: String): Option[String] =
-      (""""""" + name + """"\s*:\s*"((?:[^"\\]|\\.)*)"""").r.findFirstMatchIn(obj).map(_.group(1))
     def numField(obj: String, name: String): Option[Int] =
       (""""""" + name + """"\s*:\s*(\d+)""").r.findFirstMatchIn(obj).map(_.group(1).toInt)
     val fn  = strField(body, "topicFullName")

@@ -124,18 +124,28 @@ final class SseHub(
   private val hubs   = TrieMap.empty[String, Hub]
   private val nextId = new AtomicLong(0)
 
-  /** Register a connection; returns (subscriberId, frame queue). The
-    * caller polls the queue (timeout → keepalive) and MUST `unsubscribe`
-    * on disconnect.
+  /** Register a connection; returns (subscriberId, frame queue, backlog).
+    * The caller MUST fully consume `backlog` (frames at or before the
+    * subscription's high-water mark, produced as socket-paced cursor pages)
+    * before draining the queue, and MUST `unsubscribe` on disconnect.
     *
-    * The global lock is held only for hub creation/lookup — a deep-topic
-    * backlog replay runs under the TOPIC's lock alone, so subscriptions to
-    * other topics are never blocked behind it. If the hub is concurrently
-    * stopped (last subscriber of another connection left between our
-    * lookup and registration), the registration retries on a fresh hub.
+    * Splice contract: under the topic's lock the subscriber registers with
+    * its watermark at the CURRENT high-water mark H — the stream only ever
+    * enqueues frames after H, and the backlog iterator only pages frames up
+    * to H, so the two compose without duplicates or gaps. The backlog is
+    * pulled by the HTTP thread itself (one bounded page per Spark job,
+    * segment-pruned by the cursor bound), so a backlog deeper than the
+    * queue capacity streams fine: the queue only absorbs LIVE traffic
+    * while history drains, and only genuine slow-consumer pressure
+    * triggers the overflow kick.
+    *
+    * The global lock covers hub creation/lookup only. If the hub is
+    * concurrently stopped (another connection's unsubscribe), registration
+    * retries on a fresh hub.
     */
   @annotation.tailrec
-  def subscribe(topicFn: String, earliest: Boolean): (Long, LinkedBlockingQueue[Frame]) = {
+  def subscribe(topicFn: String, earliest: Boolean)
+      : (Long, LinkedBlockingQueue[Frame], Iterator[Frame]) = {
     val hub = synchronized {
       hubs.getOrElseUpdate(topicFn, {
         val h = new Hub(topicFn)
@@ -145,55 +155,71 @@ final class SseHub(
     }
     val sub = new Sub(new LinkedBlockingQueue[Frame](queueCapacity))
     val id  = nextId.incrementAndGet()
-    val registered = {
-      // per-TOPIC lock: serializes the splice against this hub's pushes
-      hub.synchronized {
-        if (earliest) {
-          // Paged backlog replay: each page is a cursor-bounded top-k scan
-          // (the publishTime predicate prunes already-replayed segments via
-          // footer stats), so the driver never holds more than one page of
-          // a topic however deep its history; the watermark then splices
-          // into the stream.
-          val PageRows = 1024
-          var more = true
-          while (more) {
-            val base = topics.read(topicFn).select("publishTime", "messageId", "payload")
-            val fresh = sub.last match {
-              case None => base
-              case Some((t, m)) =>
-                base.where(col("publishTime") > t ||
-                  (col("publishTime") === t && col("messageId") > m))
-            }
-            val page = fresh.orderBy("publishTime", "messageId").limit(PageRows).collect()
-            more = page.nonEmpty && hub.push(sub, page) && page.length == PageRows
-          }
-        } else {
-          // latest: start after the current high-water mark
-          topics.read(topicFn)
-            .select("publishTime", "messageId")
-            .orderBy(col("publishTime").desc, col("messageId").desc)
-            .limit(1).collect().headOption
-            .foreach(r => sub.last =
-              Some((r.getAs[java.sql.Timestamp]("publishTime"), r.getAs[String]("messageId"))))
-        }
-        hub.subs.put(id, sub)
-      }
-      // registration is valid only if the hub is still the live one
-      synchronized { hubs.get(topicFn).contains(hub) }
+    // high-water mark H, then register AT H under the topic's lock
+    val high = hub.synchronized {
+      val h = topics.read(topicFn)
+        .select("publishTime", "messageId")
+        .orderBy(col("publishTime").desc, col("messageId").desc)
+        .limit(1).collect().headOption
+        .map(r => (r.getAs[java.sql.Timestamp]("publishTime"), r.getAs[String]("messageId")))
+      sub.last = h
+      hub.subs.put(id, sub)
+      h
     }
-    if (registered) (id, sub.queue)
-    else subscribe(topicFn, earliest)
+    val registered = synchronized { hubs.get(topicFn).contains(hub) }
+    if (!registered) subscribe(topicFn, earliest)
+    else {
+      val backlog =
+        if (!earliest || high.isEmpty) Iterator.empty
+        else backlogPages(topicFn, high.get)
+      (id, sub.queue, backlog)
+    }
   }
 
-  /** Drop a connection; the topic's query stops when the last one leaves. */
-  def unsubscribe(topicFn: String, id: Long): Unit = synchronized {
-    hubs.get(topicFn).foreach { hub =>
-      hub.subs.remove(id)
-      if (hub.subs.isEmpty) {
-        hub.stop()
-        hubs.remove(topicFn)
+  /** Cursor-paged frames from the earliest position up to (and including)
+    * the high-water mark — each page one bounded, segment-pruned top-k
+    * scan; no page is held longer than the caller takes to write it.
+    */
+  private def backlogPages(topicFn: String,
+      high: (java.sql.Timestamp, String)): Iterator[Frame] = {
+    val PageRows  = 1024
+    val (ht, hm)  = high
+    var cursor    = Option.empty[(java.sql.Timestamp, String)]
+    var exhausted = false
+    new Iterator[Array[Frame]] {
+      def hasNext: Boolean = !exhausted
+      def next(): Array[Frame] = {
+        val base = topics.read(topicFn)
+          .select("publishTime", "messageId", "payload")
+          .where(col("publishTime") < ht ||
+            (col("publishTime") === ht && col("messageId") <= hm))
+        val fresh = cursor match {
+          case None => base
+          case Some((t, m)) =>
+            base.where(col("publishTime") > t ||
+              (col("publishTime") === t && col("messageId") > m))
+        }
+        val page = fresh.orderBy("publishTime", "messageId").limit(PageRows).collect()
+        if (page.length < PageRows) exhausted = true
+        page.lastOption.foreach(r => cursor =
+          Some((r.getAs[java.sql.Timestamp]("publishTime"), r.getAs[String]("messageId"))))
+        page.map(r => Frame(r.getAs[String]("messageId"), r.getAs[Array[Byte]]("payload")))
+      }
+    }.flatten
+  }
+
+  /** Drop a connection; the topic's query stops when the last one leaves.
+    * The (potentially blocking) query stop runs OUTSIDE the global lock so
+    * other topics' subscriptions never wait behind it.
+    */
+  def unsubscribe(topicFn: String, id: Long): Unit = {
+    val toStop = synchronized {
+      hubs.get(topicFn).flatMap { hub =>
+        hub.subs.remove(id)
+        if (hub.subs.isEmpty) { hubs.remove(topicFn); Some(hub) } else None
       }
     }
+    toStop.foreach(_.stop())
   }
 
   def stopAll(): Unit = synchronized {

@@ -157,7 +157,14 @@ final class TopicTable(spark: SparkSession, baseDir: String) {
     val f = cursorFile(topicFn, sub)
     f.getParentFile.mkdirs()
     val micros = pos._1.getTime * 1000L + (pos._1.getNanos % 1000000L) / 1000L
-    java.nio.file.Files.write(f.toPath, s"$micros\t${pos._2}\n".getBytes("UTF-8"))
+    // write-then-ATOMIC_MOVE (same pattern as registerSegments): a crash
+    // mid-write must not leave a torn cursor that silently resets the
+    // subscription to earliest and re-delivers acked history
+    val tmp = java.nio.file.Files.createTempFile(f.getParentFile.toPath, ".cursor-", ".tmp")
+    java.nio.file.Files.write(tmp, s"$micros\t${pos._2}\n".getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, f.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   // Concurrent polls on one subscription serialize (a Pulsar consumer's
@@ -202,9 +209,9 @@ final class TopicTable(spark: SparkSession, baseDir: String) {
       val pos = (r.getAs[java.sql.Timestamp]("publishTime"), r.getAs[String]("messageId"))
       if (resumable) saveCursor(topicFn, subscription, pos)
       cursors.put(key, pos)
+      ()
     }
-    if (subscription.startsWith(graft.model.ConsumerParams.NonResumablePrefix))
-      cursors.remove(key)
+    if (!resumable) cursors.remove(key)
     rows
   }
 

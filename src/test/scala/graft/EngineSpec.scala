@@ -225,7 +225,7 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val hub    = new graft.streaming.SseHub(topics, triggerMs = 150, queueCapacity = 2)
     val fn     = "persistent://tenant-k/ns/slow"
     try {
-      val (_, queue) = hub.subscribe(fn, earliest = false)
+      val (_, queue, _) = hub.subscribe(fn, earliest = false)
       // 4 messages into a capacity-2 queue nobody drains → overflow kick;
       // the stalled client never polls, so the sentinel lands IN the queue
       (1 to 4).foreach(i => topics.ingestPayload(s"k$i".getBytes, fn))
