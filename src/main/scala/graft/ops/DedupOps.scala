@@ -155,17 +155,24 @@ object DedupOps {
       |      GROUP BY doc_id, i)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   ) { (s, dir) =>
-    // md5 hoisted ABOVE the 32-way bit explode: one digest per word, then
-    // the per-bit rows only substr into it (round 1 ran 32 md5s per word).
+    // Shuffle-free: SimHash is a per-document scalar, so the whole signature
+    // is computed row-local with higher-order functions — one md5 per word
+    // (transform), a 32-lane ±1 fold (aggregate + zip_with), then the sign
+    // bits packed into a long. Round 2 exploded words ×32 bit-lanes into a
+    // groupBy(doc_id, i) — ~300M shuffled rows at sf0.1, the suite's worst
+    // query under load; this plan shuffles nothing but the final sort.
+    val bits = sequence(lit(1), lit(32))
+    val contribs = aggregate(
+      transform(split(col("text"), " "), w => md5(w)),
+      array_repeat(lit(0), 32),
+      (acc, h) => zip_with(acc, bits, (a, i) =>
+        a + when(ascii(h.substr(i, lit(1))) % 2 === 1, 1).otherwise(-1)))
+    val packed = aggregate(
+      zip_with(contribs, bits, (a, i) =>
+        when(a > 0, pow(lit(2), i - 1).cast("long")).otherwise(0L)),
+      lit(0L), (acc, v) => acc + v)
     docs(s, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .select(col("doc_id"), md5(col("w")).as("h"))
-      .withColumn("i", explode(sequence(lit(1), lit(32))))
-      .groupBy("doc_id", "i")
-      .agg(sum(when(ascii(col("h").substr(col("i"), lit(1))) % 2 === 1, 1)
-        .otherwise(-1)).as("s"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("s") > 0, pow(lit(2), col("i") - 1).cast("long")).otherwise(0L)).as("simhash"))
+      .select(col("doc_id"), packed.as("simhash"))
       .orderBy("doc_id")
   }
 

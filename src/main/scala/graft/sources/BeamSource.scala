@@ -57,7 +57,7 @@ final class BeamSource extends TableProvider with DataSourceRegister {
     val path = Option(properties.get("path"))
       .getOrElse(throw new IllegalArgumentException("beam source requires a path"))
     new BeamTable(path, Option(properties.get("maxSegmentsPerTrigger")).map(_.toInt),
-      Option(properties.get("startingPosition")).contains("latest"))
+      Option(properties.get("startingPosition")).getOrElse("earliest"))
   }
 }
 
@@ -155,7 +155,7 @@ object BeamSource {
 }
 
 final class BeamTable(path: String, maxSegmentsPerTrigger: Option[Int] = None,
-    startAtLatest: Boolean = false)
+    startingPosition: String = "earliest")
     extends Table with SupportsRead {
   override def name(): String = s"beam:$path"
   override def schema(): StructType = BeamSource.schema
@@ -165,14 +165,13 @@ final class BeamTable(path: String, maxSegmentsPerTrigger: Option[Int] = None,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val maxSeg = Option(options.get("maxSegmentsPerTrigger")).map(_.toInt)
       .orElse(maxSegmentsPerTrigger)
-    val latest = Option(options.get("startingPosition")).map(_ == "latest")
-      .getOrElse(startAtLatest)
-    new BeamScanBuilder(path, maxSeg, latest)
+    val startPos = Option(options.get("startingPosition")).getOrElse(startingPosition)
+    new BeamScanBuilder(path, maxSeg, startPos)
   }
 }
 
 final class BeamScanBuilder(path: String, maxSegmentsPerTrigger: Option[Int] = None,
-    startAtLatest: Boolean = false)
+    startingPosition: String = "earliest")
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = BeamSource.schema
   private var bound: Option[(Long, Boolean)] = None
@@ -195,13 +194,13 @@ final class BeamScanBuilder(path: String, maxSegmentsPerTrigger: Option[Int] = N
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pruning
 
   override def build(): Scan =
-    new BeamScan(path, required, bound, maxSegmentsPerTrigger, startAtLatest)
+    new BeamScan(path, required, bound, maxSegmentsPerTrigger, startingPosition)
 }
 
 final class BeamScan(path: String, required: StructType,
     bound: Option[(Long, Boolean)],
     maxSegmentsPerTrigger: Option[Int] = None,
-    startAtLatest: Boolean = false) extends Scan with SupportsReportStatistics {
+    startingPosition: String = "earliest") extends Scan with SupportsReportStatistics {
 
   /** Size estimate = bytes of the surviving (post-pruning) segments —
     * lets Catalyst auto-broadcast a small topic table into a join.
@@ -238,7 +237,7 @@ final class BeamScan(path: String, required: StructType,
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new BeamMicroBatchStream(path, required, maxSegmentsPerTrigger, startAtLatest)
+    new BeamMicroBatchStream(path, required, maxSegmentsPerTrigger, startingPosition)
 }
 
 final case class BeamInputPartition(file: String) extends InputPartition
@@ -259,17 +258,25 @@ final case class BeamOffset(count: Long) extends Offset {
   */
 final class BeamMicroBatchStream(path: String, required: StructType,
     maxSegmentsPerTrigger: Option[Int] = None,
-    startAtLatest: Boolean = false)
+    startingPosition: String = "earliest")
     extends MicroBatchStream with SupportsAdmissionControl {
 
   /** `startingPosition=latest` subscribes at the current end of the topic
-    * (the kafka-style `startingOffsets` contract); the default replays from
-    * the beginning. Only consulted on a FRESH checkpoint — recovery always
-    * resumes from the committed offset.
+    * (the kafka-style `startingOffsets` contract); `offset:<n>` starts at an
+    * EXPLICIT segment-count offset the caller captured synchronously before
+    * `query.start()` — `latest` resolves here, on the stream's execution
+    * thread, AFTER start() returns, so a caller that snapshots any state
+    * between start() and this resolution (the SSE hub's subscriber
+    * high-water mark) must pin the start position itself or a segment
+    * registered in that window is silently skipped. The default replays
+    * from the beginning. Only consulted on a FRESH checkpoint — recovery
+    * always resumes from the committed offset.
     */
-  override def initialOffset(): Offset =
-    if (startAtLatest) BeamOffset(BeamSource.listSegments(path).size.toLong)
-    else BeamOffset(0)
+  override def initialOffset(): Offset = startingPosition match {
+    case "latest" => BeamOffset(BeamSource.listSegments(path).size.toLong)
+    case s if s.startsWith("offset:") => BeamOffset(s.stripPrefix("offset:").toLong)
+    case _ => BeamOffset(0)
+  }
 
   override def latestOffset(): Offset = BeamOffset(BeamSource.listSegments(path).size.toLong)
 

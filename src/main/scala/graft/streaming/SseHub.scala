@@ -54,6 +54,12 @@ final class SseHub(
   private final class Hub(fn: String) {
     val subs = TrieMap.empty[Long, Sub]
     @volatile var query: StreamingQuery = _
+    /** Highest (publishTime, messageId) this hub has pushed to any
+      * subscriber — monotone, advanced only under the hub lock. Lets
+      * subscribe() close the gap between its (un-locked) high-water Spark
+      * job and registration without re-running the job under the lock.
+      */
+    @volatile var delivered: Option[(java.sql.Timestamp, String)] = None
     val checkpoint: String =
       s"$checkpointRoot/${graft.model.Keys.sha1Hex(fn)}-${System.nanoTime()}"
 
@@ -87,12 +93,21 @@ final class SseHub(
     }
 
     def start(): Unit = {
-      // startingPosition=latest: the hub never replays the backlog —
-      // per-connection `earliest` is served by a one-shot snapshot in
-      // subscribe(), so the stream only ever carries NEW segments, and a
-      // deep topic history cannot land in the first micro-batch.
-      // maxSegmentsPerTrigger bounds each batch's collect().
-      query = topics.readStream(fn, startingPosition = "latest", maxSegmentsPerTrigger = Some(64))
+      // The stream starts at an EXPLICIT offset captured here, synchronously,
+      // BEFORE query.start() — `latest` would resolve its initial offset on
+      // the MicroBatchExecution thread after start() returns, so a message
+      // published after a subscriber's high-water snapshot but before that
+      // async resolution would be covered by neither the backlog (≤ H) nor
+      // the stream (starts past its segment): a silent gap. With the offset
+      // pinned first, every segment registered after hub start is in the
+      // stream, and anything earlier is ≤ every subscriber's H by
+      // construction. The hub still never replays deep history — segments
+      // before the pinned offset are served per-connection by the
+      // subscribe() backlog snapshot; maxSegmentsPerTrigger bounds each
+      // batch's collect().
+      val startOffset = topics.endOffset(fn)
+      query = topics.readStream(fn, startingPosition = s"offset:$startOffset",
+          maxSegmentsPerTrigger = Some(64))
         .writeStream
         .queryName(s"sse-${graft.model.Keys.sha1Hex(fn)}")
         .option("checkpointLocation", checkpoint)
@@ -105,6 +120,13 @@ final class SseHub(
           if (rows.nonEmpty) Hub.this.synchronized {
             val kicked = subs.filter { case (_, sub) => !push(sub, rows) }
             kicked.keys.foreach(subs.remove)
+            // advance the hub watermark even when no subscriber is
+            // registered — subscribe() relies on it covering every frame
+            // the stream has already carried past
+            val last = rows.last
+            delivered = laterOf(delivered,
+              Some((last.getAs[java.sql.Timestamp]("publishTime"),
+                last.getAs[String]("messageId"))))
           }
         }
         .start()
@@ -120,6 +142,15 @@ final class SseHub(
       rm(new java.io.File(checkpoint))
     }
   }
+
+  /** Later of two (publishTime, messageId) positions; None = −∞. */
+  private def laterOf(a: Option[(java.sql.Timestamp, String)],
+      b: Option[(java.sql.Timestamp, String)]): Option[(java.sql.Timestamp, String)] =
+    (a, b) match {
+      case (Some((at, am)), Some((bt, bm))) =>
+        if (bt.after(at) || (bt.equals(at) && bm > am)) b else a
+      case (x, y) => x.orElse(y)
+    }
 
   private val hubs   = TrieMap.empty[String, Hub]
   private val nextId = new AtomicLong(0)
@@ -155,13 +186,21 @@ final class SseHub(
     }
     val sub = new Sub(new LinkedBlockingQueue[Frame](queueCapacity))
     val id  = nextId.incrementAndGet()
-    // high-water mark H, then register AT H under the topic's lock
+    // High-water mark H0 is a full Spark job — run it OUTSIDE the hub lock
+    // (under it, a slow job would stall frame delivery for every existing
+    // subscriber of the topic, backing live queues up toward the overflow
+    // kick). The H0→registration gap is closed under the lock with the
+    // hub's own delivered watermark: any frame the stream carried past
+    // while H0 was running advanced `delivered`, so H = max(H0, delivered)
+    // restores the splice invariant — the stream only enqueues > H for this
+    // subscriber, and the backlog pages ≤ H from durable segments.
+    val h0 = topics.read(topicFn)
+      .select("publishTime", "messageId")
+      .orderBy(col("publishTime").desc, col("messageId").desc)
+      .limit(1).collect().headOption
+      .map(r => (r.getAs[java.sql.Timestamp]("publishTime"), r.getAs[String]("messageId")))
     val high = hub.synchronized {
-      val h = topics.read(topicFn)
-        .select("publishTime", "messageId")
-        .orderBy(col("publishTime").desc, col("messageId").desc)
-        .limit(1).collect().headOption
-        .map(r => (r.getAs[java.sql.Timestamp]("publishTime"), r.getAs[String]("messageId")))
+      val h = laterOf(h0, hub.delivered)
       sub.last = h
       hub.subs.put(id, sub)
       h

@@ -26,6 +26,14 @@ final class TopicTable(spark: SparkSession, baseDir: String) {
 
   val schema: StructType = graft.sources.BeamSource.schema
 
+  // Segments carry INT64-micros timestamps (not legacy INT96) so parquet
+  // footer min/max statistics on publishTime are usable — the beam source
+  // prunes whole segments under a poll cursor's bound. Parquet exposes no
+  // per-write option for this, only the session conf; set it ONCE here
+  // rather than on every ingest (a per-ingest set is racy against
+  // concurrent writers expecting the prior value).
+  spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+
   /** Ingest (O-1/O-4): stamp eventTime=now, a `PulsarBeamId` uuid property,
     * publishTime, and a per-row messageId, then append. `async` mirrors
     * O-5: fire-and-forget keeps default commit semantics; sync forces the
@@ -38,8 +46,14 @@ final class TopicTable(spark: SparkSession, baseDir: String) {
       .withColumn("eventTime", coalesce(col("eventTime"), current_timestamp()))
       .withColumn("publishTime", current_timestamp())
       .withColumn("messageId",
-        concat_ws(":", unix_millis(current_timestamp()), spark_partition_id(),
-          monotonically_increasing_id()))
+        // Zero-padded components: every cursor/watermark in the engine
+        // (pollBatch, durable cursors, SSE splice) totally orders messages
+        // by (publishTime, messageId) with STRING comparison on the id, so
+        // string order must equal numeric order — unpadded '10:...' would
+        // sort below '9:...' within one multi-row ingest and be skipped
+        // past by an already-persisted cursor.
+        format_string("%013d:%010d:%020d", unix_millis(current_timestamp()),
+          spark_partition_id(), monotonically_increasing_id()))
       .withColumn("key", coalesce(col("key"), lit("")))
       .withColumn("props",
         map_concat(coalesce(col("props"), map()), map(lit("PulsarBeamId"), expr("uuid()"))))
@@ -54,11 +68,6 @@ final class TopicTable(spark: SparkSession, baseDir: String) {
     val staging = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(baseDir), ".staging-")
     try {
-      // Segments carry INT64-micros timestamps (not legacy INT96) so
-      // parquet footer min/max statistics on publishTime are usable — the
-      // beam source prunes whole segments under a poll cursor's bound.
-      // (Session-scoped conf: parquet exposes no per-write option for it.)
-      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       out.write.mode("overwrite").parquet(staging.toString)
       registerSegments(topicFn, staging.toFile)
     } finally {
@@ -84,10 +93,30 @@ final class TopicTable(spark: SparkSession, baseDir: String) {
         .filter(f => f.isFile && f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
         .sortBy(_.getName)
         .foreach { f =>
-          val n = seq.incrementAndGet()
-          java.nio.file.Files.move(f.toPath,
-            new java.io.File(d, f"$n%020d-${f.getName}").toPath,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          // Publish via an atomic hard-link claim, not ATOMIC_MOVE: POSIX
+          // rename silently REPLACES an existing target, so two TopicTable
+          // instances over one baseDir whose counters collide would lose a
+          // committed segment. link(2) fails with EEXIST instead — on a
+          // collision the counter is re-synced from the directory listing
+          // and the claim retried under the next free sequence number. The
+          // staged file is complete before the link, so readers only ever
+          // see fully-formed segments, and the listing stays append-only.
+          var assigned = false
+          while (!assigned) {
+            val n = seq.incrementAndGet()
+            val target = new java.io.File(d, f"$n%020d-${f.getName}").toPath
+            try {
+              java.nio.file.Files.createLink(target, f.toPath)
+              java.nio.file.Files.delete(f.toPath)
+              assigned = true
+            } catch {
+              case _: java.nio.file.FileAlreadyExistsException =>
+                val taken = Option(d.listFiles()).getOrElse(Array.empty)
+                  .flatMap(s => s.getName match { case SeqName(m) => Some(m.toLong); case _ => None })
+                if (taken.nonEmpty) seq.updateAndGet(cur => math.max(cur, taken.max))
+                ()
+            }
+          }
         }
     }
   }
@@ -106,6 +135,16 @@ final class TopicTable(spark: SparkSession, baseDir: String) {
 
   def exists(topicFn: String): Boolean =
     new java.io.File(dir(topicFn)).exists()
+
+  /** Current end of the topic in the beam stream's offset domain (count of
+    * committed segments). Captured SYNCHRONOUSLY by callers that need a
+    * fixed stream start position (`readStream(startingPosition=
+    * "offset:<n>")`) — `latest` resolves its initial offset lazily on the
+    * stream thread, so a segment registered between `query.start()` and
+    * that resolution would be silently skipped.
+    */
+  def endOffset(topicFn: String): Long =
+    graft.sources.BeamSource.listSegments(dir(topicFn)).size.toLong
 
   /** Batch scan over everything published so far, through the DSv2
     * connector (`format("beam")`, SURVEY.md §4.2): one partition per

@@ -128,6 +128,43 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t2.pollBatch(fn, "dur-sub", 5).isEmpty) // acked messages stay acked
   }
 
+  test("messageId string order equals numeric order (padded components)") {
+    val topics = new TopicTable(spark, tmp("graft-topics-mid"))
+    val fn     = "persistent://tenant-m/ns/mid-order"
+    import spark.implicits._
+    // one multi-partition ingest: identical publishTime across rows, so the
+    // messageId STRING is the order tiebreaker for every cursor in the
+    // engine (pollBatch, durable cursors, the SSE watermark) — unpadded
+    // components would sort '10:...' below '9:...' and skip messages
+    val df = (1 to 40).map(i => (s"p$i".getBytes, Option.empty[java.sql.Timestamp],
+        Option.empty[String], Map.empty[String, String]))
+      .toDF("payload", "eventTime", "key", "props").repartition(12)
+    topics.ingest(df, fn)
+    val ids = topics.read(fn).collect().map(_.getAs[String]("messageId")).toSeq
+    val Pad = """^(\d{13}):(\d{10}):(\d{20})$""".r
+    assert(ids.nonEmpty && ids.forall(Pad.findFirstIn(_).isDefined))
+    val numeric = ids.sortBy { case Pad(a, b, c) => (a.toLong, b.toLong, BigInt(c)) }
+    assert(ids.sorted == numeric)
+  }
+
+  test("two TopicTable instances over one baseDir never lose a committed segment") {
+    val base = tmp("graft-topics-twin")
+    val fn   = "persistent://tenant-w/ns/twin"
+    val t1   = new TopicTable(spark, base)
+    val t2   = new TopicTable(spark, base)
+    // Interleaved writers: both counters initialize from the same on-disk
+    // max, so their next sequence numbers COLLIDE — a rename-based publish
+    // would silently replace the other instance's committed segment; the
+    // link(2) claim detects the collision and re-sequences instead.
+    (1 to 3).foreach { i =>
+      t1.ingestPayload(s"a$i".getBytes, fn)
+      t2.ingestPayload(s"b$i".getBytes, fn)
+    }
+    val payloads = t1.read(fn).collect()
+      .map(r => new String(r.getAs[Array[Byte]]("payload"))).toSet
+    assert(payloads == (1 to 3).flatMap(i => Seq(s"a$i", s"b$i")).toSet)
+  }
+
   // --- e2e webhook pipeline (ref e2etest.go:19-27) ---
 
   test("webhook pipeline delivers, replies re-ingest, reconcile stops") {
@@ -234,6 +271,25 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       var i = 0
       while (!hasSentinel && i < 60) { Thread.sleep(250); i += 1 }
       assert(hasSentinel, "expected the Overflow sentinel for a stalled subscriber")
+    } finally hub.stopAll()
+  }
+
+  test("SSE subscribe on a fresh hub delivers a message published immediately after (no init race)") {
+    val topics = new TopicTable(spark, tmp("graft-topics-ssefresh"))
+    val hub    = new graft.streaming.SseHub(topics, triggerMs = 150)
+    val fn     = "persistent://tenant-f/ns/fresh"
+    try {
+      val (_, queue, backlog) = hub.subscribe(fn, earliest = false)
+      assert(backlog.isEmpty)
+      // Published right after subscribe() returns: with a `latest` start the
+      // stream's initial offset resolved asynchronously AFTER query.start(),
+      // so this message could land between the subscriber's high-water
+      // snapshot and the stream's first-seen segment — covered by neither
+      // the backlog nor the stream. The pinned `offset:<n>` start makes its
+      // delivery deterministic.
+      topics.ingestPayload("live-1".getBytes, fn)
+      val frame = queue.poll(60, java.util.concurrent.TimeUnit.SECONDS)
+      assert(frame != null && new String(frame.payload) == "live-1")
     } finally hub.stopAll()
   }
 
