@@ -32,7 +32,12 @@ object PlanAudit {
     "x05_cosine_neardup" -> Seq("dot_f32", "codegen id"),
     // dedup pack: band/shingle joins are equi joins, never nested loops
     "x02_minhash_lsh"   -> Seq("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
-    "x04_ngram_jaccard" -> Seq("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"))
+    "x04_ngram_jaccard" -> Seq("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+    // contamination: the benchmark gram set is BROADCAST — the corpus side
+    // (the 100 TB side) must never shuffle for the join
+    "x27_contamination" -> Seq("BroadcastHashJoin", "BroadcastExchange"),
+    // packing is one exchange on source + in-partition running sum
+    "x29_seq_packing" -> Seq("WindowExec|Window", "codegen id"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

@@ -1,0 +1,199 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline pack 2 (builder mandate: "the operations a
+  * large-scale training-data pipeline would need", beyond the x01-x13
+  * dedup/similarity/text/multimodal packs): corpus-level chunk dedup stats,
+  * in-document repetition scoring (the Gopher-style quality signal),
+  * benchmark-contamination detection, deterministic hash sampling,
+  * greedy sequence packing, and stratified per-source selection.
+  *
+  * Scale notes (100 TB):
+  *  - Everything per-document (x26, x28) is a single codegen'd projection —
+  *    no shuffle at all beyond the final aggregate/sort.
+  *  - Chunk/gram sets (x25, x27) are digest-keyed BEFORE any exchange, so
+  *    shuffles move 16-byte hashes, never raw text (the x01/x02 rule).
+  *  - The contamination check (x27) broadcasts the BENCHMARK gram set — the
+  *    eval suite is tiny next to the corpus, so the 100 TB side is never
+  *    shuffled: scan → hash → broadcast-hash-join, the same shape used in
+  *    production decontamination passes.
+  *  - Sequence packing (x29) is one hash exchange on `source` + an
+  *    in-partition running sum — the grouping key is the pack-stream
+  *    identity, so bins never cross executors.
+  */
+object PipelineOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "documents")
+
+  /** Chunk-level dedup stats (CCNet-style paragraph dedup, adapted to the
+    * corpus's single-line documents): non-overlapping 8-word chunks, hashed,
+    * duplication counted per source. At scale: one exchange of md5 digests.
+    */
+  val chunkDedup: Q = Q(
+    "x25_chunk_dedup",
+    """WITH chunks AS (
+      |  SELECT source, md5(array_to_string(list_slice(w, 8*i+1, 8*i+8), ' ')) AS ch
+      |  FROM (SELECT source, string_split(text,' ') AS w FROM documents),
+      |       LATERAL (SELECT unnest(generate_series(0, CAST(len(w)//8 AS BIGINT) - 1)) AS i) g)
+      |SELECT source, count(*) AS n_chunks,
+      |       CAST(count(DISTINCT ch) AS BIGINT) AS n_distinct,
+      |       CAST(count(*) - count(DISTINCT ch) AS BIGINT) AS n_dup
+      |FROM chunks GROUP BY source ORDER BY source""".stripMargin
+  ) { (s, dir) =>
+    val w = split(col("text"), " ")
+    docs(s, dir)
+      .select(col("source"),
+        explode(when(size(w) >= 8,
+          transform(sequence(lit(0), floor(size(w) / lit(8)).cast("int") - 1),
+            i => md5(array_join(slice(w, i * 8 + 1, lit(8)), " "))))
+          .otherwise(array().cast("array<string>"))).as("ch"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        countDistinct(col("ch")).as("n_distinct"),
+        (count(lit(1)) - countDistinct(col("ch"))).as("n_dup"))
+      .orderBy("source")
+  }
+
+  /** In-document repetition score (repeated-bigram fraction — the Gopher
+    * repetition quality gate). Integer parts-per-million, not a double
+    * ratio: `(dup * 1e6) div total` is exact integer arithmetic on both
+    * engines, so no float-rounding divergence is possible. Entirely
+    * row-local — zero shuffle before the final sort.
+    */
+  val repetitionScore: Q = Q(
+    "x26_repetition",
+    """SELECT doc_id, CAST(len(bg) AS BIGINT) AS n_bigrams,
+      |       CAST(len(list_distinct(bg)) AS BIGINT) AS n_unique,
+      |       CAST((len(bg) - len(list_distinct(bg))) * 1000000 // len(bg) AS BIGINT) AS rep_ppm
+      |FROM (SELECT doc_id, list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1]) AS bg
+      |      FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)
+      |      WHERE len(w) >= 2)
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val w  = split(col("text"), " ")
+    val bg = transform(sequence(lit(1), size(w) - 1), i =>
+      concat(element_at(w, i), lit(" "), element_at(w, i + 1)))
+    docs(s, dir)
+      .where(size(w) >= 2)
+      .select(col("doc_id"), size(bg).cast("long").as("n_bigrams"),
+        size(array_distinct(bg)).cast("long").as("n_unique"))
+      .withColumn("rep_ppm", expr("(n_bigrams - n_unique) * 1000000 div n_bigrams"))
+      .orderBy("doc_id")
+  }
+
+  /** Benchmark contamination check: corpus documents sharing any 8-word
+    * gram with the held-out benchmark split (here the deterministic
+    * doc_id%10=0 slice stands in for an eval suite). The benchmark gram set
+    * is tiny relative to the corpus, so it is BROADCAST — the 100 TB side
+    * is scanned once, hashed, and joined map-side with no shuffle.
+    */
+  val contamination: Q = Q(
+    "x27_contamination",
+    """WITH grams AS (
+      |  SELECT doc_id, md5(array_to_string(list_slice(w, i, i+7), ' ')) AS g
+      |  FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+      |       LATERAL (SELECT unnest(generate_series(1, len(w)-7)) AS i) s),
+      |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0),
+      |corpus AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 10 <> 0)
+      |SELECT corpus.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+      |FROM corpus JOIN bench USING (g)
+      |GROUP BY corpus.doc_id ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val w = split(col("text"), " ")
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"),
+        explode(when(size(w) >= 8,
+          transform(sequence(lit(1), size(w) - 7),
+            i => md5(array_join(slice(w, i, lit(8)), " "))))
+          .otherwise(array().cast("array<string>"))).as("g"))
+    val d      = docs(s, dir)
+    val bench  = grams(d.where(col("doc_id") % 10 === 0)).select("g").distinct()
+    val corpus = grams(d.where(col("doc_id") % 10 =!= 0)).distinct()
+    corpus.join(broadcast(bench), "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic content-hash sampling (~10%): a document is selected iff
+    * the first 16 bits of md5(text) fall under the rate threshold — stable
+    * across runs, engines, and cluster sizes (no RNG, no seed plumbing),
+    * and stratified counts per source verify the rate. Pure projection +
+    * one aggregate at any scale.
+    */
+  val hashSample: Q = Q(
+    "x28_hash_sample",
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_total,
+      |       CAST(sum(CASE WHEN CAST('0x' || substr(md5(text),1,4) AS INTEGER) < 6554 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  ) { (s, dir) =>
+    docs(s, dir)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(conv(substring(md5(col("text")), 1, 4), 16, 10).cast("int") < 6554, 1)
+          .otherwise(0)).cast("long").as("n_sampled"))
+      .orderBy("source")
+  }
+
+  /** Greedy sequence packing: documents in doc_id order per source are
+    * appended into 512-token bins (a doc opens a new bin when the running
+    * total before it crosses the boundary) — the token-budget batching step
+    * in front of tokenizer sharding. One hash exchange on `source`, then a
+    * purely in-partition running sum.
+    */
+  val seqPacking: Q = Q(
+    "x29_seq_packing",
+    """SELECT source, CAST((cum - n_tokens) // 512 AS BIGINT) AS bin,
+      |       CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+      |FROM (SELECT source, len(string_split(text,' ')) AS n_tokens,
+      |             sum(len(string_split(text,' '))) OVER (PARTITION BY source ORDER BY doc_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |      FROM documents)
+      |GROUP BY source, bin ORDER BY source, bin""".stripMargin
+  ) { (s, dir) =>
+    val wspec = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(wspec))
+      .withColumn("bin", expr("(cum - n_tokens) div 512"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+      .orderBy("source", "bin")
+  }
+
+  /** Stratified selection: top-5 documents per (source, lang) stratum by
+    * lexical diversity (unique-word count), the keep-the-best-per-domain
+    * curation step. Window top-k over the stratum key — one exchange, no
+    * global sort.
+    */
+  val stratifiedTopK: Q = Q(
+    "x30_stratified_topk",
+    """SELECT source, lang, rn, doc_id, n_unique FROM (
+      |  SELECT source, lang, doc_id,
+      |         CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_unique,
+      |         row_number() OVER (PARTITION BY source, lang
+      |           ORDER BY len(list_distinct(string_split(text,' '))) DESC, doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= 5 ORDER BY source, lang, rn""".stripMargin
+  ) { (s, dir) =>
+    val nUnique = size(array_distinct(split(col("text"), " "))).cast("long")
+    val wspec   = Window.partitionBy("source", "lang")
+      .orderBy(col("n_unique").desc, col("doc_id"))
+    docs(s, dir)
+      .select(col("source"), col("lang"), col("doc_id"), nUnique.as("n_unique"))
+      .withColumn("rn", row_number().over(wspec).cast("long"))
+      .where(col("rn") <= 5)
+      .select("source", "lang", "rn", "doc_id", "n_unique")
+      .orderBy("source", "lang", "rn")
+  }
+
+  val all: Seq[Q] = Seq(chunkDedup, repetitionScore, contamination, hashSample,
+    seqPacking, stratifiedTopK)
+}

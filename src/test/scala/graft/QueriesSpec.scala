@@ -37,7 +37,8 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // One test per operator: runs, has its declared total order, and the
   // queries that must be non-empty at sf0.001 are non-empty.
-  private val mayBeEmpty = Set("r04_reconcile_diff", "t05_forecast_revenue")
+  private val mayBeEmpty =
+    Set("r04_reconcile_diff", "t05_forecast_revenue", "x27_contamination")
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs and is well-formed") {
       val df   = fn(spark, sfDir)
@@ -66,6 +67,64 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     // every high-jaccard pair (>= 0.6) should surface as an LSH candidate
     val missed = jac -- lsh
     assert(missed.isEmpty, s"LSH missed high-jaccard pairs: $missed")
+  }
+
+  test("x25 chunk-dedup counts are consistent (n_dup = n_chunks - n_distinct)") {
+    val rows = SparkEntry.queries("x25_chunk_dedup")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_dup") == r.getAs[Long]("n_chunks") - r.getAs[Long]("n_distinct"))
+      assert(r.getAs[Long]("n_dup") >= 0)
+    }
+  }
+
+  test("x27 contamination only ever flags corpus documents, never the benchmark split") {
+    val rows = SparkEntry.queries("x27_contamination")(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 10 != 0, "benchmark doc flagged as contaminated")
+      assert(r.getAs[Long]("n_hits") > 0)
+    }
+  }
+
+  test("x28 hash sampling is deterministic and in a sane rate band") {
+    val a = SparkEntry.queries("x28_hash_sample")(spark, sfDir).collect()
+    val b = SparkEntry.queries("x28_hash_sample")(spark, sfDir).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq) // content-hash, not RNG
+    val total   = a.map(_.getAs[Long]("n_total")).sum
+    val sampled = a.map(_.getAs[Long]("n_sampled")).sum
+    // 10% nominal; the sf0.001 corpus is 50 docs, so allow a wide band
+    assert(sampled >= 0 && sampled <= total * 3 / 10)
+  }
+
+  test("x29 packing bins conserve tokens and number contiguously from 0") {
+    val rows = SparkEntry.queries("x29_seq_packing")(spark, sfDir).collect()
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    assert(bySource.nonEmpty)
+    bySource.foreach { case (_, rs) =>
+      val bins = rs.map(_.getAs[Long]("bin")).sorted.toSeq
+      assert(bins == (0L until bins.length).toSeq, "bins must be contiguous from 0")
+      assert(rs.map(_.getAs[Long]("bin_tokens")).sum > 0)
+    }
+    // token conservation: packed totals equal raw per-source token counts
+    import org.apache.spark.sql.functions.{col => c, size => sz, split => sp, sum => su}
+    val raw = graft.ops.Tables(spark, sfDir, "documents")
+      .groupBy("source").agg(su(sz(sp(c("text"), " ")).cast("long")).as("t"))
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("t")).toMap
+    bySource.foreach { case (src, rs) =>
+      assert(rs.map(_.getAs[Long]("bin_tokens")).sum == raw(src))
+    }
+  }
+
+  test("x30 stratified top-k ranks by diversity within each stratum") {
+    val rows = SparkEntry.queries("x30_stratified_topk")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(r => (r.getAs[String]("source"), r.getAs[String]("lang"))).foreach {
+      case (_, rs) =>
+        val sorted = rs.sortBy(_.getAs[Long]("rn"))
+        assert(sorted.map(_.getAs[Long]("rn")).toSeq == (1L to sorted.length).toSeq)
+        val uniques = sorted.map(_.getAs[Long]("n_unique")).toSeq
+        assert(uniques == uniques.sorted.reverse, "n_unique must be non-increasing by rank")
+    }
   }
 
   test("x04 df-cap is behavior-neutral below the cap (0.6 threshold)") {
