@@ -172,6 +172,10 @@ object DedupOps {
         when(a > 0, pow(lit(2), i - 1).cast("long")).otherwise(0L)),
       lit(0L), (acc, v) => acc + v)
     docs(s, dir)
+      // NULL-text parity with the oracle: unnest over a NULL word list
+      // emits no rows (doc omitted), while a row-local aggregate would
+      // emit (doc_id, NULL) — so filter NULL docs out explicitly.
+      .where(col("text").isNotNull)
       .select(col("doc_id"), packed.as("simhash"))
       .orderBy("doc_id")
   }

@@ -112,10 +112,15 @@ object PipelineOps {
           .otherwise(array().cast("array<string>"))).as("g"))
     val d      = docs(s, dir)
     val bench  = grams(d.where(col("doc_id") % 10 === 0)).select("g").distinct()
-    val corpus = grams(d.where(col("doc_id") % 10 =!= 0)).distinct()
+    // The corpus gram stream joins RAW (no pre-distinct): a distinct first
+    // would shuffle every corpus gram — the whole 100 TB side — before the
+    // map-side join. Joining first means the broadcast filter drops
+    // non-matches at the scan, and only the (tiny) matched set reaches the
+    // countDistinct aggregate, whose partial phase dedups map-side anyway.
+    val corpus = grams(d.where(col("doc_id") % 10 =!= 0))
     corpus.join(broadcast(bench), "g")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_hits"))
+      .agg(countDistinct(col("g")).as("n_hits"))
       .orderBy("doc_id")
   }
 

@@ -72,6 +72,32 @@ object BeamSource {
     StructField("key", StringType),
     StructField("props", MapType(StringType, StringType))))
 
+  /** Parse/validate a `startingPosition` option value: `earliest` (replay
+    * all), `latest` (resolved to the live segment count at initialOffset
+    * time), or `offset:<n>` (an explicit non-negative segment-count offset).
+    * Returns None for `latest` — it is resolved lazily; callers needing a
+    * pinned position pass `offset:<n>` (see BeamMicroBatchStream scaladoc).
+    * Anything else throws, so typos fail fast instead of silently replaying
+    * full history.
+    */
+  def parseStartingPosition(s: String): Option[Long] = s match {
+    case "earliest" => Some(0L)
+    case "latest"   => None
+    case off if off.startsWith("offset:") =>
+      val n = off.stripPrefix("offset:")
+      val v = try n.toLong catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"beam startingPosition offset must be a long: '$s'")
+      }
+      if (v < 0) throw new IllegalArgumentException(
+        s"beam startingPosition offset must be >= 0: '$s'")
+      Some(v)
+    case other =>
+      throw new IllegalArgumentException(
+        s"beam startingPosition must be earliest | latest | offset:<n>, got '$other'")
+  }
+
   /** Segment listing in NAME order — the stream's offset domain. Writers
     * register segments under a per-topic monotone name sequence
     * ([[graft.topics.TopicTable.ingest]]), so the sorted listing is
@@ -166,6 +192,11 @@ final class BeamTable(path: String, maxSegmentsPerTrigger: Option[Int] = None,
     val maxSeg = Option(options.get("maxSegmentsPerTrigger")).map(_.toInt)
       .orElse(maxSegmentsPerTrigger)
     val startPos = Option(options.get("startingPosition")).getOrElse(startingPosition)
+    // Validate HERE, on the driver, at option-parse time: a malformed value
+    // would otherwise surface as an async NumberFormatException on the
+    // MicroBatchExecution thread (query dies after start() returned), and a
+    // typo like "Latest" would silently fall back to a full-history replay.
+    BeamSource.parseStartingPosition(startPos)
     new BeamScanBuilder(path, maxSeg, startPos)
   }
 }
@@ -272,11 +303,11 @@ final class BeamMicroBatchStream(path: String, required: StructType,
     * from the beginning. Only consulted on a FRESH checkpoint — recovery
     * always resumes from the committed offset.
     */
-  override def initialOffset(): Offset = startingPosition match {
-    case "latest" => BeamOffset(BeamSource.listSegments(path).size.toLong)
-    case s if s.startsWith("offset:") => BeamOffset(s.stripPrefix("offset:").toLong)
-    case _ => BeamOffset(0)
-  }
+  override def initialOffset(): Offset =
+    BeamSource.parseStartingPosition(startingPosition) match {
+      case Some(n) => BeamOffset(n)
+      case None    => BeamOffset(BeamSource.listSegments(path).size.toLong)
+    }
 
   override def latestOffset(): Offset = BeamOffset(BeamSource.listSegments(path).size.toLong)
 

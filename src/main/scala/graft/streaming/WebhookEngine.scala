@@ -164,7 +164,16 @@ final class WebhookEngine(
     // O-9 initial position: "latest" subscribes at the end of the topic;
     // anything else (incl. the reference's empty default at this layer)
     // replays from earliest — the pre-hub behavior every spec encodes.
-    val startPos = if (wh.initialPosition == "latest") "latest" else "earliest"
+    // "latest" is pinned to an explicit offset captured HERE, before
+    // query.start(): the beam source resolves `latest` lazily on the
+    // stream thread, so a message published right after startQuery()
+    // returns could otherwise be counted into the already-seen prefix and
+    // never POSTed (the same init race SseHub.Hub.start() pins away).
+    // Checkpoint recovery ignores the pin and resumes from the committed
+    // offset, so restarts don't re-pin to a later position.
+    val startPos =
+      if (wh.initialPosition == "latest") s"offset:${topics.endOffset(cfg.topicFullName)}"
+      else "earliest"
     // maxSegmentsPerTrigger bounds the per-batch collect: an earliest
     // subscription on a deep topic drains its backlog in capped batches
     // instead of one whole-history micro-batch on the driver.

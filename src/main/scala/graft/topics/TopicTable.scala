@@ -40,53 +40,71 @@ final class TopicTable(spark: SparkSession, baseDir: String) {
     * write to complete before returning (both are synchronous under local
     * parquet — the flag is the API contract, ref pulsar-producer.go:95-105).
     */
-  def ingest(df: DataFrame, topicFn: String, async: Boolean = true): Unit = {
-    val out = df
-      .withColumn("topic", lit(topicFn))
-      .withColumn("eventTime", coalesce(col("eventTime"), current_timestamp()))
-      .withColumn("publishTime", current_timestamp())
-      .withColumn("messageId",
-        // Zero-padded components: every cursor/watermark in the engine
-        // (pollBatch, durable cursors, SSE splice) totally orders messages
-        // by (publishTime, messageId) with STRING comparison on the id, so
-        // string order must equal numeric order — unpadded '10:...' would
-        // sort below '9:...' within one multi-row ingest and be skipped
-        // past by an already-persisted cursor.
-        format_string("%013d:%010d:%020d", unix_millis(current_timestamp()),
-          spark_partition_id(), monotonically_increasing_id()))
-      .withColumn("key", coalesce(col("key"), lit("")))
-      .withColumn("props",
-        map_concat(coalesce(col("props"), map()), map(lit("PulsarBeamId"), expr("uuid()"))))
-      .select("payload", "topic", "eventTime", "publishTime", "messageId", "key", "props")
-    // Stage, then register under a per-topic monotone sequence: the beam
-    // stream's offset is a prefix of the NAME-sorted listing, so a segment
-    // must never become visible with a name that sorts inside an
-    // already-committed prefix (same-millisecond mtimes or slow writers
-    // would otherwise skip/duplicate batches). Names are assigned and moved
-    // under the topic's lock, in ascending order — readers only ever see an
-    // append-only listing.
-    val staging = java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get(baseDir), ".staging-")
-    try {
-      out.write.mode("overwrite").parquet(staging.toString)
-      registerSegments(topicFn, staging.toFile)
-    } finally {
-      staging.toFile.listFiles().foreach(_.delete())
-      java.nio.file.Files.deleteIfExists(staging)
+  def ingest(df: DataFrame, topicFn: String, async: Boolean = true): Unit =
+    // The WHOLE ingest (stamp → write → register) serializes on a JVM-global
+    // per-(baseDir, topic) lock, and publishTime is a monotone per-topic
+    // stamp assigned under it — not a free-running current_timestamp().
+    // Without this, two concurrent ingests can commit segments whose
+    // registration order INVERTS their publishTime order (writer A stamps
+    // T+5 but registers after writer B's T+3); every (publishTime,
+    // messageId) cursor in the engine would then advance past the late
+    // segment and silently never deliver it. One writer per topic at a
+    // time mirrors the reference's model (exactly one broker owns a Pulsar
+    // topic); cross-PROCESS writers keep loss-safety (the link claim in
+    // registerSegments) but ordering across processes is the deployment's
+    // responsibility, as it is for the reference.
+    TopicTable.ingestLock(canonicalBase, topicFn).synchronized {
+      val stampMicros = TopicTable.nextStampMicros(canonicalBase, topicFn)
+      val out = df
+        .withColumn("topic", lit(topicFn))
+        .withColumn("eventTime", coalesce(col("eventTime"), current_timestamp()))
+        .withColumn("publishTime", timestamp_micros(lit(stampMicros)))
+        .withColumn("messageId",
+          // Zero-padded components: every cursor/watermark in the engine
+          // (pollBatch, durable cursors, SSE splice) totally orders messages
+          // by (publishTime, messageId) with STRING comparison on the id, so
+          // string order must equal numeric order — unpadded '10:...' would
+          // sort below '9:...' within one multi-row ingest and be skipped
+          // past by an already-persisted cursor.
+          format_string("%013d:%010d:%020d", lit(stampMicros / 1000L),
+            spark_partition_id(), monotonically_increasing_id()))
+        .withColumn("key", coalesce(col("key"), lit("")))
+        .withColumn("props",
+          map_concat(coalesce(col("props"), map()), map(lit("PulsarBeamId"), expr("uuid()"))))
+        .select("payload", "topic", "eventTime", "publishTime", "messageId", "key", "props")
+      // Stage, then register under a per-topic monotone sequence: the beam
+      // stream's offset is a prefix of the NAME-sorted listing, so a segment
+      // must never become visible with a name that sorts inside an
+      // already-committed prefix (same-millisecond mtimes or slow writers
+      // would otherwise skip/duplicate batches). Names are assigned and moved
+      // under the topic's lock, in ascending order — readers only ever see an
+      // append-only listing.
+      val staging = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(baseDir), ".staging-")
+      try {
+        out.write.mode("overwrite").parquet(staging.toString)
+        registerSegments(topicFn, staging.toFile)
+      } finally {
+        staging.toFile.listFiles().foreach(_.delete())
+        java.nio.file.Files.deleteIfExists(staging)
+      }
     }
-  }
 
-  private val seqs = scala.collection.concurrent.TrieMap.empty[String, java.util.concurrent.atomic.AtomicLong]
+  private def canonicalBase: String =
+    java.nio.file.Paths.get(baseDir).toAbsolutePath.normalize.toString
 
   private val SeqName = """^(\d{20})-.*""".r
 
   private def registerSegments(topicFn: String, staging: java.io.File): Unit = {
     val d = new java.io.File(dir(topicFn))
     d.mkdirs()
-    val seq = seqs.getOrElseUpdate(topicFn, {
+    // JVM-global sequence shared by every TopicTable over this baseDir —
+    // in-process twin instances allocate from one counter (no collisions);
+    // the link claim below still guards against other PROCESSES.
+    val seq = TopicTable.seq(canonicalBase, topicFn, {
       val existing = Option(d.listFiles()).getOrElse(Array.empty)
         .flatMap(f => f.getName match { case SeqName(n) => Some(n.toLong); case _ => None })
-      new java.util.concurrent.atomic.AtomicLong(if (existing.isEmpty) 0L else existing.max)
+      if (existing.isEmpty) 0L else existing.max
     })
     seq.synchronized {
       staging.listFiles()
@@ -267,4 +285,30 @@ final class TopicTable(spark: SparkSession, baseDir: String) {
     maxSegmentsPerTrigger.foreach(n => reader.option("maxSegmentsPerTrigger", n))
     reader.load(d.toString)
   }
+}
+
+/** JVM-global per-(baseDir, topic) coordination shared by every TopicTable
+  * instance in the process: the ingest serialization lock, the monotone
+  * publish stamp, and the segment-name sequence. Keyed by the CANONICAL
+  * base path so two instances constructed with different spellings of one
+  * directory still coordinate.
+  */
+object TopicTable {
+  private val locks  = scala.collection.concurrent.TrieMap.empty[(String, String), Object]
+  private val stamps = scala.collection.concurrent.TrieMap.empty[(String, String), java.util.concurrent.atomic.AtomicLong]
+  private val seqs   = scala.collection.concurrent.TrieMap.empty[(String, String), java.util.concurrent.atomic.AtomicLong]
+
+  private[topics] def ingestLock(base: String, topicFn: String): Object =
+    locks.getOrElseUpdate((base, topicFn), new Object)
+
+  /** Strictly-increasing per-topic publish stamp: wall-clock micros, but
+    * never ≤ a previously issued stamp — concurrent/fast ingests get
+    * distinct, ordered publishTimes even within one clock tick.
+    */
+  private[topics] def nextStampMicros(base: String, topicFn: String): Long =
+    stamps.getOrElseUpdate((base, topicFn), new java.util.concurrent.atomic.AtomicLong(0L))
+      .updateAndGet(prev => math.max(prev + 1, System.currentTimeMillis() * 1000L))
+
+  private[topics] def seq(base: String, topicFn: String, init: => Long): java.util.concurrent.atomic.AtomicLong =
+    seqs.getOrElseUpdate((base, topicFn), new java.util.concurrent.atomic.AtomicLong(init))
 }

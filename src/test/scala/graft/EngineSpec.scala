@@ -152,10 +152,8 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val fn   = "persistent://tenant-w/ns/twin"
     val t1   = new TopicTable(spark, base)
     val t2   = new TopicTable(spark, base)
-    // Interleaved writers: both counters initialize from the same on-disk
-    // max, so their next sequence numbers COLLIDE — a rename-based publish
-    // would silently replace the other instance's committed segment; the
-    // link(2) claim detects the collision and re-sequences instead.
+    // In-process twin instances share the JVM-global sequence + ingest lock,
+    // so interleaved ingests serialize cleanly with ordered publishTimes.
     (1 to 3).foreach { i =>
       t1.ingestPayload(s"a$i".getBytes, fn)
       t2.ingestPayload(s"b$i".getBytes, fn)
@@ -163,6 +161,25 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val payloads = t1.read(fn).collect()
       .map(r => new String(r.getAs[Array[Byte]]("payload"))).toSet
     assert(payloads == (1 to 3).flatMap(i => Seq(s"a$i", s"b$i")).toSet)
+
+    // Cross-PROCESS collision: another process claims the next sequence
+    // name (simulated by copying a committed segment there) — the in-JVM
+    // counter doesn't know. A rename-based publish would silently REPLACE
+    // that committed segment; the link(2) claim must detect the collision,
+    // re-sequence, and lose neither the squatter nor the new ingest.
+    val tdir = new java.io.File(base, graft.model.Keys.sha1Hex(fn))
+    val SeqName = """^(\d{20})-(.*)$""".r
+    val last = tdir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .sortBy(_.getName).last
+    val SeqName(n, rest) = last.getName
+    val squat = new java.io.File(tdir, f"${n.toLong + 1}%020d-$rest")
+    java.nio.file.Files.copy(last.toPath, squat.toPath)
+    t1.ingestPayload("after-squat".getBytes, fn)
+    assert(squat.exists, "collision must not replace the other process's segment")
+    val after = t1.read(fn).collect()
+      .map(r => new String(r.getAs[Array[Byte]]("payload"))).toSeq
+    assert(after.count(_ == "after-squat") == 1)
+    assert(after.size == 8) // 6 originals + 1 squatted duplicate + 1 new
   }
 
   // --- e2e webhook pipeline (ref e2etest.go:19-27) ---

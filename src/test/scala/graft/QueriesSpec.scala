@@ -102,7 +102,11 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bySource.nonEmpty)
     bySource.foreach { case (_, rs) =>
       val bins = rs.map(_.getAs[Long]("bin")).sorted.toSeq
-      assert(bins == (0L until bins.length).toSeq, "bins must be contiguous from 0")
+      // bins start at 0 and are unique per source; gaps are LEGAL (a doc
+      // longer than 512 tokens advances the next bin by more than one), so
+      // contiguity is deliberately not asserted
+      assert(bins.head == 0L, "first bin must be 0")
+      assert(bins.distinct == bins, "bin numbers must be unique per source")
       assert(rs.map(_.getAs[Long]("bin_tokens")).sum > 0)
     }
     // token conservation: packed totals equal raw per-source token counts
