@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.DotF32
+import graft.functions.{DotF32, SimHash32}
 
 /** Session extension wiring (SURVEY.md §4.2): registers the engine's custom
   * expressions so SQL users get them too:
@@ -18,8 +18,10 @@ import graft.functions.DotF32
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.dotF32Descriptor)
+    e.injectFunction(GraftExtensions.simhash32Descriptor)
+  }
 }
 
 object GraftExtensions {
@@ -29,6 +31,12 @@ object GraftExtensions {
     FunctionIdentifier("dot_f32"),
     new ExpressionInfo(classOf[DotF32].getName, "dot_f32"),
     (children: Seq[Expression]) => DotF32(children(0), children(1)))
+
+  private[graft] val simhash32Descriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("simhash32"),
+    new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
+    (children: Seq[Expression]) => SimHash32(children.head))
 
   /** Late registration into an already-built session (e.g. one handed to us
     * by a host process that didn't set `spark.sql.extensions`). SessionState
@@ -41,8 +49,8 @@ object GraftExtensions {
       val reg   = state.getClass.getMethod("functionRegistry").invoke(state)
       val m = reg.getClass.getMethods.find(m =>
         m.getName == "createOrReplaceTempFunction" && m.getParameterCount == 3).get
-      val (_, _, builder) = dotF32Descriptor
-      m.invoke(reg, "dot_f32", builder, "scala_udf")
+      Seq(("dot_f32", dotF32Descriptor._3), ("simhash32", simhash32Descriptor._3))
+        .foreach { case (name, builder) => m.invoke(reg, name, builder, "scala_udf") }
       true
     } catch { case _: Throwable => false }
 }

@@ -28,8 +28,9 @@ object PlanAudit {
       "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
     // multi-table LSH: the table union is ONE (t, bucket) equi join
     "x24_ann_lsh_multitable" -> Seq("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
-    // codegen'd custom expression appears inline in the projection
+    // codegen'd custom expressions appear inline in the projection
     "x05_cosine_neardup" -> Seq("dot_f32", "codegen id"),
+    "x03_simhash"        -> Seq("simhash32", "codegen id"),
     // dedup pack: band/shingle joins are equi joins, never nested loops
     "x02_minhash_lsh"   -> Seq("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
     "x04_ngram_jaccard" -> Seq("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),

@@ -95,6 +95,16 @@ object GraftFunctions {
       Some(m.invoke(null, c).asInstanceOf[Expression])
     } catch { case _: Throwable => None }
 
+  /** Lift a unary custom Expression over a Column via the classic-session
+    * bridge; None when the bridge is unavailable (caller supplies the HOF
+    * fallback).
+    */
+  private[functions] def liftUnary(c: Column, f: Expression => Expression): Option[Column] =
+    (columnBridge, exprOf(c)) match {
+      case (Some(toCol), Some(e)) => Some(toCol(f(e)))
+      case _                      => None
+    }
+
   /** Codegen'd dot product; HOF fallback keeps identical fold semantics. */
   def dotF32(a: Column, b: Column): Column =
     (columnBridge, exprOf(a), exprOf(b)) match {

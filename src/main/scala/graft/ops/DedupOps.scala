@@ -156,27 +156,19 @@ object DedupOps {
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   ) { (s, dir) =>
     // Shuffle-free: SimHash is a per-document scalar, so the whole signature
-    // is computed row-local with higher-order functions — one md5 per word
-    // (transform), a 32-lane ±1 fold (aggregate + zip_with), then the sign
-    // bits packed into a long. Round 2 exploded words ×32 bit-lanes into a
-    // groupBy(doc_id, i) — ~300M shuffled rows at sf0.1, the suite's worst
-    // query under load; this plan shuffles nothing but the final sort.
-    val bits = sequence(lit(1), lit(32))
-    val contribs = aggregate(
-      transform(split(col("text"), " "), w => md5(w)),
-      array_repeat(lit(0), 32),
-      (acc, h) => zip_with(acc, bits, (a, i) =>
-        a + when(ascii(h.substr(i, lit(1))) % 2 === 1, 1).otherwise(-1)))
-    val packed = aggregate(
-      zip_with(contribs, bits, (a, i) =>
-        when(a > 0, pow(lit(2), i - 1).cast("long")).otherwise(0L)),
-      lit(0L), (acc, v) => acc + v)
+    // is computed row-local by the codegen'd [[graft.functions.SimHash32]]
+    // expression (one tight byte loop per row, no per-token allocation;
+    // bit-identical HOF fallback inside SimHashFunctions). Round 2 exploded
+    // words ×32 bit-lanes into a groupBy(doc_id, i) — ~300M shuffled rows
+    // at sf0.1, the suite's worst query under load; this plan shuffles
+    // nothing but the final sort.
     docs(s, dir)
       // NULL-text parity with the oracle: unnest over a NULL word list
-      // emits no rows (doc omitted), while a row-local aggregate would
+      // emits no rows (doc omitted), while a row-local scalar would
       // emit (doc_id, NULL) — so filter NULL docs out explicitly.
       .where(col("text").isNotNull)
-      .select(col("doc_id"), packed.as("simhash"))
+      .select(col("doc_id"),
+        graft.functions.SimHashFunctions.simhash32(col("text")).as("simhash"))
       .orderBy("doc_id")
   }
 

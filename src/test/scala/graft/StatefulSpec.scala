@@ -93,4 +93,36 @@ class StatefulSpec extends AnyFunSuite with BeforeAndAfterAll {
     val exts = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(exts) // injection list accepts the descriptor
   }
+
+  test("simhash32 codegen expression is bit-identical to the HOF formulation") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    // edge cases the byte-splitter must match regex-split on: empty text
+    // (one empty token), trailing/leading/double spaces (empties KEPT),
+    // multi-byte UTF-8 (0x20 never splits inside a sequence)
+    val texts = Seq("", " ", "a", "a ", " a", "a  b", "héllo wörld",
+      "the quick brown fox", "a a a a", "ünïcode Ünïcode  ")
+    val df = texts.toDF("text")
+    val expr = graft.functions.SimHashFunctions.simhash32(col("text"))
+    val bits = sequence(lit(1), lit(32))
+    val contribs = aggregate(
+      transform(split(col("text"), " "), w => md5(w)),
+      array_repeat(lit(0), 32),
+      (acc, h) => zip_with(acc, bits, (a, i) =>
+        a + when(ascii(h.substr(i, lit(1))) % 2 === 1, 1).otherwise(-1)))
+    val hof = aggregate(
+      zip_with(contribs, bits, (a, i) =>
+        when(a > 0, pow(lit(2), i - 1).cast("long")).otherwise(0L)),
+      lit(0L), (acc, v) => acc + v)
+    val rows = df.select(expr.as("e"), hof.as("h")).collect()
+    rows.zip(texts).foreach { case (r, t) =>
+      assert(r.getLong(0) == r.getLong(1), s"simhash mismatch for '$t'")
+    }
+    // and via SQL registration
+    assert(GraftExtensions.register(spark))
+    val viaSql = spark.sql("SELECT simhash32('the quick brown fox') AS s").head().getLong(0)
+    val direct = rows(texts.indexOf("the quick brown fox")).getLong(0)
+    assert(viaSql == direct)
+  }
 }
