@@ -43,7 +43,18 @@ final class WebhookEngine(
     store: TopicStore,
     checkpointRoot: String = Files.createTempDirectory("graft-wh").toString,
     retryBackoffMs: Long = 100, // ref 2-28s; compressed for tests
-    triggerMs: Long = 500) {
+    triggerMs: Long = 500,
+    /** 0 (default) = driver-side sequential delivery — the reference's
+      * per-consumer ordered loop, fail-fast mid-batch. N > 0 = the scale
+      * path: the micro-batch is repartitioned N ways and POSTed FROM THE
+      * EXECUTORS (per-executor connection caches, partition-sequential);
+      * only the small (messageId, status, reply) result set returns to the
+      * driver, which acks successes, ingests replies, and rethrows on any
+      * failure so the checkpoint redelivers. Trade-off, stated: cross-
+      * partition delivery order is not the topic order — same as any
+      * parallel webhook consumer.
+      */
+    executorParallelism: Int = 0) {
 
   /** O-29 keyed connection cache: one HttpClient (its own connection pool)
     * per webhook origin, TTL-evicted like the reference's producer cache
@@ -184,17 +195,57 @@ final class WebhookEngine(
       .option("checkpointLocation", s"$checkpointRoot/$key") // exclusive sub identity (O-9)
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // bounded micro-batch → per-message POST, ref ConsumeLoop webhook.go:171-241
-        val seen = loadDelivered(key, batchId)
-        batch.collect().foreach { row =>
-          val mid = row.getAs[String]("messageId")
-          if (!seen.contains(mid)) {
-            deliver(row, wh)
-            markDelivered(key, batchId, mid)
+        if (executorParallelism > 0) deliverOnExecutors(batch, batchId, key, wh)
+        else {
+          // bounded micro-batch → per-message POST, ref ConsumeLoop webhook.go:171-241
+          val seen = loadDelivered(key, batchId)
+          batch.collect().foreach { row =>
+            val mid = row.getAs[String]("messageId")
+            if (!seen.contains(mid)) {
+              deliver(row, wh)
+              markDelivered(key, batchId, mid)
+            }
           }
         }
       }
       .start()
+  }
+
+  /** Scale-path delivery: POSTs run on the executors, partition-sequential,
+    * through per-executor-JVM connection caches; the driver only sees the
+    * small (messageId, status, reply) result set. Successes are acked
+    * (suppression log) and their replies ingested BEFORE any failure
+    * rethrows, so a partly-failed batch redelivers only its failures —
+    * identical at-least-once/effectively-once semantics to the driver loop.
+    */
+  private def deliverOnExecutors(batch: DataFrame, batchId: Long, key: String,
+      wh: WebhookConfig): Unit = {
+    import WebhookEngine.DeliveryResult
+    val seen = loadDelivered(key, batchId)
+    // locals only — the executor closure must not capture the engine
+    val seenSet = seen.toSet
+    val whLocal = wh
+    val backoff = retryBackoffMs
+    implicit val enc: org.apache.spark.sql.Encoder[DeliveryResult] =
+      org.apache.spark.sql.Encoders.product[DeliveryResult]
+    val results = batch
+      .repartition(executorParallelism)
+      .mapPartitions { rows =>
+        rows
+          .filter(r => !seenSet(r.getAs[String]("messageId")))
+          .map(r => WebhookEngine.postOne(r, whLocal, backoff))
+      }
+      .collect()
+    results.filter(_.delivered).foreach { r =>
+      if (r.replyTopic != null && r.replyBody != null && r.replyBody.nonEmpty)
+        topics.ingestPayload(r.replyBody, r.replyTopic, Option(r.replyProps).getOrElse(Map.empty))
+      markDelivered(key, batchId, r.messageId)
+    }
+    val failures = results.filter(!_.delivered)
+    if (failures.nonEmpty)
+      throw new RuntimeException(
+        s"webhook ${wh.url}: ${failures.length} deliveries failed " +
+          s"(first: ${failures.head.status} ${failures.head.error})")
   }
 
   /** O-11 delivery header enrichment as a projection. */
@@ -206,16 +257,68 @@ final class WebhookEngine(
       when(try_parse_json(col("payload").cast("string")).isNotNull,
         lit("application/json")).otherwise(lit("text/plain")).as("contentType"))
 
-  /** O-10/O-12/O-30: POST with one retry; 2xx/422 = delivered (ack via
-    * checkpoint); anything else throws → micro-batch redelivery.
+  /** O-10/O-12/O-30 driver-side path: POST (shared [[WebhookEngine.postOne]]
+    * logic, the driver's TTL client cache), then 2xx → reply-sink ingest
+    * (O-13), 422 → ack without redelivery, anything else throws →
+    * micro-batch redelivery.
     */
   private def deliver(row: Row, wh: WebhookConfig): Unit = {
+    val r = WebhookEngine.post(row, wh, retryBackoffMs, http(wh.url))
+    if (r.delivered) {
+      if (r.replyTopic != null && r.replyBody != null && r.replyBody.nonEmpty)
+        topics.ingestPayload(r.replyBody, r.replyTopic, Option(r.replyProps).getOrElse(Map.empty))
+    } else if (r.status > 0) {
+      throw new RuntimeException(s"webhook ${wh.url} -> ${r.status}")
+    } else {
+      throw new RuntimeException(s"webhook ${wh.url} unreachable: ${r.error}")
+    }
+  }
+}
+
+object WebhookEngine {
+
+  /** One delivery attempt's outcome, shipped executor→driver on the scale
+    * path: the ack decision and the (optional) O-13 reply parts — topic
+    * writes and suppression bookkeeping stay on the driver.
+    */
+  final case class DeliveryResult(
+      messageId: String,
+      status: Int, // HTTP status, or -1 on transport error
+      error: String,
+      replyTopic: String,
+      replyBody: Array[Byte],
+      replyProps: Map[String, String]) {
+    def delivered: Boolean = (status >= 200 && status < 300) || status == 422
+  }
+
+  /** Per-executor-JVM connection cache (O-29 on the scale path): one
+    * HttpClient per webhook origin, same 900 s TTL contract as the driver's
+    * cache (ref pulsar-producer.go:15-20).
+    */
+  private lazy val execClients = new TtlCache[String, HttpClient](
+    ttlMs = 900000L,
+    build = _ => HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(30)).build())
+
+  /** Executor entry point: resolves the client from the executor-local
+    * cache, then posts. Static so the mapPartitions closure captures no
+    * engine state.
+    */
+  private[streaming] def postOne(row: Row, wh: WebhookConfig, backoffMs: Long): DeliveryResult =
+    post(row, wh, backoffMs, execClients.get(URI.create(wh.url).getAuthority))
+
+  /** O-10/O-11/O-30 request build + send with one retry; pure HTTP — no
+    * topic writes, no driver state — so it runs identically on the driver
+    * (sequential reference-parity path) and on executors (parallel path).
+    */
+  private[streaming] def post(row: Row, wh: WebhookConfig, backoffMs: Long,
+      client: HttpClient): DeliveryResult = {
+    val mid     = row.getAs[String]("messageId")
     val payload = row.getAs[Array[Byte]]("payload")
     val builder = HttpRequest.newBuilder(URI.create(wh.url))
       .timeout(Duration.ofSeconds(30))
       .POST(HttpRequest.BodyPublishers.ofByteArray(payload))
       .header("Content-Type", row.getAs[String]("contentType"))
-      .header("PulsarMessageId", row.getAs[String]("messageId"))
+      .header("PulsarMessageId", mid)
       .header("PulsarPublishedTime", row.getAs[java.sql.Timestamp]("publishTime").toInstant.toString)
       .header("PulsarTopic", row.getAs[String]("topic"))
     // conditional event time (non-zero only, ref webhook.go:225-228)
@@ -234,38 +337,31 @@ final class WebhookEngine(
     val req = builder.build()
 
     def send(): Either[Throwable, HttpResponse[Array[Byte]]] =
-      try Right(http(wh.url).send(req, HttpResponse.BodyHandlers.ofByteArray()))
+      try Right(client.send(req, HttpResponse.BodyHandlers.ofByteArray()))
       catch { case e: Exception => Left(e) }
-    def delivered(r: HttpResponse[Array[Byte]]): Boolean =
+    def ok(r: HttpResponse[Array[Byte]]): Boolean =
       (r.statusCode() >= 200 && r.statusCode() < 300) || r.statusCode() == 422
 
     // max 1 retry with backoff (ref webhook.go:99-101), then ack on
-    // 2xx/422 (ref webhook.go:153-167) or throw → micro-batch redelivery
+    // 2xx/422 (ref webhook.go:153-167) or report failure for redelivery
     val outcome = send() match {
-      case Right(r) if delivered(r) => Right(r)
-      case _                        => Thread.sleep(retryBackoffMs); send()
+      case Right(r) if ok(r) => Right(r)
+      case _                 => Thread.sleep(backoffMs); send()
     }
     outcome match {
-      case Right(r) if r.statusCode() >= 200 && r.statusCode() < 300 => replyToPulsar(r) // O-13
-      case Right(r) if r.statusCode() == 422 => () // ack, no redelivery
-      case Right(r) => throw new RuntimeException(s"webhook ${wh.url} -> ${r.statusCode()}")
-      case Left(e)  => throw new RuntimeException(s"webhook ${wh.url} unreachable", e)
-    }
-  }
-
-  /** O-13 reply-sink: 2xx response with `TopicFn` header re-publishes the
-    * response body (same ReceiverHeader contract as ingest,
-    * ref util.go:61-75).
-    */
-  private def replyToPulsar(res: HttpResponse[Array[Byte]]): Unit = {
-    val headers = res.headers()
-    val topicFn = headers.firstValue("TopicFn")
-    if (topicFn.isPresent && res.body().nonEmpty) {
-      val props = headers.map().asScala.collect {
-        case (k, vs) if k.toLowerCase.startsWith("pulsarproperties-") =>
-          k.substring("PulsarProperties-".length) -> vs.asScala.mkString(",")
-      }.toMap
-      topics.ingestPayload(res.body(), topicFn.get(), props)
+      case Right(r) if r.statusCode() >= 200 && r.statusCode() < 300 =>
+        // O-13 reply parts: 2xx with TopicFn header + non-empty body
+        val headers = r.headers()
+        val topicFn = headers.firstValue("TopicFn")
+        if (topicFn.isPresent && r.body().nonEmpty) {
+          val props = headers.map().asScala.collect {
+            case (k, vs) if k.toLowerCase.startsWith("pulsarproperties-") =>
+              k.substring("PulsarProperties-".length) -> vs.asScala.mkString(",")
+          }.toMap
+          DeliveryResult(mid, r.statusCode(), null, topicFn.get(), r.body(), props)
+        } else DeliveryResult(mid, r.statusCode(), null, null, null, null)
+      case Right(r) => DeliveryResult(mid, r.statusCode(), null, null, null, null)
+      case Left(e)  => DeliveryResult(mid, -1, String.valueOf(e.getMessage), null, null, null)
     }
   }
 }

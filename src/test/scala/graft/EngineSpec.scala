@@ -372,6 +372,70 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("executor-side delivery posts from executors with reply + partial-batch redelivery semantics") {
+    val topics = new TopicTable(spark, tmp("graft-topics-exec"))
+    val store  = new InMemoryStore
+    val engine = new WebhookEngine(spark, topics, store, tmp("graft-ck-exec"),
+      retryBackoffMs = 10, triggerMs = 200, executorParallelism = 3)
+
+    val sourceFn = "persistent://tenant-x/ns/exec-source"
+    val replyFn  = "persistent://tenant-x/ns/exec-reply"
+    val received = scala.collection.mutable.ArrayBuffer.empty[String]
+    @volatile var failM2 = true
+
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    server.createContext("/hook", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes())
+      if (body == "m2" && failM2) {
+        ex.sendResponseHeaders(500, -1); ex.close()
+      } else {
+        received.synchronized(received += body)
+        if (body == "m3") { // reply-sink on one message
+          ex.getResponseHeaders.set("TopicFn", replyFn)
+          val reply = "m3:reply"
+          ex.sendResponseHeaders(200, reply.length)
+          ex.getResponseBody.write(reply.getBytes)
+          ex.close()
+        } else { ex.sendResponseHeaders(200, -1); ex.close() }
+      }
+    })
+    server.start()
+
+    try {
+      val wh = WebhookConfig(s"http://localhost:${server.getAddress.getPort}/hook",
+        Nil, "exec-sub", "exclusive", "earliest", Status.Activated)
+      assert(store.update(TopicConfig(sourceFn, "", "tenant-x", "", "", Status.Activated,
+        "pulsar://broker0:6650", Seq(wh))).isRight)
+
+      import spark.implicits._
+      topics.ingest(
+        Seq("m1", "m2", "m3").map(m =>
+          (m.getBytes, Option.empty[java.sql.Timestamp], Option(m), Map.empty[String, String]))
+          .toDF("payload", "eventTime", "key", "props").coalesce(1), sourceFn)
+
+      engine.reconcile()
+      // m1 and m3 succeed in the parallel batch, m2 fails → successes are
+      // acked FIRST, then the batch rethrows and the query dies
+      eventually(60, 500)(
+        received.synchronized(received.toSet) == Set("m1", "m3") && engine.liveCount == 0)
+
+      // heal + reconcile: the replayed batch must POST ONLY m2 — m1/m3 are
+      // suppressed even though the batch that delivered them failed overall
+      failM2 = false
+      engine.reconcile()
+      eventually(40, 500)(received.synchronized(received.size) == 3)
+      assert(received.synchronized(received.toList.count(_ == "m1")) == 1)
+      assert(received.synchronized(received.toList.count(_ == "m3")) == 1)
+
+      // the reply captured on the executor was ingested by the driver, once
+      val replies = topics.read(replyFn).collect()
+      assert(replies.map(r => new String(r.getAs[Array[Byte]]("payload"))).toSeq == Seq("m3:reply"))
+    } finally {
+      engine.stopAll()
+      server.stop(0)
+    }
+  }
+
   private def eventually(rounds: Int, sleepMs: Long)(cond: => Boolean): Unit = {
     var i = 0
     while (i < rounds && !cond) { Thread.sleep(sleepMs); i += 1 }
