@@ -404,10 +404,99 @@ object RelOps {
       .orderBy("prio", "rk", "o_orderkey")
   }
 
+  /** GROUPING SETS — the general form behind t08's ROLLUP / t09's CUBE
+    * (Spark 4 `Dataset.groupingSets`). Null ordering pinned explicitly:
+    * Spark ascending defaults to NULLS FIRST, DuckDB to NULLS LAST.
+    */
+  val groupingSetsRevenue: Q = Q(
+    "t19_grouping_sets",
+    """SELECT o_orderstatus, CAST(y AS BIGINT) AS y,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM (SELECT o_orderstatus, year(o_orderdate) AS y, o_totalprice FROM orders)
+      |GROUP BY GROUPING SETS ((o_orderstatus), (y), ())
+      |ORDER BY o_orderstatus NULLS FIRST, y NULLS FIRST""".stripMargin
+  ) { (s, dir) =>
+    Tables(s, dir, "orders")
+      .select(col("o_orderstatus"), year(col("o_orderdate")).cast("long").as("y"),
+        col("o_totalprice"))
+      .groupingSets(Seq(Seq(col("o_orderstatus")), Seq(col("y")), Seq.empty),
+        col("o_orderstatus"), col("y"))
+      .agg(dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("y").asc_nulls_first)
+  }
+
+  /** PIVOT: status columns from an explicit value list (both engines name
+    * result columns by the pivot value, so the lists must match).
+    */
+  val pivotStatus: Q = Q(
+    "t20_pivot_status",
+    """SELECT y, CAST("F" AS DOUBLE) AS F, CAST("O" AS DOUBLE) AS O, CAST("P" AS DOUBLE) AS P FROM (
+      |  PIVOT (SELECT CAST(year(o_orderdate) AS BIGINT) AS y, o_orderstatus,
+      |                CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders)
+      |  ON o_orderstatus IN ('F', 'O', 'P')
+      |  USING sum(p)
+      |  GROUP BY y)
+      |ORDER BY y""".stripMargin
+  ) { (s, dir) =>
+    Tables(s, dir, "orders")
+      .select(year(col("o_orderdate")).cast("long").as("y"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .groupBy("y")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum(col("p")))
+      .select(col("y"), col("F").cast("double").as("F"),
+        col("O").cast("double").as("O"), col("P").cast("double").as("P"))
+      .orderBy("y")
+  }
+
+  /** Exact percentiles: Spark `median`/`percentile` are the exact
+    * interpolated quantiles (NOT percentile_approx), matching DuckDB's
+    * median/quantile_cont; both engines use linear interpolation on the
+    * same two neighbors, so 6-dp rounding agrees.
+    */
+  val percentiles: Q = Q(
+    "t21_percentiles",
+    """SELECT l_returnflag,
+      |       round(median(l_quantity), 6) AS med_qty,
+      |       round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  ) { (s, dir) =>
+    Tables(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(median(col("l_quantity")), 6).as("med_qty"),
+        round(percentile(col("l_extendedprice"), lit(0.9)), 6).as("p90_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Bag-semantics set ops: INTERSECT ALL / EXCEPT ALL keep multiplicity
+    * (t10 covers the distinct variants).
+    */
+  val setOpsAll: Q = Q(
+    "t22_setops_all",
+    """SELECT 'ia' AS op, k, CAST(count(*) AS BIGINT) AS n FROM (
+      |  SELECT c_custkey % 100 AS k FROM customer INTERSECT ALL SELECT s_suppkey % 100 AS k FROM supplier)
+      |GROUP BY k
+      |UNION ALL
+      |SELECT 'ea' AS op, k, CAST(count(*) AS BIGINT) AS n FROM (
+      |  SELECT c_custkey % 100 AS k FROM customer EXCEPT ALL SELECT s_suppkey % 100 AS k FROM supplier)
+      |GROUP BY k
+      |ORDER BY op, k""".stripMargin
+  ) { (s, dir) =>
+    val c  = Tables(s, dir, "customer").select((col("c_custkey") % 100).as("k"))
+    val su = Tables(s, dir, "supplier").select((col("s_suppkey") % 100).as("k"))
+    val ia = c.intersectAll(su).groupBy("k").agg(count(lit(1)).as("n"))
+      .select(lit("ia").as("op"), col("k"), col("n"))
+    val ea = c.exceptAll(su).groupBy("k").agg(count(lit(1)).as("n"))
+      .select(lit("ea").as("op"), col("k"), col("n"))
+    ia.unionAll(ea).orderBy("op", "k")
+  }
+
   val all: Seq[Q] = Seq(
     pricingSummary, revenuePerRegion, shippingPriority, orderPriority,
     forecastRevenue, topSpendersPerNation, monthlyRevenueWindow, revenueRollup,
     statusCube, setOpsCustomers, distinctCounts, smallQuantityRevenue,
     thetaBalancePairs, asofLastClick, crossNationRegion, outerJoinCounts,
-    collectSuppliers, rankFamily)
+    collectSuppliers, rankFamily, groupingSetsRevenue, pivotStatus,
+    percentiles, setOpsAll)
 }
