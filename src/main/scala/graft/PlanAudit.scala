@@ -10,7 +10,7 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanAudit {
 
-  private val checks: Map[String, Seq[String]] = Map(
+  private[graft] val checks: Map[String, Seq[String]] = Map(
     // pushdown showcase: both filters reach the scan, 2-column read
     "t05_forecast_revenue" -> Seq("PushedFilters: \\[.*GreaterThanOrEqual\\(l_shipdate", "codegen id"),
     // dims broadcast, no fact-table shuffle on dim keys
@@ -40,6 +40,19 @@ object PlanAudit {
     // packing is one exchange on source + in-partition running sum
     "x29_seq_packing" -> Seq("WindowExec|Window", "codegen id"))
 
+  /** Execute one audited query and evaluate its plan patterns — shared by
+    * the CLI main and PlanShapeSpec (so plan-shape regressions fail CI, not
+    * just the manual audit).
+    */
+  private[graft] def auditOne(spark: SparkSession, sfDir: String, name: String)
+      : (String, Seq[(String, Boolean)]) = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.collect() // execute THIS QueryExecution so AQE finalizes + codegen ids materialize
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    (plan, checks.getOrElse(name, Nil).map(pat => pat -> pat.r.findFirstIn(plan).isDefined))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val spark = SparkSession.builder()
@@ -53,14 +66,10 @@ object PlanAudit {
     val names = if (args.nonEmpty) args.toSeq else checks.keys.toSeq.sorted
     var bad   = 0
     names.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
-      df.collect() // execute THIS QueryExecution so AQE finalizes + codegen ids materialize
-      val plan = df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode)
+      val (plan, results) = auditOne(spark, sfDir, name)
       println(s"\n========== $name ==========")
       println(plan.linesIterator.take(40).mkString("\n"))
-      checks.getOrElse(name, Nil).foreach { pat =>
-        val ok = pat.r.findFirstIn(plan).isDefined
+      results.foreach { case (pat, ok) =>
         if (!ok) bad += 1
         println(s"  [${if (ok) "PASS" else "FAIL"}] plan contains /$pat/")
       }
