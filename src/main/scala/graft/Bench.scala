@@ -43,18 +43,23 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     var errs = List.empty[String]
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    // A FAILED pass records +∞ so it can never win the min — otherwise a
+    // query that throws early in one pass would under-report its cost while
+    // also being listed in errors. A query that failed EVERY pass surfaces
+    // as -1 (plus its errors entry), never as a fake timing.
     def pass(): Seq[(String, Double)] = named.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { materialize(fn(spark, sfDir)) }
-      catch { case e: Throwable => errs ::= s"$name:${e.getClass.getSimpleName}" }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { materialize(fn(spark, sfDir)); true }
+        catch { case e: Throwable => errs ::= s"$name:${e.getClass.getSimpleName}"; false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity)
     }
     val results = (1 to runs).map(_ => pass())
       .reduce((a, b) => a.zip(b).map { case ((n, x), (_, y)) => n -> math.min(x, y) })
+      .map { case (n, v) => n -> (if (v.isInfinity) -1.0 else v) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errs.reverse.distinct.map(e => "\"" + e + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"agg":"min","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }

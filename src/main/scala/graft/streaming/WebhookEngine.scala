@@ -47,12 +47,14 @@ final class WebhookEngine(
     /** 0 (default) = driver-side sequential delivery — the reference's
       * per-consumer ordered loop, fail-fast mid-batch. N > 0 = the scale
       * path: the micro-batch is repartitioned N ways and POSTed FROM THE
-      * EXECUTORS (per-executor connection caches, partition-sequential);
-      * only the small (messageId, status, reply) result set returns to the
-      * driver, which acks successes, ingests replies, and rethrows on any
-      * failure so the checkpoint redelivers. Trade-off, stated: cross-
-      * partition delivery order is not the topic order — same as any
-      * parallel webhook consumer.
+      * EXECUTORS (per-executor connection caches; partition-sequential and
+      * fail-fast WITHIN each partition — after a failure, later messages in
+      * that partition wait for the redelivery); only the small (messageId,
+      * status, reply) result set returns to the driver, which acks
+      * successes, ingests replies, and rethrows on any failure so the
+      * checkpoint redelivers. Trade-off, stated: CROSS-partition delivery
+      * order is not the topic order — same as any parallel webhook
+      * consumer.
       */
     executorParallelism: Int = 0) {
 
@@ -231,22 +233,38 @@ final class WebhookEngine(
     val results = batch
       .repartition(executorParallelism)
       .mapPartitions { rows =>
+        // Fail-fast WITHIN the partition, like the reference's ordered
+        // consumer loop: after the first failed POST, later messages in
+        // this partition are not attempted (absent from the results, so
+        // never acked — the redelivered batch POSTs them in order). Only
+        // CROSS-partition ordering is relaxed, as documented.
+        var failed = false
         rows
           .filter(r => !seenSet(r.getAs[String]("messageId")))
-          .map(r => WebhookEngine.postOne(r, whLocal, backoff))
+          .flatMap { r =>
+            if (failed) None
+            else {
+              val res = WebhookEngine.postOne(r, whLocal, backoff)
+              if (!res.delivered) failed = true
+              Some(res)
+            }
+          }
       }
       .collect()
     results.filter(_.delivered).foreach { r =>
-      if (r.replyTopic != null && r.replyBody != null && r.replyBody.nonEmpty)
-        topics.ingestPayload(r.replyBody, r.replyTopic, Option(r.replyProps).getOrElse(Map.empty))
+      ingestReply(r)
       markDelivered(key, batchId, r.messageId)
     }
     val failures = results.filter(!_.delivered)
     if (failures.nonEmpty)
       throw new RuntimeException(
-        s"webhook ${wh.url}: ${failures.length} deliveries failed " +
-          s"(first: ${failures.head.status} ${failures.head.error})")
+        s"webhook ${wh.url}: ${failures.length} deliveries failed (first: ${failures.head.describe})")
   }
+
+  /** O-13 reply-sink ingest, shared by the driver and executor paths. */
+  private def ingestReply(r: WebhookEngine.DeliveryResult): Unit =
+    if (r.replyTopic != null && r.replyBody != null && r.replyBody.nonEmpty)
+      topics.ingestPayload(r.replyBody, r.replyTopic, Option(r.replyProps).getOrElse(Map.empty))
 
   /** O-11 delivery header enrichment as a projection. */
   private def enrich(stream: DataFrame): DataFrame =
@@ -264,14 +282,8 @@ final class WebhookEngine(
     */
   private def deliver(row: Row, wh: WebhookConfig): Unit = {
     val r = WebhookEngine.post(row, wh, retryBackoffMs, http(wh.url))
-    if (r.delivered) {
-      if (r.replyTopic != null && r.replyBody != null && r.replyBody.nonEmpty)
-        topics.ingestPayload(r.replyBody, r.replyTopic, Option(r.replyProps).getOrElse(Map.empty))
-    } else if (r.status > 0) {
-      throw new RuntimeException(s"webhook ${wh.url} -> ${r.status}")
-    } else {
-      throw new RuntimeException(s"webhook ${wh.url} unreachable: ${r.error}")
-    }
+    if (r.delivered) ingestReply(r)
+    else throw new RuntimeException(s"webhook ${wh.url} delivery failed: ${r.describe}")
   }
 }
 
@@ -289,14 +301,18 @@ object WebhookEngine {
       replyBody: Array[Byte],
       replyProps: Map[String, String]) {
     def delivered: Boolean = (status >= 200 && status < 300) || status == 422
+    /** Human-readable failure detail for logs/exceptions. */
+    def describe: String =
+      if (status > 0) s"HTTP $status" else s"transport error: $error"
   }
 
   /** Per-executor-JVM connection cache (O-29 on the scale path): one
-    * HttpClient per webhook origin, same 900 s TTL contract as the driver's
-    * cache (ref pulsar-producer.go:15-20).
+    * HttpClient per webhook origin, same TTL contract (and the same
+    * GRAFT_CLIENT_CACHE_TTL_MS override) as the driver's cache
+    * (ref pulsar-producer.go:15-20, default 900 s).
     */
   private lazy val execClients = new TtlCache[String, HttpClient](
-    ttlMs = 900000L,
+    ttlMs = sys.env.getOrElse("GRAFT_CLIENT_CACHE_TTL_MS", "900000").toLong,
     build = _ => HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(30)).build())
 
   /** Executor entry point: resolves the client from the executor-local
@@ -361,7 +377,11 @@ object WebhookEngine {
           DeliveryResult(mid, r.statusCode(), null, topicFn.get(), r.body(), props)
         } else DeliveryResult(mid, r.statusCode(), null, null, null, null)
       case Right(r) => DeliveryResult(mid, r.statusCode(), null, null, null, null)
-      case Left(e)  => DeliveryResult(mid, -1, String.valueOf(e.getMessage), null, null, null)
+      case Left(e) =>
+        // class name kept: getMessage alone is often null (ConnectException,
+        // SSL handshake failures) and the exception object itself cannot
+        // cross the executor→driver result boundary
+        DeliveryResult(mid, -1, s"${e.getClass.getName}: ${e.getMessage}", null, null, null)
     }
   }
 }
