@@ -107,6 +107,34 @@ final class CompactedLogStore(spark: SparkSession, logDir: String) extends Topic
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
   }
 
+  /** Rewrite the log file to its compacted form — latest entry per key,
+    * tombstones dropped (once nothing older remains to shadow, a Deleted
+    * marker carries no information; same retirement rule as a compacted
+    * Kafka topic). Keeps an unbounded-lifetime store's replay cost
+    * proportional to the LIVE config set, not the mutation history. The
+    * rewrite goes through write-then-ATOMIC_MOVE so a crash leaves the old
+    * log, never a torn one; the sequence restarts densely from 1.
+    */
+  def compact(): Unit = synchronized {
+    if (!Files.exists(logPath)) return
+    val rows = compactedView().collect().map(ConfigSerde.fromRow).sortBy(_.key)
+    var s = 0L
+    val lines = rows.map { cfg =>
+      s += 1
+      ConfigSerde.toJson(cfg, extra = Seq("seq" -> Json.num(s)))
+    }
+    val tmp = Files.createTempFile(logPath.getParent, ".compact-", ".jsonl")
+    Files.write(tmp, lines.map(_ + "\n").mkString.getBytes(UTF_8))
+    Files.move(tmp, logPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    seq = s
+  }
+
+  /** Current log line count (test/introspection hook). */
+  private[graft] def logSize: Long =
+    if (Files.exists(logPath)) Files.lines(logPath).count() else 0L
+
   /** Rebuild the driver cache from the compacted view (restart path). */
   def replay(): Unit = {
     cache.clear()

@@ -80,6 +80,18 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val Right(key) = replayed.update(cfg)
     val again = new CompactedLogStore(spark, dir)
     assert(again.getByKey(key).exists(_.notes == "back"))
+
+    // compaction: the log shrinks to one line per LIVE config (the CRUD
+    // lifecycle above left a tombstoned key + the re-created one), state
+    // survives byte-for-byte, and appends continue cleanly afterwards
+    val before = again.logSize
+    again.compact()
+    assert(again.logSize == 1L && before > 1L)
+    assert(new CompactedLogStore(spark, dir).getByKey(key).exists(_.notes == "back"))
+    val Right(key2) = again.update(cfg.copy(notes = "post-compact"))
+    val rehydrated = new CompactedLogStore(spark, dir)
+    assert(rehydrated.getByKey(key2).exists(_.notes == "post-compact"))
+    assert(rehydrated.load().size == 1)
   }
 
   test("document store CRUD lifecycle + hydration from disk (mongo-shaped backend)") {
