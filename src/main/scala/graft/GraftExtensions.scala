@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotF32, SimHash32}
+import graft.functions.{BigramStats, DocFingerprint, DotF32, SimHash32}
 
 /** Session extension wiring (SURVEY.md §4.2): registers the engine's custom
   * expressions so SQL users get them too:
@@ -21,6 +21,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.dotF32Descriptor)
     e.injectFunction(GraftExtensions.simhash32Descriptor)
+    e.injectFunction(GraftExtensions.docFingerprintDescriptor)
+    e.injectFunction(GraftExtensions.bigramStatsDescriptor)
   }
 }
 
@@ -38,6 +40,18 @@ object GraftExtensions {
     new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
     (children: Seq[Expression]) => SimHash32(children.head))
 
+  private[graft] val docFingerprintDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("doc_fingerprint"),
+    new ExpressionInfo(classOf[DocFingerprint].getName, "doc_fingerprint"),
+    (children: Seq[Expression]) => DocFingerprint(children.head))
+
+  private[graft] val bigramStatsDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bigram_stats"),
+    new ExpressionInfo(classOf[BigramStats].getName, "bigram_stats"),
+    (children: Seq[Expression]) => BigramStats(children.head))
+
   /** Late registration into an already-built session (e.g. one handed to us
     * by a host process that didn't set `spark.sql.extensions`). SessionState
     * is `private[sql]` in Scala but public in bytecode — same reflective
@@ -49,7 +63,9 @@ object GraftExtensions {
       val reg   = state.getClass.getMethod("functionRegistry").invoke(state)
       val m = reg.getClass.getMethods.find(m =>
         m.getName == "createOrReplaceTempFunction" && m.getParameterCount == 3).get
-      Seq(("dot_f32", dotF32Descriptor._3), ("simhash32", simhash32Descriptor._3))
+      Seq(("dot_f32", dotF32Descriptor._3), ("simhash32", simhash32Descriptor._3),
+          ("doc_fingerprint", docFingerprintDescriptor._3),
+          ("bigram_stats", bigramStatsDescriptor._3))
         .foreach { case (name, builder) => m.invoke(reg, name, builder, "scala_udf") }
       true
     } catch { case _: Throwable => false }

@@ -31,6 +31,8 @@ object PlanAudit {
     // codegen'd custom expressions appear inline in the projection
     "x05_cosine_neardup" -> Seq("dot_f32", "codegen id"),
     "x03_simhash"        -> Seq("simhash32", "codegen id"),
+    "x11_fingerprint"    -> Seq("doc_fingerprint", "codegen id"),
+    "x26_repetition"     -> Seq("bigram_stats", "codegen id"),
     // dedup pack: band/shingle joins are equi joins, never nested loops
     "x02_minhash_lsh"   -> Seq("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
     "x04_ngram_jaccard" -> Seq("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),

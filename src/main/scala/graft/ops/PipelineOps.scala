@@ -74,13 +74,14 @@ object PipelineOps {
       |      WHERE len(w) >= 2)
       |ORDER BY doc_id""".stripMargin
   ) { (s, dir) =>
-    val w  = split(col("text"), " ")
-    val bg = transform(sequence(lit(1), size(w) - 1), i =>
-      concat(element_at(w, i), lit(" "), element_at(w, i + 1)))
+    // Codegen'd [[graft.functions.BigramStats]]: zero-copy bigram dedup in
+    // a hash set, replacing the interpreted O(n²) array_distinct per row.
     docs(s, dir)
-      .where(size(w) >= 2)
-      .select(col("doc_id"), size(bg).cast("long").as("n_bigrams"),
-        size(array_distinct(bg)).cast("long").as("n_unique"))
+      .where(size(split(col("text"), " ")) >= 2)
+      .select(col("doc_id"),
+        graft.functions.BigramStatsFunctions.bigramStats(col("text")).as("bs"))
+      .select(col("doc_id"), col("bs.n_bigrams").as("n_bigrams"),
+        col("bs.n_unique").as("n_unique"))
       .withColumn("rep_ppm", expr("(n_bigrams - n_unique) * 1000000 div n_bigrams"))
       .orderBy("doc_id")
   }

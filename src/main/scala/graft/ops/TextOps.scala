@@ -146,14 +146,13 @@ object TextOps {
       |                   i -> md5(substr(text, CAST(i AS INT), 8)))))[1:4], '|') AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
   ) { (s, dir) =>
+    // Codegen'd [[graft.functions.DocFingerprint]]: one pass with a bounded
+    // bottom-4 selection on raw digests, replacing the interpreted HOF
+    // pipeline (a 32-hex-char string per shingle + O(n²) array_distinct).
     docs(s, dir)
       .select(
         col("doc_id"),
-        concat_ws("|", slice(
-          array_sort(array_distinct(
-            transform(sequence(lit(1), greatest(length(col("text")) - 7, lit(1))),
-              i => md5(col("text").substr(i, lit(8)))))),
-          1, 4)).as("fp"))
+        graft.functions.DocFingerprintFunctions.docFingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
   }
 

@@ -50,6 +50,36 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  /** Codepoint-windowed reference for the fingerprint: Spark substr is
+    * character (codepoint) indexed, so windows must be codepoint windows —
+    * a UTF-16 `String.substring` reference would split surrogate pairs.
+    */
+  private def fingerprintReference(text: String): String = {
+    val md  = java.security.MessageDigest.getInstance("MD5")
+    val cps = text.codePoints().toArray
+    val end = math.max(cps.length - 7, 1)
+    (0 until end)
+      .map { i =>
+        val w = new String(cps, i, math.min(8, cps.length - i).max(0))
+        md.reset()
+        md.digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }
+      .distinct.sorted.take(4).mkString("|")
+  }
+
+  test("doc_fingerprint byte-loop equals the codepoint-window reference on random unicode") {
+    val word = Gen.oneOf(
+      Gen.alphaNumStr,
+      Gen.listOf(Gen.oneOf("é", "中", "🚀", "a", " ", "xyzw")).map(_.mkString),
+      Gen.const(""))
+    val text = Gen.listOf(word).map(_.mkString(" "))
+    samples(text, 300).foreach { t =>
+      val got = graft.functions.DocFingerprintImpl
+        .bottom4(org.apache.spark.unsafe.types.UTF8String.fromString(t)).toString
+      assert(got == fingerprintReference(t), s"mismatch for ${t.take(60).toList}")
+    }
+  }
+
   test("padded messageId string order equals numeric order for random components") {
     val comp = for {
       ms  <- Gen.chooseNum(0L, 9999999999999L)     // 13-digit unix millis

@@ -125,4 +125,53 @@ class StatefulSpec extends AnyFunSuite with BeforeAndAfterAll {
     val direct = rows(texts.indexOf("the quick brown fox")).getLong(0)
     assert(viaSql == direct)
   }
+
+  test("doc_fingerprint codegen expression is bit-identical to the HOF formulation") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    val texts = Seq("", " ", "short", "exactly8", "the quick brown fox jumps",
+      "héllo wörld with ünïcode", "aaaaaaaaaaaaaaaaaaa", "a b c d e f g h i j")
+    val df  = texts.toDF("text")
+    val hof = concat_ws("|", slice(
+      array_sort(array_distinct(
+        transform(sequence(lit(1), greatest(length(col("text")) - 7, lit(1))),
+          i => md5(col("text").substr(i, lit(8)))))),
+      1, 4))
+    val rows = df.select(
+      graft.functions.DocFingerprintFunctions.docFingerprint(col("text")).as("e"),
+      hof.as("h")).collect()
+    rows.zip(texts).foreach { case (r, t) =>
+      assert(r.getString(0) == r.getString(1), s"fingerprint mismatch for '$t'")
+    }
+    assert(GraftExtensions.register(spark))
+    val viaSql = spark.sql("SELECT doc_fingerprint('the quick brown fox jumps') AS f")
+      .head().getString(0)
+    assert(viaSql == rows(texts.indexOf("the quick brown fox jumps")).getString(0))
+  }
+
+  test("bigram_stats codegen expression is bit-identical to the HOF formulation") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    val texts = Seq("", " ", "a", "a ", " a", "a  b", "a b a b a b", "x y",
+      "héllo wörld héllo wörld", "the the the", "a b c d e f g")
+    val df = texts.toDF("text")
+    val w  = split(col("text"), " ")
+    val bg = transform(sequence(lit(1), size(w) - 1), i =>
+      concat(element_at(w, i), lit(" "), element_at(w, i + 1)))
+    val hof = when(size(w) >= 2,
+      struct(size(bg).cast("long").as("n_bigrams"),
+        size(array_distinct(bg)).cast("long").as("n_unique")))
+      .otherwise(struct(lit(0L).as("n_bigrams"), lit(0L).as("n_unique")))
+    val rows = df.select(
+      graft.functions.BigramStatsFunctions.bigramStats(col("text")).as("e"),
+      hof.as("h")).collect()
+    rows.zip(texts).foreach { case (r, t) =>
+      assert(r.getStruct(0).toSeq == r.getStruct(1).toSeq, s"bigram mismatch for '$t'")
+    }
+    assert(GraftExtensions.register(spark))
+    val viaSql = spark.sql("SELECT bigram_stats('a b a b').n_unique AS u").head().getLong(0)
+    assert(viaSql == 2L) // 'a b' and 'b a'
+  }
 }
