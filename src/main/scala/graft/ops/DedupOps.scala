@@ -92,13 +92,10 @@ object DedupOps {
   private def minhashA(j: Int): Long = (2654435761L * (j + 1)) % MinhashP
   private def minhashB(j: Int): Long = (40503L * (j + 7) + 97) % MinhashP
 
-  /** MinHash + LSH near-dup candidates: 12 universal hash functions over
-    * the shingle digest, 4 bands × 3 rows; docs sharing ≥1 band signature
-    * are candidate pairs. Per-band signatures shuffle by (band, signature)
-    * — the classic LSH bucket join; no all-pairs comparison anywhere.
+  /** Self-contained DuckDB twin of [[lshCandidatePairs]] (no ORDER BY) —
+    * also the `pairs` CTE body for the x31 cluster query.
     */
-  val minhashLsh: Q = Q(
-    "x02_minhash_lsh",
+  private[ops] val lshPairsSql: String =
     s"""WITH sh AS ($shingleSql),
        |hv AS (SELECT doc_id, CAST(concat('0x', substr(sh, 1, 15)) AS BIGINT) % $MinhashP AS h FROM sh),
        |mh AS (SELECT doc_id, seed,
@@ -110,8 +107,12 @@ object DedupOps {
        |          FROM mh GROUP BY doc_id, seed // 3)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
        |FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-       |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
-  ) { (s, dir) =>
+       |GROUP BY 1, 2""".stripMargin
+
+  /** LSH candidate pairs (doc_a < doc_b, n_bands ≥ 1), un-ordered — the
+    * shared core of x02 and the x31 duplicate-cluster query.
+    */
+  private[ops] def lshCandidatePairs(s: SparkSession, dir: String): DataFrame = {
     // single-pass signature: all 12 minima in one hash aggregate (no ×12
     // explode, no second shuffle — one pass over the shingle set)
     val h = expr(s"cast(conv(substring(sh, 1, 15), 16, 10) as bigint) % $MinhashP")
@@ -138,7 +139,78 @@ object DedupOps {
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_bands"))
-      .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash + LSH near-dup candidates: 12 universal hash functions over
+    * the shingle digest, 4 bands × 3 rows; docs sharing ≥1 band signature
+    * are candidate pairs. Per-band signatures shuffle by (band, signature)
+    * — the classic LSH bucket join; no all-pairs comparison anywhere.
+    */
+  val minhashLsh: Q = Q(
+    "x02_minhash_lsh",
+    s"""$lshPairsSql ORDER BY doc_a, doc_b"""
+  ) { (s, dir) =>
+    lshCandidatePairs(s, dir).orderBy("doc_a", "doc_b")
+  }
+
+  /** Duplicate-cluster resolution: connected components over the LSH
+    * candidate graph — the "keep one document per near-dup CLUSTER" step a
+    * pairwise dedup can't express (A~B and B~C must collapse to one
+    * representative even when A~C was never a candidate pair).
+    *
+    * Spark side: iterative min-label propagation — per round, every node
+    * takes the min label among itself and its neighbors; converges in at
+    * most graph-diameter rounds (each a bounded equi-join + aggregate, no
+    * driver-side graph state). At 100 TB the same loop runs with the
+    * alternating large-star/small-star optimization for O(log n) rounds;
+    * the per-round plan shape is identical. Oracle: DuckDB recursive CTE
+    * computing min reachable node id per node.
+    */
+  val dupClusters: Q = Q(
+    "x31_dup_clusters",
+    s"""WITH RECURSIVE pairs AS ($lshPairsSql),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS node FROM edges),
+       |reach(node, lbl) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT e.b AS node, r.lbl FROM reach r JOIN edges e ON e.a = r.node),
+       |labels AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node)
+       |SELECT CAST(node AS BIGINT) AS doc_id, CAST(lbl AS BIGINT) AS cluster,
+       |       CAST(count(*) OVER (PARTITION BY lbl) AS BIGINT) AS cluster_size
+       |FROM labels ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val pairs = lshCandidatePairs(s, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .cache()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .cache()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) { // diameter bound; tiny vs 50 in practice
+      val prop = edges.join(labels, col("a") === col("node"))
+        .select(col("b").as("node"), col("lbl"))
+      val next = labels.union(prop)
+        .groupBy("node").agg(min("lbl").as("lbl"))
+        .cache()
+      val changed = next.as("n").join(labels.as("o"), col("n.node") === col("o.node"))
+        .where(col("n.lbl") =!= col("o.lbl")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    // the final `labels` cache stays referenced by the returned plan; the
+    // ContextCleaner unpersists it once the result DF is released
+    val out = labels
+      .select(col("node").cast("long").as("doc_id"), col("lbl").cast("long").as("cluster"))
+      .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("cluster")))
+      .orderBy("doc_id")
+    edges.unpersist()
+    out
   }
 
   /** 32-bit SimHash from word hashes: bit i of a word's hash is the parity
@@ -222,5 +294,5 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  val all: Seq[Q] = Seq(exactDedup, minhashLsh, simhash, ngramJaccard)
+  val all: Seq[Q] = Seq(exactDedup, minhashLsh, simhash, ngramJaccard, dupClusters)
 }

@@ -131,6 +131,24 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("x31 clusters are transitive closures of the LSH pairs with min-id representatives") {
+    val clusters = SparkEntry.queries("x31_dup_clusters")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("cluster"), r.getAs[Long]("cluster_size")))
+      .toMap
+    val pairs = SparkEntry.queries("x02_minhash_lsh")(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.nonEmpty && clusters.nonEmpty)
+    // every candidate pair lands in one cluster (transitivity base case)
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a)._1 == clusters(b)._1, s"pair ($a,$b) split across clusters")
+    }
+    // representative is the smallest member; sizes match the member count
+    clusters.groupBy(_._2._1).foreach { case (rep, members) =>
+      assert(members.keys.min == rep)
+      assert(members.values.forall(_._2 == members.size))
+    }
+  }
+
   test("x04 df-cap is behavior-neutral below the cap (0.6 threshold)") {
     val capped   = graft.ops.DedupOps.jaccardPairs(spark, sfDir, 1000).collect().toSet
     val uncapped = graft.ops.DedupOps.jaccardPairs(spark, sfDir, Int.MaxValue).collect().toSet
