@@ -181,9 +181,14 @@ object DedupOps {
        |       CAST(count(*) OVER (PARTITION BY lbl) AS BIGINT) AS cluster_size
        |FROM labels ORDER BY doc_id""".stripMargin
   ) { (s, dir) =>
-    val pairs = lshCandidatePairs(s, dir).select(col("doc_a"), col("doc_b"))
-    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
-      .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+    // both edge directions from ONE pass over the (expensive) pair lineage:
+    // a union of two selects would materialize the minhash subtree twice
+    // the first time the cache fills
+    val edges = lshCandidatePairs(s, dir)
+      .select(explode(array(
+        struct(col("doc_a").as("a"), col("doc_b").as("b")),
+        struct(col("doc_b").as("a"), col("doc_a").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .cache()
     var labels = edges.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
