@@ -28,29 +28,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  /** Arity guard for SQL function builders: a wrong-arity call must surface
+    * as a proper analysis-time error, not a NoSuchElementException from
+    * `children.head` (extra arguments silently ignored otherwise).
+    */
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    children => {
+      if (children.length != n)
+        throw new IllegalArgumentException(
+          s"$name expects exactly $n argument(s), got ${children.length}")
+      build(children)
+    }
+
   private[graft] val dotF32Descriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("dot_f32"),
     new ExpressionInfo(classOf[DotF32].getName, "dot_f32"),
-    (children: Seq[Expression]) => DotF32(children(0), children(1)))
+    arity("dot_f32", 2)(children => DotF32(children(0), children(1))))
 
   private[graft] val simhash32Descriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("simhash32"),
     new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
-    (children: Seq[Expression]) => SimHash32(children.head))
+    arity("simhash32", 1)(children => SimHash32(children.head)))
 
   private[graft] val docFingerprintDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("doc_fingerprint"),
     new ExpressionInfo(classOf[DocFingerprint].getName, "doc_fingerprint"),
-    (children: Seq[Expression]) => DocFingerprint(children.head))
+    arity("doc_fingerprint", 1)(children => DocFingerprint(children.head)))
 
   private[graft] val bigramStatsDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("bigram_stats"),
     new ExpressionInfo(classOf[BigramStats].getName, "bigram_stats"),
-    (children: Seq[Expression]) => BigramStats(children.head))
+    arity("bigram_stats", 1)(children => BigramStats(children.head)))
 
   /** Late registration into an already-built session (e.g. one handed to us
     * by a host process that didn't set `spark.sql.extensions`). SessionState

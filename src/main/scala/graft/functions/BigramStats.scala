@@ -95,10 +95,11 @@ object BigramStatsFunctions {
       val w  = split(text, " ")
       val bg = transform(sequence(lit(1), size(w) - 1), i =>
         concat(element_at(w, i), lit(" "), element_at(w, i + 1)))
-      when(size(w) >= 2,
-        struct(
-          size(bg).cast("long").as("n_bigrams"),
-          size(array_distinct(bg)).cast("long").as("n_unique")))
+      when(text.isNull, lit(null).cast(BigramStats.outputType))
+        .when(size(w) >= 2,
+          struct(
+            size(bg).cast("long").as("n_bigrams"),
+            size(array_distinct(bg)).cast("long").as("n_unique")))
         .otherwise(struct(lit(0L).as("n_bigrams"), lit(0L).as("n_unique")))
     }
 }

@@ -93,10 +93,13 @@ object DocFingerprintFunctions {
     */
   def docFingerprint(text: Column): Column =
     GraftFunctions.liftUnary(text, DocFingerprint.apply).getOrElse {
-      concat_ws("|", slice(
-        array_sort(array_distinct(
-          transform(sequence(lit(1), greatest(length(text) - 7, lit(1))),
-            i => md5(text.substr(i, lit(8)))))),
-        1, 4))
+      // NULL-in -> NULL-out, matching the expression's nullSafeEval
+      // (concat_ws would otherwise render a null digest list as "")
+      when(text.isNull, lit(null).cast("string")).otherwise(
+        concat_ws("|", slice(
+          array_sort(array_distinct(
+            transform(sequence(lit(1), greatest(length(text) - 7, lit(1))),
+              i => md5(text.substr(i, lit(8)))))),
+          1, 4)))
     }
 }

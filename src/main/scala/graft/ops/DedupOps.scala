@@ -201,13 +201,24 @@ object DedupOps {
       val next = labels.union(prop)
         .groupBy("node").agg(min("lbl").as("lbl"))
         .cache()
+      // full count (no limit): the join scans EVERY partition of `next`,
+      // so its cache is completely filled before the old generation is
+      // unpersisted — an early-exit check could leave next partially
+      // cached and trigger a per-round recomputation cascade
       val changed = next.as("n").join(labels.as("o"), col("n.node") === col("o.node"))
-        .where(col("n.lbl") =!= col("o.lbl")).limit(1).count()
+        .where(col("n.lbl") =!= col("o.lbl")).count()
       labels.unpersist()
       labels = next
       converged = changed == 0
       rounds += 1
     }
+    // wrong labels must never be returned silently: an unconverged exit
+    // means a component with diameter > the round bound (the scale path is
+    // large-star/small-star at O(log n) rounds) — fail loudly instead of
+    // reporting one true cluster as several
+    if (!converged)
+      throw new IllegalStateException(
+        s"x31 label propagation did not converge within $rounds rounds")
     // the final `labels` cache stays referenced by the returned plan; the
     // ContextCleaner unpersists it once the result DF is released
     val out = labels

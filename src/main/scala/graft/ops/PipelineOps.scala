@@ -77,11 +77,14 @@ object PipelineOps {
     // Codegen'd [[graft.functions.BigramStats]]: zero-copy bigram dedup in
     // a hash set, replacing the interpreted O(n²) array_distinct per row.
     docs(s, dir)
-      .where(size(split(col("text"), " ")) >= 2)
       .select(col("doc_id"),
         graft.functions.BigramStatsFunctions.bigramStats(col("text")).as("bs"))
       .select(col("doc_id"), col("bs.n_bigrams").as("n_bigrams"),
         col("bs.n_unique").as("n_unique"))
+      // the <2-token filter via the stats themselves (n_bigrams = 0) — a
+      // size(split(...)) predicate would re-tokenize every row with an
+      // interpreted regex just to count tokens
+      .where(col("n_bigrams") > 0)
       .withColumn("rep_ppm", expr("(n_bigrams - n_unique) * 1000000 div n_bigrams"))
       .orderBy("doc_id")
   }

@@ -124,16 +124,24 @@ final class CompactedLogStore(spark: SparkSession, logDir: String) extends Topic
       ConfigSerde.toJson(cfg, extra = Seq("seq" -> Json.num(s)))
     }
     val tmp = Files.createTempFile(logPath.getParent, ".compact-", ".jsonl")
-    Files.write(tmp, lines.map(_ + "\n").mkString.getBytes(UTF_8))
-    Files.move(tmp, logPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    try {
+      Files.write(tmp, lines.map(_ + "\n").mkString.getBytes(UTF_8))
+      Files.move(tmp, logPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } catch {
+      case e: Throwable => Files.deleteIfExists(tmp); throw e
+    }
     seq = s
   }
 
   /** Current log line count (test/introspection hook). */
   private[graft] def logSize: Long =
-    if (Files.exists(logPath)) Files.lines(logPath).count() else 0L
+    if (!Files.exists(logPath)) 0L
+    else {
+      val lines = Files.lines(logPath)
+      try lines.count() finally lines.close()
+    }
 
   /** Rebuild the driver cache from the compacted view (restart path). */
   def replay(): Unit = {
