@@ -188,7 +188,54 @@ object StreamOps {
       .orderBy("user_bucket")
   }
 
+  private val stagedDocs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def stagedDocsDir(dir: String): String = stagedDocs.getOrElseUpdate(dir, {
+    val d = Files.createTempDirectory("graft-docs-src")
+    Files.copy(java.nio.file.Paths.get(s"$dir/documents.parquet"), d.resolve("documents.parquet"))
+    d.toString
+  })
+
+  /** The x23 cleaning funnel run INCREMENTALLY: documents stream through
+    * the language/quality gates (stateless projections) into a STATEFUL
+    * per-(source, digest) dedup — new micro-batches only ever pay for their
+    * own rows, and the dedup state is the digest set, not the corpus. The
+    * per-source rollup runs on the bounded sink output (x18's pattern).
+    *
+    * Deduping on (source, digest) rather than digest alone keeps the result
+    * arrival-order independent: duplicates share n_words, so the per-source
+    * counts don't depend on WHICH copy the stream saw first — the batch
+    * oracle's min-doc_id choice and the stream's first-arrival choice
+    * aggregate identically.
+    */
+  val streamClean: Q = Q(
+    "x32_stream_clean",
+    s"""WITH ${TextOps.flagsSqlCtes},
+       |elig AS (
+       |  SELECT source, n_words,
+       |    row_number() OVER (PARTITION BY source, md5(text) ORDER BY doc_id) AS rn
+       |  FROM flags WHERE is_en AND score >= 0.5)
+       |SELECT source, CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       CAST(sum(CASE WHEN rn = 1 THEN n_words ELSE 0 END) AS BIGINT) AS kept_tokens
+       |FROM elig GROUP BY source ORDER BY source""".stripMargin
+  ) { (s, dir) =>
+    val batchSchema = s.read.parquet(s"$dir/documents.parquet").schema
+    val raw = s.readStream.schema(batchSchema).parquet(stagedDocsDir(dir))
+    val kept = TextOps.cleanFlags(raw)
+      .where(col("is_en") && col("score") >= 0.5)
+      .select(col("source"), md5(col("text")).as("digest"), col("n_words"))
+      .dropDuplicates("source", "digest")
+    val q = kept.writeStream
+      .format("memory").queryName("x32_sink").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-x32").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table("x32_sink")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_words")).cast("long").as("kept_tokens"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(
     tumbling, sliding, session, streamTumbling, streamDedup,
-    streamWatermark, streamStaticJoin)
+    streamWatermark, streamStaticJoin, streamClean)
 }

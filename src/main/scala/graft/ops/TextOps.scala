@@ -166,6 +166,44 @@ object TextOps {
     * the identical IEEE arithmetic, whereas rounding first could flip a
     * boundary doc between engines.
     */
+  /** Shared scored→flags SQL CTE chain (x23 + the x32 streaming twin). */
+  private[ops] val flagsSqlCtes: String =
+    s"""scored AS (
+       |  SELECT doc_id, source, text,
+       |    len(string_split(text, ' ')) AS n_words,
+       |    ${hitsSql("en")} AS en, ${hitsSql("de")} AS de,
+       |    ${hitsSql("es")} AS es, ${hitsSql("fr")} AS fr,
+       |    len(regexp_extract_all(text, '[一-鿿]')) AS zh,
+       |    len(list_distinct(string_split(text, ' '))) AS uniq_n
+       |  FROM documents),
+       |flags AS (
+       |  SELECT *, (zh = 0 AND en > 0 AND en >= de AND en >= es AND en >= fr) AS is_en,
+       |    least(n_words / 100.0, 1.0) * 0.5 + (CAST(en AS DOUBLE) / n_words) * 0.3
+       |      + (CAST(uniq_n AS DOUBLE) / n_words) * 0.2 AS score
+       |  FROM scored)""".stripMargin
+
+  /** Shared lang/quality gating as a projection over (doc_id, source, text)
+    * — the Spark twin of [[flagsSqlCtes]], applied identically to the batch
+    * scan (x23) and the micro-batch stream (x32).
+    */
+  private[ops] def cleanFlags(df: DataFrame): DataFrame = {
+    val scored = df
+      .select(col("doc_id"), col("source"), col("text"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("source"), col("text"),
+        size(col("ws")).as("n_words"),
+        hitsInWs("en").as("en"), hitsInWs("de").as("de"),
+        hitsInWs("es").as("es"), hitsInWs("fr").as("fr"),
+        regexp_count(col("text"), lit("[一-鿿]")).as("zh"),
+        size(array_distinct(col("ws"))).as("uniq_n"))
+    scored
+      .withColumn("is_en", col("zh") === 0 && col("en") > 0 &&
+        col("en") >= col("de") && col("en") >= col("es") && col("en") >= col("fr"))
+      .withColumn("score",
+        least(col("n_words") / 100.0, lit(1.0)) * 0.5 +
+          (col("en").cast("double") / col("n_words")) * 0.3 +
+          (col("uniq_n").cast("double") / col("n_words")) * 0.2)
+  }
+
   val corpusClean: Q = Q(
     "x23_corpus_clean",
     s"""WITH scored AS (
@@ -200,21 +238,7 @@ object TextOps {
        |FROM base_agg b LEFT JOIN kept k ON b.source = k.source
        |ORDER BY source""".stripMargin
   ) { (s, dir) =>
-    val scored = docs(s, dir)
-      .select(col("doc_id"), col("source"), col("text"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), col("source"), col("text"),
-        size(col("ws")).as("n_words"),
-        hitsInWs("en").as("en"), hitsInWs("de").as("de"),
-        hitsInWs("es").as("es"), hitsInWs("fr").as("fr"),
-        regexp_count(col("text"), lit("[一-鿿]")).as("zh"),
-        size(array_distinct(col("ws"))).as("uniq_n"))
-    val flags = scored
-      .withColumn("is_en", col("zh") === 0 && col("en") > 0 &&
-        col("en") >= col("de") && col("en") >= col("es") && col("en") >= col("fr"))
-      .withColumn("score",
-        least(col("n_words") / 100.0, lit(1.0)) * 0.5 +
-          (col("en").cast("double") / col("n_words")) * 0.3 +
-          (col("uniq_n").cast("double") / col("n_words")) * 0.2)
+    val flags = cleanFlags(docs(s, dir))
     val baseAgg = flags.groupBy("source").agg(
       count(lit(1)).as("n_docs"),
       sum(when(col("is_en"), 1).otherwise(0)).as("n_en"),
