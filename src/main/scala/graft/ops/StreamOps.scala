@@ -87,24 +87,26 @@ object StreamOps {
     * sfDir) — a real topic table is already a directory of append segments
     * (SURVEY.md §7.1 topics/).
     */
-  private val staged = scala.collection.concurrent.TrieMap.empty[String, String]
-  private def stagedDir(dir: String): String = staged.getOrElseUpdate(dir, {
-    val d = Files.createTempDirectory("graft-events-src")
-    Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), d.resolve("events.parquet"))
-    d.toString
-  })
+  private val staged = scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private def stagedDir(dir: String, table: String): String =
+    staged.getOrElseUpdate((dir, table), {
+      val d = Files.createTempDirectory(s"graft-$table-src")
+      Files.copy(java.nio.file.Paths.get(s"$dir/$table.parquet"), d.resolve(s"$table.parquet"))
+      d.toString
+    })
 
   /** Runs a streaming transform of the events file source to completion
     * (AvailableNow) and returns the sink table. Checkpoint is a throwaway
     * temp dir — identity of the "subscription" in reference terms (O-8).
     */
-  private def runStream(s: SparkSession, dir: String, sinkName: String, mode: String)(
+  private def runStream(s: SparkSession, dir: String, sinkName: String, mode: String,
+      table: String = "events")(
       transform: DataFrame => DataFrame): DataFrame = {
-    val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
-    val raw = s.readStream.schema(batchSchema).parquet(stagedDir(dir))
+    val batchSchema = s.read.parquet(s"$dir/$table.parquet").schema
+    val raw = s.readStream.schema(batchSchema).parquet(stagedDir(dir, table))
     // events.ts is parquet TIMESTAMP(NANOS) read as long (see Tables)
     val stream =
-      if (batchSchema("ts").dataType == LongType)
+      if (batchSchema.fieldNames.contains("ts") && batchSchema("ts").dataType == LongType)
         raw.withColumn("ts", expr("timestamp_micros(`ts` div 1000)"))
       else raw
     val q = transform(stream).writeStream
@@ -188,24 +190,22 @@ object StreamOps {
       .orderBy("user_bucket")
   }
 
-  private val stagedDocs = scala.collection.concurrent.TrieMap.empty[String, String]
-  private def stagedDocsDir(dir: String): String = stagedDocs.getOrElseUpdate(dir, {
-    val d = Files.createTempDirectory("graft-docs-src")
-    Files.copy(java.nio.file.Paths.get(s"$dir/documents.parquet"), d.resolve("documents.parquet"))
-    d.toString
-  })
-
   /** The x23 cleaning funnel run INCREMENTALLY: documents stream through
-    * the language/quality gates (stateless projections) into a STATEFUL
-    * per-(source, digest) dedup — new micro-batches only ever pay for their
-    * own rows, and the dedup state is the digest set, not the corpus. The
-    * per-source rollup runs on the bounded sink output (x18's pattern).
+    * the language/quality gates (stateless projections, shared with x23 via
+    * [[TextOps.cleanFlags]]) into a STATEFUL per-(source, digest) dedup —
+    * new micro-batches only ever pay for their own rows, and the dedup
+    * state is the digest set, not the corpus. The per-source rollup runs on
+    * the bounded sink output (x18's pattern).
     *
     * Deduping on (source, digest) rather than digest alone keeps the result
     * arrival-order independent: duplicates share n_words, so the per-source
     * counts don't depend on WHICH copy the stream saw first — the batch
     * oracle's min-doc_id choice and the stream's first-arrival choice
-    * aggregate identically.
+    * aggregate identically. NOTE the deliberate semantic difference from
+    * x23: a duplicate text spanning TWO sources is kept once per source
+    * here, but only under its min-doc_id source in x23 — a global-digest
+    * streaming dedup would make the per-source counts depend on arrival
+    * order, which no oracle could pin down.
     */
   val streamClean: Q = Q(
     "x32_stream_clean",
@@ -218,18 +218,12 @@ object StreamOps {
        |       CAST(sum(CASE WHEN rn = 1 THEN n_words ELSE 0 END) AS BIGINT) AS kept_tokens
        |FROM elig GROUP BY source ORDER BY source""".stripMargin
   ) { (s, dir) =>
-    val batchSchema = s.read.parquet(s"$dir/documents.parquet").schema
-    val raw = s.readStream.schema(batchSchema).parquet(stagedDocsDir(dir))
-    val kept = TextOps.cleanFlags(raw)
-      .where(col("is_en") && col("score") >= 0.5)
-      .select(col("source"), md5(col("text")).as("digest"), col("n_words"))
-      .dropDuplicates("source", "digest")
-    val q = kept.writeStream
-      .format("memory").queryName("x32_sink").outputMode("append")
-      .option("checkpointLocation", Files.createTempDirectory("graft-x32").toString)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    s.table("x32_sink")
+    runStream(s, dir, "x32_sink", "append", table = "documents") { docsStream =>
+      TextOps.cleanFlags(docsStream)
+        .where(col("is_en") && col("score") >= 0.5)
+        .select(col("source"), md5(col("text")).as("digest"), col("n_words"))
+        .dropDuplicates("source", "digest")
+    }
       .groupBy("source")
       .agg(count(lit(1)).as("n_kept"), sum(col("n_words")).cast("long").as("kept_tokens"))
       .orderBy("source")

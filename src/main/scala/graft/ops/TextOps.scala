@@ -156,16 +156,6 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  /** The composed training-data cleaning pipeline — the flow the extension
-    * pack exists for, as ONE declarative program: language-ID gate (en) →
-    * quality-score gate → exact dedup (first doc per digest), reported as a
-    * per-source funnel (docs in → en → quality → kept) plus kept token
-    * volume. Single scan, two hash aggregates, one digest window — no stage
-    * materializes an intermediate corpus, so the same plan runs at 100 TB.
-    * The quality threshold compares the UNROUNDED score: both engines run
-    * the identical IEEE arithmetic, whereas rounding first could flip a
-    * boundary doc between engines.
-    */
   /** Shared scored→flags SQL CTE chain (x23 + the x32 streaming twin). */
   private[ops] val flagsSqlCtes: String =
     s"""scored AS (
@@ -204,21 +194,21 @@ object TextOps {
           (col("uniq_n").cast("double") / col("n_words")) * 0.2)
   }
 
+  /** The composed training-data cleaning pipeline — the flow the extension
+    * pack exists for, as ONE declarative program: language-ID gate (en) →
+    * quality-score gate → exact dedup (first doc per digest), reported as a
+    * per-source funnel (docs in → en → quality → kept) plus kept token
+    * volume. Single scan, two hash aggregates, one digest window — no stage
+    * materializes an intermediate corpus, so the same plan runs at 100 TB.
+    * The quality threshold compares the UNROUNDED score: both engines run
+    * the identical IEEE arithmetic, whereas rounding first could flip a
+    * boundary doc between engines. The gating CTEs come from
+    * [[flagsSqlCtes]] so the batch and streaming (x32) funnels cannot
+    * silently diverge.
+    */
   val corpusClean: Q = Q(
     "x23_corpus_clean",
-    s"""WITH scored AS (
-       |  SELECT doc_id, source, text,
-       |    len(string_split(text, ' ')) AS n_words,
-       |    ${hitsSql("en")} AS en, ${hitsSql("de")} AS de,
-       |    ${hitsSql("es")} AS es, ${hitsSql("fr")} AS fr,
-       |    len(regexp_extract_all(text, '[一-鿿]')) AS zh,
-       |    len(list_distinct(string_split(text, ' '))) AS uniq_n
-       |  FROM documents),
-       |flags AS (
-       |  SELECT *, (zh = 0 AND en > 0 AND en >= de AND en >= es AND en >= fr) AS is_en,
-       |    least(n_words / 100.0, 1.0) * 0.5 + (CAST(en AS DOUBLE) / n_words) * 0.3
-       |      + (CAST(uniq_n AS DOUBLE) / n_words) * 0.2 AS score
-       |  FROM scored),
+    s"""WITH $flagsSqlCtes,
        |base_agg AS (
        |  SELECT source, count(*) AS n_docs,
        |    CAST(sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
