@@ -174,4 +174,15 @@ class StatefulSpec extends AnyFunSuite with BeforeAndAfterAll {
     val viaSql = spark.sql("SELECT bigram_stats('a b a b').n_unique AS u").head().getLong(0)
     assert(viaSql == 2L) // 'a b' and 'b a'
   }
+
+  test("SQL function builders reject wrong arity with a real error, not head-of-empty-list") {
+    assert(GraftExtensions.register(spark))
+    for (bad <- Seq("SELECT simhash32()", "SELECT doc_fingerprint('a','b')",
+        "SELECT dot_f32(array(CAST(1 AS FLOAT)))", "SELECT bigram_stats()")) {
+      val e = intercept[Exception](spark.sql(bad).collect())
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs.contains("expects exactly"), s"for '$bad' got: $msgs")
+    }
+  }
 }
