@@ -329,5 +329,34 @@ object SimilarityOps {
       .orderBy("q_id", "rk")
   }
 
-  val all: Seq[Q] = Seq(cosineNearDup, cosineTopK, annLsh, annMultiprobe, annIvf, annMultitable)
+  /** Per-label embedding centroids — the training step behind IVF cell
+    * lists and the standard clustering diagnostic (class prototype
+    * vectors). Components are reported as exact integer micro-unit SUMS
+    * plus counts rather than float averages: a float mean is
+    * summation-order dependent (Spark's partial aggregation vs DuckDB's
+    * sequential scan differ in ULPs, which can flip a 6-dp rounding
+    * boundary), while integer sums are order-free and the consumer divides.
+    * One posexplode + hash aggregate: shuffles (label, dim) pairs, never
+    * vectors — linear at any corpus size.
+    */
+  val labelCentroids: Q = Q(
+    "x33_label_centroids",
+    """WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+      |e AS (SELECT label, i, embedding[i] AS v FROM embeddings, idx)
+      |SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS i,
+      |       CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_ppm,
+      |       count(*) AS n
+      |FROM e GROUP BY label, i ORDER BY label, i""".stripMargin
+  ) { (s, dir) =>
+    embs(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("p", "v")))
+      .groupBy(col("label").cast("long").as("label"), (col("p") + 1).cast("long").as("i"))
+      .agg(
+        sum(floor(col("v").cast("double") * 1000000 + 0.5).cast("long")).as("sum_ppm"),
+        count(lit(1)).as("n"))
+      .orderBy("label", "i")
+  }
+
+  val all: Seq[Q] = Seq(cosineNearDup, cosineTopK, annLsh, annMultiprobe, annIvf,
+    annMultitable, labelCentroids)
 }

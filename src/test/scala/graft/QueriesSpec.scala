@@ -149,6 +149,30 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("x33 centroids: 64 dims per label, counts match, integer sums exact") {
+    val rows = SparkEntry.queries("x33_label_centroids")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byLabel = rows.groupBy(_.getAs[Long]("label"))
+    // expected from a driver-side recompute over the raw table
+    val raw = graft.ops.Tables(spark, sfDir, "embeddings")
+      .select("label", "embedding").collect()
+      .map(r => (r.getAs[Int]("label").toLong, r.getSeq[Float](1)))
+    val expSums = raw
+      .flatMap { case (l, v) => v.zipWithIndex.map { case (x, p) =>
+        ((l, p + 1L), math.floor(x.toDouble * 1000000 + 0.5).toLong) } }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    val expN = raw.groupBy(_._1).map { case (l, vs) => l -> vs.length.toLong }
+    assert(byLabel.keySet == expN.keySet)
+    byLabel.foreach { case (l, rs) =>
+      assert(rs.map(_.getAs[Long]("i")).sorted.toSeq == (1L to 64L), s"label $l dims")
+      rs.foreach { r =>
+        val i = r.getAs[Long]("i")
+        assert(r.getAs[Long]("n") == expN(l), s"label $l count")
+        assert(r.getAs[Long]("sum_ppm") == expSums((l, i)), s"label $l dim $i sum")
+      }
+    }
+  }
+
   test("x04 df-cap is behavior-neutral below the cap (0.6 threshold)") {
     val capped   = graft.ops.DedupOps.jaccardPairs(spark, sfDir, 1000).collect().toSet
     val uncapped = graft.ops.DedupOps.jaccardPairs(spark, sfDir, Int.MaxValue).collect().toSet
