@@ -15,7 +15,8 @@ object SparkEntry {
 
   private def packs: Seq[Q] =
     RefOps.all ++ RelOps.all ++ DedupOps.all ++ TextOps.all ++ SimilarityOps.all ++
-      MultimodalOps.all ++ StreamOps.all ++ FuncOps.all ++ PipelineOps.all
+      MultimodalOps.all ++ StreamOps.all ++ FuncOps.all ++ PipelineOps.all ++
+      CorpusStatsOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Revenue per region: lineitem⨝orders⨝customer⨝nation⨝region with the two

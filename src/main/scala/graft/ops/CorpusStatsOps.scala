@@ -1,0 +1,217 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline pack 3: corpus-level statistics a curation run
+  * reads before (and after) filtering — term salience, collocation
+  * strength, cross-source duplication, domain-mixture sampling, lexical
+  * diversity, and length distributions. Complements the x25-x30 curation
+  * pack (chunk dedup / repetition / contamination / sampling / packing).
+  *
+  * Determinism contract (SURVEY.md §7.5): every derived ratio is exact
+  * integer arithmetic (`a * 1_000_000 div b`) — no transcendentals, no
+  * float accumulation — so Spark and DuckDB agree bit-for-bit regardless
+  * of aggregation order. The one float family (x39 quantiles) reuses the
+  * t21-proven `percentile` ↔ `quantile_cont` parity.
+  *
+  * Scale notes (100 TB):
+  *  - x34/x38 shuffle (source, word) / (word) count pairs — vocabulary-
+  *    sized exchanges, never document text. The doc-frequency side of
+  *    x34 is itself an aggregate (word → df), joined on the word key.
+  *  - x35 shuffles bigram count pairs; the unigram count table it joins
+  *    against is vocabulary-sized (broadcastable for natural-language
+  *    vocabularies; Catalyst/AQE decides from stats).
+  *  - x36 self-joins DISTINCT (source, chunk-digest) pairs on the digest
+  *    key: 16-byte keys, and per-digest fan-out is bounded by the number
+  *    of sources (not corpus size), so Σ per-key² stays quadratic in
+  *    #sources only — no df-cap needed, unlike x04's shingle join.
+  *  - x37/x39 are single hash aggregates over row-local projections.
+  */
+object CorpusStatsOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "documents")
+
+  private val ws = split(col("text"), " ")
+
+  /** Per-source salient terms: tf·idf with a rational idf (N/df "lift"
+    * rather than ln(N/df)) so the score is exact integer arithmetic —
+    * `tf * 1e6 * N div df` — and rank order is engine-independent.
+    * Top-3 per source, ties broken on the term itself.
+    */
+  val tfidfTopTerms: Q = Q(
+    "x34_tfidf_topterms",
+    """WITH w AS (SELECT doc_id, source, unnest(string_split(text,' ')) AS word FROM documents),
+      |tf AS (SELECT source, word, count(*) AS tf FROM w GROUP BY source, word),
+      |df AS (SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY word),
+      |n AS (SELECT count(*) AS n FROM documents)
+      |SELECT source, rk, word, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score_pm
+      |FROM (SELECT source, word, tf, df,
+      |             CAST(tf * 1000000 * n // df AS BIGINT) AS score_pm,
+      |             row_number() OVER (PARTITION BY source
+      |               ORDER BY tf * 1000000 * n // df DESC, word) AS rk
+      |      FROM tf JOIN df USING (word) CROSS JOIN n)
+      |WHERE rk <= 3 ORDER BY source, rk""".stripMargin
+  ) { (s, dir) =>
+    val w  = docs(s, dir).select(col("doc_id"), col("source"), explode(ws).as("word"))
+    val tf = w.groupBy("source", "word").agg(count(lit(1)).as("tf"))
+    val df = w.groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
+    val n  = docs(s, dir).agg(count(lit(1)).as("n"))
+    val rw = Window.partitionBy("source").orderBy(col("score_pm").desc, col("word"))
+    tf.join(df, "word")
+      .crossJoin(broadcast(n))
+      .withColumn("score_pm", expr("tf * 1000000 * n div df"))
+      .withColumn("rk", row_number().over(rw))
+      .where(col("rk") <= 3)
+      .select("source", "rk", "word", "tf", "df", "score_pm")
+      .orderBy("source", "rk")
+  }
+
+  /** Collocation strength: bigram association as rational lift
+    * `P(ab) / (P(a)P(b)) = c_ab * T * 1e6 div (c_a * c_b)` (PMI without
+    * the log — monotone in PMI, exact in int64). Top-20 corpus-wide.
+    */
+  val bigramLift: Q = Q(
+    "x35_bigram_lift",
+    """WITH ws AS (SELECT string_split(text,' ') AS w FROM documents),
+      |bgp AS (SELECT unnest(list_transform(generate_series(1, len(w)-1),
+      |          i -> {'w1': w[i], 'w2': w[i+1]})) AS p FROM ws WHERE len(w) >= 2),
+      |bc AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS c_ab FROM bgp GROUP BY 1, 2),
+      |uni AS (SELECT unnest(w) AS word FROM ws),
+      |uc AS (SELECT word, count(*) AS c_w FROM uni GROUP BY word),
+      |tot AS (SELECT count(*) AS t FROM uni)
+      |SELECT w1 || ' ' || w2 AS bigram, CAST(c_ab AS BIGINT) AS c_ab,
+      |       CAST(a.c_w AS BIGINT) AS c_a, CAST(b.c_w AS BIGINT) AS c_b,
+      |       CAST(c_ab * t * 1000000 // (a.c_w * b.c_w) AS BIGINT) AS lift_ppm
+      |FROM bc JOIN uc a ON a.word = w1 JOIN uc b ON b.word = w2 CROSS JOIN tot
+      |WHERE c_ab >= 5
+      |ORDER BY lift_ppm DESC, bigram LIMIT 20""".stripMargin
+  ) { (s, dir) =>
+    val d = docs(s, dir)
+    val pairs = d
+      .select(explode(when(size(ws) >= 2,
+        transform(sequence(lit(1), size(ws) - 1),
+          i => struct(element_at(ws, i).as("w1"), element_at(ws, i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val bc  = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+    val uni = d.select(explode(ws).as("word"))
+    val uc  = uni.groupBy("word").agg(count(lit(1)).as("c_w"))
+    val tot = uni.agg(count(lit(1)).as("t"))
+    bc.join(uc.select(col("word").as("w1"), col("c_w").as("c_a")), "w1")
+      .join(uc.select(col("word").as("w2"), col("c_w").as("c_b")), "w2")
+      .crossJoin(broadcast(tot))
+      .where(col("c_ab") >= 5)
+      .select(
+        concat_ws(" ", col("w1"), col("w2")).as("bigram"),
+        col("c_ab"), col("c_a"), col("c_b"),
+        expr("c_ab * t * 1000000 div (c_a * c_b)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("bigram"))
+      .limit(20)
+  }
+
+  /** Cross-source duplication matrix: how many distinct 8-word chunks each
+    * pair of sources shares (the x25 chunking, compared ACROSS sources) —
+    * the signal behind per-domain dedup priority and train/eval source
+    * splits. Join key is the 16-byte digest; per-digest fan-out ≤ #sources.
+    */
+  val sourceOverlap: Q = Q(
+    "x36_source_overlap",
+    """WITH chunks AS (
+      |  SELECT DISTINCT source, md5(array_to_string(list_slice(w, 8*i+1, 8*i+8), ' ')) AS ch
+      |  FROM (SELECT source, string_split(text,' ') AS w FROM documents),
+      |       LATERAL (SELECT unnest(generate_series(0, CAST(len(w)//8 AS BIGINT) - 1)) AS i) g)
+      |SELECT a.source AS source_a, b.source AS source_b, CAST(count(*) AS BIGINT) AS n_shared
+      |FROM chunks a JOIN chunks b ON a.ch = b.ch AND a.source < b.source
+      |GROUP BY source_a, source_b ORDER BY source_a, source_b""".stripMargin
+  ) { (s, dir) =>
+    val chunks = docs(s, dir)
+      .select(col("source"),
+        explode(when(size(ws) >= 8,
+          transform(sequence(lit(0), floor(size(ws) / lit(8)).cast("int") - 1),
+            i => md5(array_join(slice(ws, i * 8 + 1, lit(8)), " "))))
+          .otherwise(array().cast("array<string>"))).as("ch"))
+      .distinct()
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.ch") === col("b.ch") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** Domain-mixture sampling: per-language keep rates (en 50 %, es 25 %,
+    * zh 12.5 %, rest 6.25 %) applied via the x28 content-hash coin — the
+    * deterministic, shuffle-free "data mixing" step that reweights corpus
+    * composition without an RNG or a global pass.
+    */
+  val mixtureSample: Q = Q(
+    "x37_mixture_sample",
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+      |       CAST(sum(CASE WHEN CAST('0x' || substr(md5(text),1,4) AS INTEGER) <
+      |         (CASE lang WHEN 'en' THEN 32768 WHEN 'es' THEN 16384
+      |                    WHEN 'zh' THEN 8192 ELSE 4096 END)
+      |         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  ) { (s, dir) =>
+    val thr = when(col("lang") === "en", 32768)
+      .when(col("lang") === "es", 16384)
+      .when(col("lang") === "zh", 8192)
+      .otherwise(4096)
+    docs(s, dir)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(conv(substring(md5(col("text")), 1, 4), 16, 10).cast("int") < thr, 1)
+          .otherwise(0)).cast("long").as("n_kept"))
+      .orderBy("lang")
+  }
+
+  /** Lexical diversity per source: type-token ratio in exact ppm. One
+    * two-level aggregate over (source, word) pairs — the same exchange
+    * x34's tf leg already pays, reused as a standalone diagnostic.
+    */
+  val typeToken: Q = Q(
+    "x38_type_token",
+    """WITH w AS (SELECT source, unnest(string_split(text,' ')) AS word FROM documents)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+      |       CAST(count(DISTINCT word) AS BIGINT) AS n_types,
+      |       CAST(count(DISTINCT word) * 1000000 // count(*) AS BIGINT) AS ttr_ppm
+      |FROM w GROUP BY source ORDER BY source""".stripMargin
+  ) { (s, dir) =>
+    docs(s, dir)
+      .select(col("source"), explode(ws).as("word"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_words"),
+        countDistinct(col("word")).as("n_types"))
+      .withColumn("ttr_ppm", expr("n_types * 1000000 div n_words"))
+      .orderBy("source")
+  }
+
+  /** Length distribution per language: exact quartiles of n_chars (the
+    * gate thresholds behind length filtering). Reuses the t21-proven
+    * `percentile` ↔ `quantile_cont` engine parity.
+    */
+  val lenQuartiles: Q = Q(
+    "x39_len_quartiles",
+    """SELECT lang, round(quantile_cont(n_chars, 0.25), 6) AS q1,
+      |       round(median(n_chars), 6) AS med,
+      |       round(quantile_cont(n_chars, 0.75), 6) AS q3,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  ) { (s, dir) =>
+    docs(s, dir)
+      .groupBy("lang")
+      .agg(
+        round(percentile(col("n_chars"), lit(0.25)), 6).as("q1"),
+        round(median(col("n_chars")), 6).as("med"),
+        round(percentile(col("n_chars"), lit(0.75)), 6).as("q3"),
+        count(lit(1)).as("n"))
+      .orderBy("lang")
+  }
+
+  val all: Seq[Q] = Seq(tfidfTopTerms, bigramLift, sourceOverlap, mixtureSample,
+    typeToken, lenQuartiles)
+}

@@ -173,6 +173,34 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("x34/x38 integer ratios are exact and internally consistent") {
+    val tfidf = SparkEntry.queries("x34_tfidf_topterms")(spark, sfDir).collect()
+    tfidf.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      assert(rs.map(_.getAs[Int]("rk")).sorted.toSeq == (1 to rs.length), s"$src ranks")
+      assert(rs.length <= 3)
+    }
+    val ttr = SparkEntry.queries("x38_type_token")(spark, sfDir).collect()
+    ttr.foreach { r =>
+      val (w, t, ppm) =
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_types"), r.getAs[Long]("ttr_ppm"))
+      assert(t <= w && ppm == t * 1000000L / w)
+    }
+  }
+
+  test("x36 overlap pairs are canonical (a < b) and positive") {
+    SparkEntry.queries("x36_source_overlap")(spark, sfDir).collect().foreach { r =>
+      assert(r.getAs[String]("source_a") < r.getAs[String]("source_b"))
+      assert(r.getAs[Long]("n_shared") > 0)
+    }
+  }
+
+  test("x37 mixture sampling is deterministic and never keeps more than total") {
+    val a = SparkEntry.queries("x37_mixture_sample")(spark, sfDir).collect()
+    val b = SparkEntry.queries("x37_mixture_sample")(spark, sfDir).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    a.foreach(r => assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_total")))
+  }
+
   test("x04 df-cap is behavior-neutral below the cap (0.6 threshold)") {
     val capped   = graft.ops.DedupOps.jaccardPairs(spark, sfDir, 1000).collect().toSet
     val uncapped = graft.ops.DedupOps.jaccardPairs(spark, sfDir, Int.MaxValue).collect().toSet
