@@ -40,7 +40,15 @@ object PlanAudit {
     // (the 100 TB side) must never shuffle for the join
     "x27_contamination" -> Seq("BroadcastHashJoin", "BroadcastExchange"),
     // packing is one exchange on source + in-partition running sum
-    "x29_seq_packing" -> Seq("WindowExec|Window", "codegen id"))
+    "x29_seq_packing" -> Seq("WindowExec|Window", "codegen id"),
+    // corpus stats: tf⨝df is an equi join on the word key; the scalar
+    // doc-count / token-total sides are broadcast (1-row cross joins)
+    "x34_tfidf_topterms" -> Seq("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
+      "BroadcastExchange"),
+    "x35_bigram_lift" -> Seq("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
+      "BroadcastExchange"),
+    // cross-source overlap: digest self-join stays an equi join
+    "x36_source_overlap" -> Seq("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"))
 
   /** Execute one audited query and evaluate its plan patterns — shared by
     * the CLI main and PlanShapeSpec (so plan-shape regressions fail CI, not
