@@ -150,14 +150,20 @@ object BeamSource {
   private[sources] def tighter(a: (Long, Boolean), b: (Long, Boolean)): Boolean =
     a._1 > b._1 || (a._1 == b._1 && !a._2 && b._2)
 
-  private val statsCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Long, Long), Option[Long]]
-
-  /** Max publishTime (micros) recorded in the segment's parquet footer, or
-    * None when unavailable (INT96 legacy stats, missing column). Footers are
-    * read once per (path, mtime, size) on the driver and cached.
+  /** Per-segment footer summary: total row count, and publishTime min/max
+    * (micros) when every block carries usable INT64 statistics (INT96
+    * legacy stats or a missing column yield None — callers must treat
+    * unknown bounds conservatively).
     */
-  def maxPublishTimeMicros(file: java.io.File): Option[Long] =
+  final case class SegmentStats(rows: Long, minPt: Option[Long], maxPt: Option[Long])
+
+  private val statsCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long, Long), Option[SegmentStats]]
+
+  /** Footer stats for a segment, read once per (path, mtime, size) on the
+    * driver and cached; None when the footer itself is unreadable.
+    */
+  def segmentStats(file: java.io.File): Option[SegmentStats] =
     statsCache.getOrElseUpdate((file.getAbsolutePath, file.lastModified(), file.length()), {
       try {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -165,19 +171,30 @@ object BeamSource {
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try {
           val blocks = reader.getFooter.getBlocks.asScala
-          val maxes = blocks.flatMap { b =>
+          val rows   = blocks.map(_.getRowCount).sum
+          val ptStats = blocks.flatMap { b =>
             b.getColumns.asScala
               .find(_.getPath.toDotString == "publishTime")
               .filter(c => c.getPrimitiveType.getPrimitiveTypeName ==
                 PrimitiveType.PrimitiveTypeName.INT64)
               .flatMap(c => Option(c.getStatistics))
               .filter(s => !s.isEmpty && s.hasNonNullValue)
-              .map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+              .map(s => (s.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+                s.genericGetMax.asInstanceOf[java.lang.Long].longValue()))
           }
-          if (maxes.isEmpty || maxes.size != blocks.size) None else Some(maxes.max)
+          val (mn, mx) =
+            if (ptStats.isEmpty || ptStats.size != blocks.size) (None, None)
+            else (Some(ptStats.map(_._1).min), Some(ptStats.map(_._2).max))
+          Some(SegmentStats(rows, mn, mx))
         } finally reader.close()
       } catch { case _: Exception => None } // unreadable footer → never prune
     })
+
+  /** Max publishTime (micros) recorded in the segment's parquet footer, or
+    * None when unavailable (INT96 legacy stats, missing column).
+    */
+  def maxPublishTimeMicros(file: java.io.File): Option[Long] =
+    segmentStats(file).flatMap(_.maxPt)
 }
 
 final class BeamTable(path: String, maxSegmentsPerTrigger: Option[Int] = None,

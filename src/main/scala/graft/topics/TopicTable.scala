@@ -243,18 +243,28 @@ final class TopicTable(spark: SparkSession, baseDir: String) {
     * `model.NonResumable`, src/broker/sse-broker.go:40-42), so the next poll
     * under that name restarts from earliest.
     *
-    * The scan itself stays declarative: the cursor predicate is pushed into
-    * the parquet scan (publishTime/messageId are min/max-pruned per
-    * segment), then TakeOrderedAndProject caps the batch — no full-topic
-    * materialization however large the backlog.
+    * Scan cost is bounded on BOTH ends: [[TopicTable.pollFiles]] selects,
+    * from driver-cached parquet footers, the minimal name-order segment
+    * prefix that can satisfy the limit past the cursor — so a poll reads
+    * O(limit) rows even over a week-deep backlog — and the cursor
+    * predicate + TakeOrderedAndProject cap what the scan of that prefix
+    * materializes. The selected files are read through Spark's vectorized
+    * parquet source with the fixed beam schema.
     */
   def pollBatch(topicFn: String, subscription: String, limit: Int = 10)
       : Array[org.apache.spark.sql.Row] = pollLock(topicFn, subscription).synchronized {
     val key        = (topicFn, subscription)
     val resumable  = !subscription.startsWith(graft.model.ConsumerParams.NonResumablePrefix)
-    val base       = read(topicFn)
     val cursor = cursors.get(key)
       .orElse(if (resumable) loadCursor(topicFn, subscription) else None)
+    val cursorMicros = cursor.map { case (t, _) =>
+      t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L }
+    val files = TopicTable.pollFiles(
+      graft.sources.BeamSource.listSegments(dir(topicFn)), cursorMicros, limit)
+    val base =
+      if (files.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(files.map(_.getAbsolutePath): _*)
     val fresh = cursor match {
       case None => base
       case Some((t, m)) =>
@@ -311,4 +321,70 @@ object TopicTable {
 
   private[topics] def seq(base: String, topicFn: String, init: => Long): java.util.concurrent.atomic.AtomicLong =
     seqs.getOrElseUpdate((base, topicFn), new java.util.concurrent.atomic.AtomicLong(init))
+
+  /** The minimal name-order segment prefix a bounded poll must read —
+    * poll cost becomes proportional to the LIMIT, not the backlog depth.
+    *
+    * Ingest assigns each batch one strictly-increasing publishTime stamp
+    * and registers its segments contiguously in name order, so the
+    * name-sorted listing is publishTime-sorted ACROSS ingests; only
+    * segments of a single ingest can tie. The selection therefore:
+    *
+    *  1. drops segments wholly before the cursor (footer max < cursor —
+    *     the same bound the beam scan's filter pushdown uses);
+    *  2. walks the remainder in name order, counting only rows of
+    *     segments strictly past the cursor (a boundary segment's rows may
+    *     be partially consumed, so it is included but counted as 0 —
+    *     under-counting can only ADD files, never starve the batch);
+    *  3. stops once the countable rows reach the limit, then extends
+    *     through the tie tail: later segments whose min stamp does not
+    *     exceed the max stamp already included (same-ingest ties are
+    *     ordered by messageId across segments, so the tail is needed for
+    *     a correct total order).
+    *
+    * Any segment with unreadable/unknown footer stats is treated as both
+    * boundary (always included, counted 0) and unbounded (keeps the walk
+    * going) — correctness never depends on stats being present.
+    */
+  private[graft] def pollFiles(segs: Seq[java.io.File], cursorMicros: Option[Long],
+      limit: Int): Seq[java.io.File] = {
+    val stats = segs.map(f => f -> graft.sources.BeamSource.segmentStats(f))
+    val fresh = cursorMicros match {
+      case None    => stats
+      case Some(t) => stats.filter { case (_, st) => st.flatMap(_.maxPt).forall(_ >= t) }
+    }
+    var countable = 0L
+    var maxStamp  = Option.empty[Long] // max included maxPt; None = unbounded
+    var haveUnbounded = false
+    val prefix = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+    val it = fresh.iterator
+    var done = false
+    while (it.hasNext && !done) {
+      val (f, st) = it.next()
+      val fullyFresh = st.exists(s =>
+        s.minPt.isDefined && cursorMicros.forall(t => s.minPt.get > t))
+      if (countable >= limit) {
+        // past the quota: only the tie tail (or everything, if any included
+        // segment had unknown bounds) still belongs to the prefix
+        val inTail = haveUnbounded ||
+          st.flatMap(_.minPt).forall(mn => maxStamp.forall(mx => mn <= mx))
+        if (inTail) {
+          prefix += f
+          if (fullyFresh) countable += st.get.rows
+          st.flatMap(_.maxPt) match {
+            case Some(mx) => maxStamp = Some(maxStamp.fold(mx)(math.max(_, mx)))
+            case None     => haveUnbounded = true
+          }
+        } else done = true
+      } else {
+        prefix += f
+        if (fullyFresh) countable += st.get.rows
+        st.flatMap(_.maxPt) match {
+          case Some(mx) => maxStamp = Some(maxStamp.fold(mx)(math.max(_, mx)))
+          case None     => haveUnbounded = true
+        }
+      }
+    }
+    prefix.toSeq
+  }
 }

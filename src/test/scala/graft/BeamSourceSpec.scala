@@ -185,4 +185,48 @@ class BeamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(batchWithSecond._2 == Seq("second"))
     } finally q.stop()
   }
+
+  test("poll reads a limit-bounded segment prefix, not the whole backlog") {
+    val base   = Files.createTempDirectory("graft-beamsrc-poll").toString
+    val topics = new TopicTable(spark, base)
+    val fn     = "persistent://t/ns/pollbound"
+    import spark.implicits._
+    // 6 ingests × 10 rows: a 60-message backlog in ≥6 segments
+    for (b <- 1 to 6) {
+      val df = (1 to 10).map(i => (s"b$b-m$i".getBytes, Option.empty[java.sql.Timestamp],
+        Option.empty[String], Map.empty[String, String]))
+        .toDF("payload", "eventTime", "key", "props").coalesce(1)
+      topics.ingest(df, fn)
+    }
+    val dir  = s"$base/${graft.model.Keys.sha1Hex(fn)}"
+    val segs = graft.sources.BeamSource.listSegments(dir)
+    assert(segs.size >= 6)
+
+    // fresh subscription, limit 10: one full segment satisfies the quota —
+    // the prefix must stay far smaller than the backlog
+    val first = TopicTable.pollFiles(segs, None, 10)
+    assert(first.nonEmpty && first.size <= 2, s"expected ≤2 files, got ${first.size}")
+    // cursor mid-topic (end of ingest 3): prefix = boundary segment(s) of
+    // stamp 3 plus the next full segment — never the tail of the backlog
+    val all = topics.read(fn).orderBy("publishTime", "messageId").collect()
+    val t3  = all(29).getAs[java.sql.Timestamp]("publishTime")
+    val mid = TopicTable.pollFiles(segs,
+      Some(t3.getTime * 1000L + (t3.getNanos % 1000000L) / 1000L), 10)
+    assert(mid.nonEmpty && mid.size <= 3, s"expected ≤3 files, got ${mid.size}")
+    assert(mid.map(_.getName) == segs.map(_.getName).filter(mid.map(_.getName).contains),
+      "prefix must preserve name order")
+
+    // end-to-end: successive bounded polls drain the topic in total order
+    val drained = scala.collection.mutable.ArrayBuffer.empty[String]
+    var batch   = topics.pollBatch(fn, "drainsub", 10)
+    var n       = 0
+    while (batch.nonEmpty && n < 20) {
+      drained ++= batch.map(r => new String(r.getAs[Array[Byte]]("payload")))
+      batch = topics.pollBatch(fn, "drainsub", 10)
+      n += 1
+    }
+    assert(drained.size == 60)
+    assert(drained.toList ==
+      all.map(r => new String(r.getAs[Array[Byte]]("payload"))).toList)
+  }
 }
