@@ -16,7 +16,7 @@ object SparkEntry {
   private def packs: Seq[Q] =
     RefOps.all ++ RelOps.all ++ DedupOps.all ++ TextOps.all ++ SimilarityOps.all ++
       MultimodalOps.all ++ StreamOps.all ++ FuncOps.all ++ PipelineOps.all ++
-      CorpusStatsOps.all ++ LayoutOps.all
+      CorpusStatsOps.all ++ LayoutOps.all ++ BehaviorOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Revenue per region: lineitem⨝orders⨝customer⨝nation⨝region with the two

@@ -126,5 +126,24 @@ object FuncOps {
       .orderBy("event_type")
   }
 
-  val all: Seq[Q] = Seq(hashFuncs, datetimeFuncs, mathFuncs, aesRoundtrip, approxDistinct)
+  /** Edit distance (fuzzy matching for entity resolution / near-dup field
+    * values): Spark's `levenshtein` against DuckDB's — an exact integer,
+    * so parity is structural. Row-local, zero shuffle.
+    */
+  val editDistance: Q = Q(
+    "f06_edit_distance",
+    """SELECT p_partkey, CAST(levenshtein(p_name, p_type) AS INTEGER) AS d_type,
+      |       CAST(levenshtein(p_name, p_brand) AS INTEGER) AS d_brand
+      |FROM part WHERE p_partkey <= 100 ORDER BY p_partkey""".stripMargin
+  ) { (s, dir) =>
+    Tables(s, dir, "part")
+      .where(col("p_partkey") <= 100)
+      .select(col("p_partkey"),
+        levenshtein(col("p_name"), col("p_type")).as("d_type"),
+        levenshtein(col("p_name"), col("p_brand")).as("d_brand"))
+      .orderBy("p_partkey")
+  }
+
+  val all: Seq[Q] =
+    Seq(hashFuncs, datetimeFuncs, mathFuncs, aesRoundtrip, approxDistinct, editDistance)
 }
