@@ -229,7 +229,53 @@ object StreamOps {
       .orderBy("source")
   }
 
+  /** Streaming funnel (x42 run incrementally): per-user state is a
+    * streaming complete-mode aggregate — the running min of view times
+    * plus the click/purchase time SETS — and the funnel's chained
+    * "min strictly after the previous stage" is row-local array math on
+    * top. Keeping the time sets (not just running mins) is what makes the
+    * result ARRIVAL-ORDER INDEPENDENT: a view arriving late can qualify
+    * clicks that were previously too early, which a scalar
+    * min-click-after-view state could never revise. State is O(events per
+    * user) — bounded by per-user activity, the same envelope as the batch
+    * shuffle; a production variant would prune times below the advancing
+    * funnel frontier under a watermark.
+    */
+  val streamFunnel: Q = Q(
+    "x44_stream_funnel",
+    """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+      |           WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+      |SELECT 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+      |UNION ALL SELECT 'view>click' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM c
+      |UNION ALL SELECT 'view>click>purchase' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM p
+      |ORDER BY stage""".stripMargin
+  ) { (s, dir) =>
+    val perUser = runStream(s, dir, "x44_sink", "complete") { ev =>
+      ev.groupBy("user_id").agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t1"),
+        collect_list(when(col("event_type") === "click", col("ts"))).as("clicks"),
+        collect_list(when(col("event_type") === "purchase", col("ts"))).as("purchases"))
+    }
+      .withColumn("t2", array_min(filter(col("clicks"), c => c > col("t1"))))
+      .withColumn("t3", array_min(filter(col("purchases"), p => p > col("t2"))))
+    perUser
+      .agg(
+        sum(when(col("t1").isNotNull, 1).otherwise(0)).cast("long").as("nv"),
+        sum(when(col("t2").isNotNull, 1).otherwise(0)).cast("long").as("nc"),
+        sum(when(col("t3").isNotNull, 1).otherwise(0)).cast("long").as("np"))
+      .select(explode(array(
+        struct(lit("view").as("stage"), col("nv").as("n_users")),
+        struct(lit("view>click").as("stage"), col("nc").as("n_users")),
+        struct(lit("view>click>purchase").as("stage"), col("np").as("n_users")))).as("r"))
+      .select(col("r.stage").as("stage"), col("r.n_users").as("n_users"))
+      .orderBy("stage")
+  }
+
   val all: Seq[Q] = Seq(
     tumbling, sliding, session, streamTumbling, streamDedup,
-    streamWatermark, streamStaticJoin, streamClean)
+    streamWatermark, streamStaticJoin, streamClean, streamFunnel)
 }
