@@ -282,6 +282,54 @@ final class TopicTable(spark: SparkSession, baseDir: String) {
     rows
   }
 
+  /** Segment compaction — the small-file maintenance pass (each ingest
+    * writes its own segment, so a chatty producer accumulates thousands of
+    * tiny files; merging restores scan efficiency and listing cost).
+    * Merges all committed segments into ONE, sorted by (publishTime,
+    * messageId), registered under the next sequence name; the old segments
+    * are then deleted. Returns the number of segments removed.
+    *
+    * Contract (mirrors an offline OPTIMIZE, like Pulsar's broker-side
+    * topic compaction this is an administrative pass, not a query):
+    *
+    *  - Message VALUES are untouched, so poll cursors — which are
+    *    (publishTime, messageId) positions, not file references — remain
+    *    exactly valid: a half-drained subscription resumes at the same
+    *    message after compaction (spec-asserted).
+    *  - The beam stream's offset domain (segment-listing prefix counts)
+    *    is rebuilt, so ACTIVE streaming checkpoints are invalidated —
+    *    run compaction only with no live readers of this topic and
+    *    restart streams on fresh checkpoints after. Ingest is excluded
+    *    by the topic's ingest lock for the whole pass.
+    *  - The merged history is written as one segment via a single-task
+    *    sort — fine for a maintenance window; a huge topic would use
+    *    size-binned merge groups (the x29 packing shape) instead of one
+    *    file. Readers that list MID-COMPACTION (between the merged
+    *    segment's link and the old files' deletion) would double-count —
+    *    the no-live-readers requirement covers this window too.
+    */
+  def compactTopic(topicFn: String): Int =
+    TopicTable.ingestLock(canonicalBase, topicFn).synchronized {
+      val segs = graft.sources.BeamSource.listSegments(dir(topicFn))
+      if (segs.size <= 1) 0
+      else {
+        val merged = spark.read.schema(schema).parquet(segs.map(_.getAbsolutePath): _*)
+          .repartition(1)
+          .sortWithinPartitions("publishTime", "messageId")
+        val staging = java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get(baseDir), ".compact-")
+        try {
+          merged.write.mode("overwrite").parquet(staging.toString)
+          registerSegments(topicFn, staging.toFile)
+          segs.foreach(f => java.nio.file.Files.deleteIfExists(f.toPath))
+          segs.size
+        } finally {
+          staging.toFile.listFiles().foreach(_.delete())
+          java.nio.file.Files.deleteIfExists(staging)
+        }
+      }
+    }
+
   /** Continuous subscription (O-8): micro-batch file stream. The
     * subscription's identity (exclusive-by-name, O-9) is the caller's
     * checkpoint location.

@@ -229,4 +229,46 @@ class BeamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(drained.toList ==
       all.map(r => new String(r.getAs[Array[Byte]]("payload"))).toList)
   }
+
+  test("compaction merges segments; data, order, and poll cursors survive") {
+    val base   = Files.createTempDirectory("graft-beamsrc-compact").toString
+    val topics = new TopicTable(spark, base)
+    val fn     = "persistent://t/ns/compact"
+    import spark.implicits._
+    for (b <- 1 to 8) {
+      val df = (1 to 10).map(i => (s"b$b-m$i".getBytes, Option.empty[java.sql.Timestamp],
+        Option.empty[String], Map.empty[String, String]))
+        .toDF("payload", "eventTime", "key", "props").coalesce(1)
+      topics.ingest(df, fn)
+    }
+    val dir    = s"$base/${graft.model.Keys.sha1Hex(fn)}"
+    val before = topics.read(fn).orderBy("publishTime", "messageId").collect()
+      .map(r => (new String(r.getAs[Array[Byte]]("payload")), r.getAs[String]("messageId")))
+    assert(graft.sources.BeamSource.listSegments(dir).size >= 8)
+
+    // drain two batches on a named subscription, then compact mid-stream
+    val d1 = topics.pollBatch(fn, "compsub", 10)
+    val d2 = topics.pollBatch(fn, "compsub", 10)
+    assert(d1.length == 10 && d2.length == 10)
+
+    val removed = topics.compactTopic(fn)
+    assert(removed >= 8)
+    assert(graft.sources.BeamSource.listSegments(dir).size == 1)
+
+    // full history identical (values AND ids), in the same total order
+    val after = topics.read(fn).orderBy("publishTime", "messageId").collect()
+      .map(r => (new String(r.getAs[Array[Byte]]("payload")), r.getAs[String]("messageId")))
+    assert(after.toSeq == before.toSeq)
+
+    // the half-drained cursor resumes exactly where it left off
+    val d3 = topics.pollBatch(fn, "compsub", 10)
+    assert(d3.map(r => new String(r.getAs[Array[Byte]]("payload"))).toSeq ==
+      before.slice(20, 30).map(_._1).toSeq)
+
+    // a fresh stream from earliest sees the whole topic as one segment
+    val offsets = topics.endOffset(fn)
+    assert(offsets == 1L)
+    // idempotent: nothing left to merge
+    assert(topics.compactTopic(fn) == 0)
+  }
 }
