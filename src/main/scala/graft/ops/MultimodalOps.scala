@@ -99,5 +99,88 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(mmMetadata, mmFeatures)
+  /** One sampled frame emitted by the decode pipeline. */
+  final case class FrameRow(doc_id: Long, frame_idx: Long, fdigest: String)
+
+  private def md5Hex(md: java.security.MessageDigest, bytes: Array[Byte]): String = {
+    md.reset()
+    md.digest(bytes).map(b => f"$b%02x").mkString
+  }
+
+  /** Frame sampling — the video-pipeline batch shape: the typed
+    * mapPartitions "codec" splits each payload into fixed 64-byte frames,
+    * keeps every 4th, and emits one row per sampled frame (doc →
+    * frame fan-out, digest instead of pixels). The MessageDigest is
+    * initialized once per PARTITION — the amortized-decoder-init pattern a
+    * real codec needs — and frames stream out of the iterator without
+    * materializing a doc's frame list.
+    */
+  val mmFrames: Q = Q(
+    "x45_mm_frames",
+    """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+      |       md5(substr(text, CAST(64*i+1 AS INT), 64)) AS fdigest
+      |FROM (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
+      |     LATERAL (SELECT unnest(generate_series(0, CAST((strlen(text)-1)//64 AS BIGINT))) AS i) g
+      |WHERE i % 4 = 0 ORDER BY doc_id, frame_idx""".stripMargin
+  ) { (s, dir) =>
+    val sp = s
+    import sp.implicits._
+    media(s, dir).where(col("doc_id") % 25 === 0).as[MediaRow]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { r =>
+          val n       = r.payload.length
+          val nFrames = (n - 1) / 64 + 1
+          (0 until nFrames).iterator.filter(_ % 4 == 0).map { i =>
+            val frame = java.util.Arrays.copyOfRange(r.payload, i * 64, math.min(i * 64 + 64, n))
+            FrameRow(r.doc_id, i.toLong, md5Hex(md, frame))
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  /** Media near-dup via subsampled-frame fingerprints: hashing only every
+    * 4th frame makes the fingerprint cheap AND tolerant of content that
+    * differs in skipped frames — the standard video-dedup trick. The
+    * fingerprint is computed ROW-LOCALLY in the same typed pipeline
+    * (digests of the sampled frames concatenated in order, hashed again),
+    * so the only shuffle is the final per-format aggregate.
+    */
+  val mmDedup: Q = Q(
+    "x46_mm_dedup",
+    """SELECT fmt, count(*) AS n_media,
+      |       CAST(count(DISTINCT fingerprint) AS BIGINT) AS n_fp,
+      |       CAST(count(*) - count(DISTINCT fingerprint) AS BIGINT) AS n_dup
+      |FROM (SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'jpg' WHEN 1 THEN 'png' ELSE 'wav' END AS fmt,
+      |        md5(array_to_string(list_transform(
+      |          list_filter(generate_series(0, CAST((strlen(text)-1)//64 AS BIGINT)), i -> i % 4 = 0),
+      |          i -> md5(substr(text, CAST(64*i+1 AS INT), 64))), '')) AS fingerprint
+      |      FROM documents)
+      |GROUP BY fmt ORDER BY fmt""".stripMargin
+  ) { (s, dir) =>
+    val sp = s
+    import sp.implicits._
+    media(s, dir).as[MediaRow]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { r =>
+          val n       = r.payload.length
+          val nFrames = (n - 1) / 64 + 1
+          val joined = (0 until nFrames).filter(_ % 4 == 0).map { i =>
+            md5Hex(md, java.util.Arrays.copyOfRange(r.payload, i * 64, math.min(i * 64 + 64, n)))
+          }.mkString
+          (r.fmt, md5Hex(md, joined.getBytes("UTF-8")))
+        }
+      }
+      .toDF("fmt", "fingerprint")
+      .groupBy("fmt")
+      .agg(count(lit(1)).as("n_media"),
+        countDistinct(col("fingerprint")).as("n_fp"),
+        (count(lit(1)) - countDistinct(col("fingerprint"))).as("n_dup"))
+      .orderBy("fmt")
+  }
+
+  val all: Seq[Q] = Seq(mmMetadata, mmFeatures, mmFrames, mmDedup)
 }
