@@ -48,7 +48,12 @@ object PlanAudit {
     "x35_bigram_lift" -> Seq("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
       "BroadcastExchange"),
     // cross-source overlap: digest self-join stays an equi join
-    "x36_source_overlap" -> Seq("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"))
+    "x36_source_overlap" -> Seq("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+    // correlated subqueries must decorrelate: scalar subquery → aggregate +
+    // equi join; NOT EXISTS → left anti. A per-row re-execution would show
+    // neither (and be quadratic at scale).
+    "t23_correlated_avg" -> Seq("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+    "t24_solo_supplier"  -> Seq("LeftAnti"))
 
   /** Execute one audited query and evaluate its plan patterns — shared by
     * the CLI main and PlanShapeSpec (so plan-shape regressions fail CI, not

@@ -492,11 +492,54 @@ object RelOps {
     ia.unionAll(ea).orderBy("op", "k")
   }
 
+  /** Correlated scalar subquery (TPC-H Q17 shape): small-quantity orders
+    * against each part's own average — the decorrelation rewrite (Catalyst
+    * turns the per-row subquery into one aggregate + equi-join; a naive
+    * engine re-executes it per probe row, quadratic at 100 TB). ONE SQL
+    * string serves both engines, through `spark.sql` — exercising the
+    * parser/analyzer surface a SQL user actually hits. Determinism:
+    * l_quantity is integer-valued, so sum/avg are exact in double
+    * regardless of aggregation order, and revenue goes through the
+    * floor(x*100+0.5) integer-cents contract.
+    */
+  private val q17Sql =
+    """SELECT CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE p.p_size <= 5
+      |  AND l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+      |                      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin
+
+  val correlatedAvg: Q = Q("t23_correlated_avg", q17Sql) { (s, dir) =>
+    Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    Tables(s, dir, "part").createOrReplaceTempView("part")
+    s.sql(q17Sql)
+  }
+
+  /** NOT EXISTS decorrelation (TPC-H Q21 family): per supplier, lineitems
+    * whose order no other supplier touched. Catalyst plans the correlated
+    * NOT EXISTS as a left-anti join on (orderkey, suppkey≠) — set
+    * difference at join speed, never a per-row re-scan.
+    */
+  private val soloSql =
+    """SELECT s.s_name, CAST(count(*) AS BIGINT) AS n_solo
+      |FROM supplier s JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem l2
+      |                  WHERE l2.l_orderkey = l1.l_orderkey
+      |                    AND l2.l_suppkey <> l1.l_suppkey)
+      |GROUP BY s.s_name ORDER BY s.s_name""".stripMargin
+
+  val soloSupplier: Q = Q("t24_solo_supplier", soloSql) { (s, dir) =>
+    Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    Tables(s, dir, "supplier").createOrReplaceTempView("supplier")
+    s.sql(soloSql)
+  }
+
   val all: Seq[Q] = Seq(
     pricingSummary, revenuePerRegion, shippingPriority, orderPriority,
     forecastRevenue, topSpendersPerNation, monthlyRevenueWindow, revenueRollup,
     statusCube, setOpsCustomers, distinctCounts, smallQuantityRevenue,
     thetaBalancePairs, asofLastClick, crossNationRegion, outerJoinCounts,
     collectSuppliers, rankFamily, groupingSetsRevenue, pivotStatus,
-    percentiles, setOpsAll)
+    percentiles, setOpsAll, correlatedAvg, soloSupplier)
 }
