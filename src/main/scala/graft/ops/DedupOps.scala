@@ -193,22 +193,29 @@ object DedupOps {
     var labels = edges.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
       .cache()
+    var gen       = labels // the cached generation (labels may be its projection)
     var converged = false
-    var rounds = 0
+    var rounds    = 0
     while (!converged && rounds < 50) { // diameter bound; tiny vs 50 in practice
       val prop = edges.join(labels, col("a") === col("node"))
-        .select(col("b").as("node"), col("lbl"))
-      val next = labels.union(prop)
-        .groupBy("node").agg(min("lbl").as("lbl"))
+        .select(col("b").as("node"), col("lbl"), lit(null).cast("long").as("prev"))
+      // change detection rides the SAME aggregate that computes the next
+      // generation: every node appears exactly once in the tagged self-row
+      // (so max(prev) recovers its old label through the null-ignoring
+      // aggregate), making the convergence check a filter over the cached
+      // result instead of a second join+shuffle per round
+      val tagged = labels.select(col("node"), col("lbl"), col("lbl").as("prev"))
+      val next = tagged.unionByName(prop)
+        .groupBy("node").agg(min("lbl").as("lbl"), max("prev").as("prev"))
         .cache()
-      // full count (no limit): the join scans EVERY partition of `next`,
+      // full count (no limit): the filter scans EVERY partition of `next`,
       // so its cache is completely filled before the old generation is
       // unpersisted — an early-exit check could leave next partially
       // cached and trigger a per-round recomputation cascade
-      val changed = next.as("n").join(labels.as("o"), col("n.node") === col("o.node"))
-        .where(col("n.lbl") =!= col("o.lbl")).count()
-      labels.unpersist()
-      labels = next
+      val changed = next.where(col("lbl") =!= col("prev")).count()
+      gen.unpersist()
+      gen = next
+      labels = next.select("node", "lbl")
       converged = changed == 0
       rounds += 1
     }
