@@ -158,13 +158,13 @@ object DedupOps {
     * pairwise dedup can't express (A~B and B~C must collapse to one
     * representative even when A~C was never a candidate pair).
     *
-    * Spark side: iterative min-label propagation — per round, every node
-    * takes the min label among itself and its neighbors; converges in at
-    * most graph-diameter rounds (each a bounded equi-join + aggregate, no
-    * driver-side graph state). At 100 TB the same loop runs with the
-    * alternating large-star/small-star optimization for O(log n) rounds;
-    * the per-round plan shape is identical. Oracle: DuckDB recursive CTE
-    * computing min reachable node id per node.
+    * Spark side: iterative min-label propagation WITH pointer jumping —
+    * per round, every node takes the min label among itself, its
+    * neighbors, and its label's label (shortcutting halves label chains,
+    * so convergence is O(log diameter) rounds, each a bounded equi-join +
+    * aggregate with no driver-side graph state — the same round budget
+    * alternating large-star/small-star achieves). Oracle: DuckDB
+    * recursive CTE computing min reachable node id per node.
     */
   val dupClusters: Q = Q(
     "x31_dup_clusters",
@@ -199,13 +199,21 @@ object DedupOps {
     while (!converged && rounds < 50) { // diameter bound; tiny vs 50 in practice
       val prop = edges.join(labels, col("a") === col("node"))
         .select(col("b").as("node"), col("lbl"), lit(null).cast("long").as("prev"))
+      // pointer jumping (shortcutting): each node also adopts its label's
+      // label, so label chains halve every round and convergence needs
+      // O(log diameter) rounds, not O(diameter) — the long-chain guard at
+      // corpus scale, where one viral near-dup family can form a deep chain
+      val jump = labels.as("l1")
+        .join(labels.as("l2"), col("l1.lbl") === col("l2.node"))
+        .select(col("l1.node").as("node"), col("l2.lbl").as("lbl"),
+          lit(null).cast("long").as("prev"))
       // change detection rides the SAME aggregate that computes the next
       // generation: every node appears exactly once in the tagged self-row
       // (so max(prev) recovers its old label through the null-ignoring
       // aggregate), making the convergence check a filter over the cached
       // result instead of a second join+shuffle per round
       val tagged = labels.select(col("node"), col("lbl"), col("lbl").as("prev"))
-      val next = tagged.unionByName(prop)
+      val next = tagged.unionByName(prop).unionByName(jump)
         .groupBy("node").agg(min("lbl").as("lbl"), max("prev").as("prev"))
         .cache()
       // full count (no limit): the filter scans EVERY partition of `next`,
