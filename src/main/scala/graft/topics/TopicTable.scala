@@ -395,8 +395,15 @@ object TopicTable {
     * going) — correctness never depends on stats being present.
     */
   private[graft] def pollFiles(segs: Seq[java.io.File], cursorMicros: Option[Long],
-      limit: Int): Seq[java.io.File] = {
-    val stats = segs.map(f => f -> graft.sources.BeamSource.segmentStats(f))
+      limit: Int): Seq[java.io.File] =
+    pollPrefix(segs.map(f => f -> graft.sources.BeamSource.segmentStats(f)),
+      cursorMicros, limit)
+
+  /** Pure core of [[pollFiles]] over pre-fetched stats — property-tested
+    * directly (PropertySpec) against a row-level poll simulation.
+    */
+  private[graft] def pollPrefix[A](stats: Seq[(A, Option[graft.sources.BeamSource.SegmentStats])],
+      cursorMicros: Option[Long], limit: Int): Seq[A] = {
     val fresh = cursorMicros match {
       case None    => stats
       case Some(t) => stats.filter { case (_, st) => st.flatMap(_.maxPt).forall(_ >= t) }
@@ -404,7 +411,7 @@ object TopicTable {
     var countable = 0L
     var maxStamp  = Option.empty[Long] // max included maxPt; None = unbounded
     var haveUnbounded = false
-    val prefix = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+    val prefix = scala.collection.mutable.ArrayBuffer.empty[A]
     val it = fresh.iterator
     var done = false
     while (it.hasNext && !done) {

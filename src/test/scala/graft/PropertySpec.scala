@@ -101,6 +101,70 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("poll prefix is always sufficient: polling the prefix equals polling everything") {
+    // Random topic layouts: monotone per-ingest stamps, 1-3 segments per
+    // ingest, globally increasing message ids (name order == (pt, mid)
+    // order, the writer's invariant). Some segments lose their stats
+    // (stat-less footers) and some layouts start with a compacted segment
+    // spanning many stamps — both must stay conservative, never starving
+    // a batch.
+    final case class SegSim(rows: Seq[(Long, Long)], stats: Option[BeamSource.SegmentStats])
+    val layoutGen = for {
+      nIngests  <- Gen.chooseNum(1, 10)
+      rowsPer   <- Gen.listOfN(nIngests, Gen.chooseNum(1, 8))
+      splits    <- Gen.listOfN(nIngests, Gen.chooseNum(1, 3))
+      statless  <- Gen.listOfN(nIngests * 3, Gen.prob(0.15))
+      compactK  <- Gen.chooseNum(0, nIngests) // first K ingests pre-merged
+    } yield {
+      var mid  = 0L
+      val segs = scala.collection.mutable.ArrayBuffer.empty[SegSim]
+      val compactedRows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      for (i <- 0 until nIngests) {
+        val stamp = (i + 1) * 1000L
+        val rows  = (0 until rowsPer(i)).map { _ => mid += 1; (stamp, mid) }
+        if (i < compactK) compactedRows ++= rows
+        else {
+          val parts = rows.grouped(math.max(1, rows.size / splits(i))).toSeq
+          parts.foreach { p =>
+            val lossy = statless((segs.size + compactedRows.size.toInt) % statless.size)
+            segs += SegSim(p, if (lossy) None
+              else Some(BeamSource.SegmentStats(p.size.toLong, Some(p.head._1), Some(p.last._1))))
+          }
+        }
+      }
+      val head =
+        if (compactedRows.isEmpty) Seq.empty
+        else Seq(SegSim(compactedRows.toSeq, Some(BeamSource.SegmentStats(
+          compactedRows.size.toLong, Some(compactedRows.head._1), Some(compactedRows.last._1)))))
+      head ++ segs.toSeq
+    }
+    val caseGen = for {
+      layout <- layoutGen
+      total   = layout.map(_.rows.size).sum
+      cursorI <- Gen.chooseNum(0, total) // 0 = fresh subscription
+      limit   <- Gen.chooseNum(1, 12)
+    } yield (layout, cursorI, limit)
+
+    samples(caseGen, 300).foreach { case (layout, cursorI, limit) =>
+      val allRows = layout.flatMap(_.rows).sorted
+      val cursor  = if (cursorI == 0) None else Some(allRows(cursorI - 1))
+      def fresh(rows: Seq[(Long, Long)]) = cursor match {
+        case None           => rows
+        case Some((ct, cm)) => rows.filter { case (pt, m) => pt > ct || (pt == ct && m > cm) }
+      }
+      val prefix = graft.topics.TopicTable.pollPrefix(
+        layout.map(s => s -> s.stats), cursor.map(_._1), limit)
+      val viaPrefix = fresh(prefix.flatMap(_.rows).sorted).take(limit)
+      val viaAll    = fresh(allRows).take(limit)
+      assert(viaPrefix == viaAll,
+        s"prefix starved the batch: layout=${layout.map(_.rows.size)} cursor=$cursor limit=$limit")
+      // and the selection preserves listing order (a prefix of the fresh
+      // subsequence — stale segments may be skipped, order never reshuffled)
+      val idx = prefix.map(layout.indexOf(_))
+      assert(idx == idx.sorted)
+    }
+  }
+
   test("startingPosition parser accepts the documented forms and rejects everything else") {
     assert(BeamSource.parseStartingPosition("earliest").contains(0L))
     assert(BeamSource.parseStartingPosition("latest").isEmpty)
