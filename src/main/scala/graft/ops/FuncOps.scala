@@ -144,6 +144,26 @@ object FuncOps {
       .orderBy("p_partkey")
   }
 
+  /** Fixed-width value histogram (5-unit buckets, clamped to [0, 19]) —
+    * the profiling pass behind range-filter selectivity estimates. Exact:
+    * floor of an IEEE double division plus greatest/least, identical on
+    * both engines (DuckDB lacks width_bucket; this is its portable form).
+    */
+  val valueHistogram: Q = Q(
+    "f07_value_histogram",
+    """SELECT event_type,
+      |       CAST(greatest(least(CAST(floor(value / 5) AS BIGINT), 19), 0) AS BIGINT) AS bucket,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin
+  ) { (s, dir) =>
+    events(s, dir)
+      .groupBy(col("event_type"),
+        greatest(least(floor(col("value") / 5).cast("long"), lit(19L)), lit(0L)).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type", "bucket")
+  }
+
   val all: Seq[Q] =
-    Seq(hashFuncs, datetimeFuncs, mathFuncs, aesRoundtrip, approxDistinct, editDistance)
+    Seq(hashFuncs, datetimeFuncs, mathFuncs, aesRoundtrip, approxDistinct, editDistance,
+      valueHistogram)
 }

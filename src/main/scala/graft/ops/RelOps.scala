@@ -535,11 +535,38 @@ object RelOps {
     s.sql(soloSql)
   }
 
+  /** Unpivot (melt) — the inverse of t20's PIVOT: wide per-brand metrics
+    * to long (brand, metric, value) rows via `Dataset.unpivot`
+    * (`UnpivotExec` — a row-local generator, zero shuffle added). The
+    * oracle states the same reshape as a UNION ALL.
+    */
+  val unpivotMetrics: Q = Q(
+    "t25_unpivot_metrics",
+    """WITH m AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+      |                  CAST(count(DISTINCT p_type) AS BIGINT) AS n_types,
+      |                  CAST(sum(p_size) AS BIGINT) AS sum_size
+      |           FROM part GROUP BY p_brand)
+      |SELECT p_brand, 'n_parts' AS metric, n_parts AS val FROM m
+      |UNION ALL SELECT p_brand, 'n_types' AS metric, n_types AS val FROM m
+      |UNION ALL SELECT p_brand, 'sum_size' AS metric, sum_size AS val FROM m
+      |ORDER BY p_brand, metric""".stripMargin
+  ) { (s, dir) =>
+    Tables(s, dir, "part")
+      .groupBy("p_brand")
+      .agg(
+        count(lit(1)).as("n_parts"),
+        countDistinct(col("p_type")).as("n_types"),
+        sum(col("p_size")).as("sum_size"))
+      .unpivot(Array(col("p_brand")),
+        Array(col("n_parts"), col("n_types"), col("sum_size")), "metric", "val")
+      .orderBy("p_brand", "metric")
+  }
+
   val all: Seq[Q] = Seq(
     pricingSummary, revenuePerRegion, shippingPriority, orderPriority,
     forecastRevenue, topSpendersPerNation, monthlyRevenueWindow, revenueRollup,
     statusCube, setOpsCustomers, distinctCounts, smallQuantityRevenue,
     thetaBalancePairs, asofLastClick, crossNationRegion, outerJoinCounts,
     collectSuppliers, rankFamily, groupingSetsRevenue, pivotStatus,
-    percentiles, setOpsAll, correlatedAvg, soloSupplier)
+    percentiles, setOpsAll, correlatedAvg, soloSupplier, unpivotMetrics)
 }
