@@ -53,7 +53,9 @@ object PlanAudit {
     // equi join; NOT EXISTS → left anti. A per-row re-execution would show
     // neither (and be quadratic at scale).
     "t23_correlated_avg" -> Seq("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
-    "t24_solo_supplier"  -> Seq("LeftAnti"))
+    "t24_solo_supplier"  -> Seq("LeftAnti"),
+    // bucketed range join: an EQUI join on (type, bucket), never a BNL
+    "t26_range_join" -> Seq("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"))
 
   /** Execute one audited query and evaluate its plan patterns — shared by
     * the CLI main and PlanShapeSpec (so plan-shape regressions fail CI, not

@@ -562,11 +562,43 @@ object RelOps {
       .orderBy("p_brand", "metric")
   }
 
+  /** Bucketed range self-join: |Δvalue| ≤ 0.5 pairs per event type. A
+    * naive range join is a nested loop (t13's theta shape — fine for one
+    * small side, quadratic for big⨝big); bucketing value into range-width
+    * cells and probing the 3 adjacent cells turns it into an EQUI join on
+    * (type, bucket) — the scalable interval-join pattern. Each qualifying
+    * pair is found exactly once (the probe side fans out, the build side
+    * keeps its home bucket). Oracle: the direct theta join, affordable at
+    * oracle scale.
+    */
+  val rangeJoin: Q = Q(
+    "t26_range_join",
+    """SELECT a.event_type, CAST(count(*) AS BIGINT) AS n_pairs
+      |FROM events a JOIN events b
+      |  ON a.event_type = b.event_type AND a.event_id < b.event_id
+      | AND abs(a.value - b.value) <= 0.5
+      |GROUP BY a.event_type ORDER BY a.event_type""".stripMargin
+  ) { (s, dir) =>
+    val e = Tables(s, dir, "events").select(col("event_id"), col("event_type"), col("value"),
+      floor(col("value") * 2).cast("long").as("bk"))
+    val probes = e.select(col("event_id").as("a_id"), col("event_type"),
+      col("value").as("a_v"),
+      explode(array(col("bk") - 1, col("bk"), col("bk") + 1)).as("bk"))
+    probes
+      .join(e.select(col("event_id").as("b_id"), col("event_type"),
+        col("value").as("b_v"), col("bk")), Seq("event_type", "bk"))
+      .where(col("a_id") < col("b_id") && abs(col("a_v") - col("b_v")) <= 0.5)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(
     pricingSummary, revenuePerRegion, shippingPriority, orderPriority,
     forecastRevenue, topSpendersPerNation, monthlyRevenueWindow, revenueRollup,
     statusCube, setOpsCustomers, distinctCounts, smallQuantityRevenue,
     thetaBalancePairs, asofLastClick, crossNationRegion, outerJoinCounts,
     collectSuppliers, rankFamily, groupingSetsRevenue, pivotStatus,
-    percentiles, setOpsAll, correlatedAvg, soloSupplier, unpivotMetrics)
+    percentiles, setOpsAll, correlatedAvg, soloSupplier, unpivotMetrics,
+    rangeJoin)
 }
