@@ -10,11 +10,14 @@ import org.apache.spark.sql.functions._
   * diversity, and length distributions. Complements the x25-x30 curation
   * pack (chunk dedup / repetition / contamination / sampling / packing).
   *
-  * Determinism contract (SURVEY.md §7.5): every derived ratio is exact
-  * integer arithmetic (`a * 1_000_000 div b`) — no transcendentals, no
-  * float accumulation — so Spark and DuckDB agree bit-for-bit regardless
-  * of aggregation order. The one float family (x39 quantiles) reuses the
-  * t21-proven `percentile` ↔ `quantile_cont` parity.
+  * Determinism contract (SURVEY.md §7.5): no transcendentals, no float
+  * ACCUMULATION anywhere — ratios are either exact int64 (`a * 1e6 div b`
+  * where magnitudes stay bounded: x36-x38) or correctly-rounded IEEE
+  * multiply/divide chains integerized with floor(x+0.5) (x34/x35, whose
+  * products pass int64 at web-corpus counts — both engines run the same
+  * ops in the same order, so results stay bit-identical at any scale).
+  * The one quantile family (x39) reuses the t21-proven `percentile` ↔
+  * `quantile_cont` parity.
   *
   * Scale notes (100 TB):
   *  - x34/x38 shuffle (source, word) / (word) count pairs — vocabulary-
@@ -36,9 +39,13 @@ object CorpusStatsOps {
   private val ws = split(col("text"), " ")
 
   /** Per-source salient terms: tf·idf with a rational idf (N/df "lift"
-    * rather than ln(N/df)) so the score is exact integer arithmetic —
-    * `tf * 1e6 * N div df` — and rank order is engine-independent.
-    * Top-3 per source, ties broken on the term itself.
+    * rather than ln(N/df)). The product rides DOUBLES — tf·1e6·N overflows
+    * int64 once tf·N passes ~9e12 (a common word in a 1e8-doc corpus),
+    * where Spark would wrap and DuckDB would raise, so the engines could
+    * never agree; IEEE multiply/divide are correctly rounded and run in
+    * the same order on both engines, so the double path is bit-identical
+    * at any corpus size, and only the final ppm is integerized via the
+    * floor(x+0.5) contract. Top-3 per source, ties broken on the term.
     */
   val tfidfTopTerms: Q = Q(
     "x34_tfidf_topterms",
@@ -48,9 +55,9 @@ object CorpusStatsOps {
       |n AS (SELECT count(*) AS n FROM documents)
       |SELECT source, rk, word, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score_pm
       |FROM (SELECT source, word, tf, df,
-      |             CAST(tf * 1000000 * n // df AS BIGINT) AS score_pm,
+      |             CAST(floor(CAST(tf AS DOUBLE) * 1000000 * n / df + 0.5) AS BIGINT) AS score_pm,
       |             row_number() OVER (PARTITION BY source
-      |               ORDER BY tf * 1000000 * n // df DESC, word) AS rk
+      |               ORDER BY floor(CAST(tf AS DOUBLE) * 1000000 * n / df + 0.5) DESC, word) AS rk
       |      FROM tf JOIN df USING (word) CROSS JOIN n)
       |WHERE rk <= 3 ORDER BY source, rk""".stripMargin
   ) { (s, dir) =>
@@ -61,7 +68,8 @@ object CorpusStatsOps {
     val rw = Window.partitionBy("source").orderBy(col("score_pm").desc, col("word"))
     tf.join(df, "word")
       .crossJoin(broadcast(n))
-      .withColumn("score_pm", expr("tf * 1000000 * n div df"))
+      .withColumn("score_pm",
+        floor(col("tf").cast("double") * 1000000 * col("n") / col("df") + 0.5).cast("long"))
       .withColumn("rk", row_number().over(rw))
       .where(col("rk") <= 3)
       .select("source", "rk", "word", "tf", "df", "score_pm")
@@ -69,8 +77,10 @@ object CorpusStatsOps {
   }
 
   /** Collocation strength: bigram association as rational lift
-    * `P(ab) / (P(a)P(b)) = c_ab * T * 1e6 div (c_a * c_b)` (PMI without
-    * the log — monotone in PMI, exact in int64). Top-20 corpus-wide.
+    * `P(ab) / (P(a)P(b)) = c_ab * T * 1e6 / (c_a * c_b)` (PMI without the
+    * log — monotone in PMI). Doubles for the same overflow reason as x34
+    * (c_ab·T·1e6 passes int64 at web-corpus token counts); floor(x+0.5)
+    * integerizes the final ppm identically on both engines. Top-20.
     */
   val bigramLift: Q = Q(
     "x35_bigram_lift",
@@ -83,7 +93,7 @@ object CorpusStatsOps {
       |tot AS (SELECT count(*) AS t FROM uni)
       |SELECT w1 || ' ' || w2 AS bigram, CAST(c_ab AS BIGINT) AS c_ab,
       |       CAST(a.c_w AS BIGINT) AS c_a, CAST(b.c_w AS BIGINT) AS c_b,
-      |       CAST(c_ab * t * 1000000 // (a.c_w * b.c_w) AS BIGINT) AS lift_ppm
+      |       CAST(floor(CAST(c_ab AS DOUBLE) * t * 1000000 / (CAST(a.c_w AS DOUBLE) * b.c_w) + 0.5) AS BIGINT) AS lift_ppm
       |FROM bc JOIN uc a ON a.word = w1 JOIN uc b ON b.word = w2 CROSS JOIN tot
       |WHERE c_ab >= 5
       |ORDER BY lift_ppm DESC, bigram LIMIT 20""".stripMargin
@@ -106,7 +116,8 @@ object CorpusStatsOps {
       .select(
         concat_ws(" ", col("w1"), col("w2")).as("bigram"),
         col("c_ab"), col("c_a"), col("c_b"),
-        expr("c_ab * t * 1000000 div (c_a * c_b)").as("lift_ppm"))
+        floor(col("c_ab").cast("double") * col("t") * 1000000 /
+          (col("c_a").cast("double") * col("c_b")) + 0.5).cast("long").as("lift_ppm"))
       .orderBy(col("lift_ppm").desc, col("bigram"))
       .limit(20)
   }

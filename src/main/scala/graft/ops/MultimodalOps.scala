@@ -130,7 +130,9 @@ object MultimodalOps {
         val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { r =>
           val n       = r.payload.length
-          val nFrames = (n - 1) / 64 + 1
+          // floorDiv: for n = 0 truncating division would yield 1 phantom
+          // frame where the oracle's floor division yields none
+          val nFrames = Math.floorDiv(n - 1, 64) + 1
           (0 until nFrames).iterator.filter(_ % 4 == 0).map { i =>
             val frame = java.util.Arrays.copyOfRange(r.payload, i * 64, math.min(i * 64 + 64, n))
             FrameRow(r.doc_id, i.toLong, md5Hex(md, frame))
@@ -167,7 +169,7 @@ object MultimodalOps {
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { r =>
           val n       = r.payload.length
-          val nFrames = (n - 1) / 64 + 1
+          val nFrames = Math.floorDiv(n - 1, 64) + 1 // see x45 floorDiv note
           val joined = (0 until nFrames).filter(_ % 4 == 0).map { i =>
             md5Hex(md, java.util.Arrays.copyOfRange(r.payload, i * 64, math.min(i * 64 + 64, n)))
           }.mkString

@@ -510,10 +510,18 @@ object RelOps {
       |  AND l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
       |                      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin
 
+  /** Register views, analyze the SQL (spark.sql resolves eagerly), then
+    * drop them — a lingering session-global view named after a base table
+    * would silently shadow resolution for every later spark.sql caller.
+    */
+  private def sqlWithViews(s: SparkSession, dir: String, tables: Seq[String],
+      sql: String): DataFrame = {
+    tables.foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+    try s.sql(sql) finally tables.foreach(s.catalog.dropTempView(_))
+  }
+
   val correlatedAvg: Q = Q("t23_correlated_avg", q17Sql) { (s, dir) =>
-    Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem")
-    Tables(s, dir, "part").createOrReplaceTempView("part")
-    s.sql(q17Sql)
+    sqlWithViews(s, dir, Seq("lineitem", "part"), q17Sql)
   }
 
   /** NOT EXISTS decorrelation (TPC-H Q21 family): per supplier, lineitems
@@ -530,9 +538,7 @@ object RelOps {
       |GROUP BY s.s_name ORDER BY s.s_name""".stripMargin
 
   val soloSupplier: Q = Q("t24_solo_supplier", soloSql) { (s, dir) =>
-    Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem")
-    Tables(s, dir, "supplier").createOrReplaceTempView("supplier")
-    s.sql(soloSql)
+    sqlWithViews(s, dir, Seq("lineitem", "supplier"), soloSql)
   }
 
   /** Unpivot (melt) — the inverse of t20's PIVOT: wide per-brand metrics

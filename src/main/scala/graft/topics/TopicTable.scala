@@ -168,9 +168,11 @@ final class TopicTable(spark: SparkSession, baseDir: String) {
     * connector (`format("beam")`, SURVEY.md §4.2): one partition per
     * segment, pruned columns pushed into the decode.
     */
-  def read(topicFn: String): DataFrame =
+  def read(topicFn: String): DataFrame = {
+    recoverCompaction(topicFn)
     if (exists(topicFn)) spark.read.format("beam").load(dir(topicFn))
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
 
   /** Bounded peek (O-6): earliest-position arrival order, capped batch —
     * Catalyst plans TakeOrderedAndProject (no global sort at scale). Read
@@ -213,7 +215,7 @@ final class TopicTable(spark: SparkSession, baseDir: String) {
   private def saveCursor(topicFn: String, sub: String, pos: (java.sql.Timestamp, String)): Unit = {
     val f = cursorFile(topicFn, sub)
     f.getParentFile.mkdirs()
-    val micros = pos._1.getTime * 1000L + (pos._1.getNanos % 1000000L) / 1000L
+    val micros = TopicTable.micros(pos._1)
     // write-then-ATOMIC_MOVE (same pattern as registerSegments): a crash
     // mid-write must not leave a torn cursor that silently resets the
     // subscription to earliest and re-delivers acked history
@@ -253,12 +255,12 @@ final class TopicTable(spark: SparkSession, baseDir: String) {
     */
   def pollBatch(topicFn: String, subscription: String, limit: Int = 10)
       : Array[org.apache.spark.sql.Row] = pollLock(topicFn, subscription).synchronized {
+    recoverCompaction(topicFn)
     val key        = (topicFn, subscription)
     val resumable  = !subscription.startsWith(graft.model.ConsumerParams.NonResumablePrefix)
     val cursor = cursors.get(key)
       .orElse(if (resumable) loadCursor(topicFn, subscription) else None)
-    val cursorMicros = cursor.map { case (t, _) =>
-      t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L }
+    val cursorMicros = cursor.map { case (t, _) => TopicTable.micros(t) }
     val files = TopicTable.pollFiles(
       graft.sources.BeamSource.listSegments(dir(topicFn)), cursorMicros, limit)
     val base =
@@ -310,6 +312,7 @@ final class TopicTable(spark: SparkSession, baseDir: String) {
     */
   def compactTopic(topicFn: String): Int =
     TopicTable.ingestLock(canonicalBase, topicFn).synchronized {
+      recoverCompaction(topicFn)
       val segs = graft.sources.BeamSource.listSegments(dir(topicFn))
       if (segs.size <= 1) 0
       else {
@@ -320,8 +323,34 @@ final class TopicTable(spark: SparkSession, baseDir: String) {
           java.nio.file.Paths.get(baseDir), ".compact-")
         try {
           merged.write.mode("overwrite").parquet(staging.toString)
-          registerSegments(topicFn, staging.toFile)
+          val staged = staging.toFile.listFiles()
+            .filter(f => f.isFile && f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+            .head
+          // Crash-safe commit: claim the target name, write a manifest
+          // (target + victims), THEN link and delete. Recovery replays from
+          // the manifest: target present → finish the deletes; target
+          // absent → abandon (old segments intact). Either way the topic is
+          // never left doubled after recoverCompaction runs.
+          val d   = new java.io.File(dir(topicFn))
+          val seq = TopicTable.seq(canonicalBase, topicFn, 0L)
+          var target: java.io.File = null
+          seq.synchronized {
+            while (target == null) {
+              val n   = seq.incrementAndGet()
+              val cand = new java.io.File(d, f"$n%020d-${staged.getName}")
+              if (!cand.exists()) target = cand
+            }
+          }
+          val manifest = manifestFile(topicFn)
+          val body = (target.getName +: segs.map(_.getName)).mkString("\n")
+          val tmp  = java.nio.file.Files.createTempFile(d.toPath, ".manifest-", ".tmp")
+          java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
+          java.nio.file.Files.move(tmp, manifest.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          java.nio.file.Files.createLink(target.toPath, staged.toPath)
           segs.foreach(f => java.nio.file.Files.deleteIfExists(f.toPath))
+          java.nio.file.Files.deleteIfExists(manifest.toPath)
           segs.size
         } finally {
           staging.toFile.listFiles().foreach(_.delete())
@@ -329,6 +358,30 @@ final class TopicTable(spark: SparkSession, baseDir: String) {
         }
       }
     }
+
+  private def manifestFile(topicFn: String): java.io.File =
+    new java.io.File(dir(topicFn), ".compact-manifest")
+
+  /** Replay a compaction interrupted mid-commit (see [[compactTopic]]).
+    * Cheap no-op (one isFile check) when no manifest exists; called before
+    * every read-path entry so a crashed compaction can never serve doubled
+    * history.
+    */
+  private def recoverCompaction(topicFn: String): Unit = {
+    val manifest = manifestFile(topicFn)
+    if (manifest.isFile) {
+      val d = new java.io.File(dir(topicFn))
+      val lines = new String(
+        java.nio.file.Files.readAllBytes(manifest.toPath), "UTF-8").split("\n").toSeq
+      val target  = new java.io.File(d, lines.head)
+      val victims = lines.tail
+      if (target.isFile) // commit happened: finish the victim deletes
+        victims.foreach(v => java.nio.file.Files.deleteIfExists(new java.io.File(d, v).toPath))
+      // else: link never happened — old segments are intact, just abandon
+      java.nio.file.Files.deleteIfExists(manifest.toPath)
+      ()
+    }
+  }
 
   /** Continuous subscription (O-8): micro-batch file stream. The
     * subscription's identity (exclusive-by-name, O-9) is the caller's
@@ -370,6 +423,13 @@ object TopicTable {
   private[topics] def seq(base: String, topicFn: String, init: => Long): java.util.concurrent.atomic.AtomicLong =
     seqs.getOrElseUpdate((base, topicFn), new java.util.concurrent.atomic.AtomicLong(init))
 
+  /** Timestamp → epoch micros. getNanos INCLUDES the millisecond part, so
+    * the % 1000000 is load-bearing — every cursor encoding (durable file,
+    * prefix selection) must use this one definition.
+    */
+  private[graft] def micros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
+
   /** The minimal name-order segment prefix a bounded poll must read —
     * poll cost becomes proportional to the LIMIT, not the backlog depth.
     *
@@ -409,36 +469,27 @@ object TopicTable {
       case Some(t) => stats.filter { case (_, st) => st.flatMap(_.maxPt).forall(_ >= t) }
     }
     var countable = 0L
-    var maxStamp  = Option.empty[Long] // max included maxPt; None = unbounded
-    var haveUnbounded = false
+    var maxStamp  = Option.empty[Long] // max maxPt over included segments
     val prefix = scala.collection.mutable.ArrayBuffer.empty[A]
     val it = fresh.iterator
     var done = false
     while (it.hasNext && !done) {
       val (f, st) = it.next()
-      val fullyFresh = st.exists(s =>
-        s.minPt.isDefined && cursorMicros.forall(t => s.minPt.get > t))
-      if (countable >= limit) {
-        // past the quota: only the tie tail (or everything, if any included
-        // segment had unknown bounds) still belongs to the prefix
-        val inTail = haveUnbounded ||
-          st.flatMap(_.minPt).forall(mn => maxStamp.forall(mx => mn <= mx))
-        if (inTail) {
-          prefix += f
-          if (fullyFresh) countable += st.get.rows
-          st.flatMap(_.maxPt) match {
-            case Some(mx) => maxStamp = Some(maxStamp.fold(mx)(math.max(_, mx)))
-            case None     => haveUnbounded = true
-          }
-        } else done = true
-      } else {
+      val fullyFresh = st.exists(s => // both bounds: counted rows must be stamp-bounded
+        s.minPt.isDefined && s.maxPt.isDefined && cursorMicros.forall(t => s.minPt.get > t))
+      // Past the quota, only the tie tail still belongs: the `limit`
+      // countable rows all carry stamps ≤ maxStamp (only stats-bearing,
+      // fully-fresh segments count toward the quota), so a segment whose
+      // min stamp exceeds maxStamp can only hold LATER rows. A segment
+      // with unknown bounds never advances maxStamp but is always
+      // tail-eligible (its minPt is unknown → forall holds) — stat-less
+      // footers stay conservative without unbounding the whole walk.
+      val inTail = st.flatMap(_.minPt).forall(mn => maxStamp.forall(mx => mn <= mx))
+      if (countable < limit || inTail) {
         prefix += f
         if (fullyFresh) countable += st.get.rows
-        st.flatMap(_.maxPt) match {
-          case Some(mx) => maxStamp = Some(maxStamp.fold(mx)(math.max(_, mx)))
-          case None     => haveUnbounded = true
-        }
-      }
+        st.flatMap(_.maxPt).foreach(mx => maxStamp = Some(maxStamp.fold(mx)(math.max(_, mx))))
+      } else done = true
     }
     prefix.toSeq
   }

@@ -210,8 +210,7 @@ class BeamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // stamp 3 plus the next full segment — never the tail of the backlog
     val all = topics.read(fn).orderBy("publishTime", "messageId").collect()
     val t3  = all(29).getAs[java.sql.Timestamp]("publishTime")
-    val mid = TopicTable.pollFiles(segs,
-      Some(t3.getTime * 1000L + (t3.getNanos % 1000000L) / 1000L), 10)
+    val mid = TopicTable.pollFiles(segs, Some(TopicTable.micros(t3)), 10)
     assert(mid.nonEmpty && mid.size <= 3, s"expected ≤3 files, got ${mid.size}")
     assert(mid.map(_.getName) == segs.map(_.getName).filter(mid.map(_.getName).contains),
       "prefix must preserve name order")
@@ -270,5 +269,39 @@ class BeamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(offsets == 1L)
     // idempotent: nothing left to merge
     assert(topics.compactTopic(fn) == 0)
+  }
+
+  test("a compaction interrupted mid-commit recovers without doubling or losing data") {
+    val base   = Files.createTempDirectory("graft-beamsrc-crash").toString
+    val topics = new TopicTable(spark, base)
+    val fn     = "persistent://t/ns/crash"
+    for (i <- 1 to 3) topics.ingestPayload(s"m$i".getBytes, fn)
+    val dir  = new java.io.File(s"$base/${graft.model.Keys.sha1Hex(fn)}")
+    def segs = graft.sources.BeamSource.listSegments(dir.toString)
+    val all  = topics.read(fn).orderBy("publishTime", "messageId").collect()
+      .map(r => new String(r.getAs[Array[Byte]]("payload"))).toSeq
+    assert(all == Seq("m1", "m2", "m3"))
+
+    // crash BEFORE the merged segment was linked: manifest names a target
+    // that never appeared → recovery abandons, old segments stay intact
+    java.nio.file.Files.write(new java.io.File(dir, ".compact-manifest").toPath,
+      (Seq("99999999999999999999-never-linked.parquet") ++ segs.map(_.getName))
+        .mkString("\n").getBytes("UTF-8"))
+    assert(topics.read(fn).count() == 3)
+    assert(!new java.io.File(dir, ".compact-manifest").isFile, "manifest cleaned")
+    assert(segs.size == 3)
+
+    // crash AFTER the link but mid-delete: target exists, one victim was
+    // already deleted, two remain → recovery finishes the deletes, so the
+    // topic serves each message exactly once
+    val victim = segs.head
+    val target = new java.io.File(dir, f"${77777777L}%020d-${victim.getName}")
+    java.nio.file.Files.createLink(target.toPath, victim.toPath)
+    java.nio.file.Files.write(new java.io.File(dir, ".compact-manifest").toPath,
+      Seq(target.getName, victim.getName).mkString("\n").getBytes("UTF-8"))
+    val after = topics.read(fn).orderBy("publishTime", "messageId").collect()
+      .map(r => new String(r.getAs[Array[Byte]]("payload"))).toSeq
+    assert(after == all, s"history must be exactly-once after recovery, got $after")
+    assert(!victim.exists() && target.exists())
   }
 }
