@@ -244,6 +244,57 @@ object DedupOps {
     out
   }
 
+  /** PageRank over the near-dup candidate graph, 3 iterations — the
+    * "centrality inside a duplicate cluster" signal (the highest-rank
+    * member is the canonical copy candidates point at). Iterative NUMERIC
+    * graph analytics in exact integer ppm: each round is one equi-join +
+    * hash aggregate, contributions are `pr div deg` per node (integer
+    * division BEFORE the order-free sum, so no float accumulation and no
+    * engine divergence); damping is `150000 + 850·Σ div 1000`. The oracle
+    * unrolls the same three rounds as CTEs. Fixed iteration count keeps
+    * the query deterministic; at corpus scale the same loop runs to a
+    * convergence threshold with the identical per-round plan.
+    */
+  val pagerank: Q = Q(
+    "x47_pagerank",
+    s"""WITH pairs AS ($lshPairsSql),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+       |deg AS (SELECT a AS node, count(*) AS deg FROM edges GROUP BY a),
+       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM deg),
+       |r1 AS (SELECT e.b AS node, CAST(150000 + 850 * sum(r0.pr // d.deg) // 1000 AS BIGINT) AS pr
+       |       FROM edges e JOIN r0 ON r0.node = e.a JOIN deg d ON d.node = e.a GROUP BY e.b),
+       |r2 AS (SELECT e.b AS node, CAST(150000 + 850 * sum(r1.pr // d.deg) // 1000 AS BIGINT) AS pr
+       |       FROM edges e JOIN r1 ON r1.node = e.a JOIN deg d ON d.node = e.a GROUP BY e.b),
+       |r3 AS (SELECT e.b AS node, CAST(150000 + 850 * sum(r2.pr // d.deg) // 1000 AS BIGINT) AS pr
+       |       FROM edges e JOIN r2 ON r2.node = e.a JOIN deg d ON d.node = e.a GROUP BY e.b)
+       |SELECT CAST(node AS BIGINT) AS doc_id, pr AS pr_ppm
+       |FROM r3 ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val pairs = lshCandidatePairs(s, dir)
+    val edges = pairs
+      .select(explode(array(
+        struct(col("doc_a").as("a"), col("doc_b").as("b")),
+        struct(col("doc_b").as("a"), col("doc_a").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .cache()
+    val deg = edges.groupBy("a").agg(count(lit(1)).as("deg"))
+    var pr  = deg.select(col("a").as("node"), lit(1000000L).as("pr"))
+    for (_ <- 1 to 3) {
+      pr = edges.join(pr, col("a") === col("node"))
+        .join(deg.select(col("a"), col("deg")), "a")
+        .select(col("b"), expr("pr div deg").as("c"))
+        .groupBy(col("b"))
+        .agg(expr("cast(150000 + 850 * sum(c) div 1000 as bigint)").as("pr"))
+        .select(col("b").as("node"), col("pr"))
+    }
+    // the edges cache fills on first execution and is reused by all three
+    // rounds inside ONE job (no action runs here); the ContextCleaner
+    // reclaims it once the returned plan is released
+    pr.select(col("node").cast("long").as("doc_id"), col("pr").as("pr_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** 32-bit SimHash from word hashes: bit i of a word's hash is the parity
     * of the i-th hex char of its md5; the document bit is the sign of the
     * summed ±1 contributions (integer arithmetic — no float order issues).
@@ -325,5 +376,5 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  val all: Seq[Q] = Seq(exactDedup, minhashLsh, simhash, ngramJaccard, dupClusters)
+  val all: Seq[Q] = Seq(exactDedup, minhashLsh, simhash, ngramJaccard, dupClusters, pagerank)
 }
