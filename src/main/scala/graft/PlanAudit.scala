@@ -55,7 +55,10 @@ object PlanAudit {
     "t23_correlated_avg" -> Seq("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
     "t24_solo_supplier"  -> Seq("LeftAnti"),
     // bucketed range join: an EQUI join on (type, bucket), never a BNL
-    "t26_range_join" -> Seq("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"))
+    "t26_range_join" -> Seq("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+    // pagerank rounds are equi joins over the cached edge list
+    "x47_pagerank" -> Seq("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
+      "InMemoryTableScan"))
 
   /** Execute one audited query and evaluate its plan patterns — shared by
     * the CLI main and PlanShapeSpec (so plan-shape regressions fail CI, not

@@ -199,21 +199,26 @@ object DedupOps {
     while (!converged && rounds < 50) { // diameter bound; tiny vs 50 in practice
       val prop = edges.join(labels, col("a") === col("node"))
         .select(col("b").as("node"), col("lbl"), lit(null).cast("long").as("prev"))
-      // pointer jumping (shortcutting): each node also adopts its label's
-      // label, so label chains halve every round and convergence needs
-      // O(log diameter) rounds, not O(diameter) — the long-chain guard at
-      // corpus scale, where one viral near-dup family can form a deep chain
-      val jump = labels.as("l1")
-        .join(labels.as("l2"), col("l1.lbl") === col("l2.node"))
-        .select(col("l1.node").as("node"), col("l2.lbl").as("lbl"),
-          lit(null).cast("long").as("prev"))
+      // Pointer jumping (shortcutting): each node also adopts its label's
+      // label, halving label chains so convergence needs O(log diameter)
+      // rounds — the long-chain guard at corpus scale. It costs an extra
+      // labels⨝labels shuffle per round, which LOSES on the common case
+      // (near-dup components have tiny diameters and converge in 2-3
+      // rounds), so it engages only from round 3 — exactly when still
+      // being unconverged means a deep chain exists.
+      val steps =
+        if (rounds < 2) Seq(prop)
+        else Seq(prop, labels.as("l1")
+          .join(labels.as("l2"), col("l1.lbl") === col("l2.node"))
+          .select(col("l1.node").as("node"), col("l2.lbl").as("lbl"),
+            lit(null).cast("long").as("prev")))
       // change detection rides the SAME aggregate that computes the next
       // generation: every node appears exactly once in the tagged self-row
       // (so max(prev) recovers its old label through the null-ignoring
       // aggregate), making the convergence check a filter over the cached
       // result instead of a second join+shuffle per round
       val tagged = labels.select(col("node"), col("lbl"), col("lbl").as("prev"))
-      val next = tagged.unionByName(prop).unionByName(jump)
+      val next = steps.foldLeft(tagged)(_ unionByName _)
         .groupBy("node").agg(min("lbl").as("lbl"), max("prev").as("prev"))
         .cache()
       // full count (no limit): the filter scans EVERY partition of `next`,
