@@ -163,7 +163,32 @@ object FuncOps {
       .orderBy("event_type", "bucket")
   }
 
+  /** Typed-UDAF surface ([[graft.functions.TopKAgg]]): exact per-group
+    * top-5 via a bounded-buffer Aggregator — partial aggregation reduces
+    * every map task to ≤ k values before the exchange, unlike the
+    * window-rank formulation which shuffles every row. Oracle: sorted
+    * list slice.
+    */
+  val topkAgg: Q = Q(
+    "f08_topk_agg",
+    """SELECT event_type, top5[1] AS v1, top5[2] AS v2, top5[3] AS v3,
+      |       top5[4] AS v4, top5[5] AS v5
+      |FROM (SELECT event_type, list_slice(list_sort(list(value), 'DESC'), 1, 5) AS top5
+      |      FROM events GROUP BY event_type)
+      |ORDER BY event_type""".stripMargin
+  ) { (s, dir) =>
+    val topk = udaf(new graft.functions.TopKAgg(5), org.apache.spark.sql.Encoders.scalaDouble)
+    // scalar columns rather than one array column: the driver's comparator
+    // matches cell-by-cell and chokes on array-valued float cells
+    events(s, dir)
+      .groupBy("event_type")
+      .agg(topk(col("value")).as("top5"))
+      .select(col("event_type") +: (1 to 5).map(i =>
+        element_at(col("top5"), i).as(s"v$i")): _*)
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] =
     Seq(hashFuncs, datetimeFuncs, mathFuncs, aesRoundtrip, approxDistinct, editDistance,
-      valueHistogram)
+      valueHistogram, topkAgg)
 }

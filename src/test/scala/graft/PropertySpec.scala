@@ -165,6 +165,19 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("TopKAgg reduce/merge equal the sort-based reference on random streams") {
+    val agg = new graft.functions.TopKAgg(5)
+    val streamGen = Gen.listOf(Gen.chooseNum(-1000.0, 1000.0))
+    samples(Gen.zip(streamGen, streamGen), 200).foreach { case (xs, ys) =>
+      val bufA = xs.foldLeft(agg.zero)(agg.reduce)
+      val bufB = ys.foldLeft(agg.zero)(agg.reduce)
+      val got  = agg.finish(agg.merge(bufA, bufB)).toSeq
+      val want = (xs ++ ys).sorted(Ordering[Double].reverse).take(5)
+      assert(got == want, s"xs=$xs ys=$ys")
+      assert(got.sorted(Ordering[Double].reverse) == got, "buffer stays descending")
+    }
+  }
+
   test("startingPosition parser accepts the documented forms and rejects everything else") {
     assert(BeamSource.parseStartingPosition("earliest").contains(0L))
     assert(BeamSource.parseStartingPosition("latest").isEmpty)
