@@ -71,5 +71,43 @@ object BehaviorOps {
       .orderBy("cohort", "active_week")
   }
 
-  val all: Seq[Q] = Seq(funnel, retention)
+  /** Session-scoped transition matrix: counts of consecutive event-type
+    * pairs WITHIN a 30-minute-gap session (x16's sessionization, composed
+    * with lag) — the Markov-chain input behind next-action prediction and
+    * path analysis. Two windows over the same (user, time) order — one
+    * partition exchange total.
+    */
+  val transitions: Q = Q(
+    "x48_transitions",
+    """WITH s AS (SELECT user_id, ts, event_id, event_type,
+      |        sum(CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000 THEN 1 ELSE 0 END)
+      |          OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess_id
+      |      FROM (SELECT user_id, ts, event_id, event_type,
+      |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |            FROM events)),
+      |tr AS (SELECT event_type AS dst,
+      |         lag(event_type) OVER (PARTITION BY user_id, sess_id ORDER BY ts, event_id) AS src
+      |       FROM s)
+      |SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM tr WHERE src IS NOT NULL
+      |GROUP BY src, dst ORDER BY src, dst""".stripMargin
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sess = events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("gap",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) >= 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("sess_id", sum(col("gap")).over(byUser))
+    val bySession = Window.partitionBy("user_id", "sess_id").orderBy("ts", "event_id")
+    sess
+      .select(col("event_type").as("dst"), lag(col("event_type"), 1).over(bySession).as("src"))
+      .where(col("src").isNotNull)
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("src", "dst")
+  }
+
+  val all: Seq[Q] = Seq(funnel, retention, transitions)
 }

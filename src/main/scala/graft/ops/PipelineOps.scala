@@ -203,6 +203,44 @@ object PipelineOps {
       .orderBy("source", "lang", "rn")
   }
 
+  /** Referential-integrity audit across the relational tables — the
+    * data-quality gate a pipeline runs before training joins (an orphaned
+    * foreign key silently drops rows from every inner join downstream).
+    * Each check is a left-anti join on the key: at 100 TB that is one
+    * key-partitioned shuffle per pair, with the small dimension sides
+    * broadcast by Catalyst. Reports checked row counts so a clean corpus
+    * (0 orphans) is still a non-trivial assertion.
+    */
+  val refIntegrity: Q = Q(
+    "x49_ref_integrity",
+    """SELECT 'lineitem->orders' AS fk, (SELECT count(*) FROM lineitem) AS n_checked,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+      |   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+      |UNION ALL
+      |SELECT 'lineitem->part' AS fk, (SELECT count(*) FROM lineitem) AS n_checked,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+      |   WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)) AS n_orphans
+      |UNION ALL
+      |SELECT 'orders->customer' AS fk, (SELECT count(*) FROM orders) AS n_checked,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM orders o
+      |   WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS n_orphans
+      |ORDER BY fk""".stripMargin
+  ) { (s, dir) =>
+    def audit(name: String, fact: DataFrame, factKey: String,
+        dim: DataFrame, dimKey: String): DataFrame = {
+      val orphans = fact.join(dim, fact(factKey) === dim(dimKey), "left_anti")
+      fact.agg(count(lit(1)).as("n_checked"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        .select(lit(name).as("fk"), col("n_checked"), col("n_orphans"))
+    }
+    val li = Tables(s, dir, "lineitem")
+    audit("lineitem->orders", li, "l_orderkey", Tables(s, dir, "orders"), "o_orderkey")
+      .unionByName(audit("lineitem->part", li, "l_partkey", Tables(s, dir, "part"), "p_partkey"))
+      .unionByName(audit("orders->customer", Tables(s, dir, "orders"), "o_custkey",
+        Tables(s, dir, "customer"), "c_custkey"))
+      .orderBy("fk")
+  }
+
   val all: Seq[Q] = Seq(chunkDedup, repetitionScore, contamination, hashSample,
-    seqPacking, stratifiedTopK)
+    seqPacking, stratifiedTopK, refIntegrity)
 }
