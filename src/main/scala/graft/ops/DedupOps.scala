@@ -153,6 +153,20 @@ object DedupOps {
     lshCandidatePairs(s, dir).orderBy("doc_a", "doc_b")
   }
 
+  /** Both directions of the LSH candidate graph from ONE pass over the
+    * (expensive) pair lineage, CACHED — a union of two selects would
+    * materialize the minhash subtree twice the first time the cache
+    * fills. Callers that run actions may unpersist explicitly (x31); a
+    * purely lazy caller leaves reclamation to the ContextCleaner (x47).
+    */
+  private def symmetricEdges(s: SparkSession, dir: String): DataFrame =
+    lshCandidatePairs(s, dir)
+      .select(explode(array(
+        struct(col("doc_a").as("a"), col("doc_b").as("b")),
+        struct(col("doc_b").as("a"), col("doc_a").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .cache()
+
   /** Duplicate-cluster resolution: connected components over the LSH
     * candidate graph — the "keep one document per near-dup CLUSTER" step a
     * pairwise dedup can't express (A~B and B~C must collapse to one
@@ -181,15 +195,7 @@ object DedupOps {
        |       CAST(count(*) OVER (PARTITION BY lbl) AS BIGINT) AS cluster_size
        |FROM labels ORDER BY doc_id""".stripMargin
   ) { (s, dir) =>
-    // both edge directions from ONE pass over the (expensive) pair lineage:
-    // a union of two selects would materialize the minhash subtree twice
-    // the first time the cache fills
-    val edges = lshCandidatePairs(s, dir)
-      .select(explode(array(
-        struct(col("doc_a").as("a"), col("doc_b").as("b")),
-        struct(col("doc_b").as("a"), col("doc_a").as("b")))).as("e"))
-      .select(col("e.a").as("a"), col("e.b").as("b"))
-      .cache()
+    val edges = symmetricEdges(s, dir)
     var labels = edges.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
       .cache()
@@ -276,13 +282,7 @@ object DedupOps {
        |SELECT CAST(node AS BIGINT) AS doc_id, pr AS pr_ppm
        |FROM r3 ORDER BY doc_id""".stripMargin
   ) { (s, dir) =>
-    val pairs = lshCandidatePairs(s, dir)
-    val edges = pairs
-      .select(explode(array(
-        struct(col("doc_a").as("a"), col("doc_b").as("b")),
-        struct(col("doc_b").as("a"), col("doc_a").as("b")))).as("e"))
-      .select(col("e.a").as("a"), col("e.b").as("b"))
-      .cache()
+    val edges = symmetricEdges(s, dir)
     val deg = edges.groupBy("a").agg(count(lit(1)).as("deg"))
     var pr  = deg.select(col("a").as("node"), lit(1000000L).as("pr"))
     for (_ <- 1 to 3) {

@@ -184,7 +184,9 @@ object FuncOps {
       .groupBy("event_type")
       .agg(topk(col("value")).as("top5"))
       .select(col("event_type") +: (1 to 5).map(i =>
-        element_at(col("top5"), i).as(s"v$i")): _*)
+        // try_element_at: a group with < 5 rows must NULL-pad like the
+        // oracle's list slicing, not throw under ANSI mode
+        try_element_at(col("top5"), lit(i)).as(s"v$i")): _*)
       .orderBy("event_type")
   }
 

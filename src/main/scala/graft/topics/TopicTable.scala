@@ -331,8 +331,16 @@ final class TopicTable(spark: SparkSession, baseDir: String) {
           // the manifest: target present → finish the deletes; target
           // absent → abandon (old segments intact). Either way the topic is
           // never left doubled after recoverCompaction runs.
-          val d   = new java.io.File(dir(topicFn))
-          val seq = TopicTable.seq(canonicalBase, topicFn, 0L)
+          val d = new java.io.File(dir(topicFn))
+          // same listing-derived init as registerSegments: a 0L init here
+          // would poison the SHARED per-topic counter when compaction runs
+          // first in a process — a later ingest would then link a segment
+          // whose name sorts inside the committed prefix
+          val seq = TopicTable.seq(canonicalBase, topicFn, {
+            val existing = Option(d.listFiles()).getOrElse(Array.empty)
+              .flatMap(f => f.getName match { case SeqName(n) => Some(n.toLong); case _ => None })
+            if (existing.isEmpty) 0L else existing.max
+          })
           var target: java.io.File = null
           seq.synchronized {
             while (target == null) {
@@ -365,23 +373,32 @@ final class TopicTable(spark: SparkSession, baseDir: String) {
   /** Replay a compaction interrupted mid-commit (see [[compactTopic]]).
     * Cheap no-op (one isFile check) when no manifest exists; called before
     * every read-path entry so a crashed compaction can never serve doubled
-    * history.
+    * history. Serializes on the topic's ingest lock: an unsynchronized
+    * recover racing a LIVE compaction could delete its manifest between
+    * the manifest write and the link (voiding crash safety), and two
+    * concurrent recovers could throw on the vanished manifest. The
+    * re-check inside the lock handles both; a manifest vanishing between
+    * the fast-path check and the lock is a completed recovery, not an
+    * error.
     */
-  private def recoverCompaction(topicFn: String): Unit = {
-    val manifest = manifestFile(topicFn)
-    if (manifest.isFile) {
-      val d = new java.io.File(dir(topicFn))
-      val lines = new String(
-        java.nio.file.Files.readAllBytes(manifest.toPath), "UTF-8").split("\n").toSeq
-      val target  = new java.io.File(d, lines.head)
-      val victims = lines.tail
-      if (target.isFile) // commit happened: finish the victim deletes
-        victims.foreach(v => java.nio.file.Files.deleteIfExists(new java.io.File(d, v).toPath))
-      // else: link never happened — old segments are intact, just abandon
-      java.nio.file.Files.deleteIfExists(manifest.toPath)
-      ()
-    }
-  }
+  private def recoverCompaction(topicFn: String): Unit =
+    if (manifestFile(topicFn).isFile) // fast path; re-checked under the lock
+      TopicTable.ingestLock(canonicalBase, topicFn).synchronized {
+        val manifest = manifestFile(topicFn)
+        if (manifest.isFile) {
+          val d = new java.io.File(dir(topicFn))
+          val lines = new String(
+            java.nio.file.Files.readAllBytes(manifest.toPath), "UTF-8").split("\n").toSeq
+          val target  = new java.io.File(d, lines.head)
+          val victims = lines.tail
+          if (target.isFile) // commit happened: finish the victim deletes
+            victims.foreach(v =>
+              java.nio.file.Files.deleteIfExists(new java.io.File(d, v).toPath))
+          // else: link never happened — old segments are intact, just abandon
+          java.nio.file.Files.deleteIfExists(manifest.toPath)
+          ()
+        }
+      }
 
   /** Continuous subscription (O-8): micro-batch file stream. The
     * subscription's identity (exclusive-by-name, O-9) is the caller's
