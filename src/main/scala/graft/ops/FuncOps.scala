@@ -190,7 +190,31 @@ object FuncOps {
       .orderBy("event_type")
   }
 
+  /** String family 2 — the byte-exact cross-engine subset beyond f01/r08:
+    * reverse, lpad, repeat, 1-based substring position (Spark `instr` ≡
+    * DuckDB `strpos`), left/right slices. Row-local projection.
+    */
+  val stringFuncs: Q = Q(
+    "f09_string_funcs",
+    """SELECT p_partkey, reverse(p_brand) AS rev,
+      |       lpad(CAST(p_size AS VARCHAR), 4, '0') AS padded,
+      |       repeat(left(p_name, 2), 2) AS rep,
+      |       CAST(strpos(p_name, 'a') AS BIGINT) AS pos_a,
+      |       right(p_type, 3) AS tail
+      |FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""".stripMargin
+  ) { (s, dir) =>
+    Tables(s, dir, "part")
+      .where(col("p_partkey") <= 200)
+      .select(col("p_partkey"),
+        reverse(col("p_brand")).as("rev"),
+        lpad(col("p_size").cast("string"), 4, "0").as("padded"),
+        expr("repeat(left(p_name, 2), 2)").as("rep"),
+        instr(col("p_name"), "a").cast("long").as("pos_a"),
+        expr("right(p_type, 3)").as("tail"))
+      .orderBy("p_partkey")
+  }
+
   val all: Seq[Q] =
     Seq(hashFuncs, datetimeFuncs, mathFuncs, aesRoundtrip, approxDistinct, editDistance,
-      valueHistogram, topkAgg)
+      valueHistogram, topkAgg, stringFuncs)
 }

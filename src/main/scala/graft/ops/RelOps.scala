@@ -599,6 +599,38 @@ object RelOps {
       .orderBy("event_type")
   }
 
+  /** Value-based RANGE window frame (completing the frame family next to
+    * t07's ROWS frames): per customer, order totals summed over a sliding
+    * ±10-day window keyed by the ORDER DATE VALUE — ties in the ordering
+    * column all join the frame, which a ROWS frame cannot express. Days
+    * since a fixed epoch as an integer ordering key keeps the frame bound
+    * arithmetic identical on both engines.
+    */
+  val rangeFrame: Q = Q(
+    "t27_range_frame",
+    """SELECT o_orderkey,
+      |  CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY d
+      |       RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS BIGINT) AS win_cents,
+      |  CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY d
+      |       RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS BIGINT) AS win_n
+      |FROM (SELECT o_orderkey, o_custkey,
+      |        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+      |        datediff('day', DATE '1990-01-01', o_orderdate) AS d
+      |      FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+  ) { (s, dir) =>
+    val base = Tables(s, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
+      datediff(col("o_orderdate"), lit("1990-01-01").cast("date")).as("d"))
+    val w = Window.partitionBy("o_custkey").orderBy("d").rangeBetween(-10, 0)
+    base
+      .select(col("o_orderkey"),
+        sum(col("cents")).over(w).as("win_cents"),
+        count(lit(1)).over(w).as("win_n"))
+      .orderBy("o_orderkey")
+  }
+
   val all: Seq[Q] = Seq(
     pricingSummary, revenuePerRegion, shippingPriority, orderPriority,
     forecastRevenue, topSpendersPerNation, monthlyRevenueWindow, revenueRollup,
@@ -606,5 +638,5 @@ object RelOps {
     thetaBalancePairs, asofLastClick, crossNationRegion, outerJoinCounts,
     collectSuppliers, rankFamily, groupingSetsRevenue, pivotStatus,
     percentiles, setOpsAll, correlatedAvg, soloSupplier, unpivotMetrics,
-    rangeJoin)
+    rangeJoin, rangeFrame)
 }
