@@ -47,11 +47,18 @@ object Bench {
     // query that throws early in one pass would under-report its cost while
     // also being listed in errors. A query that failed EVERY pass surfaces
     // as -1 (plus its errors entry), never as a fake timing.
-    def pass(): Seq[(String, Double)] = named.map { case (name, fn) =>
+    def pass(): Seq[(String, Double)] = {
+      // fresh cross-query memo per pass: x02/x31/x47 share a cached LSH
+      // pair lineage — legitimate within a pass (one lineage, three
+      // queries), but a best-of over passes must never time a cache read
+      // against pass 1's real compute
+      ops.DedupOps.clearMemo()
+      named.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { materialize(fn(spark, sfDir)); true }
         catch { case e: Throwable => errs ::= s"$name:${e.getClass.getSimpleName}"; false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity)
+      }
     }
     val results = (1 to runs).map(_ => pass())
       .reduce((a, b) => a.zip(b).map { case ((n, x), (_, y)) => n -> math.min(x, y) })

@@ -223,6 +223,67 @@ object CorpusStatsOps {
       .orderBy("lang")
   }
 
+  /** Inverted-index construction: token → document frequency + the head of
+    * the sorted posting list (first 10 doc_ids, comma-joined — the t17
+    * string form both engines canonicalize identically). One shuffle on
+    * the token key over DISTINCT (token, doc_id) pairs. The head-10 slice
+    * is applied after a full per-token sort here because the oracle needs
+    * the exact smallest ids; at 100 TB the same query runs with a
+    * bounded-buffer bottom-k Aggregator (f08's TopKAgg shape) so each map
+    * task forwards ≤ 10 ids per token instead of the full posting list.
+    */
+  val invertedIndex: Q = Q(
+    "x53_inverted_index",
+    """WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      |SELECT token, CAST(count(*) AS BIGINT) AS df,
+      |       array_to_string(list_slice(list_sort(list(doc_id)), 1, 10), ',') AS posting_head
+      |FROM tok GROUP BY token ORDER BY token""".stripMargin
+  ) { (s, dir) =>
+    docs(s, dir)
+      .select(col("doc_id"), explode(ws).as("token"))
+      .distinct()
+      .groupBy("token")
+      .agg(
+        count(lit(1)).as("df"),
+        array_join(transform(slice(array_sort(collect_list(col("doc_id"))), 1, 10),
+          x => x.cast("string")), ",").as("posting_head"))
+      .orderBy("token")
+  }
+
+  /** Robust length-outlier gate: per-source median + MAD (median absolute
+    * deviation) of n_chars, and the count of documents beyond 3 MADs — the
+    * outlier filter that, unlike mean/stddev, a few giant documents cannot
+    * drag. Two aggregate passes (median, then deviation median) with the
+    * tiny per-source stats broadcast back; reuses the t21-proven
+    * `percentile`/`median` engine parity.
+    */
+  val madOutliers: Q = Q(
+    "x54_mad_outliers",
+    """WITH m AS (SELECT source, median(n_chars) AS med FROM documents GROUP BY source),
+      |d AS (SELECT doc.source, abs(doc.n_chars - m.med) AS dev
+      |      FROM documents doc JOIN m ON doc.source = m.source),
+      |s AS (SELECT source, median(dev) AS mad FROM d GROUP BY source)
+      |SELECT d.source, round(min(m.med), 6) AS med, round(min(s.mad), 6) AS mad,
+      |       CAST(sum(CASE WHEN d.dev > 3 * s.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM d JOIN m ON d.source = m.source JOIN s ON d.source = s.source
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
+  ) { (s, dir) =>
+    val m = docs(s, dir).groupBy("source").agg(median(col("n_chars")).as("med"))
+    val d = docs(s, dir).join(broadcast(m), "source")
+      .select(col("source"), abs(col("n_chars") - col("med")).as("dev"))
+    val mad = d.groupBy("source").agg(median(col("dev")).as("mad"))
+    d.join(broadcast(m), "source")
+      .join(broadcast(mad), "source")
+      .groupBy("source")
+      .agg(
+        round(min(col("med")), 6).as("med"),
+        round(min(col("mad")), 6).as("mad"),
+        sum(when(col("dev") > lit(3) * col("mad"), 1).otherwise(0)).cast("long").as("n_outliers"),
+        count(lit(1)).as("n"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(tfidfTopTerms, bigramLift, sourceOverlap, mixtureSample,
-    typeToken, lenQuartiles)
+    typeToken, lenQuartiles, invertedIndex, madOutliers)
 }

@@ -110,9 +110,30 @@ object DedupOps {
        |GROUP BY 1, 2""".stripMargin
 
   /** LSH candidate pairs (doc_a < doc_b, n_bands ≥ 1), un-ordered — the
-    * shared core of x02 and the x31 duplicate-cluster query.
+    * shared core of x02, x31 (clusters) and x47 (pagerank). The pair set
+    * is tiny (candidates, not corpus) but its lineage — shingle, minhash,
+    * band join — is the most expensive subtree in the dedup family, so the
+    * CACHED result is memoized per (session, sf dir): within one process
+    * the three queries pay for the lineage once. The cache holds only
+    * (doc_a, doc_b, n_bands) rows; the ContextCleaner reclaims it when
+    * the session goes away.
     */
-  private[ops] def lshCandidatePairs(s: SparkSession, dir: String): DataFrame = {
+  private val pairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[ops] def lshCandidatePairs(s: SparkSession, dir: String): DataFrame =
+    pairsCache.getOrElseUpdate((s, dir), lshCandidatePairsUncached(s, dir).cache())
+
+  /** Drop the memoized pair cache (Bench calls this between timing passes
+    * so a best-of-N never times a cache read where pass 1 timed the real
+    * lineage; the FIRST dedup-family query of each pass pays it again).
+    */
+  private[graft] def clearMemo(): Unit = {
+    pairsCache.values.foreach(df => scala.util.Try(df.unpersist()))
+    pairsCache.clear()
+  }
+
+  private def lshCandidatePairsUncached(s: SparkSession, dir: String): DataFrame = {
     // single-pass signature: all 12 minima in one hash aggregate (no ×12
     // explode, no second shuffle — one pass over the shingle set)
     val h = expr(s"cast(conv(substring(sh, 1, 15), 16, 10) as bigint) % $MinhashP")
@@ -153,11 +174,10 @@ object DedupOps {
     lshCandidatePairs(s, dir).orderBy("doc_a", "doc_b")
   }
 
-  /** Both directions of the LSH candidate graph from ONE pass over the
-    * (expensive) pair lineage, CACHED — a union of two selects would
-    * materialize the minhash subtree twice the first time the cache
-    * fills. Callers that run actions may unpersist explicitly (x31); a
-    * purely lazy caller leaves reclamation to the ContextCleaner (x47).
+  /** Both directions of the LSH candidate graph in ONE pass over the pair
+    * set. The expensive lineage below this is the memoized
+    * [[lshCandidatePairs]] cache, so the explode itself needs no second
+    * cache — each iteration re-reads cached 24-byte pair rows.
     */
   private def symmetricEdges(s: SparkSession, dir: String): DataFrame =
     lshCandidatePairs(s, dir)
@@ -165,7 +185,6 @@ object DedupOps {
         struct(col("doc_a").as("a"), col("doc_b").as("b")),
         struct(col("doc_b").as("a"), col("doc_a").as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
-      .cache()
 
   /** Duplicate-cluster resolution: connected components over the LSH
     * candidate graph — the "keep one document per near-dup CLUSTER" step a
@@ -247,12 +266,10 @@ object DedupOps {
         s"x31 label propagation did not converge within $rounds rounds")
     // the final `labels` cache stays referenced by the returned plan; the
     // ContextCleaner unpersists it once the result DF is released
-    val out = labels
+    labels
       .select(col("node").cast("long").as("doc_id"), col("lbl").cast("long").as("cluster"))
       .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("cluster")))
       .orderBy("doc_id")
-    edges.unpersist()
-    out
   }
 
   /** PageRank over the near-dup candidate graph, 3 iterations — the

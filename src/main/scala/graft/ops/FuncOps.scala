@@ -214,7 +214,33 @@ object FuncOps {
       .orderBy("p_partkey")
   }
 
+  /** Bitwise family: bit_and / bit_or / bit_xor aggregates per line number
+    * plus a scalar shift-and-mask — integer-exact on both engines. The
+    * xor aggregate is order-free (xor is associative/commutative), so the
+    * partial-aggregate plan needs no ordering guarantee.
+    */
+  val bitwiseFuncs: Q = Q(
+    "f10_bitwise_funcs",
+    """SELECT CAST(l_linenumber AS BIGINT) AS ln,
+      |       CAST(bit_and(l_orderkey) AS BIGINT) AS all_and,
+      |       CAST(bit_or(l_partkey) AS BIGINT) AS any_or,
+      |       CAST(bit_xor(l_suppkey) AS BIGINT) AS xsum,
+      |       CAST(bit_xor(l_orderkey << 3) AS BIGINT) AS xshift,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM lineitem GROUP BY l_linenumber ORDER BY ln""".stripMargin
+  ) { (s, dir) =>
+    Tables(s, dir, "lineitem")
+      .groupBy(col("l_linenumber").cast("long").as("ln"))
+      .agg(
+        expr("cast(bit_and(l_orderkey) as bigint)").as("all_and"),
+        expr("cast(bit_or(l_partkey) as bigint)").as("any_or"),
+        expr("cast(bit_xor(l_suppkey) as bigint)").as("xsum"),
+        expr("cast(bit_xor(shiftleft(l_orderkey, 3)) as bigint)").as("xshift"),
+        count(lit(1)).as("n"))
+      .orderBy("ln")
+  }
+
   val all: Seq[Q] =
     Seq(hashFuncs, datetimeFuncs, mathFuncs, aesRoundtrip, approxDistinct, editDistance,
-      valueHistogram, topkAgg, stringFuncs)
+      valueHistogram, topkAgg, stringFuncs, bitwiseFuncs)
 }

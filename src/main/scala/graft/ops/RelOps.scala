@@ -631,6 +631,36 @@ object RelOps {
       .orderBy("o_orderkey")
   }
 
+  /** Distribution window-function family (completing the ranking surface
+    * next to t18): percent_rank, cume_dist, first_value and nth_value over
+    * per-customer order totals. The ratios are single IEEE divisions of
+    * small integers — bit-identical across engines — and the value
+    * functions run over the default RANGE-to-CURRENT-ROW frame with a
+    * unique (totalprice, orderkey) ordering, so frames are deterministic.
+    */
+  val windowDistribution: Q = Q(
+    "t28_window_dist",
+    """SELECT o_custkey, o_orderkey,
+      |       round(percent_rank() OVER w, 6) AS pr,
+      |       round(cume_dist() OVER w, 6) AS cd,
+      |       first_value(o_orderkey) OVER w AS first_ok,
+      |       nth_value(o_orderkey, 2) OVER w AS second_ok
+      |FROM orders
+      |WHERE o_custkey % 50 = 0
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+  ) { (s, dir) =>
+    val w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    Tables(s, dir, "orders")
+      .where(col("o_custkey") % 50 === 0)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"),
+        first_value(col("o_orderkey")).over(w).as("first_ok"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_ok"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   val all: Seq[Q] = Seq(
     pricingSummary, revenuePerRegion, shippingPriority, orderPriority,
     forecastRevenue, topSpendersPerNation, monthlyRevenueWindow, revenueRollup,
@@ -638,5 +668,5 @@ object RelOps {
     thetaBalancePairs, asofLastClick, crossNationRegion, outerJoinCounts,
     collectSuppliers, rankFamily, groupingSetsRevenue, pivotStatus,
     percentiles, setOpsAll, correlatedAvg, soloSupplier, unpivotMetrics,
-    rangeJoin, rangeFrame)
+    rangeJoin, rangeFrame, windowDistribution)
 }

@@ -357,6 +357,50 @@ object SimilarityOps {
       .orderBy("label", "i")
   }
 
+  /** One Lloyd iteration of k-means over the embeddings — the clustering
+    * step behind IVF index training (x22 seeds its cells the same way) and
+    * semantic dedup. Seeds are the vectors with `vec_id % 250 = 1`;
+    * assignment is nearest-seed by rounded cosine (x22's assign shape: the
+    * seed set is BROADCAST, the corpus never shuffles for assignment), and
+    * the update step emits per-cluster component sums in exact integer ppm
+    * plus member counts (x33's order-free integerization) — new centroid =
+    * sum_ppm / n, computed by the consumer so the result stays int-exact.
+    * At 100 TB the same two-stage plan holds: k×dim cells out of the
+    * aggregate, corpus scanned once per iteration.
+    */
+  val kmeansIter: Q = Q(
+    "x50_kmeans_iter",
+    s"""WITH n AS ($normedSql),
+       |cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 250 = 1),
+       |assign AS (SELECT vec_id, v, c_id FROM (
+       |  SELECT n.vec_id, n.v, c.c_id,
+       |         row_number() OVER (PARTITION BY n.vec_id
+       |           ORDER BY round(list_dot_product(n.v, c.cv) / (n.nrm * c.cn), 6) DESC, c.c_id) AS rk
+       |  FROM n CROSS JOIN cents c) WHERE rk = 1),
+       |e AS (SELECT c_id, i, v[i] AS comp
+       |      FROM assign, (SELECT unnest(generate_series(1, 64)) AS i) idx)
+       |SELECT CAST(c_id AS BIGINT) AS c_id, CAST(i AS BIGINT) AS i,
+       |       CAST(sum(CAST(floor(comp * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_ppm,
+       |       count(*) AS n
+       |FROM e GROUP BY c_id, i ORDER BY c_id, i""".stripMargin
+  ) { (s, dir) =>
+    val n = normed(s, dir)
+    val cents = n.where(col("vec_id") % 250 === 1)
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"), col("nrm").as("cn"))
+    val ccos = round(dot(col("embedding"), col("cv")) / (col("nrm") * col("cn")), 6)
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("c_id"))
+    n.crossJoin(broadcast(cents))
+      .withColumn("ccos", ccos)
+      .withColumn("rk", row_number().over(wAssign))
+      .where(col("rk") === 1)
+      .select(col("c_id"), posexplode(col("embedding")).as(Seq("p", "comp")))
+      .groupBy(col("c_id").cast("long").as("c_id"), (col("p") + 1).cast("long").as("i"))
+      .agg(
+        sum(floor(col("comp").cast("double") * 1000000 + 0.5).cast("long")).as("sum_ppm"),
+        count(lit(1)).as("n"))
+      .orderBy("c_id", "i")
+  }
+
   val all: Seq[Q] = Seq(cosineNearDup, cosineTopK, annLsh, annMultiprobe, annIvf,
-    annMultitable, labelCentroids)
+    annMultitable, labelCentroids, kmeansIter)
 }

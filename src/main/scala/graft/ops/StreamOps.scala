@@ -102,6 +102,11 @@ object StreamOps {
   private def runStream(s: SparkSession, dir: String, sinkName: String, mode: String,
       table: String = "events")(
       transform: DataFrame => DataFrame): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS); the legacy conf must be set
+    // BEFORE the schema read below — queries run in Map iteration order,
+    // so this can be the process's first parquet read (Tables sets the
+    // same conf, but only when a batch query ran first)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batchSchema = s.read.parquet(s"$dir/$table.parquet").schema
     val raw = s.readStream.schema(batchSchema).parquet(stagedDir(dir, table))
     // events.ts is parquet TIMESTAMP(NANOS) read as long (see Tables)
@@ -275,7 +280,79 @@ object StreamOps {
       .orderBy("stage")
   }
 
+  /** STREAM-STREAM join (the join family x20's stream⨝static shape can't
+    * cover): views joined to the clicks that follow them within 30 minutes
+    * per user — both sides are the SAME unbounded source, so this is a
+    * streaming self-join. Watermarks on both sides plus the time-range
+    * predicate bound the join state: Spark derives, from `cts ∈ [vts,
+    * vts+30m]`, exactly how long each side's rows must be retained, so
+    * state is a sliding 30-minute band of each stream, not its history —
+    * the shape that holds on an unbounded topic. Inner-join matches emit
+    * in the micro-batch that completes them; the per-bucket rollup runs on
+    * the bounded sink output (x18's pattern).
+    */
+  val streamStreamJoin: Q = Q(
+    "x51_stream_stream_join",
+    """SELECT CAST(v.user_id % 10 AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_pairs
+      |FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+      |JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      |  ON v.user_id = c.user_id AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
+  ) { (s, dir) =>
+    runStream(s, dir, "x51_sink", "append") { ev =>
+      val v = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("vts"))
+        .withWatermark("vts", "1 hour")
+      val c = ev.where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("cts"))
+        .withWatermark("cts", "1 hour")
+      v.join(c,
+        col("user_id") === col("c_user") &&
+          col("cts") >= col("vts") &&
+          col("cts") <= col("vts") + expr("INTERVAL 30 MINUTES"))
+    }
+      .groupBy((col("user_id") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("bucket")
+  }
+
+  /** Session windows under a watermark in STREAMING mode (x16 runs the
+    * same operator in batch): per-user 30-minute-gap sessions, append mode
+    * — a session emits only once the watermark (max event time − 10 min)
+    * passes its end, i.e. once no late event could still extend or merge
+    * it. Session-window state is the set of OPEN sessions per user,
+    * bounded by the watermark; merges across micro-batches are handled by
+    * the session-window state store. The oracle states exactly the
+    * emission rule: sessions whose end ≤ final watermark.
+    */
+  val streamSession: Q = Q(
+    "x52_stream_session",
+    """SELECT user_id, sess_start, sess_end, n FROM (
+      |  SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start,
+      |         CAST(floor(epoch(max(ts))) + 1800 AS BIGINT) AS sess_end, count(*) AS n
+      |  FROM (SELECT user_id, ts,
+      |          sum(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) >= 1800 THEN 1 ELSE 0 END)
+      |            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess_id
+      |        FROM (SELECT user_id, ts, event_id,
+      |                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |              FROM events))
+      |  GROUP BY user_id, sess_id)
+      |WHERE sess_end <= (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) - 600 FROM events)
+      |ORDER BY user_id, sess_start""".stripMargin
+  ) { (s, dir) =>
+    runStream(s, dir, "x52_sink", "append") { ev =>
+      ev.withWatermark("ts", "10 minutes")
+        .groupBy(session_window(col("ts"), "30 minutes").as("sess"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+    }
+      .select(col("user_id"),
+        unix_timestamp(col("sess.start")).as("sess_start"),
+        unix_timestamp(col("sess.end")).as("sess_end"), col("n"))
+      .orderBy("user_id", "sess_start")
+  }
+
   val all: Seq[Q] = Seq(
     tumbling, sliding, session, streamTumbling, streamDedup,
-    streamWatermark, streamStaticJoin, streamClean, streamFunnel)
+    streamWatermark, streamStaticJoin, streamClean, streamFunnel,
+    streamStreamJoin, streamSession)
 }
