@@ -317,6 +317,37 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Dedup-aware train/test split audit: documents are split 75/25 by the
+    * x28 content-hash coin (deterministic, shuffle-free), then the LSH
+    * candidate pairs are bucketed by which sides of the split they land on
+    * — `train/test` pairs are LEAKAGE (a test document with a near-dup in
+    * train inflates eval scores; the standard decontamination check).
+    * Reuses the memoized pair lineage; the split assignment is a row-local
+    * projection joined to the pair list on the doc_id key, so the audit
+    * costs two key-joins over the (small) candidate set regardless of
+    * corpus size.
+    */
+  val splitLeakage: Q = Q(
+    "x55_split_leakage",
+    s"""WITH pairs AS ($lshPairsSql),
+       |split AS (SELECT doc_id,
+       |    CASE WHEN CAST('0x' || substr(md5(text),1,4) AS INTEGER) < 49152
+       |         THEN 'train' ELSE 'test' END AS part FROM documents)
+       |SELECT a.part AS part_a, b.part AS part_b, CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM pairs p JOIN split a ON p.doc_a = a.doc_id JOIN split b ON p.doc_b = b.doc_id
+       |GROUP BY part_a, part_b ORDER BY part_a, part_b""".stripMargin
+  ) { (s, dir) =>
+    val split = docs(s, dir).select(col("doc_id"),
+      when(conv(substring(md5(col("text")), 1, 4), 16, 10).cast("int") < 49152, "train")
+        .otherwise("test").as("part"))
+    lshCandidatePairs(s, dir)
+      .join(split.select(col("doc_id").as("doc_a"), col("part").as("part_a")), "doc_a")
+      .join(split.select(col("doc_id").as("doc_b"), col("part").as("part_b")), "doc_b")
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("part_a", "part_b")
+  }
+
   /** 32-bit SimHash from word hashes: bit i of a word's hash is the parity
     * of the i-th hex char of its md5; the document bit is the sign of the
     * summed ±1 contributions (integer arithmetic — no float order issues).
@@ -398,5 +429,6 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  val all: Seq[Q] = Seq(exactDedup, minhashLsh, simhash, ngramJaccard, dupClusters, pagerank)
+  val all: Seq[Q] =
+    Seq(exactDedup, minhashLsh, simhash, ngramJaccard, dupClusters, pagerank, splitLeakage)
 }
