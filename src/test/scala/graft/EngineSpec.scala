@@ -292,9 +292,13 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val fn     = "persistent://tenant-k/ns/slow"
     try {
       val (_, queue, _) = hub.subscribe(fn, earliest = false)
-      // 4 messages into a capacity-2 queue nobody drains → overflow kick;
-      // the stalled client never polls, so the sentinel lands IN the queue
-      (1 to 4).foreach(i => topics.ingestPayload(s"k$i".getBytes, fn))
+      // EXACTLY 3 messages into a capacity-2 queue nobody drains → two fill
+      // the queue, the third triggers the overflow kick; the stalled client
+      // never polls, so the sentinel lands IN the queue. No slack messages:
+      // with the pinned stream start offset every publish after subscribe()
+      // is guaranteed to reach the hub, so 3 must suffice — a fourth would
+      // only mask a message silently lost to an init race.
+      (1 to 3).foreach(i => topics.ingestPayload(s"k$i".getBytes, fn))
       def hasSentinel =
         queue.toArray.exists(f => f.asInstanceOf[hub.Frame].messageId == null)
       var i = 0
