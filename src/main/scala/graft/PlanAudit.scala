@@ -58,7 +58,11 @@ object PlanAudit {
     "t26_range_join" -> Seq("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
     // pagerank rounds are equi joins over the cached edge list
     "x47_pagerank" -> Seq("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
-      "InMemoryTableScan"))
+      "InMemoryTableScan"),
+    // inverted index: the posting-list head must be the bounded BottomKAgg
+    // UDAF (ObjectHashAggregate), never an unbounded collect_list
+    "x53_inverted_index" -> Seq("(?i)bottomkagg", "ObjectHashAggregate",
+      "(?s)\\A(?!.*collect_list).*"))
 
   /** Execute one audited query and evaluate its plan patterns — shared by
     * the CLI main and PlanShapeSpec (so plan-shape regressions fail CI, not

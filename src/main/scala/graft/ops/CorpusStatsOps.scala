@@ -226,11 +226,13 @@ object CorpusStatsOps {
   /** Inverted-index construction: token → document frequency + the head of
     * the sorted posting list (first 10 doc_ids, comma-joined — the t17
     * string form both engines canonicalize identically). One shuffle on
-    * the token key over DISTINCT (token, doc_id) pairs. The head-10 slice
-    * is applied after a full per-token sort here because the oracle needs
-    * the exact smallest ids; at 100 TB the same query runs with a
-    * bounded-buffer bottom-k Aggregator (f08's TopKAgg shape) so each map
-    * task forwards ≤ 10 ids per token instead of the full posting list.
+    * the token key over DISTINCT (token, doc_id) pairs. The head is a
+    * bounded-buffer bottom-k Aggregator ([[graft.functions.BottomKAgg]],
+    * the f08 TopKAgg shape with ascending Longs): each map task forwards
+    * ≤ 10 ids per token instead of the full posting list, so a stopword
+    * token whose df ≈ N docs never materializes an N-element aggregation
+    * buffer. Numeric ascending order matches DuckDB's
+    * `list_sort(list(doc_id))` exactly — the oracle is unchanged.
     */
   val invertedIndex: Q = Q(
     "x53_inverted_index",
@@ -239,14 +241,17 @@ object CorpusStatsOps {
       |       array_to_string(list_slice(list_sort(list(doc_id)), 1, 10), ',') AS posting_head
       |FROM tok GROUP BY token ORDER BY token""".stripMargin
   ) { (s, dir) =>
+    val bottomk = udaf(new graft.functions.BottomKAgg(10),
+      org.apache.spark.sql.Encoders.scalaLong)
     docs(s, dir)
       .select(col("doc_id"), explode(ws).as("token"))
       .distinct()
       .groupBy("token")
       .agg(
         count(lit(1)).as("df"),
-        array_join(transform(slice(array_sort(collect_list(col("doc_id"))), 1, 10),
-          x => x.cast("string")), ",").as("posting_head"))
+        bottomk(col("doc_id")).as("head"))
+      .select(col("token"), col("df"),
+        array_join(transform(col("head"), x => x.cast("string")), ",").as("posting_head"))
       .orderBy("token")
   }
 

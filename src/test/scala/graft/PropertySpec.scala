@@ -178,6 +178,20 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("BottomKAgg reduce/merge equal the sort-based reference on random streams") {
+    val agg = new graft.functions.BottomKAgg(10)
+    val streamGen = Gen.listOf(Gen.chooseNum(-1000L, 1000L))
+    samples(Gen.zip(streamGen, streamGen), 200).foreach { case (xs, ys) =>
+      val bufA = xs.foldLeft(agg.zero)(agg.reduce)
+      val bufB = ys.foldLeft(agg.zero)(agg.reduce)
+      val got  = agg.finish(agg.merge(bufA, bufB)).toSeq
+      val want = (xs ++ ys).sorted.take(10)
+      assert(got == want, s"xs=$xs ys=$ys")
+      assert(got.sorted == got, "buffer stays ascending")
+      assert(got.length <= 10, "buffer stays bounded")
+    }
+  }
+
   test("startingPosition parser accepts the documented forms and rejects everything else") {
     assert(BeamSource.parseStartingPosition("earliest").contains(0L))
     assert(BeamSource.parseStartingPosition("latest").isEmpty)
