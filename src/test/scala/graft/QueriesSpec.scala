@@ -49,6 +49,19 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("f05 HLL estimate stays within the sketch's error bound per group") {
+    // rsd=0.01 is the requested relative standard deviation; 4 sigma is a
+    // once-in-10^4 false-failure bound, so a breach means a broken sketch,
+    // not noise. The query carries the exact count alongside the estimate.
+    val rows = SparkEntry.queries("f05_approx_distinct")(spark, sfDir).collect()
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_users").toDouble
+      val exact  = r.getAs[Long]("exact_users").toDouble
+      assert(math.abs(approx - exact) <= math.max(4.0, 4 * 0.01 * exact),
+        s"event_type=${r.get(0)}: approx=$approx exact=$exact beyond 4x rsd")
+    }
+  }
+
   test("latest-by-key emits exactly one row per key (O-16)") {
     val n     = SparkEntry.queries("r02_latest_by_key")(spark, sfDir)
     val total = n.count()
