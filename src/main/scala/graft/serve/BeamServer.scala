@@ -25,6 +25,7 @@ import graft.topics.TopicTable
   *  - GET/POST/DELETE /v2/topic[/{key}]             (JWT — ref :124-160)
   *  - GET  /subject/{sub}               (superrole mints a token — ref :25-33)
   *  - GET  /status                      (ref :86-92)
+  *  - GET  /metrics                     (O-34 Prometheus text — ref :36-44)
   *
   * The SSE route's push semantics live in [[graft.streaming.WebhookEngine]]
   * (a webhook is the reference's push path); poll covers the pull path.
@@ -44,6 +45,12 @@ final class BeamServer(
 
   private val sseHub = new graft.streaming.SseHub(topics)
 
+  /** O-34: request/message counters + streaming-query progress, served at
+    * GET /metrics in Prometheus text format (ref src/route/routes.go:36-82).
+    */
+  val metrics = new Metrics
+  metrics.observe(topics.session)
+
   def boundPort: Int = server.getAddress.getPort
   def start(): Unit  = server.start()
   def stop(): Unit   = { sseHub.stopAll(); server.stop(0) }
@@ -56,13 +63,28 @@ final class BeamServer(
     else
       try route(ex)
       catch { case e: Exception => respond(ex, 500, s"internal: ${e.getMessage}") }
-      finally sema.release()
+      finally {
+        sema.release()
+        // response is committed by now (SSE: counted at disconnect)
+        val label = ex.getRequestURI.getPath.stripPrefix("/").split("/")
+          .take(2).mkString("/")
+        if (ex.getResponseCode > 0) metrics.record(label, ex.getResponseCode)
+      }
   })
 
   private def route(ex: HttpExchange): Unit = {
     val path  = ex.getRequestURI.getPath.stripSuffix("/")
     val parts = path.stripPrefix("/").split("/", -1).toList
     (ex.getRequestMethod, parts) match {
+      case ("GET", "metrics" :: Nil) =>
+        // NoAuth like the reference's promhttp mount — scrapers don't carry
+        // tenant tokens (ref routes.go:36-44)
+        val bytes = metrics.render.getBytes(UTF_8)
+        ex.getResponseHeaders.set("Content-Type", "text/plain; version=0.0.4")
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+
       case ("GET", "status" :: Nil) =>
         // AuthHeaderRequired (ref routes.go:86-92)
         if (Option(ex.getRequestHeaders.getFirst("Authorization")).isEmpty)
@@ -121,6 +143,7 @@ final class BeamServer(
                 case (_, Left(err)) => respond(ex, 422, err)
                 case (Right(sub), Right(_)) =>
                   val rows = topics.pollBatch(fn, sub, size)
+                  metrics.polled.add(rows.length)
                   if (rows.isEmpty) respond(ex, 204, "") // ref docs/api.go:106-109
                   else {
                     val msgs = rows.map { r =>
@@ -247,6 +270,7 @@ final class BeamServer(
             .getBytes(UTF_8)
         }
       topics.ingestPayload(payload, topicFn, async = queryParam(ex, "mode").contains("async"))
+      metrics.ingested.increment()
       respond(ex, 200, """{"status":"published"}""")
     }
   }
@@ -266,6 +290,7 @@ final class BeamServer(
     ex.sendResponseHeaders(200, 0) // chunked
     val os = ex.getResponseBody
     val (subId, queue, backlog) = sseHub.subscribe(topicFn, earliest)
+    metrics.sseOpen.incrementAndGet()
     try {
       // history first (socket-paced pages), then the live queue
       backlog.foreach { frame =>
@@ -289,6 +314,7 @@ final class BeamServer(
     } catch {
       case _: java.io.IOException => () // client disconnected (ref :216-220)
     } finally {
+      metrics.sseOpen.decrementAndGet()
       sseHub.unsubscribe(topicFn, subId)
       Try(ex.close())
     }

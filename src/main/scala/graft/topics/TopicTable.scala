@@ -21,6 +21,9 @@ import graft.model.Keys
   */
 final class TopicTable(spark: SparkSession, baseDir: String) {
 
+  /** The owning session — the serve layer's metrics listener attaches here. */
+  private[graft] def session: SparkSession = spark
+
   /** Topic directory: sha1 of the full name keeps paths safe (O-21 reuse). */
   private def dir(topicFn: String): String = s"$baseDir/${Keys.sha1Hex(topicFn)}"
 

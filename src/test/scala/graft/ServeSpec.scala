@@ -76,6 +76,35 @@ class ServeSpec extends AnyFunSuite with BeforeAndAfterAll {
       .statusCode() == 204)
   }
 
+  test("/metrics serves Prometheus text and counters move with traffic (O-34)") {
+    def scrape(): String = {
+      val r = req("GET", "/metrics")
+      assert(r.statusCode() == 200)
+      assert(r.headers().firstValue("Content-Type").orElse("").startsWith("text/plain"))
+      r.body()
+    }
+    def counter(body: String, line: String): Long =
+      body.linesIterator.collectFirst {
+        case l if l.startsWith(line) => l.substring(l.lastIndexOf(' ') + 1).toLong
+      }.getOrElse(0L)
+
+    val before   = scrape()
+    val ingested = counter(before, "graft_messages_ingested_total")
+    val polled   = counter(before, "graft_messages_polled_total")
+
+    assert(req("POST", "/v2/firehose/persistent/tenant-m/ns/mt", """{"m":1}""",
+      auth("tenant-m")).statusCode() == 200)
+    assert(req("GET", "/v2/poll/persistent/tenant-m/ns/mt?batchSize=5",
+      headers = auth("tenant-m")).statusCode() == 200)
+
+    val after = scrape()
+    assert(counter(after, "graft_messages_ingested_total") == ingested + 1)
+    assert(counter(after, "graft_messages_polled_total") == polled + 1)
+    // the poll request itself was counted, with route + status labels
+    assert(after.contains("""graft_http_requests_total{route="v2/poll",code="200"}"""))
+    assert(after.contains("graft_streaming_queries_active"))
+  }
+
   test("topic CRUD over HTTP with tenant auth") {
     val cfgJson =
       """{"topicFullName":"persistent://tenant-c/ns/hooked","pulsarURL":"pulsar://broker0:6650",
