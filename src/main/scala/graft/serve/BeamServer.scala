@@ -36,10 +36,22 @@ final class BeamServer(
     keys: KeyPair,
     superRoles: Set[String] = Set("superuser"),
     port: Int = 0,
-    allowedClusters: Seq[String] = Seq("pulsar://localhost:6650")) {
+    allowedClusters: Seq[String] = Seq("pulsar://localhost:6650"),
+    // O-32: (PKCS12 keystore path, password) → HTTPS with cert hot-reload;
+    // None → plain HTTP, the reference's len(certFile)<=1 fallback
+    // (ref cert-loader.go:62-67)
+    tls: Option[(String, Array[Char])] = None) {
 
-  private val sema   = new Semaphore(200) // O-27, ref middleware.go:13-18
-  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  private val sema = new Semaphore(200) // O-27, ref middleware.go:13-18
+  private val certReloader = tls.map { case (ks, pw) => new CertReloader(ks, pw) }
+  private val server = certReloader match {
+    case Some(r) =>
+      val s = com.sun.net.httpserver.HttpsServer.create(new InetSocketAddress(port), 0)
+      s.setHttpsConfigurator(new com.sun.net.httpserver.HttpsConfigurator(r.context))
+      r.start()
+      s
+    case None => HttpServer.create(new InetSocketAddress(port), 0)
+  }
   // thread-per-request so a long-lived SSE connection can't starve routes
   server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
 
@@ -53,7 +65,7 @@ final class BeamServer(
 
   def boundPort: Int = server.getAddress.getPort
   def start(): Unit  = server.start()
-  def stop(): Unit   = { sseHub.stopAll(); server.stop(0) }
+  def stop(): Unit   = { certReloader.foreach(_.stop()); sseHub.stopAll(); server.stop(0) }
 
   /** Mint a token for tests/clients (O-26). */
   def mintToken(subject: String): String = Jwt.sign(subject, keys.getPrivate)
