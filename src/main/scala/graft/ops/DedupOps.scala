@@ -224,14 +224,31 @@ object DedupOps {
        |       CAST(count(*) OVER (PARTITION BY lbl) AS BIGINT) AS cluster_size
        |FROM labels ORDER BY doc_id""".stripMargin
   ) { (s, dir) =>
-    val edges = symmetricEdges(s, dir)
+    val (labels, _) = propagateMinLabels(symmetricEdges(s, dir))
+    // the final `labels` cache stays referenced by the returned plan; the
+    // ContextCleaner unpersists it once the result DF is released
+    labels
+      .select(col("node").cast("long").as("doc_id"), col("lbl").cast("long").as("cluster"))
+      .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("cluster")))
+      .orderBy("doc_id")
+  }
+
+  /** Min-label propagation with pointer jumping over a symmetric (a, b)
+    * edge list — the x31 core, factored so the round bound is testable on
+    * synthetic graphs (a 1000-node path must converge in ~2 + log2(n)
+    * rounds, not n). Returns the converged (node, lbl) labels and the
+    * round count; throws rather than returning wrong labels if the round
+    * budget is exhausted.
+    */
+  private[graft] def propagateMinLabels(edges: DataFrame, maxRounds: Int = 50)
+      : (DataFrame, Int) = {
     var labels = edges.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
       .cache()
     var gen       = labels // the cached generation (labels may be its projection)
     var converged = false
     var rounds    = 0
-    while (!converged && rounds < 50) { // diameter bound; tiny vs 50 in practice
+    while (!converged && rounds < maxRounds) { // diameter bound; tiny in practice
       val prop = edges.join(labels, col("a") === col("node"))
         .select(col("b").as("node"), col("lbl"), lit(null).cast("long").as("prev"))
       // Pointer jumping (shortcutting): each node also adopts its label's
@@ -263,7 +280,14 @@ object DedupOps {
       val changed = next.where(col("lbl") =!= col("prev")).count()
       gen.unpersist()
       gen = next
-      labels = next.select("node", "lbl")
+      // lineage truncation: base the next round on the MATERIALIZED cache
+      // (LogicalRDD), not on `next`'s logical plan — each round references
+      // the previous one ~3× (prop, jump, tagged), so carrying logical
+      // lineage across rounds grows the plan tree 3^rounds and a deep
+      // chain (10+ rounds) OOMs the planner before any data moves
+      labels = edges.sparkSession
+        .createDataFrame(next.toDF().rdd, next.schema)
+        .select("node", "lbl")
       converged = changed == 0
       rounds += 1
     }
@@ -273,13 +297,8 @@ object DedupOps {
     // reporting one true cluster as several
     if (!converged)
       throw new IllegalStateException(
-        s"x31 label propagation did not converge within $rounds rounds")
-    // the final `labels` cache stays referenced by the returned plan; the
-    // ContextCleaner unpersists it once the result DF is released
-    labels
-      .select(col("node").cast("long").as("doc_id"), col("lbl").cast("long").as("cluster"))
-      .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("cluster")))
-      .orderBy("doc_id")
+        s"label propagation did not converge within $rounds rounds")
+    (labels, rounds)
   }
 
   /** PageRank over the near-dup candidate graph, 3 iterations — the

@@ -56,7 +56,14 @@ final class WebhookEngine(
       * order is not the topic order — same as any parallel webhook
       * consumer.
       */
-    executorParallelism: Int = 0) {
+    executorParallelism: Int = 0,
+    /** When executorParallelism = 0, a micro-batch LARGER than this row
+      * count still takes the executor path (at the session's default
+      * parallelism): reference-parity ordered delivery for normal batches,
+      * but a backlog drain can't pin the driver in a giant POST loop.
+      * ≤ 0 disables the escape hatch (pure driver loop).
+      */
+    autoExecutorRows: Int = 10000) {
 
   /** O-29 keyed connection cache: one HttpClient (its own connection pool)
     * per webhook origin, TTL-evicted like the reference's producer cache
@@ -197,15 +204,24 @@ final class WebhookEngine(
       .option("checkpointLocation", s"$checkpointRoot/$key") // exclusive sub identity (O-9)
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (executorParallelism > 0) deliverOnExecutors(batch, batchId, key, wh)
+        if (executorParallelism > 0) deliverOnExecutors(batch, batchId, key, wh, executorParallelism)
         else {
-          // bounded micro-batch → per-message POST, ref ConsumeLoop webhook.go:171-241
-          val seen = loadDelivered(key, batchId)
-          batch.collect().foreach { row =>
-            val mid = row.getAs[String]("messageId")
-            if (!seen.contains(mid)) {
-              deliver(row, wh)
-              markDelivered(key, batchId, mid)
+          // scale escape hatch: count BEFORE collecting — a backlog-drain
+          // batch bigger than the threshold is delivered from the
+          // executors (unchanged ack semantics) instead of being pulled
+          // whole into a driver POST loop
+          if (useExecutorPath(batch.count()))
+            deliverOnExecutors(batch, batchId, key, wh,
+              batch.sparkSession.sparkContext.defaultParallelism)
+          else {
+            // bounded micro-batch → per-message POST, ref ConsumeLoop webhook.go:171-241
+            val seen = loadDelivered(key, batchId)
+            batch.collect().foreach { row =>
+              val mid = row.getAs[String]("messageId")
+              if (!seen.contains(mid)) {
+                deliver(row, wh)
+                markDelivered(key, batchId, mid)
+              }
             }
           }
         }
@@ -220,8 +236,18 @@ final class WebhookEngine(
     * rethrows, so a partly-failed batch redelivers only its failures —
     * identical at-least-once/effectively-once semantics to the driver loop.
     */
+  /** Default-path routing: a batch bigger than autoExecutorRows leaves the
+    * driver loop for the executors.
+    */
+  private[graft] def useExecutorPath(batchRows: Long): Boolean =
+    autoExecutorRows > 0 && batchRows > autoExecutorRows
+
+  /** Batches delivered via the executor path — observability + spec hook. */
+  private[graft] val executorBatches = new java.util.concurrent.atomic.LongAdder
+
   private def deliverOnExecutors(batch: DataFrame, batchId: Long, key: String,
-      wh: WebhookConfig): Unit = {
+      wh: WebhookConfig, parallelism: Int): Unit = {
+    executorBatches.increment()
     import WebhookEngine.DeliveryResult
     val seen = loadDelivered(key, batchId)
     // locals only — the executor closure must not capture the engine
@@ -231,7 +257,7 @@ final class WebhookEngine(
     implicit val enc: org.apache.spark.sql.Encoder[DeliveryResult] =
       org.apache.spark.sql.Encoders.product[DeliveryResult]
     val results = batch
-      .repartition(executorParallelism)
+      .repartition(parallelism)
       .mapPartitions { rows =>
         // Fail-fast WITHIN the partition, like the reference's ordered
         // consumer loop: after the first failed POST, later messages in

@@ -452,6 +452,48 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("a batch over the auto threshold takes the executor path with unchanged ack semantics") {
+    val topics = new TopicTable(spark, tmp("graft-topics-auto"))
+    val store  = new InMemoryStore
+    // default driver loop (parallelism 0), but any batch > 3 rows must
+    // escape to the executors
+    val engine = new WebhookEngine(spark, topics, store, tmp("graft-ck-auto"),
+      retryBackoffMs = 10, triggerMs = 200, executorParallelism = 0, autoExecutorRows = 3)
+    assert(!engine.useExecutorPath(3) && engine.useExecutorPath(4))
+
+    val sourceFn = "persistent://tenant-x/ns/auto-source"
+    val received = scala.collection.mutable.ArrayBuffer.empty[String]
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    server.createContext("/hook", (ex: HttpExchange) => {
+      received.synchronized(received += new String(ex.getRequestBody.readAllBytes()))
+      ex.sendResponseHeaders(200, -1); ex.close()
+    })
+    server.start()
+    try {
+      val wh = WebhookConfig(s"http://localhost:${server.getAddress.getPort}/hook",
+        Nil, "auto-sub", "exclusive", "earliest", Status.Activated)
+      assert(store.update(TopicConfig(sourceFn, "", "tenant-x", "", "", Status.Activated,
+        "pulsar://broker0:6650", Seq(wh))).isRight)
+
+      import spark.implicits._
+      val msgs = (1 to 8).map(i => s"auto-$i")
+      topics.ingest(
+        msgs.map(m => (m.getBytes, Option.empty[java.sql.Timestamp], Option(m),
+          Map.empty[String, String]))
+          .toDF("payload", "eventTime", "key", "props").coalesce(1), sourceFn)
+
+      engine.reconcile()
+      // every message delivered exactly once, and the delivery actually
+      // came from the executor path (the 8-row batch beat the threshold)
+      eventually(60, 500)(received.synchronized(received.size) == msgs.length)
+      assert(received.synchronized(received.sorted.toList) == msgs.sorted.toList)
+      assert(engine.executorBatches.sum >= 1, "large batch stayed on the driver loop")
+    } finally {
+      engine.stopAll()
+      server.stop(0)
+    }
+  }
+
   private def eventually(rounds: Int, sleepMs: Long)(cond: => Boolean): Unit = {
     var i = 0
     while (i < rounds && !cond) { Thread.sleep(sleepMs); i += 1 }

@@ -62,6 +62,22 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("x31 label propagation converges in O(log n) rounds on a 512-node path") {
+    // worst-case diameter graph: a path 0-1-2-...-511. Plain min-label
+    // propagation needs 511 rounds; pointer jumping (engaged from round 3)
+    // must close it in ~2 + log2(512) — the empirical proof behind the
+    // "O(log diameter) rounds" claim at corpus scale.
+    import spark.implicits._
+    val n = 512
+    val forward   = (0L until (n - 1).toLong).map(i => (i, i + 1))
+    val edges     = (forward ++ forward.map(_.swap)).toDF("a", "b")
+    val (labels, rounds) = graft.ops.DedupOps.propagateMinLabels(edges)
+    val out = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == n)
+    assert(out.values.forall(_ == 0L), "every node must join cluster 0")
+    assert(rounds <= 20, s"pointer jumping should close a $n-path in ~11 rounds, took $rounds")
+  }
+
   test("latest-by-key emits exactly one row per key (O-16)") {
     val n     = SparkEntry.queries("r02_latest_by_key")(spark, sfDir)
     val total = n.count()
