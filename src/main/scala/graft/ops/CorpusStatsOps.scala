@@ -289,6 +289,68 @@ object CorpusStatsOps {
       .orderBy("source")
   }
 
+  /** Stopword-aware (per-language) inverted index: x53 with the df ceiling
+    * x04 applies to shingles — a token present in more than 20% of its
+    * LANGUAGE's documents is a stopword for that language and is excluded
+    * (each language's function words differ, so the ceiling must be
+    * language-relative). The posting head stays the bounded BottomKAgg, so
+    * even the dropped-at-the-ceiling hot tokens never materialize a full
+    * posting list; the per-language doc counts are a broadcast dim.
+    */
+  val stopwordIndex: Q = Q(
+    "x56_stopword_index",
+    """WITH tok AS (SELECT DISTINCT lang, doc_id, unnest(string_split(text, ' ')) AS token
+      |             FROM documents),
+      |nl AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang)
+      |SELECT t.lang AS lang, token, CAST(count(*) AS BIGINT) AS df,
+      |       CAST(min(n_docs) AS BIGINT) AS n_docs,
+      |       array_to_string(list_slice(list_sort(list(doc_id)), 1, 10), ',') AS posting_head
+      |FROM tok t JOIN nl ON t.lang = nl.lang
+      |GROUP BY t.lang, token HAVING count(*) * 5 <= min(n_docs)
+      |ORDER BY lang, token""".stripMargin
+  ) { (s, dir) =>
+    val bottomk = udaf(new graft.functions.BottomKAgg(10),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val tok = docs(s, dir)
+      .select(col("lang"), col("doc_id"), explode(ws).as("token"))
+      .distinct()
+    val nl = docs(s, dir).groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    tok.groupBy("lang", "token")
+      .agg(count(lit(1)).as("df"), bottomk(col("doc_id")).as("head"))
+      .join(broadcast(nl), "lang")
+      .where(col("df") * 5 <= col("n_docs"))
+      .select(col("lang"), col("token"), col("df"), col("n_docs"),
+        array_join(transform(col("head"), x => x.cast("string")), ",").as("posting_head"))
+      .orderBy("lang", "token")
+  }
+
+  /** Equal-frequency length binning: ntile(10) deciles of n_chars per
+    * language (doc_id tiebreak makes the bin assignment total-ordered,
+    * hence deterministic on both engines) with per-bin count and bounds —
+    * the bucket table behind length-stratified sampling, and the ntile
+    * member of the window-function family (rank/dense_rank/percent_rank/
+    * cume_dist/nth_value are t06/t18/t28). One shuffle on the lang key.
+    */
+  val lenDeciles: Q = Q(
+    "x58_len_deciles",
+    """SELECT lang, CAST(decile AS BIGINT) AS decile, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(min(n_chars) AS BIGINT) AS lo, CAST(max(n_chars) AS BIGINT) AS hi
+      |FROM (SELECT lang, n_chars,
+      |             ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS decile
+      |      FROM documents)
+      |GROUP BY lang, decile ORDER BY lang, decile""".stripMargin
+  ) { (s, dir) =>
+    val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+    docs(s, dir)
+      .select(col("lang"), col("n_chars"), col("doc_id"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy("lang", "decile")
+      .agg(count(lit(1)).as("n"),
+        min(col("n_chars")).as("lo"),
+        max(col("n_chars")).as("hi"))
+      .orderBy("lang", "decile")
+  }
+
   val all: Seq[Q] = Seq(tfidfTopTerms, bigramLift, sourceOverlap, mixtureSample,
-    typeToken, lenQuartiles, invertedIndex, madOutliers)
+    typeToken, lenQuartiles, invertedIndex, madOutliers, stopwordIndex, lenDeciles)
 }

@@ -401,6 +401,58 @@ object SimilarityOps {
       .orderBy("c_id", "i")
   }
 
+  /** SemDeDup-shaped semantic dedup: vectors are assigned to their nearest
+    * centroid (x22's IVF assign — centroids broadcast, one pass over the
+    * corpus), and WITHIN each cell a vector is dropped when a lower-id
+    * cellmate sits above the cosine threshold. The pair join is per-cell —
+    * Σ cell² work instead of x05's corpus² — which is the published
+    * SemDeDup recipe precisely because it survives web scale: cells are
+    * O(corpus/k) and the cross-cell pairs (by construction far apart) are
+    * never generated. Exactness caveat vs x05 is the same as any IVF
+    * method: a near-dup pair straddling a cell boundary is missed.
+    */
+  val semanticDedup: Q = Q(
+    "x57_semantic_dedup",
+    s"""WITH n AS ($normedSql),
+       |cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 250 = 1),
+       |assign AS (SELECT vec_id, v, nrm, c_id FROM (
+       |  SELECT n.vec_id, n.v, n.nrm, c.c_id,
+       |         row_number() OVER (PARTITION BY n.vec_id
+       |           ORDER BY round(list_dot_product(n.v, c.cv) / (n.nrm * c.cn), 6) DESC, c.c_id) AS rk
+       |  FROM n CROSS JOIN cents c) WHERE rk = 1),
+       |dup AS (SELECT DISTINCT b.vec_id FROM assign a JOIN assign b
+       |        ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+       |        WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4)
+       |SELECT s.vec_id AS vec_id, CAST(s.c_id AS BIGINT) AS c_id,
+       |       CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS dropped
+       |FROM assign s LEFT JOIN dup d ON s.vec_id = d.vec_id
+       |ORDER BY vec_id""".stripMargin
+  ) { (s, dir) =>
+    val n = normed(s, dir)
+    val cents = n.where(col("vec_id") % 250 === 1)
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"), col("nrm").as("cn"))
+    val centCos = round(dot(col("embedding"), col("cv")) / (col("nrm") * col("cn")), 6)
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("c_id"))
+    val assign = n.crossJoin(broadcast(cents))
+      .withColumn("ccos", centCos)
+      .withColumn("rk", row_number().over(wAssign))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id"))
+    val pairCos = round(dot(col("a.embedding"), col("b.embedding")) /
+      (col("a.nrm") * col("b.nrm")), 6)
+    val dup = assign.as("a")
+      .join(assign.as("b"),
+        col("a.c_id") === col("b.c_id") && col("a.vec_id") < col("b.vec_id"))
+      .where(pairCos >= 0.4)
+      .select(col("b.vec_id").as("vec_id"))
+      .distinct()
+    assign.select(col("vec_id"), col("c_id").cast("long").as("c_id"))
+      .join(dup.withColumn("hit", lit(1L)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("c_id"),
+        coalesce(col("hit"), lit(0L)).as("dropped"))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[Q] = Seq(cosineNearDup, cosineTopK, annLsh, annMultiprobe, annIvf,
-    annMultitable, labelCentroids, kmeansIter)
+    annMultitable, labelCentroids, kmeansIter, semanticDedup)
 }

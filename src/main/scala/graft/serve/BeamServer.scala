@@ -26,6 +26,7 @@ import graft.topics.TopicTable
   *  - GET  /subject/{sub}               (superrole mints a token — ref :25-33)
   *  - GET  /status                      (ref :86-92)
   *  - GET  /metrics                     (O-34 Prometheus text — ref :36-44)
+  *  - GET  /api-docs                    (route contract JSON — ref src/docs/api.go)
   *
   * The SSE route's push semantics live in [[graft.streaming.WebhookEngine]]
   * (a webhook is the reference's push path); poll covers the pull path.
@@ -96,6 +97,10 @@ final class BeamServer(
         ex.sendResponseHeaders(200, bytes.length)
         ex.getResponseBody.write(bytes)
         ex.close()
+
+      case ("GET", "api-docs" :: Nil) =>
+        // route contract document (ref src/docs/api.go:8-176 swagger spec)
+        respond(ex, 200, ApiDocs.json)
 
       case ("GET", "status" :: Nil) =>
         // AuthHeaderRequired (ref routes.go:86-92)

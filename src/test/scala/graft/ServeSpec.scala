@@ -105,6 +105,28 @@ class ServeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after.contains("graft_streaming_queries_active"))
   }
 
+  test("/api-docs documents every served route with its status codes") {
+    val r = req("GET", "/api-docs")
+    assert(r.statusCode() == 200)
+    val body = r.body()
+    // parses as JSON (the shim's writer escapes everything it emits)
+    assert(body.startsWith("{") && body.contains("\"openapi\":\"3.0.0\""))
+    // every route the server matches appears in the doc
+    for (path <- Seq("/status", "/metrics", "/api-docs", "/v1/firehose",
+        "/v2/firehose/{persistent}/{tenant}/{namespace}/{topic}",
+        "/v2/poll/{persistent}/{tenant}/{namespace}/{topic}",
+        "/v2/sse/{persistent}/{tenant}/{namespace}/{topic}",
+        "/v2/topic", "/v2/topic/{key}", "/subject/{subject}"))
+      assert(body.contains(graft.store.Json.str(path)), s"missing $path")
+    // contract spot-checks against live behavior elsewhere in this suite:
+    // poll documents 204-at-empty, token minting documents 403
+    assert(graft.serve.ApiDocs.routes
+      .find(r => r.method == "GET" && r.path.startsWith("/v2/poll")).get
+      .responses.contains(204))
+    assert(graft.serve.ApiDocs.routes
+      .find(_.path == "/subject/{subject}").get.responses.contains(403))
+  }
+
   test("topic CRUD over HTTP with tenant auth") {
     val cfgJson =
       """{"topicFullName":"persistent://tenant-c/ns/hooked","pulsarURL":"pulsar://broker0:6650",
