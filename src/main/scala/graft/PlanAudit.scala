@@ -62,7 +62,17 @@ object PlanAudit {
     // inverted index: the posting-list head must be the bounded BottomKAgg
     // UDAF (ObjectHashAggregate), never an unbounded collect_list
     "x53_inverted_index" -> Seq("(?i)bottomkagg", "ObjectHashAggregate",
-      "(?s)\\A(?!.*collect_list).*"))
+      "(?s)\\A(?!.*collect_list).*"),
+    // stopword index: same bounded aggregate, per-language doc counts are a
+    // broadcast dim (the token-key exchange is the only big shuffle)
+    "x56_stopword_index" -> Seq("(?i)bottomkagg", "BroadcastExchange",
+      "(?s)\\A(?!.*collect_list).*"),
+    // semantic dedup: centroids broadcast into the assignment; the
+    // within-cell pair join is an EQUI join on c_id, never a nested loop
+    "x57_semantic_dedup" -> Seq("BroadcastExchange",
+      "(?s)\\A(?!.*CartesianProduct).*"),
+    // decile binning: one lang-partitioned window, no extra exchanges
+    "x58_len_deciles" -> Seq("WindowExec|Window", "codegen id"))
 
   /** Execute one audited query and evaluate its plan patterns — shared by
     * the CLI main and PlanShapeSpec (so plan-shape regressions fail CI, not
