@@ -50,7 +50,7 @@ object ApiDocs {
     Route("GET", "/v2/poll/{persistent}/{tenant}/{namespace}/{topic}",
       "destructive bounded poll (per-subscription cursor)", "jwt",
       Param("batchSize", "query", "max messages (default 10)") +:
-        Param("perMessageTimeoutMs", "query", "accepted for API parity; local table answers immediately") +:
+        Param("perMessageTimeoutMs", "query", "wait this long for each next message before returning the batch (default 300; 0 = immediate)") +:
         consumerParams,
       Map(200 -> "message batch", 204 -> "no messages", 401 -> "bad/missing JWT",
         403 -> "tenant mismatch", 422 -> "bad topic/params")),

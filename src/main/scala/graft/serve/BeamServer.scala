@@ -146,9 +146,11 @@ final class BeamServer(
             case Right(fn) =>
               val size = queryParam(ex, "batchSize").flatMap(s => Try(s.toInt).toOption)
                 .getOrElse(10) // ref handlers.go:163
-              // perMessageTimeoutMs (ref :164) is parsed for API parity; the
-              // local table answers immediately, so no per-message wait.
-              queryParam(ex, "perMessageTimeoutMs").foreach(s => Try(s.toInt))
+              // perMessageTimeoutMs (ref :164, default 300): the reference's
+              // batch assembly waits up to this long for EACH next message
+              // and returns what it has at the first gap (sse-broker.go:48-58)
+              val gapMs = queryParam(ex, "perMessageTimeoutMs")
+                .flatMap(s => Try(s.toInt).toOption).getOrElse(300)
               // O-9 consumer params: validated name/type; absent name → a
               // fresh non-resumable subscription (ref handlers.go:440-461).
               val subType = ConsumerParams.subscriptionType(
@@ -159,7 +161,7 @@ final class BeamServer(
                 case (Left(err), _) => respond(ex, 422, err)
                 case (_, Left(err)) => respond(ex, 422, err)
                 case (Right(sub), Right(_)) =>
-                  val rows = topics.pollBatch(fn, sub, size)
+                  val rows = pollWithGapTimeout(fn, sub, size, gapMs)
                   metrics.polled.add(rows.length)
                   if (rows.isEmpty) respond(ex, 204, "") // ref docs/api.go:106-109
                   else {
@@ -334,6 +336,52 @@ final class BeamServer(
       metrics.sseOpen.decrementAndGet()
       sseHub.unsubscribe(topicFn, subId)
       Try(ex.close())
+    }
+  }
+
+  /** O-6/O-7 batch assembly with the reference's per-message gap timer
+    * (sse-broker.go:48-58): keep draining the subscription cursor until the
+    * batch is full or no new message arrives within `gapMs` of the last one.
+    * A received message RESETS the timer (per-message, not per-batch);
+    * gapMs ≤ 0 degrades to the immediate local answer.
+    */
+  private def pollWithGapTimeout(fn: String, sub: String, size: Int,
+      gapMs: Int): Seq[org.apache.spark.sql.Row] = {
+    val resumable =
+      !sub.startsWith(graft.model.ConsumerParams.NonResumablePrefix)
+    val first = topics.pollBatch(fn, sub, size)
+    if (gapMs <= 0 || first.length >= size) first.toSeq
+    else {
+      val out = scala.collection.mutable.ArrayBuffer(first: _*)
+      val probeMs = math.min(30L, math.max(1L, gapMs.toLong))
+      var gapDeadline = System.nanoTime() + gapMs * 1000000L
+      while (out.length < size && System.nanoTime() < gapDeadline) {
+        Thread.sleep(probeMs)
+        // a NON-RESUMABLE subscription drops its cursor after every call
+        // (pollBatch restarts from earliest), so probes must re-request the
+        // full batch and keep only rows past this request's high-water mark
+        // — delivered order is deterministic (publishTime, messageId), so
+        // the already-delivered rows are exactly a prefix. A resumable
+        // subscription's durable cursor advances on its own.
+        val more: Seq[org.apache.spark.sql.Row] =
+          if (resumable) topics.pollBatch(fn, sub, size - out.length).toSeq
+          else if (out.isEmpty) topics.pollBatch(fn, sub, size).toSeq
+          else {
+            val last  = out.last
+            val lastT = last.getAs[java.sql.Timestamp]("publishTime")
+            val lastM = last.getAs[String]("messageId")
+            topics.pollBatch(fn, sub, size).iterator.filter { r =>
+              val t = r.getAs[java.sql.Timestamp]("publishTime")
+              t.after(lastT) ||
+                (t == lastT && r.getAs[String]("messageId") > lastM)
+            }.take(size - out.length).toSeq
+          }
+        if (more.nonEmpty) {
+          out ++= more
+          gapDeadline = System.nanoTime() + gapMs * 1000000L
+        }
+      }
+      out.toSeq
     }
   }
 

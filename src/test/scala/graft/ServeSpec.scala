@@ -127,6 +127,41 @@ class ServeSpec extends AnyFunSuite with BeforeAndAfterAll {
       .find(_.path == "/subject/{subject}").get.responses.contains(403))
   }
 
+  test("poll honors the per-message gap timer (long poll, ref sse-broker.go:48-58)") {
+    // empty topic: the batch assembly waits the full gap before 204
+    val t0 = System.nanoTime()
+    val empty = req("GET",
+      "/v2/poll/persistent/tenant-a/ns/lp?batchSize=2&perMessageTimeoutMs=500",
+      headers = auth("tenant-a"))
+    val e0 = (System.nanoTime() - t0) / 1e6
+    assert(empty.statusCode() == 204)
+    assert(e0 >= 450, s"empty poll returned after only $e0 ms")
+
+    // a message arriving INSIDE the window is picked up, and a full batch
+    // returns at arrival rather than sitting out the timer
+    val ing = new Thread(() => {
+      Thread.sleep(300)
+      req("POST", "/v2/firehose/persistent/tenant-a/ns/lp", "late-arrival",
+        auth("tenant-a"))
+    })
+    ing.start()
+    val t1 = System.nanoTime()
+    val got = req("GET",
+      "/v2/poll/persistent/tenant-a/ns/lp?batchSize=1&perMessageTimeoutMs=10000",
+      headers = auth("tenant-a"))
+    val e1 = (System.nanoTime() - t1) / 1e6
+    ing.join()
+    assert(got.statusCode() == 200 && got.body().contains("late-arrival"))
+    assert(e1 < 9000, s"long poll should return at arrival, took $e1 ms")
+
+    // explicit 0 restores the immediate local answer
+    val t2 = System.nanoTime()
+    assert(req("GET",
+      "/v2/poll/persistent/tenant-a/ns/lp2?batchSize=1&perMessageTimeoutMs=0",
+      headers = auth("tenant-a")).statusCode() == 204)
+    assert((System.nanoTime() - t2) / 1e6 < 400)
+  }
+
   test("topic CRUD over HTTP with tenant auth") {
     val cfgJson =
       """{"topicFullName":"persistent://tenant-c/ns/hooked","pulsarURL":"pulsar://broker0:6650",
