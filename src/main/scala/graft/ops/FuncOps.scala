@@ -240,7 +240,26 @@ object FuncOps {
       .orderBy("ln")
   }
 
+  /** Approximate percentile (KLL/GK-style sketch, `approx_percentile`):
+    * sketch internals are engine-specific → rows-only driver check, with
+    * the exact median alongside; QueriesSpec bounds the estimate between
+    * the exact p40/p60 (a sketch at accuracy 10000 on these group sizes
+    * must land far inside that window). The scale story is the point: the
+    * sketch is a bounded-memory mergeable aggregate, where the exact
+    * `percentile` must buffer every value of the group.
+    */
+  val approxPercentile: Q = Q.noOracle("f11_approx_percentile") { (s, dir) =>
+    events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_med"),
+        percentile(col("value"), lit(0.4)).as("exact_p40"),
+        median(col("value")).as("exact_med"),
+        percentile(col("value"), lit(0.6)).as("exact_p60"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] =
     Seq(hashFuncs, datetimeFuncs, mathFuncs, aesRoundtrip, approxDistinct, editDistance,
-      valueHistogram, topkAgg, stringFuncs, bitwiseFuncs)
+      valueHistogram, topkAgg, stringFuncs, bitwiseFuncs, approxPercentile)
 }

@@ -351,8 +351,56 @@ object StreamOps {
       .orderBy("user_id", "sess_start")
   }
 
+  /** Stream-stream LEFT OUTER join: x51's view⨝click time-band join, but
+    * views with no click in their 30-minute window are ALSO emitted (null
+    * click) once the watermark proves no future click can match — i.e.
+    * when `vts + 30min` falls behind the global watermark, which is
+    * min(max view ts, max click ts) − 1h under Spark's default min-of-
+    * watermarks policy. The oracle replays exactly that emission rule:
+    * matched pairs are watermark-independent (bounded replay), unmatched
+    * views require `vts + 30min < min(max_v, max_c) − 1h`. State stays
+    * bounded by the same 30-minute band + 1-hour delay as x51.
+    */
+  val streamStreamLeftOuter: Q = Q(
+    "x60_stream_outer_join",
+    """WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+      |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+      |wm AS (SELECT least((SELECT max(ts) FROM v), (SELECT max(ts) FROM c))
+      |              - INTERVAL 1 HOUR AS wm),
+      |pairs AS (SELECT v.user_id FROM v JOIN c
+      |          ON v.user_id = c.user_id AND c.ts >= v.ts
+      |             AND c.ts <= v.ts + INTERVAL 30 MINUTE),
+      |unmatched AS (SELECT v.user_id FROM v CROSS JOIN wm
+      |  WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = v.user_id
+      |                    AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE)
+      |    AND v.ts + INTERVAL 30 MINUTE < wm.wm),
+      |rows_ AS (SELECT user_id, 0 AS um FROM pairs
+      |          UNION ALL SELECT user_id, 1 AS um FROM unmatched)
+      |SELECT CAST(user_id % 10 AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(um) AS BIGINT) AS n_unmatched
+      |FROM rows_ GROUP BY bucket ORDER BY bucket""".stripMargin
+  ) { (s, dir) =>
+    runStream(s, dir, "x60_sink", "append") { ev =>
+      val v = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("vts"))
+        .withWatermark("vts", "1 hour")
+      val c = ev.where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("cts"))
+        .withWatermark("cts", "1 hour")
+      v.join(c,
+        col("user_id") === col("c_user") &&
+          col("cts") >= col("vts") &&
+          col("cts") <= col("vts") + expr("INTERVAL 30 MINUTES"),
+        "leftOuter")
+    }
+      .groupBy((col("user_id") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("c_user").isNull, 1L).otherwise(0L)).as("n_unmatched"))
+      .orderBy("bucket")
+  }
+
   val all: Seq[Q] = Seq(
     tumbling, sliding, session, streamTumbling, streamDedup,
     streamWatermark, streamStaticJoin, streamClean, streamFunnel,
-    streamStreamJoin, streamSession)
+    streamStreamJoin, streamSession, streamStreamLeftOuter)
 }

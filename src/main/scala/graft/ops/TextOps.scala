@@ -247,5 +247,31 @@ object TextOps {
       .orderBy("source")
   }
 
-  val all: Seq[Q] = Seq(langId, qualityScore, tokenCount, fingerprint, corpusClean)
+  /** Positional token index: first occurrence position (0-based) of every
+    * token per document — the positional-posting flavor of x53's inverted
+    * index (phrase queries and lead-paragraph weighting both need it).
+    * `posexplode` keeps the position with the token in one generator (no
+    * window or self-join to recover order); DuckDB twin zips `unnest` with
+    * `generate_subscripts` (1-based, hence the -1). Row-local expansion +
+    * one (doc_id, token) aggregate; sampled to every 50th doc to keep the
+    * oracle compare bounded.
+    */
+  val positionalIndex: Q = Q(
+    "x59_positional_index",
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+      |                  generate_subscripts(string_split(text, ' '), 1) AS pos
+      |           FROM documents WHERE doc_id % 50 = 0)
+      |SELECT doc_id, token, CAST(min(pos) - 1 AS BIGINT) AS first_pos
+      |FROM t GROUP BY doc_id, token ORDER BY doc_id, token""".stripMargin
+  ) { (s, dir) =>
+    docs(s, dir)
+      .where(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      .groupBy("doc_id", "token")
+      .agg(min(col("pos")).cast("long").as("first_pos"))
+      .orderBy("doc_id", "token")
+  }
+
+  val all: Seq[Q] = Seq(langId, qualityScore, tokenCount, fingerprint, corpusClean,
+    positionalIndex)
 }

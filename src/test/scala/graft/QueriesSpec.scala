@@ -78,6 +78,18 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rounds <= 20, s"pointer jumping should close a $n-path in ~11 rounds, took $rounds")
   }
 
+  test("f11 approx_percentile lands between the exact p40 and p60 per group") {
+    val rows = SparkEntry.queries("f11_approx_percentile")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getAs[Double]("approx_med")
+      val p40    = r.getAs[Double]("exact_p40")
+      val p60    = r.getAs[Double]("exact_p60")
+      assert(approx >= p40 && approx <= p60,
+        s"event_type=${r.get(0)}: approx=$approx outside [$p40, $p60]")
+    }
+  }
+
   test("latest-by-key emits exactly one row per key (O-16)") {
     val n     = SparkEntry.queries("r02_latest_by_key")(spark, sfDir)
     val total = n.count()
