@@ -72,7 +72,11 @@ object PlanAudit {
     "x57_semantic_dedup" -> Seq("BroadcastExchange",
       "(?s)\\A(?!.*CartesianProduct).*"),
     // decile binning: one lang-partitioned window, no extra exchanges
-    "x58_len_deciles" -> Seq("WindowExec|Window", "codegen id"))
+    "x58_len_deciles" -> Seq("WindowExec|Window", "codegen id"),
+    // positional index: a single Generate (posexplode) feeds the aggregate —
+    // no window or self-join to recover token order
+    "x59_positional_index" -> Seq("Generate", "codegen id",
+      "(?s)\\A(?!.*SortMergeJoin).*"))
 
   /** Execute one audited query and evaluate its plan patterns — shared by
     * the CLI main and PlanShapeSpec (so plan-shape regressions fail CI, not
