@@ -41,7 +41,17 @@ final class BeamServer(
     // O-32: (PKCS12 keystore path, password) → HTTPS with cert hot-reload;
     // None → plain HTTP, the reference's len(certFile)<=1 fallback
     // (ref cert-loader.go:62-67)
-    tls: Option[(String, Array[Char])] = None) {
+    tls: Option[(String, Array[Char])] = None,
+    // O-33: which route groups this process mounts (ref ProcessMode). The
+    // reference binary defaults to "hybrid" because it also hosts the
+    // broker; this class is ONLY the router (the broker is WebhookEngine,
+    // wired behind RunMode.brokerRequired), so the all-routes "http" mode
+    // is the default and pure "broker" is invalid here.
+    mode: String = "http") {
+
+  require(RunMode.isValid(mode), s"unsupported server mode $mode") // ref main.go:36
+  require(RunMode.routerRequired(mode), "broker mode runs no HTTP router (ref main_control.go:32-35)")
+  private val enabledGroups = RunMode.routeGroups(mode)
 
   private val sema = new Semaphore(200) // O-27, ref middleware.go:13-18
   private val certReloader = tls.map { case (ks, pw) => new CertReloader(ks, pw) }
@@ -85,9 +95,28 @@ final class BeamServer(
       }
   })
 
+  /** O-33: the reference's Routes-var grouping (routes.go:25-160) — which
+    * group a path belongs to; None = unconditionally mounted (metrics,
+    * api-docs — the reference's Prometheus/pprof equivalents).
+    */
+  private def routeGroup(parts: List[String]): Option[String] = parts match {
+    case "status" :: Nil                                 => Some("receiver")
+    case "v1" :: "firehose" :: _                         => Some("receiver")
+    case "v2" :: ("firehose" | "sse" | "poll") :: _      => Some("receiver")
+    case "v2" :: "topic" :: _                            => Some("rest")
+    case "subject" :: _                                  => Some("token")
+    case _                                               => None
+  }
+
   private def route(ex: HttpExchange): Unit = {
     val path  = ex.getRequestURI.getPath.stripSuffix("/")
     val parts = path.stripPrefix("/").split("/", -1).toList
+    // a route outside this mode's groups is simply not mounted (ref
+    // router.go:17 iterates GetEffectiveRoutes(mode) only)
+    if (routeGroup(parts).exists(g => !enabledGroups(g))) {
+      respond(ex, 404, "no route")
+      return
+    }
     (ex.getRequestMethod, parts) match {
       case ("GET", "metrics" :: Nil) =>
         // NoAuth like the reference's promhttp mount — scrapers don't carry

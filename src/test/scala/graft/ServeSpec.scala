@@ -162,6 +162,49 @@ class ServeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((System.nanoTime() - t2) / 1e6 < 400)
   }
 
+  test("run modes mount only their route groups (O-33, ref main_control.go + router.go)") {
+    import graft.serve.RunMode
+    // predicate table straight from the reference
+    assert(RunMode.brokerRequired("broker") && RunMode.brokerRequired("hybrid"))
+    assert(!RunMode.brokerRequired("http") && !RunMode.routerRequired("broker"))
+    assert(!RunMode.isValid("bogus"))
+    assertThrows[IllegalArgumentException](
+      new BeamServer(topics, store, kp, mode = "bogus"))
+    assertThrows[IllegalArgumentException](
+      new BeamServer(topics, store, kp, mode = "broker"))
+
+    // a tokenserver only mints tokens; receiver/rest routes are not mounted
+    val ts = new BeamServer(topics, store, kp, mode = "tokenserver")
+    ts.start()
+    try {
+      val b = s"http://localhost:${ts.boundPort}"
+      def get(p: String) = http.send(
+        java.net.http.HttpRequest.newBuilder(URI.create(b + p))
+          .headers("Authorization", s"Bearer ${Jwt.sign("superuser", kp.getPrivate)}")
+          .build(), HttpResponse.BodyHandlers.ofString())
+      assert(get("/subject/someone").statusCode() == 200)
+      assert(get("/status").statusCode() == 404)
+      assert(get("/v2/topic/k1").statusCode() == 404)
+      assert(get("/metrics").statusCode() == 200) // unconditional, like prom/pprof
+    } finally ts.stop()
+
+    // rest mode: topic CRUD mounted, ingest + token minting are not
+    val rest = new BeamServer(topics, store, kp, mode = "rest")
+    rest.start()
+    try {
+      val b = s"http://localhost:${rest.boundPort}"
+      def req2(m: String, p: String) = http.send(
+        java.net.http.HttpRequest.newBuilder(URI.create(b + p))
+          .method(m, java.net.http.HttpRequest.BodyPublishers.ofString("x"))
+          .headers("Authorization", s"Bearer ${Jwt.sign("tenant-a", kp.getPrivate)}")
+          .build(), HttpResponse.BodyHandlers.ofString())
+      assert(req2("GET", "/v2/topic/nope").statusCode() == 404) // mounted: real lookup miss
+      assert(req2("POST", "/v1/firehose").statusCode() == 404)  // not mounted
+      assert(req2("GET", "/subject/someone").statusCode() == 404)
+      assert(req2("POST", "/v2/firehose/persistent/tenant-a/ns/t1").statusCode() == 404)
+    } finally rest.stop()
+  }
+
   test("topic CRUD over HTTP with tenant auth") {
     val cfgJson =
       """{"topicFullName":"persistent://tenant-c/ns/hooked","pulsarURL":"pulsar://broker0:6650",
