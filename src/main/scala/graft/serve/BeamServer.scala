@@ -47,7 +47,10 @@ final class BeamServer(
     // broker; this class is ONLY the router (the broker is WebhookEngine,
     // wired behind RunMode.brokerRequired), so the all-routes "http" mode
     // is the default and pure "broker" is invalid here.
-    mode: String = "http") {
+    mode: String = "http",
+    // CORS allow-list (ref src/main.go:44-49 rs/cors defaults)
+    corsOrigins: Set[String] =
+      Set("http://localhost:8085", "http://localhost:8080")) {
 
   require(RunMode.isValid(mode), s"unsupported server mode $mode") // ref main.go:36
   require(RunMode.routerRequired(mode), "broker mode runs no HTTP router (ref main_control.go:32-35)")
@@ -81,10 +84,35 @@ final class BeamServer(
   /** Mint a token for tests/clients (O-26). */
   def mintToken(subject: String): String = Jwt.sign(subject, keys.getPrivate)
 
+  /** CORS middleware (ref src/main.go:44-49): echo an allow-listed Origin
+    * with credentials; answer preflights with the reference's allowed
+    * headers. A disallowed Origin gets no CORS headers — the browser
+    * blocks it, the API itself stays open (rs/cors behavior).
+    */
+  private def cors(ex: HttpExchange): Boolean = {
+    val origin = Option(ex.getRequestHeaders.getFirst("Origin")).filter(corsOrigins)
+    origin.foreach { o =>
+      ex.getResponseHeaders.set("Access-Control-Allow-Origin", o)
+      ex.getResponseHeaders.set("Access-Control-Allow-Credentials", "true")
+    }
+    if (ex.getRequestMethod == "OPTIONS") {
+      origin.foreach { _ =>
+        ex.getResponseHeaders.set("Access-Control-Allow-Headers",
+          "Authorization, PulsarTopicUrl")
+        ex.getResponseHeaders.set("Access-Control-Allow-Methods",
+          Option(ex.getRequestHeaders.getFirst("Access-Control-Request-Method"))
+            .getOrElse("GET, POST, DELETE"))
+      }
+      ex.sendResponseHeaders(204, -1)
+      ex.close()
+      true // preflight handled, skip routing
+    } else false
+  }
+
   server.createContext("/", (ex: HttpExchange) => {
     if (!sema.tryAcquire()) respond(ex, 429, "too many requests")
     else
-      try route(ex)
+      try { if (!cors(ex)) route(ex) }
       catch { case e: Exception => respond(ex, 500, s"internal: ${e.getMessage}") }
       finally {
         sema.release()

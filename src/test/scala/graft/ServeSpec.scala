@@ -205,6 +205,30 @@ class ServeSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally rest.stop()
   }
 
+  test("CORS: allow-listed origin echoed with credentials; preflight answered (ref main.go:44-49)") {
+    // preflight from an allowed origin
+    val pre = req("OPTIONS", "/v2/topic", headers = Map(
+      "Origin" -> "http://localhost:8080",
+      "Access-Control-Request-Method" -> "POST"))
+    assert(pre.statusCode() == 204)
+    assert(pre.headers().firstValue("Access-Control-Allow-Origin").orElse("") ==
+      "http://localhost:8080")
+    assert(pre.headers().firstValue("Access-Control-Allow-Headers").orElse("")
+      .contains("Authorization"))
+    assert(pre.headers().firstValue("Access-Control-Allow-Methods").orElse("") == "POST")
+
+    // normal request carries the allow header; disallowed origin gets none
+    val ok = req("GET", "/status", headers = Map(
+      "Origin" -> "http://localhost:8085", "Authorization" -> "x"))
+    assert(ok.statusCode() == 200)
+    assert(ok.headers().firstValue("Access-Control-Allow-Origin").orElse("") ==
+      "http://localhost:8085")
+    val bad = req("GET", "/status", headers = Map(
+      "Origin" -> "http://evil.example", "Authorization" -> "x"))
+    assert(bad.statusCode() == 200) // API itself stays open; browser enforces
+    assert(bad.headers().firstValue("Access-Control-Allow-Origin").isEmpty)
+  }
+
   test("topic CRUD over HTTP with tenant auth") {
     val cfgJson =
       """{"topicFullName":"persistent://tenant-c/ns/hooked","pulsarURL":"pulsar://broker0:6650",
