@@ -110,6 +110,7 @@ final class BeamServer(
   }
 
   server.createContext("/", (ex: HttpExchange) => {
+    val t0 = System.nanoTime()
     if (!sema.tryAcquire()) respond(ex, 429, "too many requests")
     else
       try { if (!cors(ex)) route(ex) }
@@ -119,7 +120,10 @@ final class BeamServer(
         // response is committed by now (SSE: counted at disconnect)
         val label = ex.getRequestURI.getPath.stripPrefix("/").split("/")
           .take(2).mkString("/")
-        if (ex.getResponseCode > 0) metrics.record(label, ex.getResponseCode)
+        if (ex.getResponseCode > 0) {
+          metrics.record(label, ex.getResponseCode)
+          metrics.recordLatency(label, (System.nanoTime() - t0) / 1000000L)
+        }
       }
   })
 

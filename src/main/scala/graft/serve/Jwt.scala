@@ -30,6 +30,35 @@ object Jwt {
   def decodePublic(s: String): PublicKey =
     KeyFactory.getInstance("RSA").generatePublic(new X509EncodedKeySpec(b64d.decode(s)))
 
+  /** ref src/icrypto/pulsar-jwt.go:34-43 NewRSAKeyPair — the reference
+    * boots from RSA key FILES; PEM with PKCS#8 private / X.509-SPKI public
+    * bodies (what `openssl genpkey` and `openssl rsa -pubout` emit).
+    * Header/footer lines are stripped, body is MIME-base64.
+    */
+  def loadKeyPair(privatePemPath: String, publicPemPath: String): KeyPair = {
+    def der(path: String): Array[Byte] = {
+      val pem = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+      Base64.getMimeDecoder.decode(
+        pem.linesIterator.filterNot(_.startsWith("-----")).mkString)
+    }
+    new KeyPair(
+      KeyFactory.getInstance("RSA").generatePublic(new X509EncodedKeySpec(der(publicPemPath))),
+      KeyFactory.getInstance("RSA").generatePrivate(new PKCS8EncodedKeySpec(der(privatePemPath))))
+  }
+
+  /** PEM writer twin of [[loadKeyPair]] (key provisioning + tests). */
+  def writePem(kp: KeyPair, privatePemPath: String, publicPemPath: String): Unit = {
+    def pem(tag: String, der: Array[Byte]): String =
+      s"-----BEGIN $tag-----\n" +
+        Base64.getMimeEncoder(64, "\n".getBytes(UTF_8)).encodeToString(der) +
+        s"\n-----END $tag-----\n"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(privatePemPath),
+      pem("PRIVATE KEY", kp.getPrivate.getEncoded))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(publicPemPath),
+      pem("PUBLIC KEY", kp.getPublic.getEncoded))
+    ()
+  }
+
   /** ref src/icrypto/pulsar-jwt.go:46-58 GenerateToken — RS256, {"sub": subject}. */
   def sign(subject: String, key: PrivateKey): String = {
     val header  = b64e.encodeToString("""{"alg":"RS256","typ":"JWT"}""".getBytes(UTF_8))

@@ -29,6 +29,16 @@ final class Metrics {
   def record(route: String, code: Int): Unit =
     requests.getOrElseUpdate((route, code), new LongAdder).increment()
 
+  // per-route latency (_sum ms / _count), the reference's request Logger
+  // middleware (src/route/logger.go:10-24) as a scrapeable series
+  private val durSumMs = TrieMap.empty[String, LongAdder]
+  private val durCount = TrieMap.empty[String, LongAdder]
+
+  def recordLatency(route: String, ms: Long): Unit = {
+    durSumMs.getOrElseUpdate(route, new LongAdder).add(ms)
+    durCount.getOrElseUpdate(route, new LongAdder).increment()
+  }
+
   /** Attach the streaming listener to a session's query manager. */
   def observe(spark: SparkSession): Unit = spark.streams.addListener(listener)
 
@@ -61,6 +71,11 @@ final class Metrics {
       .append(s"graft_messages_ingested_total ${ingested.sum}\n")
     sb.append("# TYPE graft_messages_polled_total counter\n")
       .append(s"graft_messages_polled_total ${polled.sum}\n")
+    sb.append("# TYPE graft_http_request_duration_ms summary\n")
+    durSumMs.toSeq.sortBy(_._1).foreach { case (r, s) =>
+      sb.append(s"""graft_http_request_duration_ms_sum{route="$r"} ${s.sum}""").append('\n')
+      sb.append(s"""graft_http_request_duration_ms_count{route="$r"} ${durCount.get(r).map(_.sum).getOrElse(0L)}""").append('\n')
+    }
     gauge("graft_sse_connections", sseOpen.get.toLong)
     gauge("graft_streaming_queries_active", activeQueries.get.toLong)
     val snap = progress.readOnlySnapshot().toSeq.sortBy(_._1)
