@@ -76,7 +76,10 @@ object PlanAudit {
     // positional index: a single Generate (posexplode) feeds the aggregate —
     // no window or self-join to recover token order
     "x59_positional_index" -> Seq("Generate", "codegen id",
-      "(?s)\\A(?!.*SortMergeJoin).*"))
+      "(?s)\\A(?!.*SortMergeJoin).*"),
+    // salted skew join: the forced shuffle join runs on (type, salt), so
+    // the salt column must appear in the join — 40 balanced keys, not 5
+    "x61_salted_join" -> Seq("SortMergeJoin|ShuffledHashJoin", "d_salt"))
 
   /** Execute one audited query and evaluate its plan patterns — shared by
     * the CLI main and PlanShapeSpec (so plan-shape regressions fail CI, not

@@ -88,5 +88,37 @@ object LayoutOps {
       .orderBy("bucket")
   }
 
-  val all: Seq[Q] = Seq(zorderLayout, keySkew)
+  /** Salted skew join, executed end-to-end: events joined to a per-type
+    * derived dim on `event_type` — 5 distinct keys, the worst join skew
+    * possible (every row of a 100 TB fact lands on 5 reducers). The fact
+    * side gets a deterministic 8-way salt (the x28/x41 md5 coin over the
+    * row content), the dim side is exploded ×8, and the join runs on
+    * (event_type, salt) — 40 balanced keys instead of 5 hot ones. The
+    * merge hint forces the shuffle join this pattern exists for (unsalted
+    * broadcast would hide the point at test scale; at 100 TB the dim side
+    * of a skewed join is often itself too big to broadcast). The oracle is
+    * the PLAIN unsalted join — salting must be invisible in the result.
+    */
+  val saltedJoin: Q = Q(
+    "x61_salted_join",
+    """WITH dim AS (SELECT event_type, min(value) AS floor_v FROM events GROUP BY event_type)
+      |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n, round(min(d.floor_v), 6) AS floor_v
+      |FROM events e JOIN dim d ON e.event_type = d.event_type
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+  ) { (s, dir) =>
+    val ev = Tables(s, dir, "events")
+    val salted = ev.select(col("event_type"), col("value"),
+      (conv(substring(md5(col("event_id").cast("string")), 1, 4), 16, 10).cast("int") % 8)
+        .as("salt"))
+    val dim = ev.groupBy(col("event_type").as("d_type"))
+      .agg(min(col("value")).as("floor_v"))
+      .withColumn("d_salt", explode(sequence(lit(0), lit(7))))
+    salted.join(dim.hint("merge"),
+        col("event_type") === col("d_type") && col("salt") === col("d_salt"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(min(col("floor_v")), 6).as("floor_v"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[Q] = Seq(zorderLayout, keySkew, saltedJoin)
 }
