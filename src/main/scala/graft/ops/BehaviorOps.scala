@@ -109,5 +109,59 @@ object BehaviorOps {
       .orderBy("src", "dst")
   }
 
-  val all: Seq[Q] = Seq(funnel, retention, transitions)
+  /** Incremental aggregate maintenance: the materialized-view refresh
+    * shape. The "existing" partition (event_id % 10 < 8 — stands in for
+    * yesterday's 100 TB) and the "delta" (the remaining 20% — today's
+    * arrivals) are aggregated SEPARATELY to mergeable partials (count,
+    * min, max — no float accumulation), then merged; the oracle is the
+    * full single-shot aggregate, so merge(partials) ≡ recompute is the
+    * checked contract. At scale this is the difference between scanning a
+    * day and scanning a lake: the base partials are a stored table and
+    * only the delta is read.
+    */
+  val incrementalAgg: Q = Q(
+    "x62_incremental_agg",
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |       round(min(value), 6) AS lo, round(max(value), 6) AS hi
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  ) { (s, dir) =>
+    def partial(df: DataFrame) = df.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), min(col("value")).as("lo"), max(col("value")).as("hi"))
+    val base  = partial(events(s, dir).where(col("event_id") % 10 < 8))
+    val delta = partial(events(s, dir).where(col("event_id") % 10 >= 8))
+    base.unionByName(delta)
+      .groupBy("event_type")
+      .agg(sum(col("n")).as("n"),
+        round(min(col("lo")), 6).as("lo"), round(max(col("hi")), 6).as("hi"))
+      .orderBy("event_type")
+  }
+
+  /** SCD-2 history build: each event of a sampled user becomes a validity
+    * interval [valid_from, valid_to) via `lead` over the user's event-time
+    * order; the open interval (valid_to NULL) marks the current row. The
+    * standard warehouse "track every change with effective ranges" op —
+    * one user-partitioned window, no self-join. Both engines order by the
+    * MICROSECOND timestamp (events.ts is nanos; Spark reads it
+    * micro-truncated) with the event_id tiebreak, so interval edges are
+    * deterministic.
+    */
+  val scd2History: Q = Q(
+    "x63_scd2_history",
+    """SELECT user_id, event_id, valid_from_us,
+      |       lead(valid_from_us) OVER (PARTITION BY user_id
+      |         ORDER BY valid_from_us, event_id) AS valid_to_us
+      |FROM (SELECT user_id, event_id, epoch_us(ts) AS valid_from_us
+      |      FROM events WHERE user_id % 100 = 0)
+      |ORDER BY user_id, valid_from_us, event_id""".stripMargin
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("valid_from_us", "event_id")
+    events(s, dir)
+      .where(col("user_id") % 100 === 0)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("valid_from_us"))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
+      .orderBy("user_id", "valid_from_us", "event_id")
+  }
+
+  val all: Seq[Q] = Seq(funnel, retention, transitions, incrementalAgg, scd2History)
 }
