@@ -21,9 +21,12 @@ object ApiDocs {
       responses: Map[Int, String])
 
   private val consumerParams = Seq(
-    Param("SubscriptionName", "query", "subscription name, min 5 chars; absent = fresh non-resumable"),
-    Param("SubscriptionType", "query", "exclusive | shared | keyshared | failover (default exclusive)"),
-    Param("SubscriptionInitialPosition", "query", "latest | earliest (default latest)"))
+    Param("SubscriptionName", "query",
+      "subscription name, min 5 chars; absent = fresh non-resumable (lowercase alias: subscriptionName)"),
+    Param("SubscriptionType", "query",
+      "exclusive | shared | keyshared | failover, default exclusive (alias: subscriptionType)"),
+    Param("SubscriptionInitialPosition", "query",
+      "latest | earliest, default latest (alias: initialPosition)"))
 
   val routes: Seq[Route] = Seq(
     Route("GET", "/status", "liveness probe", "header-presence", Nil,

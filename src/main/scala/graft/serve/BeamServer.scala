@@ -79,7 +79,12 @@ final class BeamServer(
 
   def boundPort: Int = server.getAddress.getPort
   def start(): Unit  = server.start()
-  def stop(): Unit   = { certReloader.foreach(_.stop()); sseHub.stopAll(); server.stop(0) }
+  def stop(): Unit = {
+    certReloader.foreach(_.stop())
+    metrics.unobserve(topics.session)
+    sseHub.stopAll()
+    server.stop(0)
+  }
 
   /** Mint a token for tests/clients (O-26). */
   def mintToken(subject: String): String = Jwt.sign(subject, keys.getPrivate)
@@ -109,21 +114,37 @@ final class BeamServer(
     } else false
   }
 
+  /** Metric label for a request path: the first two segments when they
+    * name a mounted route, else "other" — client-chosen paths must never
+    * mint new label values (unbounded metric cardinality from 404 spam).
+    */
+  private def metricLabel(path: String): String = {
+    val parts = path.stripPrefix("/").stripSuffix("/").split("/", -1).toList
+    parts match {
+      case p if routeGroup(p).isDefined       => p.take(2).mkString("/")
+      case ("metrics" | "api-docs") :: Nil    => parts.head
+      case _                                  => "other"
+    }
+  }
+
   server.createContext("/", (ex: HttpExchange) => {
     val t0 = System.nanoTime()
-    if (!sema.tryAcquire()) respond(ex, 429, "too many requests")
-    else
+    val label = metricLabel(ex.getRequestURI.getPath)
+    def observe(): Unit =
+      if (ex.getResponseCode > 0) {
+        metrics.record(label, ex.getResponseCode)
+        metrics.recordLatency(label, (System.nanoTime() - t0) / 1000000L)
+      }
+    if (!sema.tryAcquire()) {
+      // shed load IS the signal — 429s must show up in the request metrics
+      respond(ex, 429, "too many requests")
+      observe()
+    } else
       try { if (!cors(ex)) route(ex) }
       catch { case e: Exception => respond(ex, 500, s"internal: ${e.getMessage}") }
       finally {
         sema.release()
-        // response is committed by now (SSE: counted at disconnect)
-        val label = ex.getRequestURI.getPath.stripPrefix("/").split("/")
-          .take(2).mkString("/")
-        if (ex.getResponseCode > 0) {
-          metrics.record(label, ex.getResponseCode)
-          metrics.recordLatency(label, (System.nanoTime() - t0) / 1000000L)
-        }
+        observe() // response committed by now (SSE: counted at disconnect)
       }
   })
 
@@ -209,15 +230,22 @@ final class BeamServer(
                 .getOrElse(10) // ref handlers.go:163
               // perMessageTimeoutMs (ref :164, default 300): the reference's
               // batch assembly waits up to this long for EACH next message
-              // and returns what it has at the first gap (sse-broker.go:48-58)
-              val gapMs = queryParam(ex, "perMessageTimeoutMs")
-                .flatMap(s => Try(s.toInt).toOption).getOrElse(300)
+              // and returns what it has at the first gap (sse-broker.go:48-58).
+              // Capped at 30 s: the wait holds a request thread and one of
+              // the 200 admission permits, and each probe runs a (bounded)
+              // scan — an uncapped client value would be a handle-exhaustion
+              // lever (the reference blocks on an idle consumer channel, so
+              // its wait is cheap; ours is not).
+              val gapMs = math.min(
+                queryParam(ex, "perMessageTimeoutMs")
+                  .flatMap(s => Try(s.toInt).toOption).getOrElse(300),
+                30000)
               // O-9 consumer params: validated name/type; absent name → a
               // fresh non-resumable subscription (ref handlers.go:440-461).
               val subType = ConsumerParams.subscriptionType(
-                queryParam(ex, "subscriptionType").getOrElse(""))
+                consumerParam(ex, "SubscriptionType", "subscriptionType").getOrElse(""))
               val subName = ConsumerParams.subscriptionName(
-                queryParam(ex, "subscriptionName").getOrElse(""))
+                consumerParam(ex, "SubscriptionName", "subscriptionName").getOrElse(""))
               (subName, subType) match {
                 case (Left(err), _) => respond(ex, 422, err)
                 case (_, Left(err)) => respond(ex, 422, err)
@@ -246,9 +274,12 @@ final class BeamServer(
           // ConsumerConfigFromHTTPParts, handlers.go:440-461) — the hub
           // keys subscriptions per connection, but bad params still 422
           val params = Seq(
-            ConsumerParams.subscriptionName(queryParam(ex, "subscriptionName").getOrElse("")),
-            ConsumerParams.subscriptionType(queryParam(ex, "subscriptionType").getOrElse("")),
-            ConsumerParams.initialPosition(queryParam(ex, "initialPosition").getOrElse("")))
+            ConsumerParams.subscriptionName(
+              consumerParam(ex, "SubscriptionName", "subscriptionName").getOrElse("")),
+            ConsumerParams.subscriptionType(
+              consumerParam(ex, "SubscriptionType", "subscriptionType").getOrElse("")),
+            ConsumerParams.initialPosition(
+              consumerParam(ex, "SubscriptionInitialPosition", "initialPosition").getOrElse("")))
           (TopicName.build(p, tenant, ns, topic), params.collectFirst { case Left(e) => e }) match {
             case (Left(err), _)        => respond(ex, 422, err)
             case (_, Some(err))        => respond(ex, 422, err)
@@ -364,7 +395,8 @@ final class BeamServer(
     * delivery query per topic.
     */
   private def sse(ex: HttpExchange, topicFn: String): Unit = {
-    val earliest = queryParam(ex, "initialPosition").contains("earliest")
+    val earliest = consumerParam(ex, "SubscriptionInitialPosition", "initialPosition")
+      .contains("earliest")
     ex.getResponseHeaders.set("Content-Type", "text/event-stream")
     ex.getResponseHeaders.set("Cache-Control", "no-cache")
     ex.sendResponseHeaders(200, 0) // chunked
@@ -414,7 +446,8 @@ final class BeamServer(
     if (gapMs <= 0 || first.length >= size) first.toSeq
     else {
       val out = scala.collection.mutable.ArrayBuffer(first: _*)
-      val probeMs = math.min(30L, math.max(1L, gapMs.toLong))
+      // each probe is a Spark job (bounded, but not free) — probe at 100 ms
+      val probeMs = math.min(100L, math.max(1L, gapMs.toLong))
       var gapDeadline = System.nanoTime() + gapMs * 1000000L
       while (out.length < size && System.nanoTime() < gapDeadline) {
         Thread.sleep(probeMs)
@@ -502,6 +535,13 @@ final class BeamServer(
     Option(ex.getRequestURI.getQuery).flatMap(_.split("&").collectFirst {
       case kv if kv.startsWith(name + "=") => kv.substring(name.length + 1)
     })
+
+  /** Consumer params use the reference's capitalized names
+    * (`SubscriptionName`, ref handlers.go:440-461); the lowercase forms are
+    * kept as aliases for earlier clients of this shim.
+    */
+  private def consumerParam(ex: HttpExchange, refName: String, alias: String): Option[String] =
+    queryParam(ex, refName).orElse(queryParam(ex, alias))
 
   private def authorized(topicFn: String, sub: String): Boolean =
     Auth.verifySubjectForTopic(topicFn, sub, superRoles)

@@ -32,6 +32,9 @@ final class CertReloader(keystorePath: String, password: Array[Char],
 
   private val path: Path = Paths.get(keystorePath)
   private val current    = new AtomicReference[X509ExtendedKeyManager](loadKeyManager())
+  // change baseline captured AT LOAD TIME — a rotation in the window
+  // between construction and watcher start must still be detected
+  @volatile private var lastStat: (Long, Long) = stat()
   @volatile private var running = true
 
   /** (size, mtime) — the reference's change predicate (cert-loader.go:50-58). */
@@ -85,13 +88,12 @@ final class CertReloader(keystorePath: String, password: Array[Char],
   }
 
   private val watcher = new Thread(() => {
-    var last = stat()
     while (running) {
       try Thread.sleep(pollMillis)
       catch { case _: InterruptedException => () }
       val now = stat()
-      if (now != last && now._1 >= 0) {
-        last = now
+      if (now != lastStat && now._1 >= 0) {
+        lastStat = now
         // a torn read keeps the old manager; the next tick retries
         Try(loadKeyManager()).foreach(current.set)
       }

@@ -42,6 +42,20 @@ final class Metrics {
   /** Attach the streaming listener to a session's query manager. */
   def observe(spark: SparkSession): Unit = spark.streams.addListener(listener)
 
+  /** Detach again — a server's stop() must not leak its listener into the
+    * (shared, longer-lived) session.
+    */
+  def unobserve(spark: SparkSession): Unit = spark.streams.removeListener(listener)
+
+  /** Prometheus label-value escaping (backslash, quote, newline). */
+  private def esc(v: String): String =
+    v.flatMap {
+      case '\\' => "\\\\"
+      case '"'  => "\\\""
+      case '\n' => "\\n"
+      case c    => c.toString
+    }
+
   private val listener = new StreamingQueryListener {
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = {
       activeQueries.incrementAndGet(); ()
@@ -65,7 +79,7 @@ final class Metrics {
     }
     sb.append("# TYPE graft_http_requests_total counter\n")
     requests.toSeq.sortBy { case ((r, c), _) => (r, c) }.foreach { case ((r, c), n) =>
-      sb.append(s"""graft_http_requests_total{route="$r",code="$c"} ${n.sum}""").append('\n')
+      sb.append(s"""graft_http_requests_total{route="${esc(r)}",code="$c"} ${n.sum}""").append('\n')
     }
     sb.append("# TYPE graft_messages_ingested_total counter\n")
       .append(s"graft_messages_ingested_total ${ingested.sum}\n")
@@ -73,8 +87,8 @@ final class Metrics {
       .append(s"graft_messages_polled_total ${polled.sum}\n")
     sb.append("# TYPE graft_http_request_duration_ms summary\n")
     durSumMs.toSeq.sortBy(_._1).foreach { case (r, s) =>
-      sb.append(s"""graft_http_request_duration_ms_sum{route="$r"} ${s.sum}""").append('\n')
-      sb.append(s"""graft_http_request_duration_ms_count{route="$r"} ${durCount.get(r).map(_.sum).getOrElse(0L)}""").append('\n')
+      sb.append(s"""graft_http_request_duration_ms_sum{route="${esc(r)}"} ${s.sum}""").append('\n')
+      sb.append(s"""graft_http_request_duration_ms_count{route="${esc(r)}"} ${durCount.get(r).map(_.sum).getOrElse(0L)}""").append('\n')
     }
     gauge("graft_sse_connections", sseOpen.get.toLong)
     gauge("graft_streaming_queries_active", activeQueries.get.toLong)
@@ -83,15 +97,15 @@ final class Metrics {
       sb.append("# TYPE graft_streaming_input_rows_per_second gauge\n")
       snap.foreach { case (q, (rps, _, _)) =>
         val v = if (rps.isNaN || rps.isInfinity) 0.0 else rps
-        sb.append(s"""graft_streaming_input_rows_per_second{query="$q"} $v""").append('\n')
+        sb.append(s"""graft_streaming_input_rows_per_second{query="${esc(q)}"} $v""").append('\n')
       }
       sb.append("# TYPE graft_streaming_batch_duration_ms gauge\n")
       snap.foreach { case (q, (_, ms, _)) =>
-        sb.append(s"""graft_streaming_batch_duration_ms{query="$q"} $ms""").append('\n')
+        sb.append(s"""graft_streaming_batch_duration_ms{query="${esc(q)}"} $ms""").append('\n')
       }
       sb.append("# TYPE graft_streaming_last_batch_rows gauge\n")
       snap.foreach { case (q, (_, _, rows)) =>
-        sb.append(s"""graft_streaming_last_batch_rows{query="$q"} $rows""").append('\n')
+        sb.append(s"""graft_streaming_last_batch_rows{query="${esc(q)}"} $rows""").append('\n')
       }
     }
     sb.toString

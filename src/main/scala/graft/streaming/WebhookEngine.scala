@@ -209,21 +209,26 @@ final class WebhookEngine(
           // scale escape hatch: count BEFORE collecting — a backlog-drain
           // batch bigger than the threshold is delivered from the
           // executors (unchanged ack semantics) instead of being pulled
-          // whole into a driver POST loop
-          if (useExecutorPath(batch.count()))
-            deliverOnExecutors(batch, batchId, key, wh,
-              batch.sparkSession.sparkContext.defaultParallelism)
-          else {
-            // bounded micro-batch → per-message POST, ref ConsumeLoop webhook.go:171-241
-            val seen = loadDelivered(key, batchId)
-            batch.collect().foreach { row =>
-              val mid = row.getAs[String]("messageId")
-              if (!seen.contains(mid)) {
-                deliver(row, wh)
-                markDelivered(key, batchId, mid)
+          // whole into a driver POST loop. The batch is persisted around
+          // the decision so the threshold count and the actual delivery
+          // read the source once, not twice per trigger.
+          batch.persist()
+          try {
+            if (useExecutorPath(batch.count()))
+              deliverOnExecutors(batch, batchId, key, wh,
+                batch.sparkSession.sparkContext.defaultParallelism)
+            else {
+              // bounded micro-batch → per-message POST, ref ConsumeLoop webhook.go:171-241
+              val seen = loadDelivered(key, batchId)
+              batch.collect().foreach { row =>
+                val mid = row.getAs[String]("messageId")
+                if (!seen.contains(mid)) {
+                  deliver(row, wh)
+                  markDelivered(key, batchId, mid)
+                }
               }
             }
-          }
+          } finally { batch.unpersist(); () }
         }
       }
       .start()
