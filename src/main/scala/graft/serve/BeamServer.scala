@@ -180,6 +180,25 @@ final class BeamServer(
         ex.getResponseBody.write(bytes)
         ex.close()
 
+      case ("GET", "debug" :: "threads" :: Nil) =>
+        // JVM analog of the reference's pprof listener (src/main.go:26-28):
+        // a plain-text thread dump for stall diagnosis. Superrole-gated —
+        // the reference's pprof binds localhost-only; an HTTP route needs
+        // an equivalent barrier.
+        withSubject(ex) { sub =>
+          if (!superRoles(sub)) respond(ex, 403, "forbidden")
+          else {
+            val dump = java.lang.management.ManagementFactory.getThreadMXBean
+              .dumpAllThreads(false, false)
+              .map(_.toString).mkString("\n")
+            val bytes = dump.getBytes(UTF_8)
+            ex.getResponseHeaders.set("Content-Type", "text/plain")
+            ex.sendResponseHeaders(200, bytes.length)
+            ex.getResponseBody.write(bytes)
+            ex.close()
+          }
+        }
+
       case ("GET", "api-docs" :: Nil) =>
         // route contract document (ref src/docs/api.go:8-176 swagger spec)
         respond(ex, 200, ApiDocs.json)

@@ -229,6 +229,14 @@ class ServeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad.headers().firstValue("Access-Control-Allow-Origin").isEmpty)
   }
 
+  test("/debug/threads is a superrole-gated thread dump (pprof analog)") {
+    assert(req("GET", "/debug/threads").statusCode() == 401)
+    assert(req("GET", "/debug/threads", headers = auth("tenant-a")).statusCode() == 403)
+    val dump = req("GET", "/debug/threads", headers = auth("superuser"))
+    assert(dump.statusCode() == 200)
+    assert(dump.body().contains("graft-cert-reloader") || dump.body().contains("main"))
+  }
+
   test("topic CRUD over HTTP with tenant auth") {
     val cfgJson =
       """{"topicFullName":"persistent://tenant-c/ns/hooked","pulsarURL":"pulsar://broker0:6650",
