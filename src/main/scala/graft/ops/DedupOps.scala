@@ -356,6 +356,46 @@ object DedupOps {
     * costs two key-joins over the (small) candidate set regardless of
     * corpus size.
     */
+  /** Canonical-representative selection — the step that makes cluster
+    * detection actionable: within each near-dup cluster (x31's labels),
+    * KEEP the longest document (doc_id tiebreak) and report cluster size;
+    * the kept set minus the rest is the deduplicated corpus (applied with
+    * an x01-style anti join). One window over the cluster key after the
+    * (node ⇒ doc) equi-join; the expensive pair lineage is the shared
+    * memoized subtree.
+    */
+  val canonicalPick: Q = Q(
+    "x64_canonical_pick",
+    s"""WITH RECURSIVE pairs AS ($lshPairsSql),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS node FROM edges),
+       |reach(node, lbl) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT e.b AS node, r.lbl FROM reach r JOIN edges e ON e.a = r.node),
+       |labels AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node)
+       |SELECT cluster, kept_doc, kept_chars, n_members FROM (
+       |  SELECT CAST(l.lbl AS BIGINT) AS cluster, CAST(d.doc_id AS BIGINT) AS kept_doc,
+       |         CAST(d.n_chars AS BIGINT) AS kept_chars,
+       |         row_number() OVER (PARTITION BY l.lbl ORDER BY d.n_chars DESC, d.doc_id) AS rk,
+       |         CAST(count(*) OVER (PARTITION BY l.lbl) AS BIGINT) AS n_members
+       |  FROM labels l JOIN documents d ON l.node = d.doc_id)
+       |WHERE rk = 1 ORDER BY cluster""".stripMargin
+  ) { (s, dir) =>
+    val (labels, _) = propagateMinLabels(symmetricEdges(s, dir))
+    val d = docs(s, dir).select(col("doc_id"), col("n_chars"))
+    val w  = Window.partitionBy("lbl").orderBy(col("n_chars").desc, col("doc_id"))
+    val wc = Window.partitionBy("lbl")
+    labels.join(d, col("node") === col("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(wc))
+      .where(col("rk") === 1)
+      .select(col("lbl").cast("long").as("cluster"), col("doc_id").cast("long").as("kept_doc"),
+        col("n_chars").cast("long").as("kept_chars"), col("n_members"))
+      .orderBy("cluster")
+  }
+
   val splitLeakage: Q = Q(
     "x55_split_leakage",
     s"""WITH pairs AS ($lshPairsSql),
@@ -459,5 +499,6 @@ object DedupOps {
   }
 
   val all: Seq[Q] =
-    Seq(exactDedup, minhashLsh, simhash, ngramJaccard, dupClusters, pagerank, splitLeakage)
+    Seq(exactDedup, minhashLsh, simhash, ngramJaccard, dupClusters, pagerank, splitLeakage,
+      canonicalPick)
 }
