@@ -498,7 +498,59 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** The curation capstone: gates → near-dup drop → per-language sampling
+    * as ONE declarative plan — the whole pipeline the x-series exercises
+    * piecewise (x09 quality gates, x31/x64 cluster + pick, x37 mixture
+    * coin), composed the way a production corpus build runs it. Per
+    * language: pool size after gates + dedup, and the final sampled count.
+    * Catalyst sees one tree, so the gate filters push into the scan UNDER
+    * the anti join and the expensive pair lineage stays the shared
+    * memoized subtree — composing queries does not multiply their cost.
+    */
+  val curationPipeline: Q = Q(
+    "x65_curation_pipeline",
+    s"""WITH RECURSIVE pairs AS ($lshPairsSql),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS node FROM edges),
+       |reach(node, lbl) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT e.b AS node, r.lbl FROM reach r JOIN edges e ON e.a = r.node),
+       |labels AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node),
+       |ranked AS (SELECT l.lbl, d.doc_id,
+       |    row_number() OVER (PARTITION BY l.lbl ORDER BY d.n_chars DESC, d.doc_id) AS rk
+       |  FROM labels l JOIN documents d ON l.node = d.doc_id),
+       |drop_ AS (SELECT doc_id FROM ranked WHERE rk > 1),
+       |pool AS (SELECT lang, text FROM documents
+       |         WHERE n_chars BETWEEN 100 AND 500
+       |           AND doc_id NOT IN (SELECT doc_id FROM drop_))
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_pool,
+       |       CAST(sum(CASE WHEN CAST('0x' || substr(md5(text), 1, 4) AS INTEGER) <
+       |         (CASE lang WHEN 'en' THEN 49152 ELSE 32768 END)
+       |         THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+       |FROM pool GROUP BY lang ORDER BY lang""".stripMargin
+  ) { (s, dir) =>
+    val (labels, _) = propagateMinLabels(symmetricEdges(s, dir))
+    val w = Window.partitionBy("lbl").orderBy(col("n_chars").desc, col("doc_id"))
+    val dropList = labels
+      .join(docs(s, dir).select(col("doc_id"), col("n_chars")), col("node") === col("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") > 1)
+      .select(col("doc_id"))
+    val thr = when(col("lang") === "en", 49152).otherwise(32768)
+    docs(s, dir)
+      .where(col("n_chars").between(100, 500))
+      .join(dropList, Seq("doc_id"), "left_anti")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_pool"),
+        sum(when(conv(substring(md5(col("text")), 1, 4), 16, 10).cast("int") < thr, 1)
+          .otherwise(0)).cast("long").as("n_final"))
+      .orderBy("lang")
+  }
+
   val all: Seq[Q] =
     Seq(exactDedup, minhashLsh, simhash, ngramJaccard, dupClusters, pagerank, splitLeakage,
-      canonicalPick)
+      canonicalPick, curationPipeline)
 }

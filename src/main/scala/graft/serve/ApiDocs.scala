@@ -35,6 +35,8 @@ object ApiDocs {
       Map(200 -> "text/plain exposition")),
     Route("GET", "/api-docs", "this document", "none", Nil,
       Map(200 -> "OpenAPI-shaped JSON")),
+    Route("GET", "/debug/threads", "JVM thread dump (pprof analog)", "jwt-superrole", Nil,
+      Map(200 -> "text/plain dump", 401 -> "bad/missing JWT", 403 -> "caller not a superrole")),
     Route("POST", "/v1/firehose", "ingest a message; topic from TopicFn header", "none",
       Seq(Param("TopicFn", "header", "full topic name", required = true),
         Param("PulsarUrl", "header", "target cluster; must be in the allowed list"),
