@@ -129,18 +129,33 @@ object DedupOps {
     pairsCache.getOrElseUpdate((s, dir), lshCandidatePairsUncached(s, dir).cache())
   }
 
-  /** Number of live memo entries — Bench uses this to mark which query of
-    * the x02/x31/x47/x55 family paid the shared lineage cost in each pass.
+  /** Converged min-labels, memoized like the pairs: x31, x64 and x65 all
+    * need the same propagation over the same candidate graph — one
+    * iterative run per (session, sf dir), three consumers.
     */
-  private[graft] def memoSize: Int = pairsCache.size
+  private val labelsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  /** Drop the memoized pair cache (Bench calls this between timing passes
+  private[ops] def clusterLabels(s: SparkSession, dir: String): DataFrame = {
+    labelsCache.keys.filter(_._1.sparkContext.isStopped).foreach(labelsCache.remove)
+    labelsCache.getOrElseUpdate((s, dir), propagateMinLabels(symmetricEdges(s, dir))._1)
+  }
+
+  /** Number of live memo entries — Bench uses this to mark which query of
+    * the x02/x31/x47/x55/x64/x65 family paid the shared lineage cost in
+    * each pass.
+    */
+  private[graft] def memoSize: Int = pairsCache.size + labelsCache.size
+
+  /** Drop the memoized caches (Bench calls this between timing passes
     * so a best-of-N never times a cache read where pass 1 timed the real
     * lineage; the FIRST dedup-family query of each pass pays it again).
     */
   private[graft] def clearMemo(): Unit = {
     pairsCache.values.foreach(df => scala.util.Try(df.unpersist()))
     pairsCache.clear()
+    labelsCache.values.foreach(df => scala.util.Try(df.unpersist()))
+    labelsCache.clear()
   }
 
   private def lshCandidatePairsUncached(s: SparkSession, dir: String): DataFrame = {
@@ -224,7 +239,7 @@ object DedupOps {
        |       CAST(count(*) OVER (PARTITION BY lbl) AS BIGINT) AS cluster_size
        |FROM labels ORDER BY doc_id""".stripMargin
   ) { (s, dir) =>
-    val (labels, _) = propagateMinLabels(symmetricEdges(s, dir))
+    val labels = clusterLabels(s, dir)
     // the final `labels` cache stays referenced by the returned plan; the
     // ContextCleaner unpersists it once the result DF is released
     labels
@@ -383,7 +398,7 @@ object DedupOps {
        |  FROM labels l JOIN documents d ON l.node = d.doc_id)
        |WHERE rk = 1 ORDER BY cluster""".stripMargin
   ) { (s, dir) =>
-    val (labels, _) = propagateMinLabels(symmetricEdges(s, dir))
+    val labels = clusterLabels(s, dir)
     val d = docs(s, dir).select(col("doc_id"), col("n_chars"))
     val w  = Window.partitionBy("lbl").orderBy(col("n_chars").desc, col("doc_id"))
     val wc = Window.partitionBy("lbl")
@@ -531,7 +546,7 @@ object DedupOps {
        |         THEN 1 ELSE 0 END) AS BIGINT) AS n_final
        |FROM pool GROUP BY lang ORDER BY lang""".stripMargin
   ) { (s, dir) =>
-    val (labels, _) = propagateMinLabels(symmetricEdges(s, dir))
+    val labels = clusterLabels(s, dir)
     val w = Window.partitionBy("lbl").orderBy(col("n_chars").desc, col("doc_id"))
     val dropList = labels
       .join(docs(s, dir).select(col("doc_id"), col("n_chars")), col("node") === col("doc_id"))
