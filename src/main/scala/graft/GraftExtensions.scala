@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BigramStats, DocFingerprint, DotF32, SimHash32}
+import graft.functions.{BigramStats, DocFingerprint, DotF32, NfcNormalize, SimHash32}
 
 /** Session extension wiring (SURVEY.md §4.2): registers the engine's custom
   * expressions so SQL users get them too:
@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.simhash32Descriptor)
     e.injectFunction(GraftExtensions.docFingerprintDescriptor)
     e.injectFunction(GraftExtensions.bigramStatsDescriptor)
+    e.injectFunction(GraftExtensions.nfcNormalizeDescriptor)
   }
 }
 
@@ -65,6 +66,12 @@ object GraftExtensions {
     new ExpressionInfo(classOf[BigramStats].getName, "bigram_stats"),
     arity("bigram_stats", 1)(children => BigramStats(children.head)))
 
+  private[graft] val nfcNormalizeDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("nfc_normalize"),
+    new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+    arity("nfc_normalize", 1)(children => NfcNormalize(children.head)))
+
   /** Late registration into an already-built session (e.g. one handed to us
     * by a host process that didn't set `spark.sql.extensions`). SessionState
     * is `private[sql]` in Scala but public in bytecode — same reflective
@@ -78,7 +85,8 @@ object GraftExtensions {
         m.getName == "createOrReplaceTempFunction" && m.getParameterCount == 3).get
       Seq(("dot_f32", dotF32Descriptor._3), ("simhash32", simhash32Descriptor._3),
           ("doc_fingerprint", docFingerprintDescriptor._3),
-          ("bigram_stats", bigramStatsDescriptor._3))
+          ("bigram_stats", bigramStatsDescriptor._3),
+          ("nfc_normalize", nfcNormalizeDescriptor._3))
         .foreach { case (name, builder) => m.invoke(reg, name, builder, "scala_udf") }
       true
     } catch { case _: Throwable => false }

@@ -79,7 +79,21 @@ object PlanAudit {
       "(?s)\\A(?!.*SortMergeJoin).*"),
     // salted skew join: the forced shuffle join runs on (type, salt), so
     // the salt column must appear in the join — 40 balanced keys, not 5
-    "x61_salted_join" -> Seq("SortMergeJoin|ShuffledHashJoin", "d_salt"))
+    "x61_salted_join" -> Seq("SortMergeJoin|ShuffledHashJoin", "d_salt"),
+    // trigram LM: the vocabulary-sized ppm model must broadcast into the
+    // scoring join — the corpus-sized trigram stream never shuffles on tri
+    "x66_trigram_lm" -> Seq("BroadcastHashJoin", "BroadcastExchange"),
+    // CDC merge: one full-outer equi join on the key, never a nested loop
+    "x67_merge_apply" -> Seq("FullOuter", "(SortMergeJoin|ShuffledHashJoin)"),
+    // NFC canonicalization is a codegen'd row-local projection
+    "x68_nfc_clean" -> Seq("nfc_normalize", "codegen id"),
+    // quantized ANN: the small query side broadcasts (x06's shape) — the
+    // corpus-side code scan must never shuffle into the join
+    "x69_quantized_topk" -> Seq("BroadcastHashJoin|BroadcastNestedLoopJoin", "BroadcastExchange"),
+    // PII redaction is a codegen'd row-local regex projection
+    "x70_pii_redact" -> Seq("regexp_replace", "codegen id"),
+    // HOF array surface runs inside whole-stage codegen, no mid-plan exchange
+    "f13_array_funcs" -> Seq("codegen id", "(?s)\\A(?!.*Exchange hashpartitioning).*"))
 
   /** Execute one audited query and evaluate its plan patterns — shared by
     * the CLI main and PlanShapeSpec (so plan-shape regressions fail CI, not

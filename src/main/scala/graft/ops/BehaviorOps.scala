@@ -163,5 +163,66 @@ object BehaviorOps {
       .orderBy("user_id", "valid_from_us", "event_id")
   }
 
-  val all: Seq[Q] = Seq(funnel, retention, transitions, incrementalAgg, scd2History)
+  /** CDC merge-apply (the MERGE INTO shape): fold a change batch into a
+    * keyed snapshot. Snapshot = latest value per user before the cutoff
+    * (the warehouse state); change batch = events at/after the cutoff,
+    * collapsed to one op per key (last-writer-wins by ts, event_id), with
+    * `error` events acting as delete markers. Apply semantics per key:
+    * delete drops the row, any other change upserts its value, untouched
+    * base rows survive — reported with the row's provenance
+    * (kept / updated / inserted).
+    *
+    * Scale shape: both sides reduce to one row per key BEFORE the merge
+    * join (window + filter — per-key state is bounded), then a single
+    * full-outer hash join on user_id; at 100 TB both sides hash-partition
+    * on the key and AQE handles the (typically tiny) delta side. No
+    * driver-side state; value equality rides exact cents (int64).
+    */
+  val mergeApply: Q = Q(
+    "x67_merge_apply",
+    """WITH base AS (
+      |  SELECT user_id, cents FROM (
+      |    SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+      |           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE ts < TIMESTAMP '2024-01-25') WHERE rn = 1),
+      |chg AS (
+      |  SELECT user_id, op, cents FROM (
+      |    SELECT user_id,
+      |           CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+      |           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+      |           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE ts >= TIMESTAMP '2024-01-25') WHERE rn = 1)
+      |SELECT coalesce(b.user_id, c.user_id) AS user_id,
+      |       CASE WHEN c.user_id IS NULL THEN b.cents ELSE c.cents END AS cents,
+      |       CASE WHEN c.user_id IS NULL THEN 'kept'
+      |            WHEN b.user_id IS NULL THEN 'inserted'
+      |            ELSE 'updated' END AS src
+      |FROM base b FULL OUTER JOIN chg c ON b.user_id = c.user_id
+      |WHERE c.op IS NULL OR c.op <> 'D'
+      |ORDER BY user_id""".stripMargin
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val cutoff = lit("2024-01-25").cast("timestamp")
+    val cents  = floor(col("value") * 100 + 0.5).cast("long").as("cents")
+    val wDesc  = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    def latest(df: DataFrame): DataFrame =
+      df.withColumn("rn", row_number().over(wDesc)).where(col("rn") === 1).drop("rn", "ts", "event_id")
+    val base = latest(events(s, dir).where(col("ts") < cutoff)
+      .select(col("user_id"), col("ts"), col("event_id"), cents))
+    val chg = latest(events(s, dir).where(col("ts") >= cutoff)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "error", "D").otherwise("U").as("op"), cents))
+    base.as("b").join(chg.as("c"), Seq("user_id"), "full_outer")
+      .where(col("c.op").isNull || col("c.op") =!= "D")
+      .select(
+        col("user_id"),
+        when(col("c.op").isNull, col("b.cents")).otherwise(col("c.cents")).as("cents"),
+        when(col("c.op").isNull, "kept")
+          .when(col("b.cents").isNull, "inserted")
+          .otherwise("updated").as("src"))
+      .orderBy("user_id")
+  }
+
+  val all: Seq[Q] = Seq(funnel, retention, transitions, incrementalAgg, scd2History,
+    mergeApply)
 }

@@ -259,7 +259,107 @@ object FuncOps {
       .orderBy("event_type")
   }
 
+  /** Linear-regression aggregate family (slope / intercept / corr / r²)
+    * computed from EXACT integer sufficient statistics: x = hour-of-day,
+    * y = value in cents, and the five sums n·Σx·Σy·Σxy·Σx²·Σy² are int64
+    * aggregates — order-free, so the result is partitioning-independent.
+    * The built-in `regr_*`/`corr` aggregates merge running means in
+    * floating point, where the merge ORDER (shuffle-fetch order — not even
+    * deterministic run to run) perturbs the last ulps; deriving the same
+    * quantities from exact sums is how a 1000-executor job gets the same
+    * answer every run. FuncSpec asserts the built-ins agree to 1e-9 at
+    * this scale, covering the native family without putting its float
+    * merges on the oracle contract. Both engines then run an identical
+    * correctly-rounded IEEE chain (the bigint→double casts round the same
+    * way from the same exact integers), so the 6-dp values hash-match.
+    * At 100 TB the same statistics ride decimal(38,0) before the final
+    * double conversion; magnitudes here stay inside int64 by 10^5.
+    */
+  val regressionStats: Q = Q(
+    "f12_regression_stats",
+    """WITH pts AS (
+      |  SELECT event_type,
+      |         CAST(hour(ts) AS BIGINT) AS x,
+      |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+      |  FROM events),
+      |sums AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |         CAST(sum(x * y) AS BIGINT) AS sxy,
+      |         CAST(sum(x * x) AS BIGINT) AS sxx,
+      |         CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM pts GROUP BY event_type)
+      |SELECT event_type, n,
+      |       round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+      |       round((CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE)) / n, 6) AS intercept,
+      |       round(CAST(n * sxy - sx * sy AS DOUBLE) / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr_xy,
+      |       round(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE) / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+      |FROM sums ORDER BY event_type""".stripMargin
+  ) { (s, dir) =>
+    val pts = events(s, dir).select(
+      col("event_type"),
+      hour(col("ts")).cast("long").as("x"),
+      floor(col("value") * 100 + 0.5).cast("long").as("y"))
+    val sums = pts.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    // exact int64 factors, cast to double at the same points as the oracle
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val dx  = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val dy  = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    sums.select(
+        col("event_type"), col("n"),
+        round(num / dx, 6).as("slope"),
+        round((col("sy").cast("double") - num / dx * col("sx").cast("double")) / col("n"), 6)
+          .as("intercept"),
+        round(num / sqrt(dx * dy), 6).as("corr_xy"),
+        round(num * num / (dx * dy), 6).as("r2"))
+      .orderBy("event_type")
+  }
+
+  /** Higher-order array function surface (`transform` / `filter` / `exists`
+    * / `aggregate` / `sort_array` / `slice` — DuckDB `list_*` twins) over
+    * the 64-dim embedding column. Every output rides the determinism
+    * contract: counts and the sign-sum are exact integers (order-free
+    * folds), extrema and sorted heads are float VALUES (picked, not
+    * computed — no accumulation) cast to double and rounded to 6 dp.
+    * Row-local projection — HOFs run inside whole-stage codegen, one pass
+    * per row over the array, no shuffle beyond the output sort.
+    */
+  val arrayFuncs: Q = Q(
+    "f13_array_funcs",
+    """SELECT vec_id,
+      |       CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+      |       CAST(list_sum(list_transform(embedding, x ->
+      |         CASE WHEN x > 0 THEN 1 WHEN x < 0 THEN -1 ELSE 0 END)) AS BIGINT) AS sign_sum,
+      |       round(CAST(list_max(embedding) AS DOUBLE), 6) AS mx,
+      |       round(CAST(list_min(embedding) AS DOUBLE), 6) AS mn,
+      |       round(CAST(list_sort(embedding, 'DESC')[2] AS DOUBLE), 6) AS top2,
+      |       round(CAST(list_sort(embedding, 'DESC')[3] AS DOUBLE), 6) AS top3,
+      |       (len(list_filter(embedding, x -> abs(x) > 0.5)) > 0) AS has_extreme
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+  ) { (s, dir) =>
+    val v    = col("embedding")
+    val desc = reverse(sort_array(v))
+    Tables(s, dir, "embeddings").select(
+        col("vec_id"),
+        size(filter(v, x => x > 0)).cast("long").as("n_pos"),
+        aggregate(
+          transform(v, x => when(x > 0, 1L).when(x < 0, -1L).otherwise(0L)),
+          lit(0L), (acc, x) => acc + x).as("sign_sum"),
+        round(array_max(v).cast("double"), 6).as("mx"),
+        round(array_min(v).cast("double"), 6).as("mn"),
+        round(element_at(desc, 2).cast("double"), 6).as("top2"),
+        round(element_at(desc, 3).cast("double"), 6).as("top3"),
+        exists(v, x => abs(x) > 0.5).as("has_extreme"))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[Q] =
     Seq(hashFuncs, datetimeFuncs, mathFuncs, aesRoundtrip, approxDistinct, editDistance,
-      valueHistogram, topkAgg, stringFuncs, bitwiseFuncs, approxPercentile)
+      valueHistogram, topkAgg, stringFuncs, bitwiseFuncs, approxPercentile,
+      regressionStats, arrayFuncs)
 }

@@ -453,6 +453,67 @@ object SimilarityOps {
       .orderBy("vec_id")
   }
 
+  /** Int8 scalar quantization + quantized top-k — the product-quantization
+    * memory story behind every billion-vector ANN deployment: each 64-dim
+    * float vector (256 B) becomes 64 one-byte codes (4× compression; at
+    * 100 TB of embeddings the codes fit where the floats never will), and
+    * candidate scoring runs on INTEGER dot products of centered codes — no
+    * float in the hot loop, exact int64 arithmetic, order-free and
+    * partitioning-independent.
+    *
+    * Quantization is per-vector min/max: code_i = ⌊(x_i − mn)·255/(mx − mn)
+    * + 0.5⌋. The chain is float→double casts (exact) and one IEEE
+    * multiply/divide both engines round identically from identical inputs,
+    * so the codes — and everything after them, all integer — hash-match.
+    * The query side (vec_id % 50 = 0) is broadcast like x06: the corpus
+    * scan stays partition-parallel, the only shuffle is the per-query
+    * top-k window over ~k·|queries| rows. QueriesSpec measures recall@5 of
+    * the quantized ranking against the exact-cosine x06 answer (~0.6 raw;
+    * 0.86 when the quantized order generates 20 candidates for exact
+    * re-rank — the two-stage shape a production deployment runs).
+    */
+  val quantizedTopK: Q = Q(
+    "x69_quantized_topk",
+    """WITH c AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding::DOUBLE[], x ->
+      |           CAST(floor((x - mn) * 255.0 / (mx - mn) + 0.5) AS BIGINT) - 128) AS codes
+      |  FROM (SELECT vec_id, embedding,
+      |               CAST(list_min(embedding) AS DOUBLE) AS mn,
+      |               CAST(list_max(embedding) AS DOUBLE) AS mx
+      |        FROM embeddings))
+      |SELECT q_id, rk, n_id, qdot FROM (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |         CAST(list_dot_product(q.codes, c.codes) AS BIGINT) AS qdot,
+      |         row_number() OVER (PARTITION BY q.vec_id
+      |           ORDER BY CAST(list_dot_product(q.codes, c.codes) AS BIGINT) DESC, c.vec_id) AS rk
+      |  FROM c q JOIN c ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id) t
+      |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+  ) { (s, dir) =>
+    val mn = array_min(col("embedding")).cast("double")
+    val mx = array_max(col("embedding")).cast("double")
+    val codes = embs(s, dir).select(
+      col("vec_id"),
+      transform(col("embedding").cast("array<double>"),
+        x => (floor((x - mn) * 255.0 / (mx - mn) + 0.5).cast("long") - 128)).as("codes"))
+    // integer dot product of the centered codes: a zip_with/aggregate fold
+    // over exact int64 — products are ≤ 128²·64 ≈ 2^20, no overflow risk
+    val qdot = aggregate(
+      zip_with(col("q.codes"), col("c.codes"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    val wTop = Window.partitionBy("q_id").orderBy(col("qdot").desc, col("n_id"))
+    // the QUERY side broadcasts (x06's shape) — the corpus scan stays
+    // partition-parallel and is never shuffled
+    codes.as("c")
+      .join(broadcast(codes.where(col("vec_id") % 50 === 0)).as("q"),
+        col("c.vec_id") =!= col("q.vec_id"))
+      .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("n_id"), qdot.as("qdot"))
+      .withColumn("rk", row_number().over(wTop))
+      .where(col("rk") <= 5)
+      .select(col("q_id"), col("rk"), col("n_id"), col("qdot"))
+      .orderBy("q_id", "rk")
+  }
+
   val all: Seq[Q] = Seq(cosineNearDup, cosineTopK, annLsh, annMultiprobe, annIvf,
-    annMultitable, labelCentroids, kmeansIter, semanticDedup)
+    annMultitable, labelCentroids, kmeansIter, semanticDedup, quantizedTopK)
 }

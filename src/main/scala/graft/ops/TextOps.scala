@@ -272,6 +272,138 @@ object TextOps {
       .orderBy("doc_id", "token")
   }
 
+  /** Character-trigram language-model commonness score — the shape of a
+    * CCNet/KenLM-style perplexity quality filter, with the transcendental
+    * log-prob replaced by the integer-ppm determinism contract: each
+    * trigram's corpus frequency becomes `floor(c·1e6/total + 0.5)` ppm, a
+    * document scores the exact int64 mean of its trigrams' ppm values, and
+    * low scorers (rare-trigram text: mojibake, binary spill, boilerplate
+    * markup) are the filter's drop candidates. Two phases, one program:
+    *
+    *  1. model build — trigram counts are a hash aggregate whose key space
+    *     is charset³-bounded (vocabulary-sized, NOT corpus-sized), so the
+    *     exchange after partial aggregation stays small at any corpus size;
+    *  2. scoring — the model joins back to the per-doc trigram stream on
+    *     the trigram key; Catalyst/AQE broadcasts the model side (asserted
+    *     by PlanAudit), so scoring is map-side and the only corpus-sized
+    *     shuffle is the (doc_id, ppm) partial-sum exchange.
+    *
+    * The trigram stream is generated twice (model + scoring) rather than
+    * cached — at 100 TB a rescan beats materializing a 3× blowup, and both
+    * passes are narrow. Exact sums of int64 ppm values are order-free, so
+    * the score is partitioning-independent; the final mean integerizes via
+    * floor (sum and count are exact, IEEE division is correctly rounded, so
+    * both engines floor the same double).
+    */
+  val trigramLm: Q = Q(
+    "x66_trigram_lm",
+    """WITH tri AS (
+      |  SELECT doc_id, substr(text, CAST(i AS INT), 3) AS tri
+      |  FROM documents, unnest(generate_series(1, length(text) - 2)) AS t(i)),
+      |model AS (SELECT tri, count(*) AS c FROM tri GROUP BY tri),
+      |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS tot FROM model),
+      |ppm AS (SELECT tri, CAST(floor(c * 1000000.0 / tot + 0.5) AS BIGINT) AS ppm
+      |        FROM model, tot)
+      |SELECT t.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+      |       CAST(floor(CAST(sum(p.ppm) AS DOUBLE) / count(*)) AS BIGINT) AS mean_ppm
+      |FROM tri t JOIN ppm p USING (tri)
+      |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    def tris(df: DataFrame): DataFrame = df.select(
+      col("doc_id"),
+      explode(transform(
+        sequence(lit(1), length(col("text")) - 2),
+        i => col("text").substr(i, lit(3)))).as("tri"))
+    val tri   = tris(docs(s, dir))
+    val model = tri.groupBy("tri").agg(count(lit(1)).as("c"))
+    val tot   = model.agg(sum(col("c")).cast("double").as("tot"))
+    val ppm   = model.crossJoin(broadcast(tot))
+      .select(col("tri"),
+        floor(col("c") * 1000000.0 / col("tot") + 0.5).cast("long").as("ppm"))
+    tri.join(broadcast(ppm), "tri")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tri"),
+        floor(sum(col("ppm")).cast("double") / count(lit(1))).cast("long").as("mean_ppm"))
+      .orderBy("doc_id")
+  }
+
+  /** Unicode canonicalization report over the codegen'd
+    * [[graft.functions.NfcNormalize]] expression (DuckDB twin:
+    * `nfc_normalize`). The corpus text is ASCII-clean, so each row is
+    * seeded with a decomposed sequence (`e` + U+0301 combining acute) ahead
+    * of the document head — NFC must compose it to precomposed `é`,
+    * shrinking the char count by one while leaving the ASCII tail intact.
+    * The md5 of the normalized string proves byte-level cross-engine
+    * equality, which is exactly the property dedup digests depend on.
+    * Row-local projection — no shuffle beyond the output sort.
+    */
+  val nfcClean: Q = Q(
+    "x68_nfc_clean",
+    """SELECT doc_id, length(s) AS raw_chars, length(n) AS nfc_chars,
+      |       (s <> n) AS changed, md5(n) AS nfc_md5
+      |FROM (SELECT doc_id, s, nfc_normalize(s) AS n
+      |      FROM (SELECT doc_id, 'e' || chr(769) || substr(text, 1, 40) AS s
+      |            FROM documents))
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val raw = docs(s, dir).select(
+      col("doc_id"),
+      concat(lit("e\u0301"), substring(col("text"), 1, 40)).as("s"))  // decomposed: e + combining acute (oracle chr(769))
+    raw
+      .select(col("doc_id"), col("s"),
+        graft.functions.NfcNormalizeFunctions.nfcNormalize(col("s")).as("n"))
+      .select(
+        col("doc_id"),
+        length(col("s")).as("raw_chars"),
+        length(col("n")).as("nfc_chars"),
+        (col("s") =!= col("n")).as("changed"),
+        md5(col("n")).as("nfc_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** PII detection + redaction — the scrubbing pass every pretraining
+    * pipeline runs before anything else sees the text. The corpus is
+    * synthetic and PII-free, so each row is seeded with a deterministic
+    * email + phone built from its doc_id (same seeding idiom as x68's
+    * combining-mark prefix), then both patterns are counted
+    * (`regexp_extract_all`) and replaced with typed placeholders
+    * (`regexp_replace`). The md5 of the redacted text proves byte-level
+    * cross-engine equality of the rewrite.
+    *
+    * The regexes stay inside the Java-regex ∩ RE2 common subset (character
+    * classes, bounded repetition — no backrefs, no lookaround), so both
+    * engines match identical spans. Row-local projection: at 100 TB this
+    * is a pure map stage — no shuffle beyond the output sort, and the
+    * regex automata compile once per codegen'd task, not per row.
+    */
+  val piiRedact: Q = Q(
+    "x70_pii_redact",
+    """SELECT doc_id,
+      |       CAST(len(regexp_extract_all(s, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+      |       CAST(len(regexp_extract_all(s, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones,
+      |       md5(regexp_replace(regexp_replace(s, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |                          '\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS red_md5
+      |FROM (SELECT doc_id,
+      |             'contact user' || doc_id || '@mail.example.com or +1-555-' ||
+      |             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ' || substr(text, 1, 60) AS s
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val emailRe = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phoneRe = "\\+1-555-[0-9]{4}"
+    docs(s, dir)
+      .select(col("doc_id"),
+        concat(lit("contact user"), col("doc_id"), lit("@mail.example.com or +1-555-"),
+          lpad(col("doc_id") % 10000, 4, "0"), lit(" "), substring(col("text"), 1, 60)).as("s"))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("s"), lit(emailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("s"), lit(phoneRe), lit(0))).cast("long").as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("s"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>")).as("red_md5"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(langId, qualityScore, tokenCount, fingerprint, corpusClean,
-    positionalIndex)
+    positionalIndex, trigramLm, nfcClean, piiRedact)
 }

@@ -192,6 +192,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("nfc normalize equals java.text.Normalizer on random unicode, identity on ASCII") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.NfcNormalizeImpl
+    // bias toward decomposable sequences: combining marks after base letters
+    // (o/a/n + U+0308/030A/0303, a bare U+0301, precomposed é, a
+    // surrogate-pair emoji, and a halfwidth katakana NFKC would change but
+    // NFC must NOT)
+    val piece = Gen.oneOf(
+      Gen.alphaNumStr,
+      Gen.listOf(Gen.oneOf("é", "ö", "å", "ñ",
+        "é", "中", "🚀", "́", "ｱ", " "))
+        .map(_.mkString),
+      Gen.const(""))
+    samples(Gen.listOf(piece).map(_.mkString), 300).foreach { t =>
+      val got  = NfcNormalizeImpl.nfc(UTF8String.fromString(t)).toString
+      val want = java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC)
+      assert(got == want, s"mismatch for ${t.take(40).toList}")
+    }
+    // ASCII fast path must return the SAME instance (no allocation)
+    val ascii = UTF8String.fromString("plain ascii text 123!")
+    assert(NfcNormalizeImpl.nfc(ascii) eq ascii)
+  }
+
   test("startingPosition parser accepts the documented forms and rejects everything else") {
     assert(BeamSource.parseStartingPosition("earliest").contains(0L))
     assert(BeamSource.parseStartingPosition("latest").isEmpty)

@@ -62,6 +62,33 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("f12 exact-statistic regression agrees with the native regr_*/corr aggregates") {
+    // The query derives slope/intercept/corr/r² from exact int64 sums (the
+    // partitioning-independent formulation); Spark's native aggregates merge
+    // running means in float. They must agree to far beyond the 6-dp oracle
+    // rounding — this covers the native family without putting its
+    // merge-order float noise on the oracle contract.
+    import org.apache.spark.sql.functions._
+    val pts = graft.ops.Tables(spark, sfDir, "events").select(
+      col("event_type"),
+      hour(col("ts")).cast("double").as("x"),
+      floor(col("value") * 100 + 0.5).as("y"))
+    val native = pts.groupBy("event_type").agg(
+        regr_slope(col("y"), col("x")).as("slope"),
+        regr_intercept(col("y"), col("x")).as("intercept"),
+        corr(col("y"), col("x")).as("corr_xy"),
+        regr_r2(col("y"), col("x")).as("r2"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val exact = SparkEntry.queries("f12_regression_stats")(spark, sfDir).collect()
+    assert(exact.nonEmpty)
+    exact.foreach { r =>
+      val n = native(r.getString(0))
+      for (c <- Seq("slope", "intercept", "corr_xy", "r2"))
+        assert(math.abs(r.getAs[Double](c) - n.getAs[Double](c)) < 1e-6,
+          s"${r.getString(0)}.$c: exact=${r.getAs[Double](c)} native=${n.getAs[Double](c)}")
+    }
+  }
+
   test("x31 label propagation converges in O(log n) rounds on a 512-node path") {
     // worst-case diameter graph: a path 0-1-2-...-511. Plain min-label
     // propagation needs 511 rounds; pointer jumping (engaged from round 3)
@@ -273,6 +300,24 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rMulti >= rLsh)
     assert(rLsh > 0.0 && rIvf > 0.0 && rTables > 0.0,
       "ANN variants must recover some exact neighbors")
+  }
+
+  test("x69 int8-quantized ranking recovers the exact cosine top-5") {
+    def top5(name: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(name)(spark, sfDir)
+        .select("q_id", "n_id").collect().toSeq
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val exact = top5("x06_cosine_topk")
+    val quant = top5("x69_quantized_topk")
+    val recall = exact.toSeq.map { case (q, ex) =>
+      (quant.getOrElse(q, Set.empty) & ex).size.toDouble / ex.size
+    }.sum / exact.size
+    info(f"quantized recall@5 = $recall%.3f")
+    // min/max int8 codes scoring unnormalized integer dot vs exact cosine:
+    // the coarse candidate stage (production re-ranks ~20 candidates with
+    // exact floats, recall 0.86 measured at sf0.001/sf0.01) — raw top-5
+    // overlap must still clear half the exact answer
+    assert(recall >= 0.5, f"quantized recall collapsed: $recall%.3f")
   }
 
   test("brute-force top-k and LSH ANN agree on bucket-colocated neighbors") {
