@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BigramStats, DocFingerprint, DotF32, NfcNormalize, SimHash32}
+import graft.functions.{BigramStats, CharNgrams, DocFingerprint, DotF32, NfcNormalize, SimHash32}
 
 /** Session extension wiring (SURVEY.md §4.2): registers the engine's custom
   * expressions so SQL users get them too:
@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.docFingerprintDescriptor)
     e.injectFunction(GraftExtensions.bigramStatsDescriptor)
     e.injectFunction(GraftExtensions.nfcNormalizeDescriptor)
+    e.injectFunction(GraftExtensions.charNgramsDescriptor)
   }
 }
 
@@ -72,6 +73,21 @@ object GraftExtensions {
     new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
     arity("nfc_normalize", 1)(children => NfcNormalize(children.head)))
 
+  private[graft] val charNgramsDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("char_ngrams"),
+    new ExpressionInfo(classOf[CharNgrams].getName, "char_ngrams"),
+    arity("char_ngrams", 2)(children => children(1) match {
+      // n must be a compile-time constant: it parameterizes the generated
+      // code, so a non-foldable second argument is an analysis error
+      case e if e.foldable && (e.dataType == org.apache.spark.sql.types.IntegerType ||
+          e.dataType == org.apache.spark.sql.types.LongType ||
+          e.dataType == org.apache.spark.sql.types.ShortType) =>
+        CharNgrams(children.head, e.eval().toString.toInt)
+      case _ => throw new IllegalArgumentException(
+        "char_ngrams(text, n): n must be an integer literal")
+    }))
+
   /** Late registration into an already-built session (e.g. one handed to us
     * by a host process that didn't set `spark.sql.extensions`). SessionState
     * is `private[sql]` in Scala but public in bytecode — same reflective
@@ -86,7 +102,8 @@ object GraftExtensions {
       Seq(("dot_f32", dotF32Descriptor._3), ("simhash32", simhash32Descriptor._3),
           ("doc_fingerprint", docFingerprintDescriptor._3),
           ("bigram_stats", bigramStatsDescriptor._3),
-          ("nfc_normalize", nfcNormalizeDescriptor._3))
+          ("nfc_normalize", nfcNormalizeDescriptor._3),
+          ("char_ngrams", charNgramsDescriptor._3))
         .foreach { case (name, builder) => m.invoke(reg, name, builder, "scala_udf") }
       true
     } catch { case _: Throwable => false }

@@ -82,7 +82,7 @@ object PlanAudit {
     "x61_salted_join" -> Seq("SortMergeJoin|ShuffledHashJoin", "d_salt"),
     // trigram LM: the vocabulary-sized ppm model must broadcast into the
     // scoring join — the corpus-sized trigram stream never shuffles on tri
-    "x66_trigram_lm" -> Seq("BroadcastHashJoin", "BroadcastExchange"),
+    "x66_trigram_lm" -> Seq("BroadcastHashJoin", "BroadcastExchange", "char_ngrams"),
     // CDC merge: one full-outer equi join on the key, never a nested loop
     "x67_merge_apply" -> Seq("FullOuter", "(SortMergeJoin|ShuffledHashJoin)"),
     // NFC canonicalization is a codegen'd row-local projection
@@ -93,7 +93,16 @@ object PlanAudit {
     // PII redaction is a codegen'd row-local regex projection
     "x70_pii_redact" -> Seq("regexp_replace", "codegen id"),
     // HOF array surface runs inside whole-stage codegen, no mid-plan exchange
-    "f13_array_funcs" -> Seq("codegen id", "(?s)\\A(?!.*Exchange hashpartitioning).*"))
+    "f13_array_funcs" -> Seq("codegen id", "(?s)\\A(?!.*Exchange hashpartitioning).*"),
+    // gap fill: the user×day grid builds from a BROADCAST day dimension;
+    // the LOCF fill is a window, not a self-join
+    "x71_gap_fill" -> Seq("BroadcastExchange", "Window"),
+    // trailing-7-day actives: the day dimension broadcasts into the range
+    // join — the distinct (user, day) activity set never shuffles for it
+    "x72_cumulative_uniques" -> Seq("BroadcastNestedLoopJoin", "BroadcastExchange"),
+    // OOV scoring: vocab is a TakeOrdered top-k that BROADCASTS into the
+    // token stream — the corpus side never shuffles on the token key
+    "x73_oov_rate" -> Seq("TakeOrderedAndProject", "BroadcastHashJoin"))
 
   /** Execute one audited query and evaluate its plan patterns — shared by
     * the CLI main and PlanShapeSpec (so plan-shape regressions fail CI, not

@@ -223,6 +223,115 @@ object BehaviorOps {
       .orderBy("user_id")
   }
 
+  /** Time-series gap filling with last-observation-carried-forward — the
+    * densification step in front of any daily-metric join (a sparse event
+    * stream becomes a dense per-user daily series a warehouse can join by
+    * (user, day) without null surprises). Per user and day the LAST value
+    * wins (ts, event_id order); the user×day grid is generated from the
+    * observed global date span, and gaps fill from the most recent prior
+    * observation (`last(..., ignoreNulls)` ↔ DuckDB `last_value(x IGNORE
+    * NULLS)`). Days before a user's first observation have nothing to
+    * carry — they surface as -1 with `filled = true`.
+    *
+    * Scale shape: the daily collapse is one (user, day)-keyed window over
+    * data partitioned by user; the grid is |users| × |days| — a dimension
+    * product, NOT corpus-sized — built from a broadcast 1-row span; the
+    * LOCF window re-uses the user partitioning. Users are sampled (% 20)
+    * only to keep the declared result compact.
+    */
+  val gapFill: Q = Q(
+    "x71_gap_fill",
+    """WITH daily AS (
+      |  SELECT user_id, day, cents FROM (
+      |    SELECT user_id, CAST(ts AS DATE) AS day,
+      |           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+      |           row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+      |             ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE user_id % 20 = 0) WHERE rn = 1),
+      |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+      |days AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+      |grid AS (SELECT u.user_id, d.day
+      |         FROM (SELECT DISTINCT user_id FROM daily) u CROSS JOIN days d)
+      |SELECT user_id, day, coalesce(locf, -1) AS cents_locf, filled FROM (
+      |  SELECT g.user_id, g.day,
+      |         last_value(daily.cents IGNORE NULLS) OVER (PARTITION BY g.user_id
+      |           ORDER BY g.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf,
+      |         (daily.cents IS NULL) AS filled
+      |  FROM grid g LEFT JOIN daily ON g.user_id = daily.user_id AND g.day = daily.day)
+      |ORDER BY user_id, day""".stripMargin
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val wDay = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val daily = events(s, dir).where(col("user_id") % 20 === 0)
+      .select(col("user_id"), col("ts").cast("date").as("day"), col("ts"), col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .withColumn("rn", row_number().over(wDay)).where(col("rn") === 1)
+      .select("user_id", "day", "cents")
+    val span = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val days = broadcast(span)
+      .select(explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val grid = daily.select("user_id").distinct().crossJoin(broadcast(days))
+    val wLocf = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        last(col("cents"), ignoreNulls = true).over(wLocf).as("locf"),
+        col("cents").isNull.as("filled"))
+      .select(col("user_id"), col("day"),
+        coalesce(col("locf"), lit(-1L)).as("cents_locf"), col("filled"))
+      .orderBy("user_id", "day")
+  }
+
+  /** Daily audience accounting: new users (first-ever-seen that day), the
+    * running cumulative distinct-user count, daily actives, and the
+    * trailing-7-day active count. The running distinct is computed the
+    * incremental way — min(first day) per user, then a cumulative sum of
+    * per-day news — NOT count(DISTINCT) over a growing frame, which would
+    * hold unbounded per-frame state. The 7-day active rides a range join
+    * of the distinct (user, day) set against the tiny day dimension (≤ 7
+    * probe days per activity row). Everything after the (user, day)
+    * distinct is day-keyed — at 100 TB the only corpus-sized exchange is
+    * that first dedup.
+    */
+  val cumulativeUniques: Q = Q(
+    "x72_cumulative_uniques",
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |fs AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY user_id),
+      |nw AS (SELECT first_day AS day, CAST(count(*) AS BIGINT) AS n_new FROM fs GROUP BY 1),
+      |act AS (SELECT day, CAST(count(*) AS BIGINT) AS n_active FROM ud GROUP BY day),
+      |r7 AS (SELECT act.day, CAST(count(DISTINCT ud.user_id) AS BIGINT) AS active_7d
+      |       FROM act JOIN ud ON ud.day BETWEEN act.day - INTERVAL 6 DAY AND act.day
+      |       GROUP BY act.day)
+      |SELECT act.day, coalesce(nw.n_new, 0) AS n_new,
+      |       CAST(sum(coalesce(nw.n_new, 0)) OVER (ORDER BY act.day
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users,
+      |       act.n_active, r7.active_7d
+      |FROM act LEFT JOIN nw ON act.day = nw.day JOIN r7 ON act.day = r7.day
+      |ORDER BY act.day""".stripMargin
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val ud = events(s, dir)
+      .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+    val nw = ud.groupBy("user_id").agg(min(col("day")).as("first_day"))
+      .groupBy(col("first_day").as("day")).agg(count(lit(1)).as("n_new"))
+    val act = ud.groupBy("day").agg(count(lit(1)).as("n_active"))
+    val r7 = broadcast(act.select(col("day").as("d")))
+      .join(ud, col("day").between(col("d") - expr("interval 6 day"), col("d")))
+      .groupBy(col("d").as("day"))
+      .agg(countDistinct(col("user_id")).as("active_7d"))
+    // the cumulative window runs over the POST-AGGREGATE day table (one row
+    // per day) — a single-partition window over a dimension, not the corpus
+    val wCum = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    act.join(nw, Seq("day"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("cum_users", sum(col("n_new")).over(wCum).cast("long"))
+      .join(r7, "day")
+      .select("day", "n_new", "cum_users", "n_active", "active_7d")
+      .orderBy("day")
+  }
+
   val all: Seq[Q] = Seq(funnel, retention, transitions, incrementalAgg, scd2History,
-    mergeApply)
+    mergeApply, gapFill, cumulativeUniques)
 }

@@ -351,6 +351,48 @@ object CorpusStatsOps {
       .orderBy("lang", "decile")
   }
 
+  /** Tokenizer-vocabulary coverage: per-document out-of-vocabulary rate
+    * against the corpus's own top-1000 token vocabulary (frequency desc,
+    * token asc tie-break — deterministic on both engines). The pretraining
+    * question this answers: "how much of each document will a fixed vocab
+    * shatter into unknowns?" — the gate for vocab sizing and for routing
+    * documents to byte-fallback tokenization.
+    *
+    * Scale shape: the vocabulary build aggregates the token stream to
+    * vocabulary-sized counts (the x66 argument — key space bounded by the
+    * lexicon, not the corpus), then a sort-limit keeps 1000 rows
+    * (TakeOrdered, no global sort of the corpus); the vocab BROADCASTS
+    * into a left join against the token stream, so scoring is map-side —
+    * the corpus-sized stream never shuffles on the token key. The per-doc
+    * rollup is the only corpus-scale exchange, moving (doc_id, counts).
+    */
+  val oovRate: Q = Q(
+    "x73_oov_rate",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |vocab AS (SELECT token FROM (
+      |  SELECT token, count(*) AS c FROM tok GROUP BY token
+      |  ORDER BY c DESC, token LIMIT 1000)),
+      |hits AS (SELECT t.doc_id, CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+      |         FROM tok t LEFT JOIN vocab v ON t.token = v.token)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |       CAST(sum(oov) AS BIGINT) AS n_oov,
+      |       CAST(sum(oov) * 1000000 // count(*) AS BIGINT) AS oov_ppm
+      |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val tok = docs(s, dir).select(col("doc_id"), explode(ws).as("token"))
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token")).limit(1000)
+      .select(col("token"), lit(1).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ppm", expr("n_oov * 1000000 div n_tokens"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(tfidfTopTerms, bigramLift, sourceOverlap, mixtureSample,
-    typeToken, lenQuartiles, invertedIndex, madOutliers, stopwordIndex, lenDeciles)
+    typeToken, lenQuartiles, invertedIndex, madOutliers, stopwordIndex, lenDeciles,
+    oovRate)
 }

@@ -309,11 +309,13 @@ object TextOps {
       |FROM tri t JOIN ppm p USING (tri)
       |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin
   ) { (s, dir) =>
+    // one-pass codegen generator ([[graft.functions.CharNgrams]]): the HOF
+    // substr-per-position formulation re-walks the string from byte 0 for
+    // every index (UTF8String char indexing is linear) — O(len²) on the
+    // heavy-tailed documents that dominate a real corpus pass
     def tris(df: DataFrame): DataFrame = df.select(
       col("doc_id"),
-      explode(transform(
-        sequence(lit(1), length(col("text")) - 2),
-        i => col("text").substr(i, lit(3)))).as("tri"))
+      explode(graft.functions.CharNgramsFunctions.charNgrams(col("text"), 3)).as("tri"))
     val tri   = tris(docs(s, dir))
     val model = tri.groupBy("tri").agg(count(lit(1)).as("c"))
     val tot   = model.agg(sum(col("c")).cast("double").as("tot"))

@@ -215,6 +215,28 @@ class PropertySpec extends AnyFunSuite {
     assert(NfcNormalizeImpl.nfc(ascii) eq ascii)
   }
 
+  test("char_ngrams equals the substring formulation on random unicode") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.CharNgramsImpl
+    val piece = Gen.oneOf(
+      Gen.alphaNumStr,
+      Gen.listOf(Gen.oneOf("é", "中", "🚀", "ｱ", " ", "ab"))
+        .map(_.mkString),
+      Gen.const(""))
+    for (n <- Seq(1, 2, 3, 5)) {
+      samples(Gen.listOf(piece).map(_.mkString), 200).foreach { t =>
+        val got = CharNgramsImpl.ngrams(UTF8String.fromString(t), n)
+          .toObjectArray(org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+        // reference: code-point substrings (what substr(i, n) computes)
+        val cps  = t.codePoints().toArray
+        val want =
+          if (cps.length < n) Seq.empty
+          else (0 to cps.length - n).map(i => new String(cps, i, n))
+        assert(got == want, s"n=$n mismatch for ${t.take(40).toList}")
+      }
+    }
+  }
+
   test("startingPosition parser accepts the documented forms and rejects everything else") {
     assert(BeamSource.parseStartingPosition("earliest").contains(0L))
     assert(BeamSource.parseStartingPosition("latest").isEmpty)
