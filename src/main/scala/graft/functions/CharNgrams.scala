@@ -87,7 +87,12 @@ object CharNgramsFunctions {
   def charNgrams(text: Column, n: Int): Column =
     GraftFunctions.liftUnary(text, e => CharNgrams(e, n)).getOrElse {
       import org.apache.spark.sql.functions._
-      transform(sequence(lit(1), length(text) - (n - 1)),
-        i => text.substr(i, lit(n)))
+      // the short-string guard is part of the contract: without it
+      // sequence(1, len-(n-1)) DESCENDS for len < n (Spark defaults the
+      // step to -1 when start > stop) and emits garbage grams
+      when(length(text) >= n,
+        transform(sequence(lit(1), length(text) - (n - 1)),
+          i => text.substr(i, lit(n))))
+        .otherwise(array().cast("array<string>"))
     }
 }

@@ -50,12 +50,13 @@ object NfcNormalizeImpl {
 
   def nfc(s: UTF8String): UTF8String = {
     // ASCII fast path: NFC never changes pure-ASCII text, and web corpora
-    // are overwhelmingly ASCII — skip the String round-trip for those rows.
-    val bytes = s.getBytes
+    // are overwhelmingly ASCII — scan in place via getByte (getBytes would
+    // COPY the buffer for UnsafeRow-backed strings, defeating the point).
+    val n     = s.numBytes()
     var i     = 0
     var ascii = true
-    while (ascii && i < bytes.length) {
-      if (bytes(i) < 0) ascii = false
+    while (ascii && i < n) {
+      if (s.getByte(i) < 0) ascii = false
       i += 1
     }
     if (ascii) s

@@ -267,7 +267,7 @@ object FuncOps {
     * floating point, where the merge ORDER (shuffle-fetch order — not even
     * deterministic run to run) perturbs the last ulps; deriving the same
     * quantities from exact sums is how a 1000-executor job gets the same
-    * answer every run. FuncSpec asserts the built-ins agree to 1e-9 at
+    * answer every run. QueriesSpec asserts the built-ins agree to 1e-6 at
     * this scale, covering the native family without putting its float
     * merges on the oracle contract. Both engines then run an identical
     * correctly-rounded IEEE chain (the bigint→double casts round the same
