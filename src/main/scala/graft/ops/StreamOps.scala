@@ -399,8 +399,33 @@ object StreamOps {
       .orderBy("bucket")
   }
 
+  /** Watermark-bounded streaming dedup — the 100 TB-safe variant of x18:
+    * `dropDuplicatesWithinWatermark` EVICTS a key's state once the
+    * watermark passes its event time + delay, where x18's plain
+    * `dropDuplicates` keeps every key ever seen (unbounded state on an
+    * unbounded stream; x18 stands as the reference-parity global dedup,
+    * this is the one a production deployment runs). Contract difference,
+    * stated exactly: a duplicate arriving within the 30-minute delay of
+    * its first occurrence is dropped; one arriving later MAY re-emit — the
+    * single-segment test feed delivers every duplicate in one micro-batch,
+    * so the emitted set here is exactly the distinct key set and the
+    * oracle is x18's.
+    */
+  val streamDedupWatermark: Q = Q(
+    "x74_stream_dedup_watermark",
+    """SELECT user_id, event_type FROM (SELECT DISTINCT user_id, event_type FROM events)
+      |ORDER BY user_id, event_type""".stripMargin
+  ) { (s, dir) =>
+    runStream(s, dir, "x74_sink", "append") { ev =>
+      ev.withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select("user_id", "event_type")
+    }.distinct().orderBy("user_id", "event_type")
+  }
+
   val all: Seq[Q] = Seq(
     tumbling, sliding, session, streamTumbling, streamDedup,
     streamWatermark, streamStaticJoin, streamClean, streamFunnel,
-    streamStreamJoin, streamSession, streamStreamLeftOuter)
+    streamStreamJoin, streamSession, streamStreamLeftOuter,
+    streamDedupWatermark)
 }
