@@ -25,6 +25,8 @@ import org.apache.spark.sql.functions._
   */
 object LayoutOps {
 
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "documents")
+
   /** Bit-interleave terms for a 16-bit Morton code, generated once for
     * each dialect from the same loop so the two engines compute
     * identically by construction. Bits are disjoint, so summing the
@@ -120,5 +122,56 @@ object LayoutOps {
       .orderBy("event_type")
   }
 
-  val all: Seq[Q] = Seq(zorderLayout, keySkew, saltedJoin)
+  /** Rendezvous (highest-random-weight) shard placement + the elastic
+    * rebalance audit: every document picks the shard with the highest
+    * md5(doc_id:shard) weight, for an 8-shard and a 9-shard ring, and the
+    * query reports per-shard population plus how many documents MOVE when
+    * the 9th shard joins. Rendezvous hashing's contract — the reason it
+    * beats `hash % N` for 100 TB data placement — is that adding a shard
+    * relocates ONLY the documents whose new argmax IS the new shard
+    * (expected 1/9 of the corpus), where mod-hashing reshuffles ~8/9 of
+    * every byte. The oracle proves the contract cross-engine: n_moved
+    * equals n_docs on shard 8 and is 0 everywhere else (spec-asserted,
+    * with the movement fraction near 1/9).
+    *
+    * Scale shape: placement itself is per-document local compute (17
+    * hashes from a generated shard dimension — production swaps md5 for
+    * xxhash); the rebalance AUDIT joins the two assignment tables on
+    * doc_id — narrow (id, shard) rows, never the documents — and ends in
+    * a 9-row aggregate.
+    */
+  val shardRebalance: Q = Q(
+    "x75_shard_rebalance",
+    """WITH s8 AS (SELECT doc_id, s AS shard FROM (
+      |  SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY md5(doc_id || ':' || s) DESC, s) AS rk
+      |  FROM documents, (SELECT unnest(generate_series(0, 7)) AS s)) WHERE rk = 1),
+      |s9 AS (SELECT doc_id, s AS shard FROM (
+      |  SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY md5(doc_id || ':' || s) DESC, s) AS rk
+      |  FROM documents, (SELECT unnest(generate_series(0, 8)) AS s)) WHERE rk = 1)
+      |SELECT s9.shard, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(CASE WHEN s8.shard <> s9.shard THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+      |FROM s9 JOIN s8 ON s9.doc_id = s8.doc_id
+      |GROUP BY s9.shard ORDER BY s9.shard""".stripMargin
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    def assign(nShards: Int): DataFrame = {
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("weight").desc, col("s"))
+      docs(s, dir).select(col("doc_id"),
+          explode(sequence(lit(0), lit(nShards - 1))).as("s"))
+        .withColumn("weight", md5(concat(col("doc_id"), lit(":"), col("s"))))
+        .withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+        .select(col("doc_id"), col("s").as("shard"))
+    }
+    assign(9).as("s9")
+      .join(assign(8).as("s8"), "doc_id")
+      .groupBy(col("s9.shard").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("s8.shard") =!= col("s9.shard"), 1L).otherwise(0L)).as("n_moved"))
+      .orderBy("shard")
+  }
+
+  val all: Seq[Q] = Seq(zorderLayout, keySkew, saltedJoin, shardRebalance)
 }

@@ -281,8 +281,13 @@ object TextOps {
     * markup) are the filter's drop candidates. Two phases, one program:
     *
     *  1. model build — trigram counts are a hash aggregate whose key space
-    *     is charset³-bounded (vocabulary-sized, NOT corpus-sized), so the
-    *     exchange after partial aggregation stays small at any corpus size;
+    *     is the OBSERVED trigram vocabulary (lexicon-shaped, far below
+    *     corpus row count), so the exchange after partial aggregation is
+    *     small relative to the scan; on a multilingual 100 TB corpus the
+    *     observed vocabulary itself can outgrow a broadcast (CJK trigram
+    *     diversity), in which case the production variant caps the model to
+    *     the top-K trigrams by count — exactly how fixed-size CCNet/KenLM
+    *     models ship — and scores unmatched trigrams at 0 ppm;
     *  2. scoring — the model joins back to the per-doc trigram stream on
     *     the trigram key; Catalyst/AQE broadcasts the model side (asserted
     *     by PlanAudit), so scoring is map-side and the only corpus-sized

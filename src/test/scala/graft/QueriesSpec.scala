@@ -302,6 +302,51 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "ANN variants must recover some exact neighbors")
   }
 
+  test("x71 LOCF fill: every gap day carries the most recent prior value") {
+    val rows = SparkEntry.queries("x71_gap_fill")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, days) =>
+      var prev = -1L
+      days.sortBy(_.getDate(1).toString).foreach { r =>
+        val v      = r.getLong(2)
+        val filled = r.getBoolean(3)
+        if (filled) assert(v == prev, s"gap day must carry prior value: $r")
+        else assert(v != -1L, s"observed day can't be the leading-gap marker: $r")
+        prev = v
+      }
+    }
+  }
+
+  test("x72 audience accounting: cumulative = running sum of news, 7-day actives bound dailies") {
+    val rows = SparkEntry.queries("x72_cumulative_uniques")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    var running = 0L
+    rows.foreach { r =>
+      running += r.getLong(1)
+      assert(r.getLong(2) == running, s"cum_users must be the running sum of n_new: $r")
+      assert(r.getLong(4) >= r.getLong(3), s"trailing-7-day actives can't undercut the day's actives: $r")
+    }
+    // the final cumulative count is the corpus's total distinct users
+    val total = graft.ops.Tables(spark, sfDir, "events")
+      .select("user_id").distinct().count()
+    assert(running == total)
+  }
+
+  test("x75 rendezvous rebalance: documents move ONLY into the new shard, ~1/9 of the corpus") {
+    val rows = SparkEntry.queries("x75_shard_rebalance")(spark, sfDir).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (0 to 8), "all nine shards populated")
+    rows.foreach { r =>
+      val (shard, nDocs, nMoved) = (r.getInt(0), r.getLong(1), r.getLong(2))
+      if (shard == 8) assert(nMoved == nDocs, "every resident of the new shard just moved in")
+      else assert(nMoved == 0L, s"rendezvous must not relocate docs between surviving shards: $r")
+    }
+    val total = rows.map(_.getLong(1)).sum
+    val moved = rows.map(_.getLong(2)).sum
+    val frac  = moved.toDouble / total
+    info(f"moved $moved of $total (${frac * 100}%.1f%% — expected ≈ 11.1%%)")
+    assert(frac > 0.03 && frac < 0.25, f"movement fraction $frac%.3f far from 1/9")
+  }
+
   test("x69 int8-quantized ranking recovers the exact cosine top-5") {
     def top5(name: String): Map[Long, Set[Long]] =
       SparkEntry.queries(name)(spark, sfDir)
