@@ -34,4 +34,43 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
           plan.linesIterator.take(40).mkString("\n"))
     }
   }
+
+  test("runtime bloom-filter pruning injects on a shuffle join with a selective build side") {
+    // At 100 TB the selective-dim ⨝ fact shape runs as a shuffle join with
+    // Catalyst's InjectRuntimeFilter planting a bloom filter on the fact
+    // side — rows that cannot match are dropped BEFORE the exchange. The
+    // production thresholds (10 MB creation side, 10 GB probe side) can
+    // never trip at test scale, so this pins the behavior with the
+    // thresholds scaled down and broadcast disabled; the assertion is that
+    // the optimizer still wires the filter for us at all.
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold"                              -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled"                   -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"     -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val orders = graft.ops.Tables(spark, sfDir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val li = graft.ops.Tables(spark, sfDir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+      val joined = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .agg(sum(col("l_quantity")).as("q"))
+      joined.collect()
+      val plan = joined.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        "broadcast must be disabled for the runtime filter to apply:\n" +
+          plan.linesIterator.take(30).mkString("\n"))
+      assert(plan.toLowerCase.contains("bloomfilter") || plan.contains("might_contain"),
+        "InjectRuntimeFilter did not plant a bloom filter on the probe side:\n" +
+          plan.linesIterator.take(50).mkString("\n"))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
