@@ -565,7 +565,40 @@ object DedupOps {
       .orderBy("lang")
   }
 
+  /** Triangle participation over the LSH candidate graph — the local-density
+    * signal that separates a TEMPLATE FAMILY (boilerplate: members pairwise
+    * similar, so their neighborhoods close into triangles) from a chain of
+    * coincidental pairwise matches (no closure). Per doc: how many
+    * triangles it sits in. Rides the memoized pair lineage like
+    * x31/x47/x55, so the triple join runs over CANDIDATE edges — a set
+    * orders of magnitude below the corpus — with a < b < c canonical
+    * orientation making each triangle counted exactly once.
+    */
+  val triangleCount: Q = Q(
+    "x77_triangle_count",
+    s"""WITH pairs AS ($lshPairsSql),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+       |tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+       |        FROM e e1 JOIN e e2 ON e1.b = e2.a
+       |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |m AS (SELECT a AS doc_id FROM tri
+       |      UNION ALL SELECT b FROM tri
+       |      UNION ALL SELECT c FROM tri)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+       |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val e = lshCandidatePairs(s, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"), col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(exactDedup, minhashLsh, simhash, ngramJaccard, dupClusters, pagerank, splitLeakage,
-      canonicalPick, curationPipeline)
+      canonicalPick, curationPipeline, triangleCount)
 }

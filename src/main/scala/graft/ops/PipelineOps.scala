@@ -241,6 +241,38 @@ object PipelineOps {
       .orderBy("fk")
   }
 
+  /** Temperature-weighted domain mixture (α = 0.5): per-source sampling
+    * weights ∝ n^α instead of ∝ n — the standard up-weighting of small
+    * domains when mixing corpora for pretraining (raw proportional
+    * sampling lets one giant crawl drown every curated source). Both
+    * weight columns ride the integer-ppm contract: sqrt is a single
+    * correctly-rounded IEEE op on an exact integer (identical in both
+    * engines), integerized to milli-units BEFORE the ratio, so the ppm
+    * division is exact int64 arithmetic — no float accumulation anywhere.
+    * One vocabulary-of-sources-sized aggregate; the totals broadcast back
+    * as a 1-row dimension.
+    */
+  val temperatureMix: Q = Q(
+    "x76_temperature_mix",
+    """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source),
+      |s AS (SELECT source, n,
+      |             CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS sq FROM c),
+      |t AS (SELECT CAST(sum(sq) AS BIGINT) AS tot_sq, CAST(sum(n) AS BIGINT) AS tot_n FROM s)
+      |SELECT source, n AS n_docs,
+      |       CAST(n * 1000000 // tot_n AS BIGINT) AS w_raw_ppm,
+      |       CAST(sq * 1000000 // tot_sq AS BIGINT) AS w_temp_ppm
+      |FROM s, t ORDER BY source""".stripMargin
+  ) { (s, dir) =>
+    val cnt = docs(s, dir).groupBy("source").agg(count(lit(1)).as("n"))
+      .withColumn("sq", floor(sqrt(col("n").cast("double")) * 1000 + 0.5).cast("long"))
+    val tot = cnt.agg(sum(col("sq")).as("tot_sq"), sum(col("n")).as("tot_n"))
+    cnt.crossJoin(broadcast(tot))
+      .select(col("source"), col("n").as("n_docs"),
+        expr("n * 1000000 div tot_n").as("w_raw_ppm"),
+        expr("sq * 1000000 div tot_sq").as("w_temp_ppm"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(chunkDedup, repetitionScore, contamination, hashSample,
-    seqPacking, stratifiedTopK, refIntegrity)
+    seqPacking, stratifiedTopK, refIntegrity, temperatureMix)
 }
