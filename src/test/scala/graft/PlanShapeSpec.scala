@@ -35,6 +35,28 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("partition pruning: a filter on the partition column reaches the scan as a PartitionFilter") {
+    // testdata ships single parquet files, so stage a copy partitioned by
+    // event_type — the layout a 100 TB events table actually uses — and
+    // assert the predicate lands in PartitionFilters (directory-level
+    // pruning: non-matching partitions are never listed, let alone read),
+    // NOT as a post-scan Filter over all partitions.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-partprune").toString
+    graft.ops.Tables(spark, sfDir, "events")
+      .write.partitionBy("event_type").mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir)
+      .where(col("event_type") === "view")
+      .agg(count(lit(1)).as("n"))
+    q.collect()
+    val plan = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PartitionFilters") &&
+      ("PartitionFilters: \\[[^\\]]*event_type".r.findFirstIn(plan).isDefined),
+      s"partition predicate did not prune at the scan:\n" +
+        plan.linesIterator.take(30).mkString("\n"))
+  }
+
   test("runtime bloom-filter pruning injects on a shuffle join with a selective build side") {
     // At 100 TB the selective-dim ⨝ fact shape runs as a shuffle join with
     // Catalyst's InjectRuntimeFilter planting a bloom filter on the fact
