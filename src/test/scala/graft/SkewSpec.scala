@@ -21,6 +21,42 @@ class SkewSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("AQE skew-join splits a skewed shuffle partition at runtime") {
+    // The engine's OTHER skew answer besides x61's explicit salting: AQE
+    // detects the oversized shuffle partition after the map stage and
+    // splits it across reducers (OptimizeSkewedJoin), marking the join
+    // skew=true. Production thresholds (256 MB) can't trip on test data,
+    // so they scale down; the assertion is that the runtime re-plan
+    // engages at all — at 100 TB this is what saves an unsalted join from
+    // a straggler reducer when the skew wasn't known at write time.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold"                        -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled"                         -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor"           -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes"             -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled"               -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 95% of fact rows share one key — one reducer partition dwarfs the rest
+      val fact = spark.range(200000)
+        .select(when(col("id") % 20 === 0, col("id") % 50).otherwise(7L).as("k"),
+          col("id").as("v"))
+      val dim = spark.range(50).select(col("id").as("k"), (col("id") * 100).as("w"))
+      val q = fact.join(dim, "k").agg(sum(col("v") + col("w")).as("s"))
+      q.collect()
+      val plan = q.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(plan.contains("skew=true"),
+        "OptimizeSkewedJoin did not split the hot partition:\n" +
+          plan.linesIterator.take(30).mkString("\n"))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("saltedJoin returns exactly the plain join's rows under heavy skew") {
     import spark.implicits._
     // 90% of the fact rows share one hot key
