@@ -273,6 +273,44 @@ object PipelineOps {
       .orderBy("source")
   }
 
+  /** Overlapping retrieval chunking (the RAG indexing shape): 32-token
+    * windows with stride 24 (8-token overlap so a sentence straddling a
+    * boundary survives whole in one chunk), each chunk identified by its
+    * digest — the unit that embeds, dedups and retrieves. The final
+    * window is the documented partial (shorter) chunk. Row-local
+    * generation: token split, stride-strided starts, zero-copy-ish
+    * slices; per-document fan-out is len/stride — linear, bounded, no
+    * shuffle beyond the output sort. At 100 TB this is a pure map stage
+    * feeding the embedding/sharding pipeline downstream.
+    */
+  val ragChunking: Q = Q(
+    "x78_rag_chunking",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |c AS (SELECT doc_id, CAST(s AS BIGINT) AS start_tok,
+      |             list_slice(toks, s, least(s + 31, len(toks))) AS chunk
+      |      FROM w, LATERAL (SELECT unnest(generate_series(1, len(toks), 24)) AS s) g)
+      |SELECT doc_id, CAST((start_tok - 1) // 24 AS BIGINT) AS chunk_idx, start_tok,
+      |       CAST(len(chunk) AS BIGINT) AS n_toks,
+      |       md5(array_to_string(chunk, ' ')) AS chunk_md5
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+  ) { (s, dir) =>
+    val toks = split(col("text"), " ")
+    docs(s, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")), lit(24))).as("s"))
+      .select(
+        col("doc_id"),
+        ((col("s") - 1) / 24).cast("long").as("chunk_idx"),
+        col("s").cast("long").as("start_tok"),
+        slice(col("toks"), col("s"),
+          least(col("s") + 31, size(col("toks"))) - col("s") + 1).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        size(col("chunk")).cast("long").as("n_toks"),
+        md5(array_join(col("chunk"), " ")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   val all: Seq[Q] = Seq(chunkDedup, repetitionScore, contamination, hashSample,
-    seqPacking, stratifiedTopK, refIntegrity, temperatureMix)
+    seqPacking, stratifiedTopK, refIntegrity, temperatureMix, ragChunking)
 }
