@@ -358,8 +358,39 @@ object FuncOps {
       .orderBy("vec_id")
   }
 
+  /** Null-handling / conditional scalar surface (`nullif` / `coalesce` /
+    * `least` / `greatest` / CASE — the NVL2 shape): the functions every
+    * dirty-data pipeline leans on first. All row-local, integer/string
+    * exact; `least`/`greatest` here are the ROW-WISE variants (vs f03's
+    * aggregates). One projection, no shuffle beyond the output sort.
+    */
+  val nullFuncs: Q = Q(
+    "f14_null_funcs",
+    """SELECT event_id,
+      |       nullif(event_type, 'error') AS et_nn,
+      |       coalesce(nullif(event_type, 'error'), 'scrubbed') AS et_fill,
+      |       CAST(least(user_id % 7, user_id % 5, user_id % 3) AS BIGINT) AS lo,
+      |       CAST(greatest(user_id % 7, user_id % 5, user_id % 3) AS BIGINT) AS hi,
+      |       CASE WHEN nullif(event_type, 'error') IS NOT NULL
+      |            THEN 'present' ELSE 'absent' END AS nvl2_shape
+      |FROM events WHERE event_id <= 200 ORDER BY event_id""".stripMargin
+  ) { (s, dir) =>
+    val etNn = nullif(col("event_type"), lit("error"))
+    events(s, dir).where(col("event_id") <= 200)
+      .select(
+        col("event_id"),
+        etNn.as("et_nn"),
+        coalesce(etNn, lit("scrubbed")).as("et_fill"),
+        least(col("user_id") % 7, col("user_id") % 5, col("user_id") % 3)
+          .cast("long").as("lo"),
+        greatest(col("user_id") % 7, col("user_id") % 5, col("user_id") % 3)
+          .cast("long").as("hi"),
+        when(etNn.isNotNull, "present").otherwise("absent").as("nvl2_shape"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[Q] =
     Seq(hashFuncs, datetimeFuncs, mathFuncs, aesRoundtrip, approxDistinct, editDistance,
       valueHistogram, topkAgg, stringFuncs, bitwiseFuncs, approxPercentile,
-      regressionStats, arrayFuncs)
+      regressionStats, arrayFuncs, nullFuncs)
 }
