@@ -102,7 +102,10 @@ object PlanAudit {
     "x72_cumulative_uniques" -> Seq("BroadcastNestedLoopJoin", "BroadcastExchange"),
     // OOV scoring: vocab is a TakeOrdered top-k that BROADCASTS into the
     // token stream — the corpus side never shuffles on the token key
-    "x73_oov_rate" -> Seq("TakeOrderedAndProject", "BroadcastHashJoin"))
+    "x73_oov_rate" -> Seq("TakeOrderedAndProject", "BroadcastHashJoin"),
+    // SAX: breakpoints and the reference word are broadcast 1-row dims;
+    // the word build is a bounded 6-element collect, never corpus state
+    "x79_sax_similarity" -> Seq("BroadcastExchange", "BroadcastNestedLoopJoin"))
 
   /** Execute one audited query and evaluate its plan patterns — shared by
     * the CLI main and PlanShapeSpec (so plan-shape regressions fail CI, not

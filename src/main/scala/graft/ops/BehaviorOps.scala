@@ -332,6 +332,85 @@ object BehaviorOps {
       .orderBy("day")
   }
 
+  /** SAX time-series symbolization + similarity (the PAA→symbols→distance
+    * shape of distributed time-series similarity search — cf. "Time Series
+    * Similarity Search for Streaming Data in Distributed Systems", EDBT
+    * 2019, via PAPERS.md): each user's 30-day spend series reduces to six
+    * 5-day PAA segments (EXACT int64 cent sums — order-free), segments
+    * symbolize a/b/c/d by the GLOBAL segment-sum quartiles (the t21-proven
+    * percentile↔quantile_cont parity), and each user's 6-char SAX word is
+    * compared to the minimum-user's word by Hamming distance — symbol
+    * mismatch count, exact integers end to end.
+    *
+    * Scale shape: the corpus-sized exchange is the (user, segment)
+    * aggregate; everything after operates on |users|×6 rows. Breakpoints
+    * and the reference word are broadcast 1-row dimensions. The word
+    * build is a bounded 6-element collect per user — never unbounded
+    * state. At 100 TB, SAX words are what you index (group or LSH-bucket
+    * identical/near words) instead of joining raw series.
+    */
+  val saxSimilarity: Q = Q(
+    "x79_sax_similarity",
+    """WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS start_day FROM events),
+      |seg_raw AS (
+      |  SELECT user_id, CAST(least(datediff('day', start_day, CAST(ts AS DATE)) // 5, 5) AS BIGINT) AS seg,
+      |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS seg_sum
+      |  FROM events, d0 GROUP BY 1, 2),
+      |grid AS (SELECT u.user_id, g.seg FROM (SELECT DISTINCT user_id FROM events) u,
+      |         (SELECT unnest(generate_series(0, 5)) AS seg) g),
+      |segs AS (SELECT grid.user_id, grid.seg, coalesce(seg_sum, 0) AS seg_sum
+      |         FROM grid LEFT JOIN seg_raw ON grid.user_id = seg_raw.user_id AND grid.seg = seg_raw.seg),
+      |bp AS (SELECT quantile_cont(seg_sum, 0.25) AS q1, quantile_cont(seg_sum, 0.5) AS q2,
+      |              quantile_cont(seg_sum, 0.75) AS q3 FROM segs),
+      |sym AS (SELECT user_id, seg,
+      |               CASE WHEN seg_sum < q1 THEN 'a' WHEN seg_sum < q2 THEN 'b'
+      |                    WHEN seg_sum < q3 THEN 'c' ELSE 'd' END AS s
+      |        FROM segs, bp),
+      |words AS (SELECT user_id, string_agg(s, '' ORDER BY seg) AS w FROM sym GROUP BY user_id),
+      |ref AS (SELECT w AS rw FROM words ORDER BY user_id LIMIT 1)
+      |SELECT user_id, w AS sax_word,
+      |       CAST(list_sum(list_transform(generate_series(1, 6), i ->
+      |         CASE WHEN substr(w, CAST(i AS INT), 1) <> substr(rw, CAST(i AS INT), 1)
+      |              THEN 1 ELSE 0 END)) AS BIGINT) AS hamming_ref
+      |FROM words, ref ORDER BY user_id""".stripMargin
+  ) { (s, dir) =>
+    val ev = events(s, dir)
+      .select(col("user_id"), col("ts").cast("date").as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val d0 = ev.agg(min(col("day")).as("start_day"))
+    val segRaw = ev.crossJoin(broadcast(d0))
+      .withColumn("seg", least(expr("datediff(day, start_day) div 5"), lit(5)).cast("long"))
+      .groupBy("user_id", "seg").agg(sum(col("cents")).as("seg_sum"))
+    val grid = ev.select("user_id").distinct()
+      .crossJoin(broadcast(
+        s.range(0, 6).select(col("id").as("seg"))))
+    val segs = grid.join(segRaw, Seq("user_id", "seg"), "left")
+      .withColumn("seg_sum", coalesce(col("seg_sum"), lit(0L)))
+    val bp = segs.agg(
+      percentile(col("seg_sum"), lit(0.25)).as("q1"),
+      percentile(col("seg_sum"), lit(0.5)).as("q2"),
+      percentile(col("seg_sum"), lit(0.75)).as("q3"))
+    val sym = segs.crossJoin(broadcast(bp))
+      .select(col("user_id"), col("seg"),
+        when(col("seg_sum") < col("q1"), "a")
+          .when(col("seg_sum") < col("q2"), "b")
+          .when(col("seg_sum") < col("q3"), "c")
+          .otherwise("d").as("s"))
+    val words = sym.groupBy("user_id")
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct(col("seg"), col("s")))),
+        x => x.getField("s"))).as("w"))
+    val ref = words.orderBy("user_id").limit(1).select(col("w").as("rw"))
+    val hamming = aggregate(
+      transform(sequence(lit(1), lit(6)),
+        i => when(col("w").substr(i, lit(1)) =!= col("rw").substr(i, lit(1)), 1L)
+          .otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
+    words.crossJoin(broadcast(ref))
+      .select(col("user_id"), col("w").as("sax_word"), hamming.as("hamming_ref"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(funnel, retention, transitions, incrementalAgg, scd2History,
-    mergeApply, gapFill, cumulativeUniques)
+    mergeApply, gapFill, cumulativeUniques, saxSimilarity)
 }
