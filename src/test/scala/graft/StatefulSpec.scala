@@ -175,6 +175,22 @@ class StatefulSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaSql == 2L) // 'a b' and 'b a'
   }
 
+  test("nfc_normalize and char_ngrams work via SQL registration") {
+    assert(GraftExtensions.register(spark))
+    // decomposed e + U+0301 must compose to precomposed é (one char shorter)
+    val nfc = spark.sql("SELECT nfc_normalize('e\u0301x') AS n").head().getString(0)
+    assert(nfc == "\u00e9x" && nfc.length == 2)
+    val grams = spark.sql("SELECT char_ngrams('abcd', 3) AS g")
+      .head().getSeq[String](0)
+    assert(grams == Seq("abc", "bcd"))
+    assert(spark.sql("SELECT char_ngrams('ab', 3) AS g").head().getSeq[String](0).isEmpty)
+    // n must be a literal — a column reference is an analysis-time error
+    val err = intercept[Exception] {
+      spark.sql("SELECT char_ngrams('abc', id) FROM range(1)").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("integer literal"))
+  }
+
   test("SQL function builders reject wrong arity with a real error, not head-of-empty-list") {
     assert(GraftExtensions.register(spark))
     for (bad <- Seq("SELECT simhash32()", "SELECT doc_fingerprint('a','b')",
