@@ -11,7 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * that silently flips one of these — e.g. an LSH join degrading to a
   * nested loop — fails the suite instead of waiting for the manual audit.
   */
-class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
+class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll with SqlConfHelper {
 
   private val sfDir = "/root/testdata/sf0.001"
 
@@ -23,7 +23,22 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  override def afterAll(): Unit = spark.stop()
+  /** Temp dirs holding staged parquet copies — reclaimed after the suite. */
+  private val tmpDirs = scala.collection.mutable.Buffer.empty[java.nio.file.Path]
+  private def stagedTempDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    tmpDirs += d
+    d.toString
+  }
+
+  override def afterAll(): Unit = {
+    spark.stop()
+    tmpDirs.foreach { d =>
+      scala.util.Try(java.nio.file.Files.walk(d)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p)))
+    }
+  }
 
   for (name <- PlanAudit.checks.keys.toSeq.sorted) {
     test(s"$name keeps its audited plan shape") {
@@ -42,7 +57,7 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // pruning: non-matching partitions are never listed, let alone read),
     // NOT as a post-scan Filter over all partitions.
     import org.apache.spark.sql.functions._
-    val dir = java.nio.file.Files.createTempDirectory("graft-partprune").toString
+    val dir = stagedTempDir("graft-partprune")
     graft.ops.Tables(spark, sfDir, "events")
       .write.partitionBy("event_type").mode("overwrite").parquet(dir)
     val q = spark.read.parquet(dir)
@@ -65,15 +80,13 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // dim filter selects. Fact = events partitioned by user_id % 8;
     // dim = a 2-row bucket table.
     import org.apache.spark.sql.functions._
-    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    val dir = stagedTempDir("graft-dpp")
     graft.ops.Tables(spark, sfDir, "events")
       .withColumn("bucket", (col("user_id") % 8).cast("int"))
       .write.partitionBy("bucket").mode("overwrite").parquet(dir)
-    val saved = spark.conf.getOption("spark.sql.optimizer.dynamicPartitionPruning.useStats")
     // stats-based benefit estimation can veto DPP on toy-sized data; force
     // the decision on the filter ratio so the spec pins the MECHANISM
-    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
-    try {
+    withSQLConf(spark)("spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false") {
       // the dim filter must be a REAL predicate — a constant-true filter
       // folds away and the PartitionPruning rule sees no selective dim
       val dim = spark.range(0, 8).select(col("id").cast("int").as("d_bucket"))
@@ -86,9 +99,6 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(plan.toLowerCase.contains("dynamicpruning"),
         s"no dynamic pruning expression reached the fact scan:\n" +
           plan.linesIterator.take(30).mkString("\n"))
-    } finally saved match {
-      case Some(v) => spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", v)
-      case None    => spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
     }
   }
 
@@ -101,14 +111,11 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // thresholds scaled down and broadcast disabled; the assertion is that
     // the optimizer still wires the filter for us at all.
     import org.apache.spark.sql.functions._
-    val confs = Seq(
+    withSQLConf(spark)(
       "spark.sql.autoBroadcastJoinThreshold"                              -> "-1",
       "spark.sql.optimizer.runtime.bloomFilter.enabled"                   -> "true",
       "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"     -> "100MB",
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
-    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0") {
       val orders = graft.ops.Tables(spark, sfDir, "orders")
         .where(col("o_orderpriority") === "1-URGENT")
         .select("o_orderkey")
@@ -125,9 +132,6 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(plan.toLowerCase.contains("bloomfilter") || plan.contains("might_contain"),
         "InjectRuntimeFilter did not plant a bloom filter on the probe side:\n" +
           plan.linesIterator.take(50).mkString("\n"))
-    } finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
     }
   }
 }

@@ -10,7 +10,7 @@ import graft.ops.{Skew, Tables}
 /** Salted-join equivalence: same rows as the plain equi-join, with the hot
   * key's probe rows spread across salt sub-partitions.
   */
-class SkewSpec extends AnyFunSuite with BeforeAndAfterAll {
+class SkewSpec extends AnyFunSuite with BeforeAndAfterAll with SqlConfHelper {
 
   private lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
@@ -29,17 +29,14 @@ class SkewSpec extends AnyFunSuite with BeforeAndAfterAll {
     // so they scale down; the assertion is that the runtime re-plan
     // engages at all — at 100 TB this is what saves an unsalted join from
     // a straggler reducer when the skew wasn't known at write time.
-    val confs = Seq(
+    withSQLConf(spark)(
       "spark.sql.autoBroadcastJoinThreshold"                        -> "-1",
       "spark.sql.adaptive.skewJoin.enabled"                         -> "true",
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor"           -> "1.0",
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes"             -> "8KB",
-      "spark.sql.adaptive.coalescePartitions.enabled"               -> "false")
-    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
-      // 95% of fact rows share one key — one reducer partition dwarfs the rest
+      "spark.sql.adaptive.coalescePartitions.enabled"               -> "false") {
+      // 90% of fact rows share one key — one reducer partition dwarfs the rest
       val fact = spark.range(200000)
         .select(when(col("id") % 20 === 0, col("id") % 50).otherwise(7L).as("k"),
           col("id").as("v"))
@@ -51,9 +48,6 @@ class SkewSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(plan.contains("skew=true"),
         "OptimizeSkewedJoin did not split the hot partition:\n" +
           plan.linesIterator.take(30).mkString("\n"))
-    } finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
     }
   }
 
