@@ -105,7 +105,12 @@ object PlanAudit {
     "x73_oov_rate" -> Seq("TakeOrderedAndProject", "BroadcastHashJoin"),
     // SAX: breakpoints and the reference word are broadcast 1-row dims;
     // the word build is a bounded 6-element collect, never corpus state
-    "x79_sax_similarity" -> Seq("BroadcastExchange", "BroadcastNestedLoopJoin"))
+    "x79_sax_similarity" -> Seq("BroadcastExchange", "BroadcastNestedLoopJoin"),
+    // incremental dedup: delta probes the index via an EQUI join on
+    // (band, sig) — never a nested loop over the corpus
+    "x80_incremental_dedup" -> Seq(
+      "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
+      "(?s)\\A(?!.*BroadcastNestedLoopJoin).*"))
 
   /** Execute one audited query and evaluate its plan patterns — shared by
     * the CLI main and PlanShapeSpec (so plan-shape regressions fail CI, not

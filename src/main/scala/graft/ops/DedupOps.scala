@@ -158,7 +158,11 @@ object DedupOps {
     labelsCache.clear()
   }
 
-  private def lshCandidatePairsUncached(s: SparkSession, dir: String): DataFrame = {
+  /** Per-document LSH band signatures (doc_id, band, sig) — the standing
+    * index rows. Shared by the full pair join and x80's incremental
+    * delta-vs-index join.
+    */
+  private[ops] def bandSignatures(s: SparkSession, dir: String): DataFrame = {
     // single-pass signature: all 12 minima in one hash aggregate (no ×12
     // explode, no second shuffle — one pass over the shingle set)
     val h = expr(s"cast(conv(substring(sh, 1, 15), 16, 10) as bigint) % $MinhashP")
@@ -173,11 +177,15 @@ object DedupOps {
     def bandSig(b: Int): Column =
       md5(concat_ws(",", (3 * b to 3 * b + 2).map(j =>
         concat(lit(f"$j%02d:"), col(s"mh$j").cast("string"))): _*))
-    val bands = sig.select(
+    sig.select(
       col("doc_id"),
       explode(array((0 to 3).map(b =>
         struct(lit(b).as("band"), bandSig(b).as("sig"))): _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  private def lshCandidatePairsUncached(s: SparkSession, dir: String): DataFrame = {
+    val bands = bandSignatures(s, dir)
     val a = bands.as("a")
     val b = bands.as("b")
     a.join(b,
@@ -598,7 +606,39 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Incremental dedup of an ingest batch against the standing index — the
+    * shape a 100 TB pipeline runs HOURLY: only the delta's band signatures
+    * probe the full index (delta ⨝ all on (band, sig)), so corpus-internal
+    * pairs — the quadratically dominant set — are never recomputed. The
+    * deterministic doc_id % 10 = 0 slice stands in for the new batch; the
+    * oracle states the contract exactly: the full pair set restricted to
+    * pairs touching the delta. Both-sides-in-delta pairs match in both
+    * probe orders, so the join canonicalizes (least, greatest) and dedups
+    * (band, pair) before counting — n_bands stays exact.
+    */
+  val incrementalDedup: Q = Q(
+    "x80_incremental_dedup",
+    s"""WITH pairs AS ($lshPairsSql)
+       |SELECT doc_a, doc_b, n_bands FROM pairs
+       |WHERE doc_a % 10 = 0 OR doc_b % 10 = 0
+       |ORDER BY doc_a, doc_b""".stripMargin
+  ) { (s, dir) =>
+    val bands = bandSignatures(s, dir)
+    val delta = bands.where(col("doc_id") % 10 === 0)
+    delta.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.band").as("band"),
+        least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_bands"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val all: Seq[Q] =
     Seq(exactDedup, minhashLsh, simhash, ngramJaccard, dupClusters, pagerank, splitLeakage,
-      canonicalPick, curationPipeline, triangleCount)
+      canonicalPick, curationPipeline, triangleCount, incrementalDedup)
 }
