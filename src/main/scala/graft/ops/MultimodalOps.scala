@@ -184,5 +184,57 @@ object MultimodalOps {
       .orderBy("fmt")
   }
 
-  val all: Seq[Q] = Seq(mmMetadata, mmFeatures, mmFrames, mmDedup)
+  /** Contrastive training-pair construction (the CLIP-style dataloader
+    * shape): each document yields a POSITIVE (its own media fingerprint)
+    * and a deterministic HARD NEGATIVE — the next same-format document's
+    * fingerprint in doc_id order (same modality and format makes the
+    * negative non-trivial; `lead` over the format partition keeps the
+    * choice reproducible across runs and engines, no RNG). The last doc
+    * per format has no successor and is dropped, stated by the oracle.
+    *
+    * Scale shape: fingerprints come from the same per-partition typed
+    * decode pipeline as x46 (decoder init amortized per partition); the
+    * only exchange after decode is the per-format window — and `pair_ok`
+    * audits that no positive collides with its negative.
+    */
+  val mmContrastivePairs: Q = Q(
+    "x81_mm_contrastive_pairs",
+    """WITH fp AS (
+      |  SELECT doc_id,
+      |         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'jpg' WHEN 1 THEN 'png' ELSE 'wav' END AS fmt,
+      |         md5(array_to_string(list_transform(
+      |           list_filter(generate_series(0, CAST((strlen(text)-1)//64 AS BIGINT)), i -> i % 4 = 0),
+      |           i -> md5(substr(text, CAST(64*i+1 AS INT), 64))), '')) AS pos_fp
+      |  FROM documents),
+      |p AS (SELECT doc_id, fmt, pos_fp,
+      |             lead(pos_fp) OVER (PARTITION BY fmt ORDER BY doc_id) AS neg_fp
+      |      FROM fp)
+      |SELECT doc_id, fmt, pos_fp, neg_fp, (pos_fp <> neg_fp) AS pair_ok
+      |FROM p WHERE neg_fp IS NOT NULL ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val sp = s
+    import sp.implicits._
+    val fp = media(s, dir).as[MediaRow]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { r =>
+          val n       = r.payload.length
+          val nFrames = Math.floorDiv(n - 1, 64) + 1
+          val joined = (0 until nFrames).filter(_ % 4 == 0).map { i =>
+            md5Hex(md, java.util.Arrays.copyOfRange(r.payload, i * 64, math.min(i * 64 + 64, n)))
+          }.mkString
+          (r.doc_id, r.fmt, md5Hex(md, joined.getBytes("UTF-8")))
+        }
+      }
+      .toDF("doc_id", "fmt", "pos_fp")
+    val w = Window.partitionBy("fmt").orderBy("doc_id")
+    fp.withColumn("neg_fp", lead(col("pos_fp"), 1).over(w))
+      .where(col("neg_fp").isNotNull)
+      .select(col("doc_id"), col("fmt"), col("pos_fp"), col("neg_fp"),
+        (col("pos_fp") =!= col("neg_fp")).as("pair_ok"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(mmMetadata, mmFeatures, mmFrames, mmDedup, mmContrastivePairs)
 }
