@@ -311,6 +311,56 @@ object PipelineOps {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Distribution-drift monitor between two time windows — the check a
+    * 100 TB ingest pipeline runs before promoting a new batch: per
+    * event_type, row count / cent volume / distinct-user drift between the
+    * first and second half of the month, as exact integer ppm of the
+    * combined total. ONE conditional-aggregation scan (FILTER-style
+    * when()s inside a single groupBy) — never the naive
+    * two-aggregates-plus-self-join, which would scan and shuffle twice.
+    * All-integer arithmetic rides the determinism contract.
+    */
+  val driftMonitor: Q = Q(
+    "x82_drift_monitor",
+    """SELECT event_type, n_w1, n_w2,
+      |       CAST(abs(n_w1 - n_w2) * 1000000 // (n_w1 + n_w2) AS BIGINT) AS n_drift_ppm,
+      |       CAST(abs(c_w1 - c_w2) * 1000000 // (c_w1 + c_w2) AS BIGINT) AS cents_drift_ppm,
+      |       users_w1, users_w2
+      |FROM (SELECT event_type,
+      |        CAST(count(*) FILTER (WHERE ts < TIMESTAMP '2024-01-16') AS BIGINT) AS n_w1,
+      |        CAST(count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-16') AS BIGINT) AS n_w2,
+      |        CAST(coalesce(sum(cents) FILTER (WHERE ts < TIMESTAMP '2024-01-16'), 0) AS BIGINT) AS c_w1,
+      |        CAST(coalesce(sum(cents) FILTER (WHERE ts >= TIMESTAMP '2024-01-16'), 0) AS BIGINT) AS c_w2,
+      |        CAST(count(DISTINCT user_id) FILTER (WHERE ts < TIMESTAMP '2024-01-16') AS BIGINT) AS users_w1,
+      |        CAST(count(DISTINCT user_id) FILTER (WHERE ts >= TIMESTAMP '2024-01-16') AS BIGINT) AS users_w2
+      |      FROM (SELECT event_type, ts, user_id,
+      |                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
+      |      GROUP BY event_type)
+      |ORDER BY event_type""".stripMargin
+  ) { (s, dir) =>
+    val cutoff = lit("2024-01-16").cast("timestamp")
+    val w1     = col("ts") < cutoff
+    val ev = Tables(s, dir, "events").select(
+      col("event_type"), col("ts"), col("user_id"),
+      floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    ev.groupBy("event_type")
+      .agg(
+        count(when(w1, 1)).as("n_w1"),
+        count(when(!w1, 1)).as("n_w2"),
+        coalesce(sum(when(w1, col("cents"))), lit(0L)).as("c_w1"),
+        coalesce(sum(when(!w1, col("cents"))), lit(0L)).as("c_w2"),
+        countDistinct(when(w1, col("user_id"))).as("users_w1"),
+        countDistinct(when(!w1, col("user_id"))).as("users_w2"))
+      // drift ratios from the already-exact int64 aggregates — `div` keeps
+      // the whole chain in integer arithmetic (no double division anywhere)
+      .select(col("event_type"), col("n_w1"), col("n_w2"),
+        expr("abs(n_w1 - n_w2) * 1000000 div (n_w1 + n_w2)").as("n_drift_ppm"),
+        expr("abs(c_w1 - c_w2) * 1000000 div (c_w1 + c_w2)").as("cents_drift_ppm"),
+        col("users_w1"), col("users_w2"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(chunkDedup, repetitionScore, contamination, hashSample,
-    seqPacking, stratifiedTopK, refIntegrity, temperatureMix, ragChunking)
+    seqPacking, stratifiedTopK, refIntegrity, temperatureMix, ragChunking,
+    driftMonitor)
 }
