@@ -411,6 +411,38 @@ object BehaviorOps {
       .orderBy("user_id")
   }
 
+  /** Recency-weighted engagement score with an INTEGER half-life: a spend's
+    * weight halves every 7 days back from the corpus's last day, computed
+    * as `1000000 >> (age_days div 7)` — a bit shift, not `pow(2, -x)`, so
+    * the whole score is exact int64 (transcendental pow is not guaranteed
+    * correctly rounded, and its float sum would be merge-order-dependent;
+    * the shift is the determinism-contract version of exponential decay).
+    * One scan + one user-keyed aggregate; the last-day anchor is a
+    * broadcast 1-row dimension.
+    */
+  val decayScore: Q = Q(
+    "x83_decay_score",
+    """WITH d0 AS (SELECT max(CAST(ts AS DATE)) AS last_day FROM events),
+      |e AS (SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+      |             CAST(datediff('day', CAST(ts AS DATE), last_day) // 7 AS BIGINT) AS age_w
+      |      FROM events, d0)
+      |SELECT user_id, CAST(sum(cents * (1000000 >> age_w)) AS BIGINT) AS decay_score,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin
+  ) { (s, dir) =>
+    val ev = events(s, dir).select(
+      col("user_id"), col("ts").cast("date").as("day"),
+      floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val d0 = ev.agg(max(col("day")).as("last_day"))
+    ev.crossJoin(broadcast(d0))
+      .withColumn("age_w", expr("datediff(last_day, day) div 7"))
+      .groupBy("user_id")
+      .agg(
+        sum(col("cents") * expr("shiftright(1000000L, cast(age_w as int))")).as("decay_score"),
+        count(lit(1)).as("n"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(funnel, retention, transitions, incrementalAgg, scd2History,
-    mergeApply, gapFill, cumulativeUniques, saxSimilarity)
+    mergeApply, gapFill, cumulativeUniques, saxSimilarity, decayScore)
 }

@@ -661,6 +661,73 @@ object RelOps {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Winsorized aggregation: revenue per order-priority with extended
+    * prices clipped at the group's exact p05/p99 before summing — the
+    * robust total a few mispriced lines cannot drag (the aggregate-level
+    * complement of x54's MAD outlier GATE). Two passes by construction
+    * (the bounds are an aggregate of the same group), but the bounds table
+    * is group-cardinality-sized and BROADCASTS back — the fact side scans
+    * twice and shuffles its clipped partials once. Money stays on the
+    * decimal path; the clip compares decimals to the t21-proven exact
+    * percentile values.
+    */
+  val winsorizedRevenue: Q = Q(
+    "t29_winsorized_revenue",
+    """WITH b AS (SELECT o_orderpriority AS prio,
+      |                  quantile_cont(l_extendedprice, 0.05) AS lo,
+      |                  quantile_cont(l_extendedprice, 0.99) AS hi
+      |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |           GROUP BY 1)
+      |SELECT o_orderpriority AS prio, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+      |       round(sum(CAST(least(greatest(l_extendedprice, lo), hi) AS DECIMAL(18,2))), 2) AS wsum
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN b ON o_orderpriority = b.prio
+      |GROUP BY 1 ORDER BY prio""".stripMargin
+  ) { (s, dir) =>
+    val li = Tables(s, dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    val o  = Tables(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+    val j  = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("prio"), col("l_extendedprice").as("p"))
+    val bounds = j.groupBy("prio").agg(
+      percentile(col("p"), lit(0.05)).as("lo"),
+      percentile(col("p"), lit(0.99)).as("hi"))
+    j.join(broadcast(bounds), "prio")
+      .groupBy("prio")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("p") < col("lo") || col("p") > col("hi"), 1L).otherwise(0L)).as("n_clipped"),
+        round(sum(least(greatest(col("p"), col("lo")), col("hi")).cast(d2)), 2).as("wsum"))
+      .orderBy("prio")
+  }
+
+  /** Deterministic mode (most frequent value) per group: the modal
+    * hour-of-day per event type, ties broken by the SMALLEST hour — an
+    * explicit count-window-rank formulation instead of the engines' native
+    * `mode()` aggregates, whose tie-breaking is implementation-defined
+    * (Spark picks an arbitrary survivor; portability requires the
+    * tie-break to be IN the query). Two hash aggregates + a
+    * group-cardinality-sized window — no corpus-sized window state.
+    */
+  val modalHour: Q = Q(
+    "t30_modal_hour",
+    """SELECT event_type, CAST(hr AS BIGINT) AS modal_hour, CAST(c AS BIGINT) AS n_events FROM (
+      |  SELECT event_type, hr, c,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY c DESC, hr) AS rk
+      |  FROM (SELECT event_type, hour(ts) AS hr, count(*) AS c
+      |        FROM events GROUP BY 1, 2))
+      |WHERE rk = 1 ORDER BY event_type""".stripMargin
+  ) { (s, dir) =>
+    val counts = Tables(s, dir, "events")
+      .groupBy(col("event_type"), hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy(col("c").desc, col("hr"))
+    counts.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+      .select(col("event_type"), col("hr").cast("long").as("modal_hour"),
+        col("c").as("n_events"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(
     pricingSummary, revenuePerRegion, shippingPriority, orderPriority,
     forecastRevenue, topSpendersPerNation, monthlyRevenueWindow, revenueRollup,
@@ -668,5 +735,5 @@ object RelOps {
     thetaBalancePairs, asofLastClick, crossNationRegion, outerJoinCounts,
     collectSuppliers, rankFamily, groupingSetsRevenue, pivotStatus,
     percentiles, setOpsAll, correlatedAvg, soloSupplier, unpivotMetrics,
-    rangeJoin, rangeFrame, windowDistribution)
+    rangeJoin, rangeFrame, windowDistribution, winsorizedRevenue, modalHour)
 }
