@@ -443,6 +443,87 @@ object BehaviorOps {
       .orderBy("user_id")
   }
 
+  /** Linear interpolation of gap days — the other densification policy
+    * next to x71's LOCF: an interior gap takes the straight line between
+    * its surrounding observations, a leading gap has nothing to anchor
+    * (-1), a trailing gap falls back to carry-forward. The interpolated
+    * value is `prev + ⌊(next−prev)·(day−prev_day) / span⌋` with the floor
+    * taken on a single IEEE division of exact ints — both engines round
+    * the same quotient, and a small-denominator rational is never close
+    * enough to an integer from below for floor to disagree. Two windows
+    * over the same user partitioning (backward last-ignoreNulls, forward
+    * first-ignoreNulls) — no self-join, the x71 grid shape throughout.
+    */
+  val interpolate: Q = Q(
+    "x84_interpolate",
+    """WITH daily AS (
+      |  SELECT user_id, day, cents FROM (
+      |    SELECT user_id, CAST(ts AS DATE) AS day,
+      |           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+      |           row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+      |             ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE user_id % 20 = 0) WHERE rn = 1),
+      |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+      |days AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+      |grid AS (SELECT u.user_id, d.day
+      |         FROM (SELECT DISTINCT user_id FROM daily) u CROSS JOIN days d),
+      |j AS (SELECT g.user_id, g.day, daily.cents,
+      |             last_value(daily.cents IGNORE NULLS) OVER (PARTITION BY g.user_id
+      |               ORDER BY g.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+      |             last_value(CASE WHEN daily.cents IS NOT NULL THEN g.day END IGNORE NULLS)
+      |               OVER (PARTITION BY g.user_id ORDER BY g.day
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+      |             first_value(daily.cents IGNORE NULLS) OVER (PARTITION BY g.user_id
+      |               ORDER BY g.day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+      |             first_value(CASE WHEN daily.cents IS NOT NULL THEN g.day END IGNORE NULLS)
+      |               OVER (PARTITION BY g.user_id ORDER BY g.day
+      |                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      |      FROM grid g LEFT JOIN daily ON g.user_id = daily.user_id AND g.day = daily.day)
+      |SELECT user_id, day,
+      |       CAST(CASE WHEN cents IS NOT NULL THEN cents
+      |                 WHEN pv IS NULL THEN -1
+      |                 WHEN nv IS NULL THEN pv
+      |                 ELSE pv + CAST(floor((nv - pv) * 1.0 * datediff('day', pd, day)
+      |                                      / datediff('day', pd, nd)) AS BIGINT)
+      |            END AS BIGINT) AS cents_interp,
+      |       (cents IS NULL) AS filled
+      |FROM j ORDER BY user_id, day""".stripMargin
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val wDay = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val daily = events(s, dir).where(col("user_id") % 20 === 0)
+      .select(col("user_id"), col("ts").cast("date").as("day"), col("ts"), col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .withColumn("rn", row_number().over(wDay)).where(col("rn") === 1)
+      .select("user_id", "day", "cents")
+    val span = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val days = broadcast(span)
+      .select(explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val grid = daily.select("user_id").distinct().crossJoin(broadcast(days))
+    val back = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsDay = when(col("cents").isNotNull, col("day"))
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"), col("cents"),
+        last(col("cents"), ignoreNulls = true).over(back).as("pv"),
+        last(obsDay, ignoreNulls = true).over(back).as("pd"),
+        first(col("cents"), ignoreNulls = true).over(fwd).as("nv"),
+        first(obsDay, ignoreNulls = true).over(fwd).as("nd"))
+      .select(col("user_id"), col("day"),
+        when(col("cents").isNotNull, col("cents"))
+          .when(col("pv").isNull, lit(-1L))
+          .when(col("nv").isNull, col("pv"))
+          .otherwise(col("pv") +
+            floor((col("nv") - col("pv")).cast("double") * datediff(col("day"), col("pd"))
+              / datediff(col("nd"), col("pd"))).cast("long"))
+          .cast("long").as("cents_interp"),
+        col("cents").isNull.as("filled"))
+      .orderBy("user_id", "day")
+  }
+
   val all: Seq[Q] = Seq(funnel, retention, transitions, incrementalAgg, scd2History,
-    mergeApply, gapFill, cumulativeUniques, saxSimilarity, decayScore)
+    mergeApply, gapFill, cumulativeUniques, saxSimilarity, decayScore, interpolate)
 }
