@@ -426,7 +426,8 @@ object BehaviorOps {
       |e AS (SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
       |             CAST(datediff('day', CAST(ts AS DATE), last_day) // 7 AS BIGINT) AS age_w
       |      FROM events, d0)
-      |SELECT user_id, CAST(sum(cents * (1000000 >> age_w)) AS BIGINT) AS decay_score,
+      |SELECT user_id,
+      |       CAST(sum(cents * (CASE WHEN age_w >= 20 THEN 0 ELSE 1000000 >> age_w END)) AS BIGINT) AS decay_score,
       |       CAST(count(*) AS BIGINT) AS n
       |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin
   ) { (s, dir) =>
@@ -437,8 +438,14 @@ object BehaviorOps {
     ev.crossJoin(broadcast(d0))
       .withColumn("age_w", expr("datediff(last_day, day) div 7"))
       .groupBy("user_id")
+      // weights older than 20 half-lives clamp to 0 explicitly: Java (and
+      // Spark's shiftright) masks the shift count mod 64, so an unguarded
+      // 1e6 >> 64 would wrap back to FULL weight — non-monotone decay and
+      // a cross-engine mismatch (DuckDB's >> saturates to 0) on any
+      // dataset spanning 448+ days
       .agg(
-        sum(col("cents") * expr("shiftright(1000000L, cast(age_w as int))")).as("decay_score"),
+        sum(col("cents") * when(col("age_w") >= 20, 0L)
+          .otherwise(expr("shiftright(1000000L, cast(age_w as int))"))).as("decay_score"),
         count(lit(1)).as("n"))
       .orderBy("user_id")
   }

@@ -143,25 +143,21 @@ object MultimodalOps {
       .orderBy("doc_id", "frame_idx")
   }
 
-  /** Media near-dup via subsampled-frame fingerprints: hashing only every
-    * 4th frame makes the fingerprint cheap AND tolerant of content that
-    * differs in skipped frames — the standard video-dedup trick. The
-    * fingerprint is computed ROW-LOCALLY in the same typed pipeline
-    * (digests of the sampled frames concatenated in order, hashed again),
-    * so the only shuffle is the final per-format aggregate.
+  /** The subsampled-frame fingerprint SQL twin (every-4th-frame digests,
+    * concatenated in order, hashed again) — shared by x46 and x81 so the
+    * two oracles can never drift apart.
     */
-  val mmDedup: Q = Q(
-    "x46_mm_dedup",
-    """SELECT fmt, count(*) AS n_media,
-      |       CAST(count(DISTINCT fingerprint) AS BIGINT) AS n_fp,
-      |       CAST(count(*) - count(DISTINCT fingerprint) AS BIGINT) AS n_dup
-      |FROM (SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'jpg' WHEN 1 THEN 'png' ELSE 'wav' END AS fmt,
-      |        md5(array_to_string(list_transform(
+  private val fingerprintSql: String =
+    """md5(array_to_string(list_transform(
       |          list_filter(generate_series(0, CAST((strlen(text)-1)//64 AS BIGINT)), i -> i % 4 = 0),
-      |          i -> md5(substr(text, CAST(64*i+1 AS INT), 64))), '')) AS fingerprint
-      |      FROM documents)
-      |GROUP BY fmt ORDER BY fmt""".stripMargin
-  ) { (s, dir) =>
+      |          i -> md5(substr(text, CAST(64*i+1 AS INT), 64))), ''))""".stripMargin
+
+  /** Per-media subsampled-frame fingerprints (doc_id, fmt, fingerprint),
+    * computed ROW-LOCALLY in the typed decode pipeline — one copy of the
+    * nFrames/every-4th-frame logic (incl. the x45 floorDiv empty-payload
+    * edge) serving both x46 and x81.
+    */
+  private def fingerprints(s: SparkSession, dir: String): DataFrame = {
     val sp = s
     import sp.implicits._
     media(s, dir).as[MediaRow]
@@ -173,10 +169,29 @@ object MultimodalOps {
           val joined = (0 until nFrames).filter(_ % 4 == 0).map { i =>
             md5Hex(md, java.util.Arrays.copyOfRange(r.payload, i * 64, math.min(i * 64 + 64, n)))
           }.mkString
-          (r.fmt, md5Hex(md, joined.getBytes("UTF-8")))
+          (r.doc_id, r.fmt, md5Hex(md, joined.getBytes("UTF-8")))
         }
       }
-      .toDF("fmt", "fingerprint")
+      .toDF("doc_id", "fmt", "fingerprint")
+  }
+
+  /** Media near-dup via subsampled-frame fingerprints: hashing only every
+    * 4th frame makes the fingerprint cheap AND tolerant of content that
+    * differs in skipped frames — the standard video-dedup trick. The
+    * fingerprint is computed ROW-LOCALLY in the same typed pipeline,
+    * so the only shuffle is the final per-format aggregate.
+    */
+  val mmDedup: Q = Q(
+    "x46_mm_dedup",
+    s"""SELECT fmt, count(*) AS n_media,
+       |       CAST(count(DISTINCT fingerprint) AS BIGINT) AS n_fp,
+       |       CAST(count(*) - count(DISTINCT fingerprint) AS BIGINT) AS n_dup
+       |FROM (SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'jpg' WHEN 1 THEN 'png' ELSE 'wav' END AS fmt,
+       |        $fingerprintSql AS fingerprint
+       |      FROM documents)
+       |GROUP BY fmt ORDER BY fmt""".stripMargin
+  ) { (s, dir) =>
+    fingerprints(s, dir)
       .groupBy("fmt")
       .agg(count(lit(1)).as("n_media"),
         countDistinct(col("fingerprint")).as("n_fp"),
@@ -199,35 +214,19 @@ object MultimodalOps {
     */
   val mmContrastivePairs: Q = Q(
     "x81_mm_contrastive_pairs",
-    """WITH fp AS (
-      |  SELECT doc_id,
-      |         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'jpg' WHEN 1 THEN 'png' ELSE 'wav' END AS fmt,
-      |         md5(array_to_string(list_transform(
-      |           list_filter(generate_series(0, CAST((strlen(text)-1)//64 AS BIGINT)), i -> i % 4 = 0),
-      |           i -> md5(substr(text, CAST(64*i+1 AS INT), 64))), '')) AS pos_fp
-      |  FROM documents),
-      |p AS (SELECT doc_id, fmt, pos_fp,
-      |             lead(pos_fp) OVER (PARTITION BY fmt ORDER BY doc_id) AS neg_fp
-      |      FROM fp)
-      |SELECT doc_id, fmt, pos_fp, neg_fp, (pos_fp <> neg_fp) AS pair_ok
-      |FROM p WHERE neg_fp IS NOT NULL ORDER BY doc_id""".stripMargin
+    s"""WITH fp AS (
+       |  SELECT doc_id,
+       |         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'jpg' WHEN 1 THEN 'png' ELSE 'wav' END AS fmt,
+       |         $fingerprintSql AS pos_fp
+       |  FROM documents),
+       |p AS (SELECT doc_id, fmt, pos_fp,
+       |             lead(pos_fp) OVER (PARTITION BY fmt ORDER BY doc_id) AS neg_fp
+       |      FROM fp)
+       |SELECT doc_id, fmt, pos_fp, neg_fp, (pos_fp <> neg_fp) AS pair_ok
+       |FROM p WHERE neg_fp IS NOT NULL ORDER BY doc_id""".stripMargin
   ) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val sp = s
-    import sp.implicits._
-    val fp = media(s, dir).as[MediaRow]
-      .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        it.map { r =>
-          val n       = r.payload.length
-          val nFrames = Math.floorDiv(n - 1, 64) + 1
-          val joined = (0 until nFrames).filter(_ % 4 == 0).map { i =>
-            md5Hex(md, java.util.Arrays.copyOfRange(r.payload, i * 64, math.min(i * 64 + 64, n)))
-          }.mkString
-          (r.doc_id, r.fmt, md5Hex(md, joined.getBytes("UTF-8")))
-        }
-      }
-      .toDF("doc_id", "fmt", "pos_fp")
+    val fp = fingerprints(s, dir).withColumnRenamed("fingerprint", "pos_fp")
     val w = Window.partitionBy("fmt").orderBy("doc_id")
     fp.withColumn("neg_fp", lead(col("pos_fp"), 1).over(w))
       .where(col("neg_fp").isNotNull)

@@ -36,7 +36,8 @@ class SkewSpec extends AnyFunSuite with BeforeAndAfterAll with SqlConfHelper {
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes"             -> "8KB",
       "spark.sql.adaptive.coalescePartitions.enabled"               -> "false") {
-      // 90% of fact rows share one key — one reducer partition dwarfs the rest
+      // 95% of fact rows share one key (id % 20 == 0 diverts 1 in 20) — one
+      // reducer partition dwarfs the rest
       val fact = spark.range(200000)
         .select(when(col("id") % 20 === 0, col("id") % 50).otherwise(7L).as("k"),
           col("id").as("v"))
