@@ -110,7 +110,15 @@ object PlanAudit {
     // (band, sig) — never a nested loop over the corpus
     "x80_incremental_dedup" -> Seq(
       "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
-      "(?s)\\A(?!.*BroadcastNestedLoopJoin).*"))
+      "(?s)\\A(?!.*BroadcastNestedLoopJoin).*"),
+    // winsorized sum: the group-sized bounds table BROADCASTS back to the
+    // fact — the fact side never shuffles for the clip
+    "t29_winsorized_revenue" -> Seq("BroadcastHashJoin", "BroadcastExchange"),
+    // drift monitor: ONE conditional-aggregation scan — no join anywhere
+    "x82_drift_monitor" -> Seq("(?s)\\A(?!.*Join).*", "HashAggregate"),
+    // interpolation: windows over the broadcast-built grid, no self-join
+    "x84_interpolate" -> Seq("BroadcastExchange", "Window",
+      "(?s)\\A(?!.*SortMergeJoin).*"))
 
   /** Execute one audited query and evaluate its plan patterns — shared by
     * the CLI main and PlanShapeSpec (so plan-shape regressions fail CI, not

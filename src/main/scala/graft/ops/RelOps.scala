@@ -669,7 +669,10 @@ object RelOps {
     * is group-cardinality-sized and BROADCASTS back — the fact side scans
     * twice and shuffles its clipped partials once. Money stays on the
     * decimal path; the clip compares decimals to the t21-proven exact
-    * percentile values.
+    * percentile values. Like t21, the EXACT percentile buffers each
+    * group's values during the bounds pass — f11's approx_percentile
+    * sketch is the declared fixed-memory path when a group outgrows an
+    * executor.
     */
   val winsorizedRevenue: Q = Q(
     "t29_winsorized_revenue",
