@@ -392,7 +392,44 @@ object CorpusStatsOps {
       .orderBy("doc_id")
   }
 
+  /** Language-mix diversity per source — Gini impurity of the language
+    * distribution in exact integer ppm: `1e6 − ⌊Σc² ·1e6 / n²⌋`. The
+    * domain-diversity signal mixture planning reads next to x76's
+    * temperature weights (a source at gini 0 is monolingual; higher means
+    * a flatter mix) — chosen over Shannon entropy precisely because Gini
+    * is RATIONAL: no transcendental log whose cross-engine rounding the
+    * determinism contract can't certify. Majority language rides the t30
+    * tie-break-in-the-query window. Two lexicon-sized aggregates + a
+    * source-keyed join of two tiny tables.
+    */
+  val langGini: Q = Q(
+    "x85_lang_gini",
+    """WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1, 2),
+      |g AS (SELECT source, CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_langs,
+      |             CAST(1000000 - (sum(c * c) * 1000000 // (sum(c) * sum(c))) AS BIGINT) AS gini_ppm
+      |      FROM c GROUP BY source),
+      |m AS (SELECT source, lang AS major_lang, c AS major_n FROM (
+      |        SELECT source, lang, c, row_number() OVER (PARTITION BY source ORDER BY c DESC, lang) AS rk
+      |        FROM c) WHERE rk = 1)
+      |SELECT g.source, n, n_langs, gini_ppm, major_lang, major_n
+      |FROM g JOIN m ON g.source = m.source ORDER BY g.source""".stripMargin
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val c = docs(s, dir).groupBy("source", "lang").agg(count(lit(1)).as("c"))
+    val g = c.groupBy("source").agg(
+      sum(col("c")).as("n"),
+      count(lit(1)).as("n_langs"),
+      (lit(1000000) - expr("sum(c * c) * 1000000 div (sum(c) * sum(c))"))
+        .cast("long").as("gini_ppm"))
+    val w = Window.partitionBy("source").orderBy(col("c").desc, col("lang"))
+    val m = c.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+      .select(col("source"), col("lang").as("major_lang"), col("c").as("major_n"))
+    g.join(m, "source")
+      .select("source", "n", "n_langs", "gini_ppm", "major_lang", "major_n")
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(tfidfTopTerms, bigramLift, sourceOverlap, mixtureSample,
     typeToken, lenQuartiles, invertedIndex, madOutliers, stopwordIndex, lenDeciles,
-    oovRate)
+    oovRate, langGini)
 }
