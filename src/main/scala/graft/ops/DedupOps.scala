@@ -652,7 +652,59 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Exact-Jaccard verification of the LSH candidates — the post-filter
+    * that turns "banded together at least once" into a real similarity
+    * verdict (candidate→verify is THE two-stage shape of production LSH:
+    * x02 proposes, this disposes). Per candidate pair: shingle-set
+    * intersection, union by inclusion–exclusion, similarity in exact
+    * integer ppm, and the ≥ 0.5 verdict.
+    *
+    * Scale shape: everything is CANDIDATE-scale — the pair list (memoized
+    * lineage) joins the shingle table only for the docs it names, so the
+    * intersection probe replicates candidate docs' shingle sets, never the
+    * corpus's; per-doc sizes are a digest-count aggregate joined back by
+    * key. The corpus-wide all-pairs variant (x04) exists as the oracle
+    * baseline; this is the one that runs at 100 TB.
+    */
+  val lshVerify: Q = Q(
+    "x86_lsh_verify",
+    s"""WITH sh AS ($shingleSql),
+       |pairs AS ($lshPairsSql),
+       |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS i
+       |          FROM pairs p JOIN sh a ON a.doc_id = p.doc_a
+       |                       JOIN sh b ON b.doc_id = p.doc_b AND b.sh = a.sh
+       |          GROUP BY 1, 2)
+       |SELECT p.doc_a, p.doc_b, p.n_bands, coalesce(i.i, 0) AS n_inter,
+       |       CAST(coalesce(i.i, 0) * 1000000 // (sa.n + sb.n - coalesce(i.i, 0)) AS BIGINT) AS jaccard_ppm,
+       |       (coalesce(i.i, 0) * 2 >= sa.n + sb.n - coalesce(i.i, 0)) AS verified
+       |FROM pairs p
+       |JOIN sz sa ON sa.doc_id = p.doc_a
+       |JOIN sz sb ON sb.doc_id = p.doc_b
+       |LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+       |ORDER BY p.doc_a, p.doc_b""".stripMargin
+  ) { (s, dir) =>
+    val sh    = shingled(s, dir)
+    val pairs = lshCandidatePairs(s, dir)
+    val sz    = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.as("a"), col("a.doc_id") === col("doc_a"))
+      .join(sh.as("b"), col("b.doc_id") === col("doc_b") && col("b.sh") === col("a.sh"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("i"))
+    val i = coalesce(col("i"), lit(0L))
+    pairs
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"), col("n_bands"),
+        i.as("n_inter"),
+        expr("coalesce(i, 0) * 1000000 div (na + nb - coalesce(i, 0))").as("jaccard_ppm"),
+        (i * 2 >= col("na") + col("nb") - i).as("verified"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val all: Seq[Q] =
     Seq(exactDedup, minhashLsh, simhash, ngramJaccard, dupClusters, pagerank, splitLeakage,
-      canonicalPick, curationPipeline, triangleCount, incrementalDedup)
+      canonicalPick, curationPipeline, triangleCount, incrementalDedup, lshVerify)
 }
