@@ -118,7 +118,10 @@ object PlanAudit {
     "x82_drift_monitor" -> Seq("(?s)\\A(?!.*Join).*", "HashAggregate"),
     // interpolation: windows over the broadcast-built grid, no self-join
     "x84_interpolate" -> Seq("BroadcastExchange", "Window",
-      "(?s)\\A(?!.*SortMergeJoin).*"))
+      "(?s)\\A(?!.*SortMergeJoin).*"),
+    // LSH verify: the candidate doc set SEMI-JOINS the corpus before any
+    // shingle is generated — the verify stage never re-shingles the corpus
+    "x86_lsh_verify" -> Seq("LeftSemi", "BroadcastExchange"))
 
   /** Execute one audited query and evaluate its plan patterns — shared by
     * the CLI main and PlanShapeSpec (so plan-shape regressions fail CI, not

@@ -31,10 +31,16 @@ object DedupOps {
     * Spark's sequence(0, n) with n<0 would generate a descending range
     * instead of an empty one.
     */
-  private def shingled(s: SparkSession, dir: String): DataFrame = {
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    shingledDocs(docs(s, dir))
+
+  /** Distinct 64-bit shingle digests of whatever document slice is handed
+    * in — x86 shingles ONLY the candidate docs (semi-join pushed ahead of
+    * the generator), the full-corpus callers pass the whole table.
+    */
+  private def shingledDocs(d: DataFrame): DataFrame = {
     val w = split(col("text"), " ")
-    docs(s, dir)
-      .select(
+    d.select(
         col("doc_id"),
         explode(
           when(size(w) >= 3,
@@ -684,8 +690,15 @@ object DedupOps {
        |LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
        |ORDER BY p.doc_a, p.doc_b""".stripMargin
   ) { (s, dir) =>
-    val sh    = shingled(s, dir)
     val pairs = lshCandidatePairs(s, dir)
+    // shingle ONLY the docs the candidate list names — at 100 TB the
+    // verify stage must never regenerate the corpus-wide shingle set the
+    // banding already consumed (the candidate set is orders of magnitude
+    // smaller, and broadcast-semi-join prunes before the explode)
+    val cand = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val sh = shingledDocs(
+      docs(s, dir).join(broadcast(cand), Seq("doc_id"), "left_semi"))
     val sz    = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = pairs
       .join(sh.as("a"), col("a.doc_id") === col("doc_a"))
