@@ -401,6 +401,12 @@ object CorpusStatsOps {
     * determinism contract can't certify. Majority language rides the t30
     * tie-break-in-the-query window. Two lexicon-sized aggregates + a
     * source-keyed join of two tiny tables.
+    *
+    * The Σc² statistic rides DECIMAL(38,0): a source-language count above
+    * ~3e9 documents squares past int64 (ANSI mode would throw), while the
+    * decimal sum holds Σc² to 1e38 — mirroring DuckDB, whose sum(BIGINT)
+    * is HUGEINT; the final ppm ratio is an integral divide of exact
+    * decimals on both engines. Spec-pinned against 4e9-sized counts.
     */
   val langGini: Q = Q(
     "x85_lang_gini",
@@ -419,7 +425,9 @@ object CorpusStatsOps {
     val g = c.groupBy("source").agg(
       sum(col("c")).as("n"),
       count(lit(1)).as("n_langs"),
-      (lit(1000000) - expr("sum(c * c) * 1000000 div (sum(c) * sum(c))"))
+      (lit(1000000) - expr(
+        """sum(cast(c as decimal(38,0)) * c) * 1000000
+          | div (sum(cast(c as decimal(38,0))) * sum(cast(c as decimal(38,0))))""".stripMargin))
         .cast("long").as("gini_ppm"))
     val w = Window.partitionBy("source").orderBy(col("c").desc, col("lang"))
     val m = c.withColumn("rk", row_number().over(w)).where(col("rk") === 1)

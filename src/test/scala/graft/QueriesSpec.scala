@@ -332,6 +332,20 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(running == total)
   }
 
+  test("x85's gini arithmetic survives counts whose squares overflow int64") {
+    // a source-language count of 4e9 squares to 1.6e19 > Long.MAX — the
+    // decimal(38,0) statistic must carry it exactly (ANSI mode would throw
+    // on the naive int64 product). Expected value from exact integer math:
+    // 1e6 - (2·(4e9)² + (2e9)²)·1e6 // (1e10)² = 640000.
+    val got = spark.sql(
+      """SELECT CAST(1000000 AS BIGINT) -
+        |       CAST((sum(CAST(c AS DECIMAL(38,0)) * c) * 1000000)
+        |            div (sum(CAST(c AS DECIMAL(38,0))) * sum(CAST(c AS DECIMAL(38,0)))) AS BIGINT) AS gini_ppm
+        |FROM VALUES (4000000000L), (4000000000L), (2000000000L) AS t(c)""".stripMargin)
+      .head().getLong(0)
+    assert(got == 640000L, s"expected 640000, got $got")
+  }
+
   test("x75 rendezvous rebalance: documents move ONLY into the new shard, ~1/9 of the corpus") {
     val rows = SparkEntry.queries("x75_shard_rebalance")(spark, sfDir).collect()
     assert(rows.map(_.getInt(0)).toSeq == (0 to 8), "all nine shards populated")
