@@ -352,10 +352,16 @@ object PipelineOps {
         countDistinct(when(w1, col("user_id"))).as("users_w1"),
         countDistinct(when(!w1, col("user_id"))).as("users_w2"))
       // drift ratios from the already-exact int64 aggregates — `div` keeps
-      // the whole chain in integer arithmetic (no double division anywhere)
+      // the whole chain in integer arithmetic (no double division anywhere).
+      // The CENTS ratio rides decimal(38,0): a window's cent volume above
+      // ~9e12 would push volume·1e6 past int64 (the x85 overflow class);
+      // row counts stay int64 (count·1e6 needs > 9e12 ROWS per group to
+      // overflow — disclosed headroom, not a realistic group)
       .select(col("event_type"), col("n_w1"), col("n_w2"),
         expr("abs(n_w1 - n_w2) * 1000000 div (n_w1 + n_w2)").as("n_drift_ppm"),
-        expr("abs(c_w1 - c_w2) * 1000000 div (c_w1 + c_w2)").as("cents_drift_ppm"),
+        expr("""abs(cast(c_w1 as decimal(38,0)) - c_w2) * 1000000
+               | div (cast(c_w1 as decimal(38,0)) + c_w2)""".stripMargin)
+          .cast("long").as("cents_drift_ppm"),
         col("users_w1"), col("users_w2"))
       .orderBy("event_type")
   }
