@@ -514,6 +514,60 @@ object SimilarityOps {
       .orderBy("q_id", "rk")
   }
 
+  /** Label-centroid affinity matrix — the inter-cluster redundancy signal
+    * on top of x33's centroids: pairwise cosine between every pair of
+    * label centroids, flagging clusters close enough (≥ 0.9) that a
+    * curation pass should consider merging or re-balancing them. All
+    * accumulation is exact: per-label per-dimension INTEGER ppm sums
+    * (order-free), centroid components as exact `sum div n`, integer dot
+    * products of the ppm centroids, with float entering only for the
+    * final sqrt-normalize chain both engines round identically (the
+    * x05/x69-proven IEEE contract). The matrix is |labels|² — a handful
+    * of rows; the only corpus-scale work is the one posexplode aggregate.
+    */
+  val labelAffinity: Q = Q(
+    "x87_label_affinity",
+    """WITH e AS (SELECT label, i, CAST(floor((embedding::DOUBLE[])[i] * 1000000 + 0.5) AS BIGINT) AS ppm
+      |           FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) idx),
+      |c AS (SELECT label, i, sum(ppm) AS sp FROM e GROUP BY label, i),
+      |d AS (SELECT a.label AS label_a, b.label AS label_b, sum(a.sp * b.sp) AS dot_ab
+      |      FROM c a JOIN c b ON a.i = b.i AND a.label < b.label
+      |      GROUP BY 1, 2),
+      |nrm AS (SELECT label, sum(sp * sp) AS nn FROM c GROUP BY label)
+      |SELECT label_a, label_b, cos, (cos >= 0.9) AS near_dup_clusters FROM (
+      |  SELECT label_a, label_b,
+      |         round(CAST(dot_ab AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))), 6) AS cos
+      |  FROM d JOIN nrm na ON d.label_a = na.label JOIN nrm nb ON d.label_b = nb.label)
+      |ORDER BY label_a, label_b""".stripMargin
+  ) { (s, dir) =>
+    val ppm = embs(s, dir).select(
+      col("label"), posexplode(col("embedding")).as(Seq("p", "comp")))
+      .select(col("label"), (col("p") + 1).as("i"),
+        floor(col("comp").cast("double") * 1000000 + 0.5).cast("long").as("ppm"))
+    // cosine is scale-invariant, so the centroids enter UNDIVIDED as their
+    // raw per-dim ppm sums — no integer division whose floor-vs-truncate
+    // semantics diverge on negative sums; the sum-of-products statistics
+    // ride decimal(38,0) (a billion-vector label's ppm sums square past
+    // int64 — the x85 overflow class), matching DuckDB's HUGEINT sums
+    val c = ppm.groupBy("label", "i")
+      .agg(sum(col("ppm")).cast("decimal(38,0)").as("sp"))
+    val d = c.as("a")
+      .join(c.as("b"), col("a.i") === col("b.i") && col("a.label") < col("b.label"))
+      .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+      .agg(sum(col("a.sp") * col("b.sp")).as("dot_ab"))
+    val nrm = c.groupBy("label").agg(sum(col("sp") * col("sp")).as("nn"))
+    d.join(nrm.select(col("label").as("label_a"), col("nn").as("na")), "label_a")
+      .join(nrm.select(col("label").as("label_b"), col("nn").as("nb")), "label_b")
+      .select(col("label_a"), col("label_b"),
+        round(col("dot_ab").cast("double") / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6).as("cos"))
+      // the flag compares the ROUNDED cosine (identical on both engines) —
+      // a squared-integer-dot formulation would be the x85 overflow class
+      .select(col("label_a"), col("label_b"), col("cos"),
+        (col("cos") >= 0.9).as("near_dup_clusters"))
+      .orderBy("label_a", "label_b")
+  }
+
   val all: Seq[Q] = Seq(cosineNearDup, cosineTopK, annLsh, annMultiprobe, annIvf,
-    annMultitable, labelCentroids, kmeansIter, semanticDedup, quantizedTopK)
+    annMultitable, labelCentroids, kmeansIter, semanticDedup, quantizedTopK,
+    labelAffinity)
 }
