@@ -121,7 +121,11 @@ object PlanAudit {
       "(?s)\\A(?!.*SortMergeJoin).*"),
     // LSH verify: the candidate doc set SEMI-JOINS the corpus before any
     // shingle is generated — the verify stage never re-shingles the corpus
-    "x86_lsh_verify" -> Seq("LeftSemi", "BroadcastExchange"))
+    "x86_lsh_verify" -> Seq("LeftSemi", "BroadcastExchange"),
+    // label affinity: centroid pairing is an EQUI join on the dimension
+    // index over label-count-sized tables — never a cartesian of vectors
+    "x87_label_affinity" -> Seq("HashAggregate",
+      "(?s)\\A(?!.*CartesianProduct).*"))
 
   /** Execute one audited query and evaluate its plan patterns — shared by
     * the CLI main and PlanShapeSpec (so plan-shape regressions fail CI, not
