@@ -79,8 +79,11 @@ object GraftExtensions {
     new ExpressionInfo(classOf[CharNgrams].getName, "char_ngrams"),
     arity("char_ngrams", 2)(children => children(1) match {
       // n must be a compile-time constant: it parameterizes the generated
-      // code, so a non-foldable second argument is an analysis error
-      case e if e.foldable && (e.dataType == org.apache.spark.sql.types.IntegerType ||
+      // code, so a non-foldable second argument is an analysis error. The
+      // eval() != null guard keeps a foldable NULL literal (CAST(NULL AS
+      // INT)) on the error path instead of NPE-ing in toString
+      case e if e.foldable && e.eval() != null &&
+          (e.dataType == org.apache.spark.sql.types.IntegerType ||
           e.dataType == org.apache.spark.sql.types.LongType ||
           e.dataType == org.apache.spark.sql.types.ShortType) =>
         CharNgrams(children.head, e.eval().toString.toInt)

@@ -59,8 +59,11 @@ object CharNgramsImpl {
   def ngrams(s: UTF8String, n: Int): ArrayData = {
     val bytes = s.getBytes
     val len   = bytes.length
-    // char-start offsets (a UTF-8 continuation byte is 10xxxxxx)
-    val offs = new Array[Int](s.numChars() + 1)
+    // char-start offsets (a UTF-8 continuation byte is 10xxxxxx). Sized by
+    // BYTE count, not numChars(): on malformed UTF-8 (parquet doesn't
+    // validate) numChars skips bytes the start-counting loop below counts,
+    // so a numChars+1 array can overflow. len+1 is always sufficient.
+    val offs = new Array[Int](len + 1)
     var c = 0
     var i = 0
     while (i < len) {
@@ -87,12 +90,14 @@ object CharNgramsFunctions {
   def charNgrams(text: Column, n: Int): Column =
     GraftFunctions.liftUnary(text, e => CharNgrams(e, n)).getOrElse {
       import org.apache.spark.sql.functions._
+      // NULL-in/NULL-out matches the Expression path (nullSafeEval);
       // the short-string guard is part of the contract: without it
       // sequence(1, len-(n-1)) DESCENDS for len < n (Spark defaults the
       // step to -1 when start > stop) and emits garbage grams
-      when(length(text) >= n,
-        transform(sequence(lit(1), length(text) - (n - 1)),
-          i => text.substr(i, lit(n))))
+      when(text.isNull, lit(null).cast("array<string>"))
+        .when(length(text) >= n,
+          transform(sequence(lit(1), length(text) - (n - 1)),
+            i => text.substr(i, lit(n))))
         .otherwise(array().cast("array<string>"))
     }
 }

@@ -207,8 +207,11 @@ object BehaviorOps {
     val wDesc  = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
     def latest(df: DataFrame): DataFrame =
       df.withColumn("rn", row_number().over(wDesc)).where(col("rn") === 1).drop("rn", "ts", "event_id")
+    // b_present is the 'base row exists' marker: branching on b.cents
+    // nullity would mislabel a matched base row whose VALUE is null
     val base = latest(events(s, dir).where(col("ts") < cutoff)
       .select(col("user_id"), col("ts"), col("event_id"), cents))
+      .withColumn("b_present", lit(1))
     val chg = latest(events(s, dir).where(col("ts") >= cutoff)
       .select(col("user_id"), col("ts"), col("event_id"),
         when(col("event_type") === "error", "D").otherwise("U").as("op"), cents))
@@ -218,7 +221,7 @@ object BehaviorOps {
         col("user_id"),
         when(col("c.op").isNull, col("b.cents")).otherwise(col("c.cents")).as("cents"),
         when(col("c.op").isNull, "kept")
-          .when(col("b.cents").isNull, "inserted")
+          .when(col("b.b_present").isNull, "inserted")
           .otherwise("updated").as("src"))
       .orderBy("user_id")
   }

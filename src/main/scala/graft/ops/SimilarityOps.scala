@@ -476,8 +476,8 @@ object SimilarityOps {
     "x69_quantized_topk",
     """WITH c AS (
       |  SELECT vec_id,
-      |         list_transform(embedding::DOUBLE[], x ->
-      |           CAST(floor((x - mn) * 255.0 / (mx - mn) + 0.5) AS BIGINT) - 128) AS codes
+      |         list_transform(embedding::DOUBLE[], x -> CASE WHEN mx = mn THEN 0
+      |           ELSE CAST(floor((x - mn) * 255.0 / (mx - mn) + 0.5) AS BIGINT) - 128 END) AS codes
       |  FROM (SELECT vec_id, embedding,
       |               CAST(list_min(embedding) AS DOUBLE) AS mn,
       |               CAST(list_max(embedding) AS DOUBLE) AS mx
@@ -494,8 +494,12 @@ object SimilarityOps {
     val mx = array_max(col("embedding")).cast("double")
     val codes = embs(s, dir).select(
       col("vec_id"),
+      // mx == mn (constant vector, e.g. all-zero) would divide by zero:
+      // Spark yields NULL codes while DuckDB errors on CAST(NaN) — guard
+      // both sides so degenerate vectors quantize deterministically to 0
       transform(col("embedding").cast("array<double>"),
-        x => (floor((x - mn) * 255.0 / (mx - mn) + 0.5).cast("long") - 128)).as("codes"))
+        x => when(mx === mn, lit(0L))
+          .otherwise(floor((x - mn) * 255.0 / (mx - mn) + 0.5).cast("long") - 128)).as("codes"))
     // integer dot product of the centered codes: a zip_with/aggregate fold
     // over exact int64 — products are ≤ 128²·64 ≈ 2^20, no overflow risk
     val qdot = aggregate(

@@ -237,6 +237,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("char_ngrams does not crash on malformed UTF-8 (parquet doesn't validate)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.CharNgramsImpl
+    // truncated multibyte lead (0xC2 followed by ASCII): numChars skips 2
+    // bytes for the lead while every non-continuation byte is a char start,
+    // so a numChars-sized offset array would overflow — the ADVICE r4 crash
+    val cases = Seq[Array[Byte]](
+      Array(0xc2.toByte, 'a'.toByte, 'b'.toByte, 'c'.toByte),
+      Array(0xe0.toByte, 'x'.toByte),                         // truncated 3-byte lead
+      Array(0xf0.toByte, 0x90.toByte, 'q'.toByte, 'r'.toByte, 's'.toByte), // truncated 4-byte
+      Array(0x80.toByte, 0x80.toByte),                        // bare continuations
+      Array.fill(10)(0xc2.toByte))                            // all leads
+    for (bytes <- cases; n <- Seq(1, 2, 3)) {
+      val s   = UTF8String.fromBytes(bytes)
+      val out = CharNgramsImpl.ngrams(s, n) // must not throw
+      assert(out.numElements() >= 0)
+    }
+    // and a gen sweep over random byte soup for good measure
+    samples(Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte)), 200).foreach { bs =>
+      CharNgramsImpl.ngrams(UTF8String.fromBytes(bs.toArray), 3)
+    }
+  }
+
   test("startingPosition parser accepts the documented forms and rejects everything else") {
     assert(BeamSource.parseStartingPosition("earliest").contains(0L))
     assert(BeamSource.parseStartingPosition("latest").isEmpty)

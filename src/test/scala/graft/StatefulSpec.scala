@@ -189,6 +189,11 @@ class StatefulSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.sql("SELECT char_ngrams('abc', id) FROM range(1)").collect()
     }
     assert(err.getMessage.toLowerCase.contains("integer literal"))
+    // a foldable NULL of integer type must hit the same error path, not NPE
+    val errNull = intercept[Exception] {
+      spark.sql("SELECT char_ngrams('abc', CAST(NULL AS INT))").collect()
+    }
+    assert(errNull.getMessage.toLowerCase.contains("integer literal"))
   }
 
   test("SQL function builders reject wrong arity with a real error, not head-of-empty-list") {
