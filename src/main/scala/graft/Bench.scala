@@ -10,9 +10,12 @@ import org.apache.spark.sql.SparkSession
   * columns and drop sorts, under-measuring projection-heavy plans — and so
   * would an aggregate on top (EliminateSorts removes an ORDER BY under an
   * order-insensitive aggregate). So every row is hashed (xxhash64 across
-  * all columns) and the hash column is COLLECTED, preserving the sort in
-  * the executed plan; query results are bounded (top-k/grouped outputs),
-  * so the driver only ever holds one long per result row.
+  * all columns) and the hashes are folded ON THE EXECUTORS, below any
+  * logical-plan rewrite: the fold runs over `queryExecution.toRdd`, so
+  * Catalyst never sees an aggregate above the sort and the ORDER BY stays
+  * in the executed plan. Driver memory is one long per partition at ANY
+  * scale factor — the round-4 harness collected every row hash, which made
+  * the harness itself driver-memory-bound at sf1 (VERDICT r4 item 2).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -30,10 +33,22 @@ object Bench {
     spark.range(1 << 20).groupBy(col("id") % 7).count().count()
     ops.Tables(spark, sfDir, "nation").count()
 
-    // Materialize: hash every column of every row, fold driver-side.
+    // Materialize: hash every column of every row, fold executor-side.
+    // The fold sits ABOVE the compiled physical plan (toRdd), so the sort
+    // executes; it is order-sensitive within a partition (rotate-xor) and
+    // partition results combine in partition order, so the folded value
+    // still consumes the sorted output rather than a bag of rows.
     def materialize(df: org.apache.spark.sql.DataFrame): Long = {
       val hashed = df.select(xxhash64(df.columns.map(c => col(c).cast("string")): _*).as("h"))
-      hashed.collect().foldLeft(0L)((acc, r) => acc ^ (if (r.isNullAt(0)) 0L else r.getLong(0)))
+      val parts = hashed.queryExecution.toRdd.mapPartitions { it =>
+        var acc = 0L
+        while (it.hasNext) {
+          val r = it.next()
+          acc = java.lang.Long.rotateLeft(acc, 1) ^ (if (r.isNullAt(0)) 0L else r.getLong(0))
+        }
+        Iterator.single(acc)
+      }
+      parts.collect().foldLeft(0L)((a, b) => java.lang.Long.rotateLeft(a, 13) ^ b)
     }
 
     // Per-query best-of-N (disclosed in the output): the shared host shows
