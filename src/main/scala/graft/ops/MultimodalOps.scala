@@ -9,53 +9,57 @@ import org.apache.spark.sql.functions._
   */
 final case class MediaRow(doc_id: Long, fmt: String, payload: Array[Byte])
 
-/** Deterministic fake "decoded" features — stands in for a real image/audio
-  * decoder (the decode libs are not in this container; see [[MultimodalOps.decodeReal]]).
+/** Header-decoded features: dims/channels PARSED from the real container
+  * bytes ([[MediaCodec.decode]]), probes and histogram over the located
+  * body stream.
   */
 final case class MediaFeatures(
-    doc_id: Long, fmt: String, w: Long, h: Long,
+    doc_id: Long, fmt: String, w: Long, h: Long, channels: Long, body_bytes: Long,
     b1: Int, b2: Int, b3: Int, b4: Int, n_a: Long)
 
 /** Multimodal-column operators: image/audio/video as opaque `binary`
   * columns with typed metadata, plus a feature-extraction pass implemented
-  * as a typed `Dataset.mapPartitions` — the batch-iterator shape a real
-  * decoder plugs into (one decoder init per partition, streamed rows).
+  * as a typed `Dataset.mapPartitions` — the batch-iterator shape a codec
+  * plugs into (one decoder/digest init per partition, streamed rows).
   *
-  * The decode step itself is STUBBED deterministically (payload bytes are
-  * utf-8 of `documents.text`, "features" are byte probes) so the Spark-side
-  * plumbing — binary schema, partitioning, batch iteration, typed Encoders —
-  * is real and oracle-checked while no media library is required.
+  * The payloads are REAL containers: the fixture encoder wraps each
+  * document's utf-8 bytes in a genuine PNG / JFIF-JPEG / RIFF-WAVE stream
+  * ([[MediaCodec]]), and the decode side sniffs the magic and walks the
+  * actual chunk/marker structure to the IHDR / SOF0 / fmt fields. Only the
+  * body stays opaque (no pixel/DCT decode — media libs aren't shipped),
+  * which is the honest boundary for a metadata-driven curation pass.
   */
 object MultimodalOps {
 
-  /** Real decoder entry point — intentionally unimplemented in this
-    * container (no image/audio libs). A production deployment swaps this in
-    * for [[fakeDecode]] inside the same mapPartitions pipeline.
+  /** Real header decode: sniff + parse the container, probe the body.
+    * Runs inside the typed mapPartitions pipeline.
     */
-  def decodeReal(payload: Array[Byte], fmt: String): MediaFeatures =
-    throw new NotImplementedError("media codecs unavailable in this environment")
-
-  /** Deterministic fake decode: dimension fields derived from payload size,
-    * "frame samples" = bytes at fixed offsets, histogram = count of 'a'.
-    */
-  def fakeDecode(r: MediaRow): MediaFeatures = {
-    val n = r.payload.length
-    def probe(pos0: Int): Int = if (pos0 < n) r.payload(pos0) & 0xff else 0
+  def decodeFeatures(r: MediaRow): MediaFeatures = {
+    val d    = MediaCodec.decode(r.payload)
+    val body = MediaCodec.body(r.payload, d)
+    val n    = body.length
+    def probe(pos0: Int): Int = if (pos0 < n) body(pos0) & 0xff else 0
     MediaFeatures(
-      r.doc_id, r.fmt,
-      w = n % 640, h = (n.toLong * 7) % 480,
+      r.doc_id, d.fmt,
+      w = d.w.toLong, h = d.h.toLong, channels = d.channels.toLong, body_bytes = n.toLong,
       b1 = probe(0), b2 = probe(8), b3 = probe(16), b4 = probe(24),
-      n_a = r.payload.count(_ == 'a'.toByte).toLong)
+      n_a = body.count(_ == 'a'.toByte).toLong)
   }
 
-  /** documents → media rows: payload = utf-8 bytes (the opaque binary stand-
-    * in), fmt assigned deterministically (jpg/png/wav by doc_id).
+  /** documents → media rows: each document's utf-8 bytes wrapped in a real
+    * container by the fixture encoder — fmt round-robins jpg/png/wav by
+    * doc_id, PNG color type alternates RGB/RGBA by parity.
     */
-  private def media(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents").select(
-      col("doc_id"),
-      element_at(array(lit("jpg"), lit("png"), lit("wav")), (col("doc_id") % 3 + 1).cast("int")).as("fmt"),
-      encode(col("text"), "UTF-8").cast("binary").as("payload"))
+  private def media(s: SparkSession, dir: String): org.apache.spark.sql.Dataset[MediaRow] = {
+    val sp = s
+    import sp.implicits._
+    Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val fmt = (id % 3) match { case 0 => "jpg"; case 1 => "png"; case _ => "wav" }
+        MediaRow(id, fmt, MediaCodec.encode(fmt, id, text.getBytes("UTF-8")))
+      })
+  }
 
   /** Metadata-level aggregation over the binary column: per-format counts
     * and byte totals (SURVEY.md §2.B "multimodal columns … metadata-only
@@ -65,7 +69,8 @@ object MultimodalOps {
     "x12_mm_metadata",
     """SELECT fmt, count(*) AS n, CAST(sum(n_bytes) AS BIGINT) AS total_bytes, min(n_bytes) AS min_bytes, max(n_bytes) AS max_bytes
       |FROM (SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'jpg' WHEN 1 THEN 'png' ELSE 'wav' END AS fmt,
-      |             strlen(text) AS n_bytes FROM documents)
+      |             strlen(text) + CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 55 WHEN 1 THEN 57 ELSE 44 END AS n_bytes
+      |      FROM documents)
       |GROUP BY fmt ORDER BY fmt""".stripMargin
   ) { (s, dir) =>
     // n_bytes as long on the Spark side too: DuckDB strlen is BIGINT, so
@@ -78,14 +83,22 @@ object MultimodalOps {
       .orderBy("fmt")
   }
 
-  /** Typed decode pipeline: Dataset[MediaRow] → mapPartitions(fakeDecode) →
-    * Dataset[MediaFeatures]. The partition iterator is where a real decoder
-    * would amortize its init; rows never collect to the driver.
+  /** Typed decode pipeline: Dataset[MediaRow] → mapPartitions(header parse)
+    * → Dataset[MediaFeatures]. The partition iterator is where the decoder
+    * amortizes its init; rows never collect to the driver. The oracle
+    * recomputes every field from the fixture generation rule, so a hash
+    * match proves the REAL byte-level parse (PNG IHDR with CRC check, JPEG
+    * SOF0 height-before-width, WAVE fmt chunk) round-trips the encoder.
     */
   val mmFeatures: Q = Q(
     "x13_mm_features",
     """SELECT doc_id,
-      |  strlen(text) % 640 AS w, (strlen(text) * 7) % 480 AS h,
+      |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'jpg' WHEN 1 THEN 'png' ELSE 'wav' END AS fmt,
+      |  CASE WHEN doc_id % 3 = 2 THEN 16000 ELSE strlen(text) % 640 + 1 END AS w,
+      |  CASE WHEN doc_id % 3 = 2 THEN strlen(text) // 2 ELSE (strlen(text) * 7) % 480 + 1 END AS h,
+      |  CAST(CASE WHEN doc_id % 3 = 0 THEN 3 WHEN doc_id % 3 = 2 THEN 1
+      |            WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS BIGINT) AS channels,
+      |  strlen(text) AS body_bytes,
       |  ascii(substr(text, 1, 1)) AS b1, ascii(substr(text, 9, 1)) AS b2,
       |  ascii(substr(text, 17, 1)) AS b3, ascii(substr(text, 25, 1)) AS b4,
       |  strlen(text) - strlen(replace(text, 'a', '')) AS n_a
@@ -93,9 +106,10 @@ object MultimodalOps {
   ) { (s, dir) =>
     val sp = s
     import sp.implicits._
-    media(s, dir).as[MediaRow]
-      .mapPartitions(_.map(fakeDecode))
-      .select(col("doc_id"), col("w"), col("h"), col("b1"), col("b2"), col("b3"), col("b4"), col("n_a"))
+    media(s, dir)
+      .mapPartitions(_.map(decodeFeatures))
+      .select(col("doc_id"), col("fmt"), col("w"), col("h"), col("channels"), col("body_bytes"),
+        col("b1"), col("b2"), col("b3"), col("b4"), col("n_a"))
       .orderBy("doc_id")
   }
 
@@ -125,16 +139,19 @@ object MultimodalOps {
   ) { (s, dir) =>
     val sp = s
     import sp.implicits._
-    media(s, dir).where(col("doc_id") % 25 === 0).as[MediaRow]
+    media(s, dir).where(col("doc_id") % 25 === 0)
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { r =>
-          val n       = r.payload.length
+          // frames sample the DECODED stream: parse the container, frame
+          // over the located body (headers are never part of a frame)
+          val body    = MediaCodec.body(r.payload, MediaCodec.decode(r.payload))
+          val n       = body.length
           // floorDiv: for n = 0 truncating division would yield 1 phantom
           // frame where the oracle's floor division yields none
           val nFrames = Math.floorDiv(n - 1, 64) + 1
           (0 until nFrames).iterator.filter(_ % 4 == 0).map { i =>
-            val frame = java.util.Arrays.copyOfRange(r.payload, i * 64, math.min(i * 64 + 64, n))
+            val frame = java.util.Arrays.copyOfRange(body, i * 64, math.min(i * 64 + 64, n))
             FrameRow(r.doc_id, i.toLong, md5Hex(md, frame))
           }
         }
@@ -160,14 +177,17 @@ object MultimodalOps {
   private def fingerprints(s: SparkSession, dir: String): DataFrame = {
     val sp = s
     import sp.implicits._
-    media(s, dir).as[MediaRow]
+    media(s, dir)
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { r =>
-          val n       = r.payload.length
+          // same decode-then-frame contract as x45: the fingerprint covers
+          // the parsed body stream, never the container headers
+          val body    = MediaCodec.body(r.payload, MediaCodec.decode(r.payload))
+          val n       = body.length
           val nFrames = Math.floorDiv(n - 1, 64) + 1 // see x45 floorDiv note
           val joined = (0 until nFrames).filter(_ % 4 == 0).map { i =>
-            md5Hex(md, java.util.Arrays.copyOfRange(r.payload, i * 64, math.min(i * 64 + 64, n)))
+            md5Hex(md, java.util.Arrays.copyOfRange(body, i * 64, math.min(i * 64 + 64, n)))
           }.mkString
           (r.doc_id, r.fmt, md5Hex(md, joined.getBytes("UTF-8")))
         }

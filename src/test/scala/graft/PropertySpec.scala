@@ -260,6 +260,44 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("media codec round-trips real PNG/JPEG/WAV containers over random bodies") {
+    import graft.ops.MediaCodec
+    val bodies = samples(Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray), 120) ++
+      Seq(Array.emptyByteArray, Array.fill(70000)('x'.toByte)) // empty + >64k body
+    for (body <- bodies; (fmt, docId) <- Seq(("jpg", 0L), ("png", 4L), ("png", 7L), ("wav", 2L))) {
+      val payload = MediaCodec.encode(fmt, docId, body)
+      val d       = MediaCodec.decode(payload) // sniffed, never told the fmt
+      assert(d.fmt == fmt)
+      assert(MediaCodec.body(payload, d).sameElements(body), s"$fmt body mismatch")
+      val (w, h) = MediaCodec.dimsFor(body.length)
+      if (fmt == "wav") { assert(d.w == 16000 && d.h == body.length / 2 && d.channels == 1) }
+      else { assert(d.w == w && d.h == h) }
+      if (fmt == "jpg") assert(d.channels == 3)
+      if (fmt == "png") assert(d.channels == (if (docId % 2 == 0) 3 else 4))
+    }
+    // container overhead constants are part of the x12 oracle contract
+    assert(MediaCodec.encode("jpg", 0, new Array[Byte](10)).length == 65)
+    assert(MediaCodec.encode("png", 0, new Array[Byte](10)).length == 67)
+    assert(MediaCodec.encode("wav", 0, new Array[Byte](10)).length == 54)
+  }
+
+  test("media codec rejects corrupt and truncated containers with named errors") {
+    import graft.ops.MediaCodec
+    val body = "some body bytes here".getBytes("UTF-8")
+    for (fmt <- Seq("jpg", "png", "wav")) {
+      val good = MediaCodec.encode(fmt, 1L, body)
+      // truncation anywhere in the header region must raise, not crash
+      for (cut <- Seq(2, 10, good.length - 1))
+        assertThrows[IllegalArgumentException](MediaCodec.decode(good.take(cut)))
+    }
+    // PNG IHDR corruption must trip the CRC check
+    val png = MediaCodec.encode("png", 0L, body)
+    png(16) = (png(16) ^ 0x01).toByte // a width byte inside IHDR data
+    assertThrows[IllegalArgumentException](MediaCodec.decode(png))
+    // unknown magic
+    assertThrows[IllegalArgumentException](MediaCodec.decode("not a container".getBytes))
+  }
+
   test("startingPosition parser accepts the documented forms and rejects everything else") {
     assert(BeamSource.parseStartingPosition("earliest").contains(0L))
     assert(BeamSource.parseStartingPosition("latest").isEmpty)
