@@ -114,15 +114,36 @@ object FuncOps {
       .orderBy("event_type")
   }
 
-  /** Approximate distinct (HLL++): sketch estimates are engine-specific →
-    * rows-only driver check, with the exact count alongside for sanity.
+  /** Raw HLL++ output (estimate + exact alongside) — the spec-bounded
+    * surface: QueriesSpec asserts the estimate within 4× the requested rsd.
     */
-  val approxDistinct: Q = Q.noOracle("f05_approx_distinct") { (s, dir) =>
+  private[graft] def approxDistinctRaw(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
       .groupBy("event_type")
       .agg(
         approx_count_distinct("user_id", 0.01).as("approx_users"),
         countDistinct("user_id").as("exact_users"))
+      .orderBy("event_type")
+
+  /** Approximate distinct (HLL++). Sketch estimates are engine-specific, so
+    * the DECLARED output is the hash-verifiable split: group keys + exact
+    * counts (oracle-exact) + `approx_ok`, each engine's own sketch checked
+    * against ITS exact count under a shared 5% (floor 5) band — both
+    * engines' HLLs sit far inside it, so the boolean is deterministic and
+    * the whole row hash-matches. The raw estimate itself stays covered by
+    * the 4×-rsd spec on [[approxDistinctRaw]].
+    */
+  val approxDistinct: Q = Q(
+    "f05_approx_distinct",
+    """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |       (abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+      |          <= greatest(5.0, 0.05 * count(DISTINCT user_id))) AS approx_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  ) { (s, dir) =>
+    approxDistinctRaw(s, dir)
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users"))
+          <= greatest(lit(5.0), lit(0.05) * col("exact_users"))).as("approx_ok"))
       .orderBy("event_type")
   }
 
@@ -240,15 +261,10 @@ object FuncOps {
       .orderBy("ln")
   }
 
-  /** Approximate percentile (KLL/GK-style sketch, `approx_percentile`):
-    * sketch internals are engine-specific → rows-only driver check, with
-    * the exact median alongside; QueriesSpec bounds the estimate between
-    * the exact p40/p60 (a sketch at accuracy 10000 on these group sizes
-    * must land far inside that window). The scale story is the point: the
-    * sketch is a bounded-memory mergeable aggregate, where the exact
-    * `percentile` must buffer every value of the group.
+  /** Raw approx-percentile output — the spec-bounded surface: QueriesSpec
+    * pins the estimate between the exact p40/p60 per group.
     */
-  val approxPercentile: Q = Q.noOracle("f11_approx_percentile") { (s, dir) =>
+  private[graft] def approxPercentileRaw(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
       .groupBy("event_type")
       .agg(
@@ -256,6 +272,36 @@ object FuncOps {
         percentile(col("value"), lit(0.4)).as("exact_p40"),
         median(col("value")).as("exact_med"),
         percentile(col("value"), lit(0.6)).as("exact_p60"))
+      .orderBy("event_type")
+
+  /** Approximate percentile (GK-style sketch, `approx_percentile`): sketch
+    * internals are engine-specific (Spark GK vs DuckDB t-digest), so the
+    * DECLARED output is the hash-verifiable split: exact interpolated
+    * percentiles at 6 dp (oracle-exact, the t19-proven IEEE contract) plus
+    * `approx_in_band` — each engine's own sketch median pinned between ITS
+    * exact p40/p60, a window both sketches land far inside, making the
+    * boolean deterministic. The raw estimate stays covered by the spec on
+    * [[approxPercentileRaw]]. The scale story is unchanged: the sketch is
+    * a bounded-memory mergeable aggregate, where exact `percentile` must
+    * buffer every value of the group.
+    */
+  val approxPercentile: Q = Q(
+    "f11_approx_percentile",
+    """SELECT event_type,
+      |       round(quantile_cont(value, 0.4), 6) AS exact_p40,
+      |       round(median(value), 6) AS exact_med,
+      |       round(quantile_cont(value, 0.6), 6) AS exact_p60,
+      |       (approx_quantile(value, 0.5)
+      |          BETWEEN quantile_cont(value, 0.4) AND quantile_cont(value, 0.6)) AS approx_in_band
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  ) { (s, dir) =>
+    approxPercentileRaw(s, dir)
+      .select(col("event_type"),
+        round(col("exact_p40"), 6).as("exact_p40"),
+        round(col("exact_med"), 6).as("exact_med"),
+        round(col("exact_p60"), 6).as("exact_p60"),
+        (col("approx_med") >= col("exact_p40") && col("approx_med") <= col("exact_p60"))
+          .as("approx_in_band"))
       .orderBy("event_type")
   }
 

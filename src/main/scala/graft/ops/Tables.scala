@@ -49,6 +49,4 @@ final case class Q(
 object Q {
   def apply(name: String, oracle: String)(run: (SparkSession, String) => DataFrame): Q =
     Q(name, Some(oracle), run)
-  def noOracle(name: String)(run: (SparkSession, String) => DataFrame): Q =
-    Q(name, None, run)
 }

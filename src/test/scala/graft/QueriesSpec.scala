@@ -53,7 +53,7 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     // rsd=0.01 is the requested relative standard deviation; 4 sigma is a
     // once-in-10^4 false-failure bound, so a breach means a broken sketch,
     // not noise. The query carries the exact count alongside the estimate.
-    val rows = SparkEntry.queries("f05_approx_distinct")(spark, sfDir).collect()
+    val rows = graft.ops.FuncOps.approxDistinctRaw(spark, sfDir).collect()
     rows.foreach { r =>
       val approx = r.getAs[Long]("approx_users").toDouble
       val exact  = r.getAs[Long]("exact_users").toDouble
@@ -106,7 +106,7 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("f11 approx_percentile lands between the exact p40 and p60 per group") {
-    val rows = SparkEntry.queries("f11_approx_percentile")(spark, sfDir).collect()
+    val rows = graft.ops.FuncOps.approxPercentileRaw(spark, sfDir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val approx = r.getAs[Double]("approx_med")
