@@ -56,6 +56,47 @@ class StatefulSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lastA.value == "v3" && lastA.touches == 3 && !lastA.evicted)
   }
 
+  test("stateful query output is identical on the RocksDB state store provider") {
+    // At 100 TB the join/session state exceeds executor heap — the scale
+    // posture (SURVEY §9) is RocksDB-backed state partitioned by key. Run
+    // the SAME keyed-state pipeline on both providers (fresh checkpoints:
+    // the provider class is pinned per checkpoint in OffsetSeqMetadata)
+    // and assert bit-identical results.
+    import spark.implicits._
+    val events = Seq(
+      KeyedEvent("a", new Timestamp(1000), "v1"),
+      KeyedEvent("a", new Timestamp(2000), "v2"),
+      KeyedEvent("b", new Timestamp(1500), "w1"),
+      KeyedEvent("c", new Timestamp(9000), "z9"))
+
+    def runWith(provider: Option[String]): Map[String, (String, Long)] = {
+      val srcDir = Files.createTempDirectory("graft-rdb-src").toString
+      val ck     = Files.createTempDirectory("graft-rdb-ck").toString
+      val outDir = Files.createTempDirectory("graft-rdb-out").toString
+      events.toDS().write.mode("append").parquet(srcDir)
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      provider.foreach(spark.conf.set(key, _))
+      try {
+        val src = spark.readStream
+          .schema(Seq.empty[KeyedEvent].toDS().schema)
+          .parquet(srcDir).as[KeyedEvent]
+        val q = StatefulOps.run(spark, src, ttlMs = 600000L, outDir, ck, withTtl = false)
+        q.awaitTermination()
+      } finally {
+        provider.foreach(_ => prev.fold(spark.conf.unset(key))(spark.conf.set(key, _)))
+      }
+      spark.read.parquet(outDir).as[StatefulOps.CacheEntry]
+        .collect().map(e => e.key -> (e.value, e.touches.toLong)).toMap
+    }
+
+    val rocks = runWith(Some(
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+    val hdfs = runWith(None)
+    assert(rocks == hdfs, s"provider outputs diverge: rocks=$rocks default=$hdfs")
+    assert(rocks("a") == (("v2", 2L)) && rocks("b") == (("w1", 1L)) && rocks("c") == (("z9", 1L)))
+  }
+
   test("TtlCache builds once per key, expires on TTL, and fires the eviction hook (O-29)") {
     var built   = 0
     var evicted = 0
