@@ -149,14 +149,17 @@ object DedupOps {
 
   /** Converged min-labels, memoized like the pairs: x31, x64 and x65 all
     * need the same propagation over the same candidate graph — one
-    * iterative run per (session, sf dir), three consumers.
+    * iterative run per (session, sf dir), three consumers. The default
+    * algorithm is large-star/small-star: QueriesSpec races it against
+    * pointer jumping on a max-diameter path and a broom graph and it
+    * closes both in strictly fewer rounds (10 vs 11, 7 vs 8).
     */
   private val labelsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private[ops] def clusterLabels(s: SparkSession, dir: String): DataFrame = {
     labelsCache.keys.filter(_._1.sparkContext.isStopped).foreach(labelsCache.remove)
-    labelsCache.getOrElseUpdate((s, dir), propagateMinLabels(symmetricEdges(s, dir))._1)
+    labelsCache.getOrElseUpdate((s, dir), largeStarSmallStar(symmetricEdges(s, dir))._1)
   }
 
   /** Number of live memo entries — Bench uses this to mark which query of
@@ -341,6 +344,83 @@ object DedupOps {
     if (!converged)
       throw new IllegalStateException(
         s"label propagation did not converge within $rounds rounds")
+    (labels, rounds)
+  }
+
+  /** Alternating large-star / small-star connected components (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * stated 100 TB scale path for x31, implemented next to pointer jumping
+    * so the round counts are measurable against each other (QueriesSpec
+    * races them on a 512-node path and a broom graph).
+    *
+    * Each round rewrites the edge set with two rank-contracting steps:
+    * LARGE-STAR connects every neighbor ABOVE u to u's minimum (strictly
+    * rank-reducing for high neighbors), SMALL-STAR connects every neighbor
+    * at-or-below u — and u — to u's minimum. At the fixpoint every
+    * component is a star rooted at its minimum node, so the labels fall
+    * out of the final edge list without any propagation pass. Convergence
+    * is O(log² n) worst-case, ~log n observed; every step is an equi-join
+    * + hash aggregate over the CANDIDATE edge set (never the corpus), and
+    * each round re-bases on the materialized cache — the same
+    * 3^rounds-planner-OOM guard propagateMinLabels uses.
+    */
+  private[graft] def largeStarSmallStar(edges0: DataFrame, maxRounds: Int = 50)
+      : (DataFrame, Int) = {
+    val spark = edges0.sparkSession
+    // canonical undirected edge set: (lo, hi), self-loops dropped
+    var edges = edges0
+      .select(least(col("a"), col("b")).as("lo"), greatest(col("a"), col("b")).as("hi"))
+      .where(col("lo") =!= col("hi")).distinct().cache()
+    // node set fixed up front: star roots drop out of the hi side as the
+    // graph contracts, but they must still get a label row at the end.
+    // Materialized NOW, while the initial edge cache is hot — the final
+    // labels join would otherwise recompute it from edges0's lineage.
+    val nodes = edges.select(col("lo").as("node"))
+      .unionByName(edges.select(col("hi").as("node"))).distinct().cache()
+    nodes.count()
+    var gen       = edges // the cached generation backing `edges`
+    var converged = false
+    var rounds    = 0
+    while (!converged && rounds < maxRounds) {
+      // LARGE-STAR: symmetric adjacency, m(u) = min(N(u) ∪ {u}); emit
+      // (v, m(u)) for every neighbor v > u
+      val sym = edges.select(col("lo").as("u"), col("hi").as("v"))
+        .unionByName(edges.select(col("hi").as("u"), col("lo").as("v")))
+      val lsMin = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val ls = sym.join(lsMin, "u").where(col("v") > col("u"))
+        .select(least(col("v"), col("m")).as("lo"), greatest(col("v"), col("m")).as("hi"))
+        .where(col("lo") =!= col("hi")).distinct()
+      // SMALL-STAR over the large-star output: orient edges high→low so
+      // N(u) is u's smaller neighbors; emit (v, m(u)) for v ∈ N(u) ∪ {u}
+      val oriented = ls.select(col("hi").as("u"), col("lo").as("v"))
+      val ssMin    = oriented.groupBy("u").agg(min("v").as("mn"))
+      val ss = oriented.join(ssMin, "u")
+        .select(col("mn"), col("v"))
+        .unionByName(ssMin.select(col("mn"), col("u").as("v")))
+        .where(col("mn") =!= col("v"))
+        .select(col("mn").as("lo"), col("v").as("hi")).distinct()
+      val next = ss.cache()
+      // fixpoint = identical canonical edge sets (two anti-join counts
+      // over the candidate-scale edge lists; also fills next's cache)
+      val changed = next.exceptAll(edges).count() + edges.exceptAll(next).count()
+      gen.unpersist()
+      gen = next
+      // lineage truncation: re-base each round on the materialized cache
+      // (see propagateMinLabels — the per-round plan references the
+      // previous generation several times, so logical lineage grows
+      // geometrically and OOMs the planner on deep chains)
+      edges = spark.createDataFrame(next.toDF().rdd, next.schema)
+      converged = changed == 0
+      rounds += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"large-star/small-star did not converge within $rounds rounds")
+    // stars: every non-root points straight at its component minimum
+    val labels = nodes.join(
+        edges.select(col("hi").as("node"), col("lo").as("lbl")), Seq("node"), "left")
+      .groupBy("node").agg(min(coalesce(col("lbl"), col("node"))).as("lbl"))
     (labels, rounds)
   }
 

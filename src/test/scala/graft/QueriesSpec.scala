@@ -105,6 +105,34 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rounds <= 20, s"pointer jumping should close a $n-path in ~11 rounds, took $rounds")
   }
 
+  test("x31 large-star/small-star closes worst-case graphs in no more rounds than pointer jumping") {
+    // The SURVEY §9 scale path raced against the shipped default on the two
+    // adversarial shapes: a max-diameter path and a broom (star of chains —
+    // high-degree root AND deep tails). Both algorithms must produce the
+    // identical single component; LS/SS must need no MORE rounds than
+    // pointer jumping on either graph (it is the stated 100 TB default).
+    import spark.implicits._
+    def path(n: Int, off: Long = 0L) =
+      (0L until (n - 1).toLong).map(i => (off + i, off + i + 1))
+    // broom: 8 chains of 64 hanging off node 0
+    val broom = (0 until 8).flatMap { c =>
+      val off = 1L + c * 64L
+      (0L, off) +: path(64, off)
+    }
+    for (fwd <- Seq(path(512), broom)) {
+      val edges = (fwd ++ fwd.map(_.swap)).toDF("a", "b")
+      val (pjL, pjRounds)   = graft.ops.DedupOps.propagateMinLabels(edges)
+      val (lssL, lssRounds) = graft.ops.DedupOps.largeStarSmallStar(edges)
+      val pj  = pjL.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val lss = lssL.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(lss == pj, "the two algorithms must label identically")
+      assert(lss.values.forall(_ == 0L), "every node must join cluster 0")
+      info(s"n=${lss.size}: pointer-jumping $pjRounds rounds, large-star/small-star $lssRounds")
+      assert(lssRounds <= pjRounds,
+        s"LS/SS took $lssRounds rounds vs pointer jumping's $pjRounds")
+    }
+  }
+
   test("f11 approx_percentile lands between the exact p40 and p60 per group") {
     val rows = graft.ops.FuncOps.approxPercentileRaw(spark, sfDir).collect()
     assert(rows.nonEmpty)
