@@ -370,6 +370,73 @@ final class TopicTable(spark: SparkSession, baseDir: String) {
       }
     }
 
+  /** Time-based retention — the analog of Pulsar's broker-side topic TTL /
+    * retention policy the reference relies on (its topics age out on the
+    * broker; `config/pulsar_beam.yml` carries no knob because Pulsar owns
+    * it). Expires every segment whose max publishTime (parquet footer
+    * stats) is older than `retentionMs` before `nowMicros`, REPLACING the
+    * file with an empty same-name, same-schema segment via an atomic move
+    * rather than deleting the name.
+    *
+    * Why placeholders and not deletion: the beam stream's offset domain is
+    * PREFIX COUNTS of the name-sorted segment listing — removing a name
+    * would shift every position behind it and break live checkpoints.
+    * Keeping the name keeps the domain, so unlike [[compactTopic]] this is
+    * safe with live readers:
+    *
+    *  - poll cursors are (publishTime, messageId) positions: a cursor in
+    *    the retained region is untouched; expired messages simply stop
+    *    surfacing (they were behind every live cursor anyway).
+    *  - streaming checkpoints resume exactly — an expired prefix position
+    *    now reads as 0 rows; new segments keep appending behind the same
+    *    monotone name sequence.
+    *  - each replacement is individually atomic and idempotent (a crash
+    *    mid-pass leaves some segments expired, none doubled or lost; the
+    *    next pass finishes), so no manifest is needed.
+    *  - the listing's LENGTH is not reduced — reclaiming the name count is
+    *    [[compactTopic]]'s job in a no-live-readers maintenance window.
+    *
+    * Segments with unreadable/absent footer bounds are never expired
+    * (conservative). Returns the number of segments expired this pass.
+    */
+  def expireTopic(topicFn: String, retentionMs: Long,
+      nowMicros: Long = System.currentTimeMillis() * 1000L): Int =
+    TopicTable.ingestLock(canonicalBase, topicFn).synchronized {
+      recoverCompaction(topicFn)
+      val cutoffMicros = nowMicros - retentionMs * 1000L
+      val victims = graft.sources.BeamSource.listSegments(dir(topicFn)).filter { f =>
+        graft.sources.BeamSource.segmentStats(f)
+          .exists(st => st.rows > 0 && st.maxPt.exists(_ < cutoffMicros))
+      }
+      if (victims.isEmpty) 0
+      else {
+        // one empty schema-only segment staged once, copied over each victim
+        val staging = java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get(baseDir), ".expire-")
+        try {
+          spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+            .repartition(1).write.mode("overwrite").parquet(staging.toString)
+          val empty = staging.toFile.listFiles()
+            .filter(f => f.isFile && f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+            .head
+          victims.foreach { v =>
+            val tmp = java.nio.file.Files.createTempFile(
+              v.getParentFile.toPath, ".expire-", ".tmp")
+            java.nio.file.Files.copy(empty.toPath, tmp,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            java.nio.file.Files.move(tmp, v.toPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+          victims.size
+        } finally {
+          staging.toFile.listFiles().foreach(_.delete())
+          java.nio.file.Files.deleteIfExists(staging)
+        }
+      }
+    }
+
   private def manifestFile(topicFn: String): java.io.File =
     new java.io.File(dir(topicFn), ".compact-manifest")
 

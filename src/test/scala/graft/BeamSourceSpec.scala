@@ -304,4 +304,82 @@ class BeamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after == all, s"history must be exactly-once after recovery, got $after")
     assert(!victim.exists() && target.exists())
   }
+
+  test("retention expires old segments; cursors and streaming checkpoints survive") {
+    val base   = Files.createTempDirectory("graft-beamsrc-retain").toString
+    val topics = new TopicTable(spark, base)
+    val fn     = "persistent://t/ns/retain"
+    import spark.implicits._
+    for (b <- 1 to 3) {
+      val df = (1 to 4).map(i => (s"b$b-m$i".getBytes, Option.empty[java.sql.Timestamp],
+        Option.empty[String], Map.empty[String, String]))
+        .toDF("payload", "eventTime", "key", "props").coalesce(1)
+      topics.ingest(df, fn)
+    }
+    val dir  = s"$base/${graft.model.Keys.sha1Hex(fn)}"
+    def segs = graft.sources.BeamSource.listSegments(dir)
+    assert(segs.size == 3)
+    def payloads(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => new String(r.getAs[Array[Byte]]("payload"))).toSeq
+
+    // a subscription drained through segment 1 — its cursor sits in the
+    // region that survives, and must be unaffected by the expiry
+    val d1 = topics.pollBatch(fn, "retsub", 4)
+    assert(d1.length == 4 && d1.map(r => new String(r.getAs[Array[Byte]]("payload")))
+      .forall(_.startsWith("b1-")))
+
+    // a streaming checkpoint that has consumed ALL three segments
+    val ck = Files.createTempDirectory("beamsrc-retain-ck").toString
+    val streamed = scala.collection.mutable.ArrayBuffer.empty[String]
+    def runStream(): Unit = {
+      val q = topics.readStream(fn).writeStream
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          streamed.synchronized {
+            streamed ++= payloads(batch.select("payload").collect())
+          }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    runStream()
+    assert(streamed.size == 12)
+
+    // expire everything strictly older than segment 2's first message:
+    // cutoff = minPt(seg2) with zero retention → exactly segment 1 goes
+    val seg2Min = graft.sources.BeamSource.segmentStats(segs(1)).get.minPt.get
+    assert(topics.expireTopic(fn, retentionMs = 60000L,
+      nowMicros = seg2Min + 60000L * 1000L) == 1)
+    // the NAME survives as an empty placeholder — the offset domain (prefix
+    // counts over the name-sorted listing) must not shift
+    assert(segs.size == 3, "expiry must not remove segment names")
+    assert(graft.sources.BeamSource.segmentStats(segs.head).get.rows == 0L)
+    // content: segment 1's messages are gone, everything else intact, in order
+    val remaining = topics.read(fn).orderBy("publishTime", "messageId").collect()
+    assert(payloads(remaining) == (for (b <- 2 to 3; i <- 1 to 4) yield s"b$b-m$i"))
+    // idempotent: nothing further to expire at the same cutoff
+    assert(topics.expireTopic(fn, 60000L, seg2Min + 60000L * 1000L) == 0)
+
+    // the live cursor resumes exactly where it left off (start of seg 2)
+    val d2 = topics.pollBatch(fn, "retsub", 4)
+    assert(d2.map(r => new String(r.getAs[Array[Byte]]("payload"))).toSeq ==
+      (1 to 4).map(i => s"b2-m$i"))
+
+    // the streaming checkpoint resumes over the mutated listing: a new
+    // ingest lands in a later batch, exactly once, no replay of expired data
+    val df4 = (1 to 4).map(i => (s"b4-m$i".getBytes, Option.empty[java.sql.Timestamp],
+      Option.empty[String], Map.empty[String, String]))
+      .toDF("payload", "eventTime", "key", "props").coalesce(1)
+    topics.ingest(df4, fn)
+    runStream()
+    assert(streamed.drop(12).toSeq == (1 to 4).map(i => s"b4-m$i"),
+      s"checkpoint must resume past the expired prefix, got ${streamed.drop(12)}")
+
+    // a FRESH subscription starts from the retained region, no errors
+    val fresh = topics.pollBatch(fn, "newsub", 100)
+    assert(fresh.map(r => new String(r.getAs[Array[Byte]]("payload"))).toSeq ==
+      ((for (b <- 2 to 4; i <- 1 to 4) yield s"b$b-m$i")))
+  }
 }
