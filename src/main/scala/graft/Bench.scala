@@ -57,7 +57,12 @@ object Bench {
     // rather than the neighbors'. N=1 restores single-shot timing.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     var errs = List.empty[String]
+    // optional subset (comma-separated names) for scale-exponent runs at
+    // big SFs — the per-query map in the output shows exactly what ran
+    val subset = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => subset.forall(_.contains(n)) }
     // A FAILED pass records +∞ so it can never win the min — otherwise a
     // query that throws early in one pass would under-report its cost while
     // also being listed in errors. A query that failed EVERY pass surfaces
