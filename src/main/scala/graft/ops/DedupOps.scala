@@ -152,7 +152,9 @@ object DedupOps {
     * iterative run per (session, sf dir), three consumers. The default
     * algorithm is large-star/small-star: QueriesSpec races it against
     * pointer jumping on a max-diameter path and a broom graph and it
-    * closes both in strictly fewer rounds (10 vs 11, 7 vs 8).
+    * closes both in strictly fewer rounds (9 vs 11, 6 vs 8 — the
+    * star-forest convergence check observes the fixpoint the round the
+    * star forms, not the round after).
     */
   private val labelsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
@@ -388,9 +390,12 @@ object DedupOps {
         .unionByName(edges.select(col("hi").as("u"), col("lo").as("v")))
       val lsMin = sym.groupBy("u").agg(min("v").as("mn"))
         .select(col("u"), least(col("mn"), col("u")).as("m"))
+      // no distinct here: duplicate (lo, hi) rows are absorbed by the
+      // small-star min aggregate below and the final distinct — an extra
+      // exchange per round buys nothing
       val ls = sym.join(lsMin, "u").where(col("v") > col("u"))
         .select(least(col("v"), col("m")).as("lo"), greatest(col("v"), col("m")).as("hi"))
-        .where(col("lo") =!= col("hi")).distinct()
+        .where(col("lo") =!= col("hi"))
       // SMALL-STAR over the large-star output: orient edges high→low so
       // N(u) is u's smaller neighbors; emit (v, m(u)) for v ∈ N(u) ∪ {u}
       val oriented = ls.select(col("hi").as("u"), col("lo").as("v"))
@@ -401,9 +406,23 @@ object DedupOps {
         .where(col("mn") =!= col("v"))
         .select(col("mn").as("lo"), col("v").as("hi")).distinct()
       val next = ss.cache()
-      // fixpoint = identical canonical edge sets (two anti-join counts
-      // over the candidate-scale edge lists; also fills next's cache)
-      val changed = next.exceptAll(edges).count() + edges.exceptAll(next).count()
+      // Fixpoint detection: the iteration is at its fixpoint exactly when
+      // the edge set is a STAR FOREST rooted at component minima (Kiveris
+      // et al. §3) — every (lo, hi) edge has lo < hi, so a star's root is
+      // its min; the forest test is (a) no node appears as both a parent
+      // (lo) and a child (hi), and (b) every child has exactly ONE parent.
+      // Checking the shape directly instead of comparing consecutive edge
+      // sets is one union + hash-aggregate pass over the candidate-scale
+      // edges (the two exceptAll anti-joins it replaces were two), and it
+      // fires a full round EARLIER: set-stability only observes a star
+      // one round after it forms. The full-scan aggregate also completely
+      // fills next's cache before the old generation is unpersisted.
+      val violations = next.select(col("hi").as("node"), col("lo").as("parent"))
+        .unionByName(next.select(col("lo").as("node"), lit(null).cast("long").as("parent")))
+        .groupBy("node")
+        .agg(count(col("parent")).as("parents"), max(col("parent").isNull).as("isParent"))
+        .where(col("parents") > 1 || (col("parents") >= 1 && col("isParent")))
+        .count()
       gen.unpersist()
       gen = next
       // lineage truncation: re-base each round on the materialized cache
@@ -411,7 +430,7 @@ object DedupOps {
       // previous generation several times, so logical lineage grows
       // geometrically and OOMs the planner on deep chains)
       edges = spark.createDataFrame(next.toDF().rdd, next.schema)
-      converged = changed == 0
+      converged = violations == 0
       rounds += 1
     }
     if (!converged)
