@@ -116,13 +116,26 @@ object FuncOps {
 
   /** Raw HLL++ output (estimate + exact alongside) — the spec-bounded
     * surface: QueriesSpec asserts the estimate within 4× the requested rsd.
+    *
+    * Deliberately NOT `agg(approx_count_distinct, countDistinct)` in one
+    * aggregation: mixing a distinct aggregate with a non-distinct one makes
+    * Spark's RewriteDistinctAggregates build a *partial HLL sketch per
+    * (event_type, user_id) group* — at rsd 0.01 that is 1,639 LongType
+    * buffer columns (~13 KB) per distinct user carried through two
+    * exchanges, which at corpus scale shuffles sketch bytes proportional
+    * to |distinct users|. HLL registers are duplicate-insensitive, so
+    * deduplicating first and sketching the deduped rows yields the
+    * bit-identical estimate while building sketches only per event_type
+    * (one per group, not one per user); exact_users is then a plain
+    * count(*). Same two exchanges, sketch payload shrunk by |users|×.
     */
   private[graft] def approxDistinctRaw(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
+      .select("event_type", "user_id").distinct()
       .groupBy("event_type")
       .agg(
         approx_count_distinct("user_id", 0.01).as("approx_users"),
-        countDistinct("user_id").as("exact_users"))
+        count(lit(1)).as("exact_users"))
       .orderBy("event_type")
 
   /** Approximate distinct (HLL++). Sketch estimates are engine-specific, so
