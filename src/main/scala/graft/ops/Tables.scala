@@ -31,6 +31,22 @@ object Tables {
       else d
     }
   }
+
+  /** Decouple compute parallelism from scan parallelism for CPU-bound
+    * narrow projections (per-shingle digests, codec work): when the source
+    * scan yields fewer partitions than the session's parallelism — a
+    * single-file or few-row-group corpus, where parquet splitting cannot go
+    * below row-group granularity — redistribute rows first so the expensive
+    * per-row work uses every core. At corpus scale the scan already yields
+    * ≥ cores partitions and this is an identity: the shuffle only ever
+    * moves a corpus small enough to be under-partitioned, never the big
+    * one. Round-robin repartition, no key: the downstream work is
+    * embarrassingly parallel.
+    */
+  def computeParallel(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }
 
 /** One declared engine query (SURVEY.md §2.B): a Spark Dataset program plus —

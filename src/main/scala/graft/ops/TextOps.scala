@@ -136,7 +136,8 @@ object TextOps {
 
   /** Document fingerprint: bottom-4 sketch over rolling 8-char shingle
     * hashes (winnowing-style selection, deterministic). Array-only pipeline —
-    * no explode, no shuffle beyond the final sort.
+    * no explode; the only shuffles are the final sort and, on an
+    * under-partitioned corpus, the [[Tables.computeParallel]] spread.
     */
   val fingerprint: Q = Q(
     "x11_fingerprint",
@@ -149,7 +150,9 @@ object TextOps {
     // Codegen'd [[graft.functions.DocFingerprint]]: one pass with a bounded
     // bottom-4 selection on raw digests, replacing the interpreted HOF
     // pipeline (a 32-hex-char string per shingle + O(n²) array_distinct).
-    docs(s, dir)
+    // computeParallel: one MD5 per text position is the dominant cost and
+    // a single-row-group corpus file would otherwise serialize it.
+    Tables.computeParallel(docs(s, dir))
       .select(
         col("doc_id"),
         graft.functions.DocFingerprintFunctions.docFingerprint(col("text")).as("fp"))
