@@ -93,8 +93,15 @@ object ScaleData {
           .drop("copy", "r")
       })
 
+    // Multi-file output: the driver testdata is one file with one row
+    // group per table, which caps scan parallelism at 1 (parquet cannot
+    // split below row-group granularity). A real K×-scale corpus is many
+    // files — writing the scaled copy as one file per source partition ×
+    // copy would again serialize every scan stage, so spread each table
+    // across the session's cores. Dims stay single-file (they broadcast).
+    val spreadN = spark.sparkContext.defaultParallelism
     for ((t, df) <- plans) {
-      df.write.mode("overwrite").parquet(s"$dest/$t.parquet")
+      df.repartition(spreadN).write.mode("overwrite").parquet(s"$dest/$t.parquet")
       println(s"[scaledata] $t x$k written")
     }
     spark.stop()

@@ -98,7 +98,10 @@ object CorpusStatsOps {
       |WHERE c_ab >= 5
       |ORDER BY lift_ppm DESC, bigram LIMIT 20""".stripMargin
   ) { (s, dir) =>
-    val d = docs(s, dir)
+    // computeParallel: word-splitting + per-position bigram structs are
+    // the dominant cost and run BEFORE the first exchange — on a
+    // single-row-group corpus file that stage would serialize.
+    val d = Tables.computeParallel(docs(s, dir))
     val pairs = d
       .select(explode(when(size(ws) >= 2,
         transform(sequence(lit(1), size(ws) - 1),

@@ -40,7 +40,11 @@ object DedupOps {
     */
   private def shingledDocs(d: DataFrame): DataFrame = {
     val w = split(col("text"), " ")
-    d.select(
+    // computeParallel: trigram construction + one MD5 per position run
+    // before the distinct's exchange — the dominant cost of the whole LSH
+    // lineage, serialized on a single-row-group corpus file. Identity for
+    // already-parallel inputs (x86's candidate slice arrives post-join).
+    Tables.computeParallel(d).select(
         col("doc_id"),
         explode(
           when(size(w) >= 3,

@@ -114,7 +114,9 @@ object PipelineOps {
           transform(sequence(lit(1), size(w) - 7),
             i => md5(array_join(slice(w, i, lit(8)), " "))))
           .otherwise(array().cast("array<string>"))).as("g"))
-    val d      = docs(s, dir)
+    // computeParallel: one MD5 per 8-gram position dominates, and it runs
+    // before any exchange — serialized on a single-row-group corpus file.
+    val d      = Tables.computeParallel(docs(s, dir))
     val bench  = grams(d.where(col("doc_id") % 10 === 0)).select("g").distinct()
     // The corpus gram stream joins RAW (no pre-distinct): a distinct first
     // would shuffle every corpus gram — the whole 100 TB side — before the

@@ -23,6 +23,20 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("computeParallel spreads under-partitioned input and is identity otherwise") {
+    import spark.implicits._
+    val target = spark.sparkContext.defaultParallelism
+    // under-partitioned: a 1-partition frame spreads to the session target
+    val narrow = spark.range(100).toDF("id").coalesce(1)
+    assert(narrow.rdd.getNumPartitions == 1)
+    val spread = graft.ops.Tables.computeParallel(narrow)
+    assert(spread.rdd.getNumPartitions == target)
+    assert(spread.select("id").as[Long].collect().sorted.toSeq == (0L until 100L))
+    // at-or-above target: no repartition node is added at all
+    val wide = spark.range(100).toDF("id").repartition(target)
+    assert(graft.ops.Tables.computeParallel(wide) eq wide)
+  }
+
   test("flagship entry returns rows") {
     val rows = SparkEntry.entry(spark).collect()
     assert(rows.nonEmpty)
