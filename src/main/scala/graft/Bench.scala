@@ -97,8 +97,11 @@ object Bench {
     val payers = passes.map(p => "\"" + p._2 + "\"").mkString("[", ",", "]")
     val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
+    // ok:false + nonzero exit when anything errored: a consumer keying on
+    // either signal must never read a failed run as a clean record
+    val ok = errs.isEmpty
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"agg":"min","queries":$qs,"errors":$errJson,"loadavg":$load,"memo_payers":$payers,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","ok":$ok,"runs":$runs,"agg":"min","queries":$qs,"errors":$errJson,"loadavg":$load,"memo_payers":$payers,"sf":"$sfDir"}"""
     println(line)
     // Full artifact on disk: the driver's BENCH_r{N}.json keeps only the
     // tail of sbt output, which truncates the per-query map for a 100+
@@ -112,5 +115,6 @@ object Bench {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
       s"""{"headline":$line,"passes":$perPass}\n""")
     spark.stop()
+    if (!ok) sys.exit(1)
   }
 }

@@ -141,9 +141,9 @@ object BehaviorOps {
     * order; the open interval (valid_to NULL) marks the current row. The
     * standard warehouse "track every change with effective ranges" op —
     * one user-partitioned window, no self-join. Both engines order by the
-    * MICROSECOND timestamp (events.ts is nanos; Spark reads it
-    * micro-truncated) with the event_id tiebreak, so interval edges are
-    * deterministic.
+    * MICROSECOND timestamp (events.ts is micros; [[Tables.normalizeEventTime]]
+    * yields a micros-precision TIMESTAMP under either corpus flavor) with the
+    * event_id tiebreak, so interval edges are deterministic.
     */
   val scd2History: Q = Q(
     "x63_scd2_history",

@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.types.StructType
 
 /** Event-time windowing + Structured Streaming surface (SURVEY.md §2.B
   * "Streaming"): tumbling/sliding/session windows over `events`, plus two
@@ -102,18 +102,16 @@ object StreamOps {
   private def runStream(s: SparkSession, dir: String, sinkName: String, mode: String,
       table: String = "events")(
       transform: DataFrame => DataFrame): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS); the legacy conf must be set
-    // BEFORE the schema read below — queries run in Map iteration order,
-    // so this can be the process's first parquet read (Tables sets the
-    // same conf, but only when a batch query ran first)
+    // events.ts has shipped as both TIMESTAMP(NANOS) and timestamp[us]-NTZ;
+    // the legacy nanos conf must be set BEFORE the schema read below —
+    // queries run in Map iteration order, so this can be the process's first
+    // parquet read (Tables sets the same conf, but only when a batch query
+    // ran first). Tables.normalizeEventTime handles both flavors (NTZ cast
+    // is lossless: session TZ is pinned UTC in every entrypoint).
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batchSchema = s.read.parquet(s"$dir/$table.parquet").schema
     val raw = s.readStream.schema(batchSchema).parquet(stagedDir(dir, table))
-    // events.ts is parquet TIMESTAMP(NANOS) read as long (see Tables)
-    val stream =
-      if (batchSchema.fieldNames.contains("ts") && batchSchema("ts").dataType == LongType)
-        raw.withColumn("ts", expr("timestamp_micros(`ts` div 1000)"))
-      else raw
+    val stream = Tables.normalizeEventTime(raw, "ts")
     val q = transform(stream).writeStream
       .format("memory").queryName(sinkName).outputMode(mode)
       .option("checkpointLocation", Files.createTempDirectory(s"graft-$sinkName").toString)

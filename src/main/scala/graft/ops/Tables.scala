@@ -2,7 +2,8 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver testdata (`TESTDATA.md`): TPC-H-ish star schema +
   * `events` stream stand-in + `documents`/`embeddings` extension tables.
@@ -14,23 +15,33 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Columns written as parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright. Read as long via nanosAsLong, then convert to
-    * micros-precision timestamps (lossless here: the generator emits no
-    * sub-microsecond components). Conversion is a codegen'd projection on top
-    * of the scan — pushdown/pruning still reach the parquet reader.
+  /** Event-time columns the corpus generator has written in two flavors over
+    * time: parquet TIMESTAMP(NANOS) (read as long via nanosAsLong, converted
+    * to micros-precision timestamps) and plain `timestamp[us]` with no UTC
+    * adjustment (read as TIMESTAMP_NTZ, which `withWatermark`/`unix_micros`
+    * reject). Both normalize to TIMESTAMP here: the session TZ is pinned UTC
+    * in every entrypoint, so the NTZ cast is lossless and oracle-identical.
+    * Either conversion is a codegen'd projection on top of the scan —
+    * pushdown/pruning still reach the parquet reader.
     */
-  private val nanosCols: Map[String, Seq[String]] = Map("events" -> Seq("ts"))
+  private val eventTimeCols: Map[String, Seq[String]] = Map("events" -> Seq("ts"))
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    nanosCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
-      if (d.schema(c).dataType == LongType)
-        d.withColumn(c, expr(s"timestamp_micros(`$c` div 1000)"))
-      else d
-    }
+    eventTimeCols.getOrElse(name, Nil).foldLeft(df)(normalizeEventTime)
   }
+
+  /** NTZ→TIMESTAMP / nanos-long→TIMESTAMP normalization for one column;
+    * identity when the column is already a true TIMESTAMP or absent.
+    */
+  def normalizeEventTime(d: DataFrame, c: String): DataFrame =
+    if (!d.schema.fieldNames.contains(c)) d
+    else d.schema(c).dataType match {
+      case LongType         => d.withColumn(c, expr(s"timestamp_micros(`$c` div 1000)"))
+      case TimestampNTZType => d.withColumn(c, col(c).cast(TimestampType))
+      case _                => d
+    }
 
   /** Decouple compute parallelism from scan parallelism for CPU-bound
     * narrow projections (per-shingle digests, codec work): when the source
@@ -44,8 +55,37 @@ object Tables {
     * embarrassingly parallel.
     */
   def computeParallel(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df // micro-batch partitioning is the source's call
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // Partition count without building the RDD: explicit partitionings
+    // (repartition/coalesce) declare their count on the physical plan; file
+    // scans report UnknownPartitioning(0), so estimate their yield from the
+    // file index instead.
+    val declared = df.queryExecution.executedPlan.outputPartitioning.numPartitions
+    val current = if (declared > 0) declared else estimateScanPartitions(df)
+    if (current < target) df.repartition(target) else df
+  }
+
+  /** Estimated partition yield of the plan's file scans, mirroring Spark's
+    * split math (`FilePartition.maxSplitBytes`): each file contributes
+    * `size + openCost` bytes, the split size is
+    * `min(maxPartitionBytes, max(openCostInBytes, totalBytes / parallelism))`.
+    * Non-file plans (local relations, DSv2) return MaxValue — assume
+    * well-partitioned rather than add a speculative shuffle.
+    */
+  private def estimateScanPartitions(df: DataFrame): Int = {
+    val spark = df.sparkSession
+    val conf = spark.sessionState.conf
+    val openCost = conf.filesOpenCostInBytes
+    val relations = df.queryExecution.analyzed.collect {
+      case l: LogicalRelation => l.relation
+    }.collect { case fs: HadoopFsRelation => fs }
+    if (relations.isEmpty) return Int.MaxValue
+    val total = relations.map(fs =>
+      fs.location.sizeInBytes + fs.location.inputFiles.length * openCost).sum
+    val bytesPerCore = total / math.max(1, spark.sparkContext.defaultParallelism)
+    val maxSplit = math.min(conf.filesMaxPartitionBytes, math.max(openCost, bytesPerCore))
+    math.max(1, math.ceil(total.toDouble / math.max(1L, maxSplit)).toInt)
   }
 }
 

@@ -37,6 +37,19 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.ops.Tables.computeParallel(wide) eq wide)
   }
 
+  test("computeParallel is a safe identity on streaming and file-scan inputs") {
+    // streaming: partitioning is the source's call — identity, no throw
+    // (the old rdd.getNumPartitions probe threw on any streaming frame)
+    val stream = spark.readStream.format("rate").load()
+    assert(stream.isStreaming)
+    assert(graft.ops.Tables.computeParallel(stream) eq stream)
+    // file scan: the under-partitioned single-file corpus spreads without
+    // building (and discarding) an RDD lineage first
+    val docs = graft.ops.Tables(spark, sfDir, "documents")
+    val spread = graft.ops.Tables.computeParallel(docs)
+    assert(spread.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism)
+  }
+
   test("flagship entry returns rows") {
     val rows = SparkEntry.entry(spark).collect()
     assert(rows.nonEmpty)
