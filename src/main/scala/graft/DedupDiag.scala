@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One-shot diagnostic for the LSH dedup lineage (VERDICT r5 item 4): counts
+  * the corpus-shape quantities that drive x02's cost — shingle rows, distinct
+  * shingles, document-frequency tail, band-bucket sizes, candidate pairs —
+  * and wall-times each phase separately, so a corpus regeneration's effect on
+  * x02 can be attributed to input volume vs plan change with one run.
+  *
+  * Usage: `sbt "runMain graft.DedupDiag /root/testdata/sf0.1"` → one JSON line.
+  */
+object DedupDiag {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1 << 18).groupBy(col("id") % 7).count().count() // shuffle warmup
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val docs = ops.Tables(spark, sfDir, "documents")
+    val (nDocs, tDocs) = timed(docs.count())
+    val words = docs.select(sum(size(split(col("text"), " "))).cast("long"))
+      .collect()(0).getLong(0)
+
+    val sh = ops.DedupOps.diagShingled(spark, sfDir).cache()
+    val (shingleRows, tShingle) = timed(sh.count())
+    val dfStats = sh.groupBy("sh").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)), max("c"), sum(col("c") * col("c")).cast("long")).collect()(0)
+
+    // diagBands is the memoized band-signature cache: its count pays the
+    // shingle→minhash lineage once, so tPairs below times the bucket join
+    // alone over cached 60-byte band rows
+    val bands = ops.DedupOps.diagBands(spark, sfDir)
+    val (bandRows, tBands) = timed(bands.count())
+    val buckets = bands.groupBy("band", "sig").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)), max("c"), sum(col("c") * (col("c") - 1) / 2).cast("long")).collect()(0)
+
+    val (nPairs, tPairs) = timed(ops.DedupOps.diagPairs(spark, sfDir).count())
+
+    // cluster-graph structure: LS/SS round count is the x31 cost driver
+    val ((labels, rounds), tCluster) = timed {
+      val (l, r) = ops.DedupOps.largeStarSmallStar(ops.DedupOps.diagEdges(spark, sfDir))
+      (l.cache(), r)
+    }
+    val clusterStats = labels.groupBy("lbl").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)), max("c")).collect()(0)
+    sh.unpersist(); labels.unpersist(); ops.DedupOps.clearMemo()
+
+    println(
+      s"""{"sf":"$sfDir","docs":$nDocs,"words":$words,"shingle_rows":$shingleRows,""" +
+      s""""distinct_shingles":${dfStats.getLong(0)},"max_df":${dfStats.getLong(1)},"sum_df2":${dfStats.getLong(2)},""" +
+      s""""band_rows":$bandRows,"buckets":${buckets.getLong(0)},"max_bucket":${buckets.getLong(1)},"bucket_pair_rows":${buckets.getLong(2)},""" +
+      s""""candidate_pairs":$nPairs,"lsss_rounds":$rounds,"clusters":${clusterStats.getLong(0)},"max_cluster":${clusterStats.getLong(1)},""" +
+      s""""sec_scan":$tDocs,"sec_shingle":$tShingle,"sec_bands":$tBands,"sec_pairs":$tPairs,"sec_cluster":$tCluster}""")
+    spark.stop()
+  }
+}

@@ -165,7 +165,12 @@ object DedupOps {
 
   private[ops] def clusterLabels(s: SparkSession, dir: String): DataFrame = {
     labelsCache.keys.filter(_._1.sparkContext.isStopped).foreach(labelsCache.remove)
-    labelsCache.getOrElseUpdate((s, dir), largeStarSmallStar(symmetricEdges(s, dir))._1)
+    // the pair set is already canonical (doc_a < doc_b, distinct) — feed it
+    // straight in; symmetrizing first only doubles the rows the loop's
+    // initial distinct immediately halves again
+    labelsCache.getOrElseUpdate((s, dir),
+      largeStarSmallStar(
+        lshCandidatePairs(s, dir).select(col("doc_a").as("a"), col("doc_b").as("b")))._1)
   }
 
   /** Number of live memo entries — Bench uses this to mark which query of
@@ -212,6 +217,16 @@ object DedupOps {
         struct(lit(b).as("band"), bandSig(b).as("sig"))): _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
+
+  /** Diagnostic accessors for [[graft.DedupDiag]] — the LSH lineage phase by
+    * phase, so corpus-shape drift (shingle volume, bucket sizes, candidate
+    * count) is measurable without touching the production entry points.
+    */
+  private[graft] def diagShingled(s: SparkSession, dir: String): DataFrame = shingled(s, dir)
+  private[graft] def diagBands(s: SparkSession, dir: String): DataFrame = cachedBandSignatures(s, dir)
+  private[graft] def diagPairs(s: SparkSession, dir: String): DataFrame = lshCandidatePairsUncached(s, dir)
+  private[graft] def diagEdges(s: SparkSession, dir: String): DataFrame =
+    lshCandidatePairs(s, dir).select(col("doc_a").as("a"), col("doc_b").as("b"))
 
   private def lshCandidatePairsUncached(s: SparkSession, dir: String): DataFrame = {
     val bands = cachedBandSignatures(s, dir)
@@ -373,25 +388,33 @@ object DedupOps {
   private[graft] def largeStarSmallStar(edges0: DataFrame, maxRounds: Int = 50)
       : (DataFrame, Int) = {
     val spark = edges0.sparkSession
-    // canonical undirected edge set: (lo, hi), self-loops dropped
+    // canonical undirected edge set: (lo, hi) as long, self-loops dropped.
+    // An already-canonical input (x31 passes the pair set, doc_a < doc_b
+    // distinct) flows through unchanged; the distinct also halves a
+    // symmetric input.
     var edges = edges0
-      .select(least(col("a"), col("b")).as("lo"), greatest(col("a"), col("b")).as("hi"))
+      .select(least(col("a"), col("b")).cast("long").as("lo"),
+        greatest(col("a"), col("b")).cast("long").as("hi"))
       .where(col("lo") =!= col("hi")).distinct().cache()
-    // node set fixed up front: star roots drop out of the hi side as the
-    // graph contracts, but they must still get a label row at the end.
-    // Materialized NOW, while the initial edge cache is hot — the final
-    // labels join would otherwise recompute it from edges0's lineage.
-    val nodes = edges.select(col("lo").as("node"))
-      .unionByName(edges.select(col("hi").as("node"))).distinct().cache()
-    nodes.count()
+    // No separate node set: LS/SS never loses a node — a local-minimum
+    // survives each round as a `lo` (its own group emits (u, v) when
+    // m(u) = u), every other node as a `hi` (below-neighbors' groups emit
+    // (m(w), u); small-star re-emits every oriented u as (mn, u)) — so the
+    // original node set is exactly the final star forest's node set and
+    // the labels fall out of the final edges alone (round-4's separate
+    // nodes cache + count job + final left join are gone).
     var gen       = edges // the cached generation backing `edges`
     var converged = false
     var rounds    = 0
     while (!converged && rounds < maxRounds) {
-      // LARGE-STAR: symmetric adjacency, m(u) = min(N(u) ∪ {u}); emit
+      // LARGE-STAR: symmetric adjacency in ONE scan of the cached
+      // generation (explode, not union — half the cache reads and half the
+      // codegen surface of the union shape), m(u) = min(N(u) ∪ {u}); emit
       // (v, m(u)) for every neighbor v > u
-      val sym = edges.select(col("lo").as("u"), col("hi").as("v"))
-        .unionByName(edges.select(col("hi").as("u"), col("lo").as("v")))
+      val sym = edges.select(explode(array(
+          struct(col("lo").as("u"), col("hi").as("v")),
+          struct(col("hi").as("u"), col("lo").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
       val lsMin = sym.groupBy("u").agg(min("v").as("mn"))
         .select(col("u"), least(col("mn"), col("u")).as("m"))
       // no distinct here: duplicate (lo, hi) rows are absorbed by the
@@ -416,13 +439,14 @@ object DedupOps {
       // its min; the forest test is (a) no node appears as both a parent
       // (lo) and a child (hi), and (b) every child has exactly ONE parent.
       // Checking the shape directly instead of comparing consecutive edge
-      // sets is one union + hash-aggregate pass over the candidate-scale
-      // edges (the two exceptAll anti-joins it replaces were two), and it
-      // fires a full round EARLIER: set-stability only observes a star
-      // one round after it forms. The full-scan aggregate also completely
-      // fills next's cache before the old generation is unpersisted.
-      val violations = next.select(col("hi").as("node"), col("lo").as("parent"))
-        .unionByName(next.select(col("lo").as("node"), lit(null).cast("long").as("parent")))
+      // sets fires a full round EARLIER (set-stability only observes a
+      // star one round after it forms), and the explode keeps it to ONE
+      // scan of next — the same pass that fills next's cache before the
+      // old generation is unpersisted.
+      val violations = next.select(explode(array(
+          struct(col("hi").as("node"), col("lo").as("parent")),
+          struct(col("lo").as("node"), lit(null).cast("long").as("parent")))).as("e"))
+        .select(col("e.node").as("node"), col("e.parent").as("parent"))
         .groupBy("node")
         .agg(count(col("parent")).as("parents"), max(col("parent").isNull).as("isParent"))
         .where(col("parents") > 1 || (col("parents") >= 1 && col("isParent")))
@@ -440,10 +464,15 @@ object DedupOps {
     if (!converged)
       throw new IllegalStateException(
         s"large-star/small-star did not converge within $rounds rounds")
-    // stars: every non-root points straight at its component minimum
-    val labels = nodes.join(
-        edges.select(col("hi").as("node"), col("lo").as("lbl")), Seq("node"), "left")
-      .groupBy("node").agg(min(coalesce(col("lbl"), col("node"))).as("lbl"))
+    // stars: every non-root points straight at its component minimum, and
+    // every root appears as a `lo` — one scan + one aggregate labels the
+    // full node set (roots label themselves; min() is a no-op tie-break on
+    // the star forest, where each child has exactly one parent)
+    val labels = edges.select(explode(array(
+        struct(col("hi").as("node"), col("lo").as("lbl")),
+        struct(col("lo").as("node"), col("lo").as("lbl")))).as("e"))
+      .select(col("e.node").as("node"), col("e.lbl").as("lbl"))
+      .groupBy("node").agg(min("lbl").as("lbl"))
     (labels, rounds)
   }
 
