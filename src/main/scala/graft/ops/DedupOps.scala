@@ -177,7 +177,8 @@ object DedupOps {
     * the x02/x31/x47/x55/x64/x65 family paid the shared lineage cost in
     * each pass.
     */
-  private[graft] def memoSize: Int = pairsCache.size + labelsCache.size + bandsCache.size
+  private[graft] def memoSize: Int =
+    pairsCache.size + labelsCache.size + bandsCache.size + candShinglesCache.size
 
   /** Drop the memoized caches (Bench calls this between timing passes
     * so a best-of-N never times a cache read where pass 1 timed the real
@@ -190,6 +191,8 @@ object DedupOps {
     labelsCache.clear()
     bandsCache.values.foreach(df => scala.util.Try(df.unpersist()))
     bandsCache.clear()
+    candShinglesCache.values.foreach(df => scala.util.Try(df.unpersist()))
+    candShinglesCache.clear()
   }
 
   /** Per-document LSH band signatures (doc_id, band, sig) — the standing
@@ -804,6 +807,29 @@ object DedupOps {
     * key. The corpus-wide all-pairs variant (x04) exists as the oracle
     * baseline; this is the one that runs at 100 TB.
     */
+  /** Candidate-doc shingle sets, memoized like the pairs: x86's verify plan
+    * consumes this subtree three times (both intersection sides + the size
+    * aggregate), and without materialization each consumer re-runs the
+    * semi-join + shingle explode.
+    */
+  private val candShinglesCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def candidateShingles(s: SparkSession, dir: String): DataFrame = {
+    candShinglesCache.keys.filter(_._1.sparkContext.isStopped).foreach(candShinglesCache.remove)
+    candShinglesCache.getOrElseUpdate((s, dir), {
+      val pairs = lshCandidatePairs(s, dir)
+      // shingle ONLY the docs the candidate list names — at 100 TB the
+      // verify stage must never regenerate the corpus-wide shingle set the
+      // banding already consumed (the candidate set is orders of magnitude
+      // smaller, and broadcast-semi-join prunes before the explode)
+      val cand = pairs.select(col("doc_a").as("doc_id"))
+        .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+      shingledDocs(
+        docs(s, dir).join(broadcast(cand), Seq("doc_id"), "left_semi")).cache()
+    })
+  }
+
   val lshVerify: Q = Q(
     "x86_lsh_verify",
     s"""WITH sh AS ($shingleSql),
@@ -823,14 +849,7 @@ object DedupOps {
        |ORDER BY p.doc_a, p.doc_b""".stripMargin
   ) { (s, dir) =>
     val pairs = lshCandidatePairs(s, dir)
-    // shingle ONLY the docs the candidate list names — at 100 TB the
-    // verify stage must never regenerate the corpus-wide shingle set the
-    // banding already consumed (the candidate set is orders of magnitude
-    // smaller, and broadcast-semi-join prunes before the explode)
-    val cand = pairs.select(col("doc_a").as("doc_id"))
-      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
-    val sh = shingledDocs(
-      docs(s, dir).join(broadcast(cand), Seq("doc_id"), "left_semi"))
+    val sh    = candidateShingles(s, dir)
     val sz    = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = pairs
       .join(sh.as("a"), col("a.doc_id") === col("doc_a"))
