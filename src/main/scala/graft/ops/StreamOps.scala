@@ -87,6 +87,12 @@ object StreamOps {
     * sfDir) — a real topic table is already a directory of append segments
     * (SURVEY.md §7.1 topics/).
     */
+  /** Shard count the most recent [[runStream]] pinned into its checkpoint —
+    * observable only for the spec that locks the sizing policy (the query is
+    * already terminated when runStream returns, so progress is gone).
+    */
+  @volatile private[graft] var lastStateShards: Int = -1
+
   private val staged = scala.collection.concurrent.TrieMap.empty[(String, String), String]
   private def stagedDir(dir: String, table: String): String =
     staged.getOrElseUpdate((dir, table), {
@@ -127,6 +133,7 @@ object StreamOps {
     val prev  = conf.numShufflePartitions
     val bytes = Files.size(java.nio.file.Paths.get(srcDir, s"$table.parquet"))
     val shards = math.max(1L, math.min(prev.toLong, bytes / conf.filesMaxPartitionBytes + 1)).toInt
+    lastStateShards = shards
     s.conf.set("spark.sql.shuffle.partitions", shards)
     try {
       val q = transform(stream).writeStream

@@ -91,6 +91,16 @@ class SchemaDriftSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("runStream sizes state shards by input volume and restores the session conf") {
+    val prev = spark.sessionState.conf.numShufflePartitions
+    ops.StreamOps.streamWatermark.run(spark, ntzDir).collect()
+    // a few-KB staged backlog must pin exactly one state shard into the
+    // checkpoint, not the session's parallelism (the volume→splits policy)
+    assert(ops.StreamOps.lastStateShards == 1)
+    // and the session's own shuffle parallelism must come back afterwards
+    assert(spark.sessionState.conf.numShufflePartitions == prev)
+  }
+
   test("unix_micros session transitions run on every ts flavor") {
     val results = flavors.map { case (name, dir) =>
       val rows = ops.BehaviorOps.transitions.run(spark, dir()).collect()
