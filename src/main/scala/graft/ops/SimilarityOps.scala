@@ -17,7 +17,13 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  private def embs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "embeddings")
+  // computeParallel: every operator here burns CPU per SCAN-SIDE row (dot
+  // products against a broadcast/self side), and a single-file embeddings
+  // corpus scans as ONE partition — at sf0.1 x05's 25M pair evaluations ran
+  // on one core (measured: the 2× corpus, written as many part files, ran
+  // FASTER than 1×). Identity once the corpus spans ≥ cores scan splits.
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    Tables.computeParallel(Tables(s, dir, "embeddings"))
 
   /** Sequential-fold dot product of two float arrays, in double —
     * codegen'd custom expression (graft.functions.DotF32), bit-identical to
