@@ -14,6 +14,11 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  // NOT computeParallel: measured 4.10 → 4.98 s across the 8-query family
+  // when the spread was added (r6) — this family's row-local text CPU on the
+  // current corpus (~1.7 MB of text) is smaller than one round-robin
+  // exchange, unlike the shingle/dot-product lineages where the spread pays.
+  // At corpus scale the scan is already parallel either way.
   private def docs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "documents")
 
   private val stopwords = Map(
