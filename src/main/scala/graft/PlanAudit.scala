@@ -28,8 +28,16 @@ object PlanAudit {
       "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
     // multi-table LSH: the table union is ONE (t, bucket) equi join
     "x24_ann_lsh_multitable" -> Seq("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
-    // codegen'd custom expressions appear inline in the projection
-    "x05_cosine_neardup" -> Seq("dot_f32", "codegen id"),
+    // codegen'd custom expressions appear inline in the projection; the
+    // round-robin spread must sit under the pair loop — the audit corpus is
+    // a single file, whose 1-partition scan would otherwise serialize the
+    // quadratic work (r6; identity on a many-split corpus)
+    "x05_cosine_neardup" -> Seq("dot_f32", "codegen id",
+      "(?i)roundrobinpartitioning"),
+    // brute-force top-k: query side broadcasts AND the corpus-scan side is
+    // spread before the per-row dot products (same r6 policy as x05)
+    "x06_cosine_topk" -> Seq("BroadcastNestedLoopJoin|BroadcastHashJoin",
+      "(?i)roundrobinpartitioning"),
     "x03_simhash"        -> Seq("simhash32", "codegen id"),
     "x11_fingerprint"    -> Seq("doc_fingerprint", "codegen id"),
     "x26_repetition"     -> Seq("bigram_stats", "codegen id"),

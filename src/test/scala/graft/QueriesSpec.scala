@@ -160,6 +160,49 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("x31 large-star/small-star labels random graphs identically to pointer jumping") {
+    // Randomized equivalence lock for the round-6 LS/SS restructure (the
+    // no-separate-node-set label extraction): on arbitrary multigraphs —
+    // duplicate edges, self-loops, isolated-from-each-other components,
+    // skewed degree — LS/SS and pointer jumping must emit the SAME
+    // (node → component-min) map, with every original non-self-loop node
+    // labeled. A driver-side union-find is the ground truth.
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 40 + trial * 20
+      val m = n + rnd.nextInt(n)
+      // no self-loops (production pair sets are strict doc_a < doc_b;
+      // propagateMinLabels would label a self-loop-only node, LS/SS drops
+      // it — a divergence no real input can produce); duplicates stay in
+      val raw = Seq.fill(m) {
+        val a = rnd.nextInt(n)
+        val b = (a + 1 + rnd.nextInt(n - 1)) % n
+        (a.toLong, b.toLong)
+      }
+      val edges = (raw ++ raw.map(_.swap)).toDF("a", "b")
+      // ground truth: union-find over the same edge list
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      raw.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = raw.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val truth = nodes.map(v => v -> find(v.toInt).toLong).toMap
+      // re-root: union-find roots are path-dependent; the algorithms label
+      // by component MIN, so canonicalize truth to min-per-root first
+      val rootMin = truth.groupBy(_._2).map { case (r, kv) => r -> kv.keys.min }
+      val want = truth.map { case (v, r) => v -> rootMin(r) }
+      val (pjL, _)  = graft.ops.DedupOps.propagateMinLabels(edges)
+      val (lssL, _) = graft.ops.DedupOps.largeStarSmallStar(edges)
+      val pj  = pjL.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val lss = lssL.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(lss == want, s"trial $trial: LS/SS diverges from union-find")
+      assert(pj == want, s"trial $trial: pointer jumping diverges from union-find")
+    }
+  }
+
   test("f11 approx_percentile lands between the exact p40 and p60 per group") {
     val rows = graft.ops.FuncOps.approxPercentileRaw(spark, sfDir).collect()
     assert(rows.nonEmpty)
