@@ -793,20 +793,6 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Exact-Jaccard verification of the LSH candidates — the post-filter
-    * that turns "banded together at least once" into a real similarity
-    * verdict (candidate→verify is THE two-stage shape of production LSH:
-    * x02 proposes, this disposes). Per candidate pair: shingle-set
-    * intersection, union by inclusion–exclusion, similarity in exact
-    * integer ppm, and the ≥ 0.5 verdict.
-    *
-    * Scale shape: everything is CANDIDATE-scale — the pair list (memoized
-    * lineage) joins the shingle table only for the docs it names, so the
-    * intersection probe replicates candidate docs' shingle sets, never the
-    * corpus's; per-doc sizes are a digest-count aggregate joined back by
-    * key. The corpus-wide all-pairs variant (x04) exists as the oracle
-    * baseline; this is the one that runs at 100 TB.
-    */
   /** Candidate-doc shingle sets, memoized like the pairs: x86's verify plan
     * consumes this subtree three times (both intersection sides + the size
     * aggregate), and without materialization each consumer re-runs the
@@ -830,6 +816,20 @@ object DedupOps {
     })
   }
 
+  /** Exact-Jaccard verification of the LSH candidates — the post-filter
+    * that turns "banded together at least once" into a real similarity
+    * verdict (candidate→verify is THE two-stage shape of production LSH:
+    * x02 proposes, this disposes). Per candidate pair: shingle-set
+    * intersection, union by inclusion–exclusion, similarity in exact
+    * integer ppm, and the ≥ 0.5 verdict.
+    *
+    * Scale shape: everything is CANDIDATE-scale — the pair list (memoized
+    * lineage) joins the shingle table only for the docs it names, so the
+    * intersection probe replicates candidate docs' shingle sets, never the
+    * corpus's; per-doc sizes are a digest-count aggregate joined back by
+    * key. The corpus-wide all-pairs variant (x04) exists as the oracle
+    * baseline; this is the one that runs at 100 TB.
+    */
   val lshVerify: Q = Q(
     "x86_lsh_verify",
     s"""WITH sh AS ($shingleSql),
