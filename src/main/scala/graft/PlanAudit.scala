@@ -133,6 +133,21 @@ object PlanAudit {
     // label affinity: centroid pairing is an EQUI join on the dimension
     // index over label-count-sized tables — never a cartesian of vectors
     "x87_label_affinity" -> Seq("HashAggregate",
+      "(?s)\\A(?!.*CartesianProduct).*"),
+    // span dedup: the df mark-back is a digest equi-join, never a cartesian
+    "x88_span_dedup" -> Seq("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
+      "(?s)\\A(?!.*CartesianProduct).*"),
+    // BPE pairs: partial-agg word counts, top-50 never global-sorts
+    "x89_bpe_pairs" -> Seq("HashAggregate", "TakeOrderedAndProject"),
+    // bloom novelty: the exact verify is a semi join downstream of the
+    // bloom-UDF prefilter — and never a nested loop
+    "x90_bloom_novelty" -> Seq("LeftSemi",
+      "(?s)\\A(?!.*BroadcastNestedLoopJoin).*"),
+    // simhash banding: signature is codegen'd, the band join is an equi
+    // join — the quadratic all-pairs shape lives only in the oracle
+    "x91_simhash_bands" -> Seq("simhash32",
+      "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
+      "(?s)\\A(?!.*BroadcastNestedLoopJoin).*",
       "(?s)\\A(?!.*CartesianProduct).*"))
 
   /** Execute one audited query and evaluate its plan patterns — shared by

@@ -868,7 +868,115 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Span-level duplication profile (the "dedup the substrings, not the
+    * documents" shape of Lee et al., *Deduplicating Training Data Makes
+    * Language Models Better*, ACL 2022): every word-5-gram POSITION in a
+    * document is marked duplicated when the same 5-gram occurs in at least
+    * one OTHER document; per-doc output is the duplicated-position fraction
+    * in exact integer ppm. Unlike the doc-level families (x01/x02/x04) this
+    * measures how much of each document's surface is boilerplate shared
+    * with the rest of the corpus — the signal span-dedup pipelines cut on.
+    *
+    * Scale shape: positions are digested to 16 hex chars BEFORE any
+    * exchange (the x01/x02 rule), the cross-doc frequency table is a
+    * digest-keyed aggregate, and the mark-back is a digest equi-join — the
+    * corpus text itself is never shuffled. Position rows grow linearly with
+    * corpus tokens; both the df aggregate and the join shuffle hash-
+    * partition on the digest, so the plan is the same at 1000 executors.
+    */
+  val spanDedup: Q = Q(
+    "x88_span_dedup",
+    """WITH pos AS (
+      |  SELECT doc_id, substr(md5(array_to_string(list_slice(w, i, i+4), ' ')), 1, 16) AS g
+      |  FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+      |       LATERAL (SELECT unnest(generate_series(1, len(w)-4)) AS i) s),
+      |df AS (SELECT g, count(DISTINCT doc_id) AS df FROM pos GROUP BY g)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+      |       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+      |       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS dup_ppm
+      |FROM pos JOIN df USING (g)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val w = split(col("text"), " ")
+    // one row per 5-gram POSITION (not distinct): the duplicated fraction
+    // weights a span by how often the document repeats it
+    val pos = Tables.computeParallel(docs(s, dir)).select(
+        col("doc_id"),
+        explode(
+          when(size(w) >= 5,
+            transform(sequence(lit(1), size(w) - 4),
+              i => substring(md5(concat_ws(" ",
+                element_at(w, i), element_at(w, i + 1), element_at(w, i + 2),
+                element_at(w, i + 3), element_at(w, i + 4))), 1, 16)))
+            .otherwise(array().cast("array<string>"))).as("g"))
+    val df = pos.groupBy("g").agg(countDistinct(col("doc_id")).as("df"))
+    pos.join(df, "g")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_ppm", expr("n_dup * 1000000 div n_spans"))
+      .orderBy("doc_id")
+  }
+
+  /** SimHash near-dup pairs at Hamming distance ≤ 2 via pigeonhole banding
+    * (Manku, Jain & Sarma, *Detecting Near-Duplicates for Web Crawling*,
+    * WWW 2007): split the 32-bit signature into 3 bands (11/11/10 bits) —
+    * any pair differing in ≤ 2 bits agrees EXACTLY on at least one band, so
+    * a band equi-join proposes a candidate superset with guaranteed 100%
+    * recall and the exact `bit_count(xor)` verifies. The oracle is the
+    * all-pairs quadratic; this plan replaces it with 3 hash-partitioned
+    * equi-joins whose candidate volume is Σ(band-bucket sizes²) — birthday-
+    * bounded, never n².
+    *
+    * Scale shape: signatures are row-local codegen ([[graft.functions.SimHash32]]),
+    * the band explode is ×3, the join shuffles (band, value, doc_id, sig) —
+    * 30-ish bytes/row — and verification is a codegen'd bit op on the
+    * joined row. At 100 TB the band value would widen (64-bit simhash,
+    * 4 bands of 16) but the plan is unchanged.
+    */
+  val simhashBands: Q = Q(
+    "x91_simhash_bands",
+    """WITH sh AS (
+      |  SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, i - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM (SELECT doc_id, i, sum(CASE WHEN ascii(substr(h, CAST(i AS INT), 1)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+      |        FROM (SELECT doc_id, md5(w) AS h
+      |              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents))
+      |        CROSS JOIN (SELECT unnest(generate_series(1, 32)) AS i) bits
+      |        GROUP BY doc_id, i)
+      |  GROUP BY doc_id)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS ham
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+      |ORDER BY doc_a, doc_b""".stripMargin
+  ) { (s, dir) =>
+    val sh = docs(s, dir)
+      .where(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.SimHashFunctions.simhash32(col("text")).as("simhash"))
+    // 3 bands: bits [0,11) / [11,22) / [22,32)
+    val bands = sh.select(col("doc_id"), col("simhash"),
+      explode(array(
+        struct(lit(0).as("bi"), col("simhash").bitwiseAND(lit(2047L)).as("bv")),
+        struct(lit(1).as("bi"), shiftright(col("simhash"), 11).bitwiseAND(lit(2047L)).as("bv")),
+        struct(lit(2).as("bi"), shiftright(col("simhash"), 22).bitwiseAND(lit(1023L)).as("bv")))).as("band"))
+      .select(col("doc_id"), col("simhash"), col("band.bi").as("bi"), col("band.bv").as("bv"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .distinct() // a pair may agree on more than one band
+      .withColumn("ham", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+      .where(col("ham") <= 2)
+      .select("doc_a", "doc_b", "ham")
+      .orderBy("doc_a", "doc_b")
+  }
+
   val all: Seq[Q] =
     Seq(exactDedup, minhashLsh, simhash, ngramJaccard, dupClusters, pagerank, splitLeakage,
-      canonicalPick, curationPipeline, triangleCount, incrementalDedup, lshVerify)
+      canonicalPick, curationPipeline, triangleCount, incrementalDedup, lshVerify,
+      spanDedup, simhashBands)
 }

@@ -368,7 +368,68 @@ object PipelineOps {
       .orderBy("event_type")
   }
 
+  /** Bloom-prefiltered batch novelty: score an incoming crawl batch
+    * (source = src0) against the rest of the corpus by word-8-gram overlap —
+    * per incoming doc, how many of its distinct grams the reference corpus
+    * already contains, and the novel fraction in exact ppm.
+    *
+    * This is the MIRROR of x27's broadcast shape: there the probe set
+    * (benchmark) is tiny and broadcast exactly; here the reference side is
+    * the 100 TB corpus — too big to broadcast as exact digests but
+    * compressible to a Bloom filter (~1.2 MB per 10⁶ distinct grams at 1%
+    * fpp, built DISTRIBUTED by `stat.bloomFilter`, which merges per-
+    * partition partial filters — no driver-side scan). The broadcast bloom
+    * prunes incoming grams map-side; only bloom-POSITIVES reach the exact
+    * semi-join that removes false positives, so the shuffled verify volume
+    * is (true hits + fpp·misses), not the batch. The final answer is EXACT
+    * — the bloom is a perf layer, the semi-join is the truth layer.
+    */
+  val bloomNovelty: Q = Q(
+    "x90_bloom_novelty",
+    """WITH pos AS (
+      |  SELECT doc_id, source, substr(md5(array_to_string(list_slice(w, i, i+7), ' ')), 1, 16) AS g
+      |  FROM (SELECT doc_id, source, string_split(text,' ') AS w FROM documents),
+      |       LATERAL (SELECT unnest(generate_series(1, len(w)-7)) AS i) s),
+      |ref AS (SELECT DISTINCT g FROM pos WHERE source <> 'src0'),
+      |inc AS (SELECT DISTINCT doc_id, g FROM pos WHERE source = 'src0')
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+      |       CAST(sum(CASE WHEN r.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_known,
+      |       CAST(sum(CASE WHEN r.g IS NULL THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS novel_ppm
+      |FROM inc LEFT JOIN ref r USING (g)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val w = split(col("text"), " ")
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"),
+        explode(when(size(w) >= 8,
+          transform(sequence(lit(1), size(w) - 7),
+            i => substring(md5(concat_ws(" ",
+              element_at(w, i), element_at(w, i + 1), element_at(w, i + 2),
+              element_at(w, i + 3), element_at(w, i + 4), element_at(w, i + 5),
+              element_at(w, i + 6), element_at(w, i + 7))), 1, 16)))
+          .otherwise(array().cast("array<string>"))).as("g"))
+    val d   = Tables.computeParallel(docs(s, dir))
+    val ref = grams(d.where(col("source") =!= "src0")).select("g").distinct()
+    val inc = grams(d.where(col("source") === "src0")).distinct()
+    // Distributed bloom build: treeAggregate of per-partition partials.
+    // expectedNumItems is a corpus-metadata constant in production (distinct
+    // gram estimate); 1e6 at test SF keeps fpp ≪ 1% so the verify join sees
+    // almost only true hits.
+    val bloom  = ref.stat.bloomFilter("g", 1000000L, 0.01)
+    val bloomB = s.sparkContext.broadcast(bloom)
+    val mightContain = udf((g: String) => g != null && bloomB.value.mightContainString(g))
+    val known = inc.where(mightContain(col("g")))
+      .join(ref, Seq("g"), "left_semi") // exact verify: kill bloom false positives
+      .groupBy("doc_id").agg(count(lit(1)).as("n_known"))
+    inc.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      .join(known, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_known"), lit(0L)).as("n_known"),
+        expr("(n_grams - coalesce(n_known, 0)) * 1000000 div n_grams").as("novel_ppm"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(chunkDedup, repetitionScore, contamination, hashSample,
     seqPacking, stratifiedTopK, refIntegrity, temperatureMix, ragChunking,
-    driftMonitor)
+    driftMonitor, bloomNovelty)
 }

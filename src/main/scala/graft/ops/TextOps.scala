@@ -419,6 +419,45 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** First BPE merge iteration: the top-50 adjacent character pairs by
+    * corpus frequency (Sennrich et al., *Neural Machine Translation of Rare
+    * Words with Subword Units*, ACL 2016 — the statistic every tokenizer-
+    * training pass computes repeatedly). The distributed trick is the
+    * word-frequency pre-aggregation: pair explosion runs over the DISTINCT
+    * vocabulary weighted by word counts, not over every token occurrence —
+    * Zipf collapses the corpus to its vocabulary before the ×(len-1)
+    * explode, so the expensive stage scales with |V|, not corpus tokens.
+    * The token→(word,count) aggregate itself is map-side-combined (partial
+    * hash agg before the exchange), the canonical two-level count shape.
+    *
+    * Total order on (cnt DESC, pair) makes the LIMIT cut identical on both
+    * engines even through ties.
+    */
+  val bpePairs: Q = Q(
+    "x89_bpe_pairs",
+    """WITH wf AS (
+      |  SELECT w, count(*) AS f FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE len(w) >= 2 GROUP BY w),
+      |pairs AS (
+      |  SELECT substr(w, CAST(i AS INT), 2) AS pair, f
+      |  FROM wf, LATERAL (SELECT unnest(generate_series(1, len(w)-1)) AS i) s)
+      |SELECT pair, CAST(sum(f) AS BIGINT) AS cnt
+      |FROM pairs GROUP BY pair
+      |ORDER BY cnt DESC, pair LIMIT 50""".stripMargin
+  ) { (s, dir) =>
+    val wf = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    wf.select(
+        explode(expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"),
+        col("f"))
+      .groupBy("pair").agg(sum(col("f")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(50)
+  }
+
   val all: Seq[Q] = Seq(langId, qualityScore, tokenCount, fingerprint, corpusClean,
-    positionalIndex, trigramLm, nfcClean, piiRedact)
+    positionalIndex, trigramLm, nfcClean, piiRedact, bpePairs)
 }

@@ -235,6 +235,86 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(missed.isEmpty, s"LSH missed high-jaccard pairs: $missed")
   }
 
+  test("x88 span-dedup invariants hold and shared spans exist") {
+    val rows = SparkEntry.queries("x88_span_dedup")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, dup, ppm) =
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("n_dup"), r.getAs[Long]("dup_ppm"))
+      assert(dup >= 0 && dup <= n)
+      assert(ppm == dup * 1000000L / n)
+    }
+    // the synthetic corpus repeats 5-gram spans across docs — the signal
+    // the operator exists to measure must be present
+    assert(rows.map(_.getAs[Long]("n_dup")).sum > 0)
+  }
+
+  test("x89 BPE pair counts: vocabulary-weighted aggregation equals token-level counting") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("x89_bpe_pairs")(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("pair"), r.getAs[Long]("cnt"))).toSeq
+    assert(got.size == 50)
+    // brute force without the vocab pre-aggregation: explode every token
+    val brute = graft.ops.Tables(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) >= 2)
+      .select(explode(expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair")).limit(50).collect()
+      .map(r => (r.getAs[String]("pair"), r.getAs[Long]("cnt"))).toSeq
+    assert(got == brute)
+  }
+
+  test("x90 bloom prefilter is lossless: results equal the exact no-bloom computation") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("x90_bloom_novelty")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_grams"),
+        r.getAs[Long]("n_known"), r.getAs[Long]("novel_ppm"))).toSeq
+    assert(got.nonEmpty)
+    assert(got.map(_._3).sum > 0, "no known grams — the verify path never ran")
+    // exact recompute with a plain semi-join (no bloom in the plan)
+    val w = split(col("text"), " ")
+    def grams(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      explode(when(size(w) >= 8,
+        transform(sequence(lit(1), size(w) - 7),
+          i => substring(md5(concat_ws(" ",
+            element_at(w, i), element_at(w, i + 1), element_at(w, i + 2),
+            element_at(w, i + 3), element_at(w, i + 4), element_at(w, i + 5),
+            element_at(w, i + 6), element_at(w, i + 7))), 1, 16)))
+        .otherwise(array().cast("array<string>"))).as("g"))
+    val d     = graft.ops.Tables(spark, sfDir, "documents")
+    val ref   = grams(d.where(col("source") =!= "src0")).select("g").distinct()
+    val inc   = grams(d.where(col("source") === "src0")).distinct()
+    val known = inc.join(ref, Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_known"))
+    val exact = inc.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      .join(known, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_known"), lit(0L)).as("n_known"),
+        expr("(n_grams - coalesce(n_known, 0)) * 1000000 div n_grams").as("novel_ppm"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_grams"),
+        r.getAs[Long]("n_known"), r.getAs[Long]("novel_ppm"))).toSeq
+    assert(got == exact)
+  }
+
+  test("x91 banded simhash join equals brute-force all-pairs Hamming (pigeonhole recall = 100%)") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("x91_simhash_bands")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("ham"))).toSet
+    assert(got.nonEmpty)
+    val sh = graft.ops.Tables(spark, sfDir, "documents")
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), graft.functions.SimHashFunctions.simhash32(col("text")).as("sh"))
+    val brute = sh.select(col("doc_id").as("doc_a"), col("sh").as("sa"))
+      .crossJoin(sh.select(col("doc_id").as("doc_b"), col("sh").as("sb")))
+      .where(col("doc_a") < col("doc_b"))
+      .withColumn("ham", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+      .where(col("ham") <= 2).select("doc_a", "doc_b", "ham").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("ham"))).toSet
+    assert(got == brute)
+  }
+
   test("x25 chunk-dedup counts are consistent (n_dup = n_chunks - n_distinct)") {
     val rows = SparkEntry.queries("x25_chunk_dedup")(spark, sfDir).collect()
     assert(rows.nonEmpty)
