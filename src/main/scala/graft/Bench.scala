@@ -74,9 +74,10 @@ object Bench {
       // queries), but a best-of over passes must never time a cache read
       // against pass 1's real compute
       ops.DedupOps.clearMemo()
+      ops.PipelineOps.clearMemo()
       var payer = "" // which dedup-family query absorbed the lineage cost
       val timings = named.map { case (name, fn) =>
-        val memoWasEmpty = ops.DedupOps.memoSize == 0
+        val memoWasEmpty = ops.DedupOps.memoSize + ops.PipelineOps.memoSize == 0
         val t0 = System.nanoTime()
         val ok = try { materialize(fn(spark, sfDir)); true }
           catch { case e: Throwable => errs ::= s"$name:${e.getClass.getSimpleName}"; false }

@@ -384,6 +384,53 @@ object PipelineOps {
     * is (true hits + fpp·misses), not the batch. The final answer is EXACT
     * — the bloom is a perf layer, the semi-join is the truth layer.
     */
+  /** Word-8-gram digests of a document slice, one row per distinct
+    * (doc_id, g) AFTER the caller's distinct — shared by the bloom build
+    * and the verify join.
+    */
+  private def novGrams(df: DataFrame): DataFrame = {
+    val w = split(col("text"), " ")
+    df.select(col("doc_id"),
+      explode(when(size(w) >= 8,
+        transform(sequence(lit(1), size(w) - 7),
+          i => substring(md5(concat_ws(" ",
+            element_at(w, i), element_at(w, i + 1), element_at(w, i + 2),
+            element_at(w, i + 3), element_at(w, i + 4), element_at(w, i + 5),
+            element_at(w, i + 6), element_at(w, i + 7))), 1, 16)))
+        .otherwise(array().cast("array<string>"))).as("g"))
+  }
+
+  /** (reference grams, incoming grams), both cached: the bloom build is an
+    * ACTION over the reference lineage and the verify join consumes it
+    * again — without materialization the corpus-side gram explode (the
+    * expensive stage) runs twice per query execution. Same session-keyed
+    * memo discipline as DedupOps.lshCandidatePairs.
+    */
+  private val noveltyCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  private[graft] def memoSize: Int = noveltyCache.size
+
+  /** Same contract as DedupOps.clearMemo: Bench drops the memo between
+    * timing passes so a best-of-N never times a cache read where pass 1
+    * timed the real gram lineage.
+    */
+  private[graft] def clearMemo(): Unit = {
+    noveltyCache.values.foreach { case (a, b) =>
+      scala.util.Try(a.unpersist()); scala.util.Try(b.unpersist())
+    }
+    noveltyCache.clear()
+  }
+
+  private def noveltyGrams(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    noveltyCache.keys.filter(_._1.sparkContext.isStopped).foreach(noveltyCache.remove)
+    noveltyCache.getOrElseUpdate((s, dir), {
+      val d = Tables.computeParallel(docs(s, dir))
+      (novGrams(d.where(col("source") =!= "src0")).select("g").distinct().cache(),
+        novGrams(d.where(col("source") === "src0")).distinct().cache())
+    })
+  }
+
   val bloomNovelty: Q = Q(
     "x90_bloom_novelty",
     """WITH pos AS (
@@ -398,19 +445,7 @@ object PipelineOps {
       |FROM inc LEFT JOIN ref r USING (g)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   ) { (s, dir) =>
-    val w = split(col("text"), " ")
-    def grams(df: DataFrame): DataFrame = df
-      .select(col("doc_id"),
-        explode(when(size(w) >= 8,
-          transform(sequence(lit(1), size(w) - 7),
-            i => substring(md5(concat_ws(" ",
-              element_at(w, i), element_at(w, i + 1), element_at(w, i + 2),
-              element_at(w, i + 3), element_at(w, i + 4), element_at(w, i + 5),
-              element_at(w, i + 6), element_at(w, i + 7))), 1, 16)))
-          .otherwise(array().cast("array<string>"))).as("g"))
-    val d   = Tables.computeParallel(docs(s, dir))
-    val ref = grams(d.where(col("source") =!= "src0")).select("g").distinct()
-    val inc = grams(d.where(col("source") === "src0")).distinct()
+    val (ref, inc) = noveltyGrams(s, dir)
     // Distributed bloom build: treeAggregate of per-partition partials.
     // expectedNumItems is a corpus-metadata constant in production (distinct
     // gram estimate); 1e6 at test SF keeps fpp ≪ 1% so the verify join sees
