@@ -148,7 +148,16 @@ object PlanAudit {
     "x91_simhash_bands" -> Seq("simhash32",
       "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
       "(?s)\\A(?!.*BroadcastNestedLoopJoin).*",
-      "(?s)\\A(?!.*CartesianProduct).*"))
+      "(?s)\\A(?!.*CartesianProduct).*"),
+    // listagg: dims broadcast into both legs, groups dimension-bounded
+    "f15_listagg" -> Seq("BroadcastHashJoin", "BroadcastExchange"),
+    // skip-gram co-occurrence: pair generation is row-local — NO join in
+    // the plan at all; top-40 never global-sorts
+    "x92_skipgram_cooc" -> Seq("(?s)\\A(?!.*Join).*", "HashAggregate",
+      "TakeOrderedAndProject"),
+    // ANN recall eval: the hit check is a semi join on (q_id, n_id) over
+    // top-k-sized sets
+    "x93_ann_recall" -> Seq("LeftSemi"))
 
   /** Execute one audited query and evaluate its plan patterns — shared by
     * the CLI main and PlanShapeSpec (so plan-shape regressions fail CI, not

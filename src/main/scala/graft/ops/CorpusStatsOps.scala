@@ -440,7 +440,40 @@ object CorpusStatsOps {
       .orderBy("source")
   }
 
+  /** Skip-gram co-occurrence counts, window ≤ 3 (the word2vec/GloVe
+    * co-occurrence-matrix build step — Mikolov et al. 2013 count ordered
+    * (center, context) pairs exactly like this before any training): top-40
+    * ordered word pairs (w_i, w_{i+k}), k ∈ {1,2,3}, by corpus frequency.
+    *
+    * Scale shape: pair generation is ROW-LOCAL — a nested HOF (offsets ×
+    * positions) flattened and exploded, so no join anywhere; the only
+    * exchange is the (pair → count) hash aggregate, map-side-combined, and
+    * the top-40 rides TakeOrderedAndProject. x35's adjacency lift is the
+    * k=1 statistical variant; this is the windowed count matrix embedding
+    * trainers consume.
+    */
+  val skipgramCooc: Q = Q(
+    "x92_skipgram_cooc",
+    """SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM (
+      |  SELECT unnest(flatten(list_transform([1, 2, 3], k ->
+      |    list_transform(generate_series(1, len(w)-k), i -> w[i] || ' ' || w[i+k])))) AS pair
+      |  FROM (SELECT string_split(text, ' ') AS w FROM documents))
+      |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 40""".stripMargin
+  ) { (s, dir) =>
+    val w = split(col("text"), " ")
+    docs(s, dir)
+      .select(explode(flatten(
+        transform(sequence(lit(1), lit(3)), k =>
+          when(size(w) > k,
+            transform(sequence(lit(1), size(w) - k),
+              i => concat_ws(" ", element_at(w, i), element_at(w, i + k))))
+            .otherwise(array().cast("array<string>"))))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(40)
+  }
+
   val all: Seq[Q] = Seq(tfidfTopTerms, bigramLift, sourceOverlap, mixtureSample,
     typeToken, lenQuartiles, invertedIndex, madOutliers, stopwordIndex, lenDeciles,
-    oovRate, langGini)
+    oovRate, langGini, skipgramCooc)
 }

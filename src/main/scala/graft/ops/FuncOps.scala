@@ -448,8 +448,53 @@ object FuncOps {
       .orderBy("event_id")
   }
 
+  /** Ordered string aggregation (LISTAGG / string_agg parity): per region,
+    * the sorted nation roster and the sorted DISTINCT order-status set
+    * reached through orders→customer→nation→region. Spark has no ordered
+    * collect, so determinism comes from `array_sort(collect_list)` /
+    * `array_sort(collect_set)` — sort AFTER collecting, which is the only
+    * portable contract (collect order is partition-arrival order on any
+    * distributed engine).
+    *
+    * Scale note: listagg over an UNBOUNDED group is an anti-pattern (one
+    * row holds the group); both groups here are dimension-bounded (nations
+    * per region, distinct statuses) — the shape where listagg is legitimate
+    * at any corpus size.
+    */
+  val listAgg: Q = Q(
+    "f15_listagg",
+    """WITH rn AS (SELECT n_nationkey, n_name, r_name
+      |            FROM nation JOIN region ON n_regionkey = r_regionkey),
+      |na AS (SELECT r_name, array_to_string(list_sort(list(n_name)), ',') AS nations,
+      |              CAST(count(DISTINCT n_nationkey) AS BIGINT) AS n_nations
+      |       FROM rn GROUP BY r_name),
+      |st AS (SELECT r_name, array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses
+      |       FROM orders JOIN customer ON o_custkey = c_custkey
+      |                   JOIN rn ON c_nationkey = rn.n_nationkey
+      |       GROUP BY r_name)
+      |SELECT na.r_name AS r_name, nations, n_nations, statuses
+      |FROM na JOIN st USING (r_name) ORDER BY r_name""".stripMargin
+  ) { (s, dir) =>
+    val r  = Tables(s, dir, "region").select("r_regionkey", "r_name")
+    val n  = Tables(s, dir, "nation")
+    val rn = n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+    val nations = rn.groupBy("r_name").agg(
+      concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"),
+      countDistinct(col("n_nationkey")).as("n_nations"))
+    val statuses = Tables(s, dir, "orders").select("o_custkey", "o_orderstatus")
+      .join(Tables(s, dir, "customer").select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(rn.select("n_nationkey", "r_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("r_name")
+      .agg(concat_ws(",", array_sort(collect_set(col("o_orderstatus")))).as("statuses"))
+    nations.join(statuses, "r_name")
+      .select("r_name", "nations", "n_nations", "statuses")
+      .orderBy("r_name")
+  }
+
   val all: Seq[Q] =
     Seq(hashFuncs, datetimeFuncs, mathFuncs, aesRoundtrip, approxDistinct, editDistance,
       valueHistogram, topkAgg, stringFuncs, bitwiseFuncs, approxPercentile,
-      regressionStats, arrayFuncs, nullFuncs)
+      regressionStats, arrayFuncs, nullFuncs, listAgg)
 }

@@ -133,9 +133,11 @@ object SimilarityOps {
     * per join side rather than cached: post-fix the bucket is ~512 fused
     * multiply-adds per row — far cheaper than materializing a 100 TB corpus.
     */
-  val annLsh: Q = Q(
-    "x07_ann_lsh",
-    s"""WITH n AS ($normedSql),
+  /** x07's oracle as a reusable CTE chain ending in `lsh` (q_id, rk, n_id,
+    * cos; rk ≤ 3) — shared with the x93 recall evaluation.
+    */
+  private val annLshCtesSql =
+    s"""n AS ($normedSql),
        |dims AS (SELECT vec_id, v, nrm, unnest(generate_series(0, len(v) - 1)) AS i FROM n),
        |proj AS (SELECT vec_id, p,
        |           sum(CASE WHEN ascii(substr(md5(CAST(p AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 1)) % 2 = 1
@@ -145,14 +147,19 @@ object SimilarityOps {
        |buckets AS (SELECT vec_id, array_to_string(list_sort(list(CAST(p AS VARCHAR) ||
        |                     (CASE WHEN round(s, 6) > 0 THEN '+' ELSE '-' END))), '') AS bucket
        |            FROM proj GROUP BY vec_id),
-       |nb AS (SELECT n.vec_id, v, nrm, bucket FROM n JOIN buckets USING (vec_id))
-       |SELECT q_id, rk, n_id, cos FROM (
+       |nb AS (SELECT n.vec_id, v, nrm, bucket FROM n JOIN buckets USING (vec_id)),
+       |lsh AS (SELECT q_id, rk, n_id, cos FROM (
        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
        |         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos,
        |         row_number() OVER (PARTITION BY q.vec_id
        |           ORDER BY round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) DESC, c.vec_id) AS rk
        |  FROM nb q JOIN nb c ON q.bucket = c.bucket AND q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id)
-       |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+       |WHERE rk <= 3)""".stripMargin
+
+  val annLsh: Q = Q(
+    "x07_ann_lsh",
+    s"""WITH $annLshCtesSql
+       |SELECT q_id, rk, n_id, cos FROM lsh ORDER BY q_id, rk""".stripMargin
   ) { (s, dir) =>
     val n = normed(s, dir)
     val withBucket = n.withColumn("bucket", bucketCol)
@@ -577,7 +584,45 @@ object SimilarityOps {
       .orderBy("label_a", "label_b")
   }
 
+  /** ANN recall evaluation — the monitoring op a production vector index
+    * runs continuously: recall@3 of the LSH index (x07) against the exact
+    * top-3 (x06's ranking restricted to rk ≤ 3), per query, in exact ppm.
+    * "Measure, don't guess": the recall/cost trade of every approximate
+    * index is an empirical property of the data distribution, so the
+    * evaluator is a first-class operator, not a test-only artifact.
+    *
+    * Scale shape: the exact side here is the oracle-baseline brute-force
+    * scoring (quadratic family, like x05/x06 — at 100 TB one evaluates on a
+    * SAMPLE of queries, which is exactly what the `vec_id % 50` query slice
+    * is); the LSH side is the production bucket join. The comparison itself
+    * is a (q_id, n_id) equi-join over top-k-sized sets — negligible.
+    */
+  val annRecall: Q = Q(
+    "x93_ann_recall",
+    s"""WITH $annLshCtesSql,
+       |exact0 AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |             row_number() OVER (PARTITION BY q.vec_id
+       |               ORDER BY round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) DESC, c.vec_id) AS rk
+       |           FROM n q JOIN n c ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id),
+       |exact AS (SELECT q_id, n_id FROM exact0 WHERE rk <= 3)
+       |SELECT e.q_id AS q_id, CAST(count(l.n_id) AS BIGINT) AS n_hit,
+       |       CAST(count(l.n_id) * 1000000 // 3 AS BIGINT) AS recall_ppm
+       |FROM exact e LEFT JOIN lsh l ON e.q_id = l.q_id AND e.n_id = l.n_id
+       |GROUP BY e.q_id ORDER BY q_id""".stripMargin
+  ) { (s, dir) =>
+    val exact = cosineTopK.run(s, dir).where(col("rk") <= 3).select("q_id", "n_id")
+    val lshPairs = annLsh.run(s, dir).select("q_id", "n_id")
+    val hits = exact.join(lshPairs, Seq("q_id", "n_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+    exact.groupBy("q_id").agg(count(lit(1)).as("n3"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        expr("coalesce(n_hit, 0) * 1000000 div 3").as("recall_ppm"))
+      .orderBy("q_id")
+  }
+
   val all: Seq[Q] = Seq(cosineNearDup, cosineTopK, annLsh, annMultiprobe, annIvf,
     annMultitable, labelCentroids, kmeansIter, semanticDedup, quantizedTopK,
-    labelAffinity)
+    labelAffinity, annRecall)
 }

@@ -315,6 +315,56 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == brute)
   }
 
+  test("f15 listagg strings are sorted and consistent with their cardinalities") {
+    val rows = SparkEntry.queries("f15_listagg")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nations = r.getAs[String]("nations").split(",").toSeq
+      assert(nations == nations.sorted, "nation roster not sorted")
+      assert(nations.size == r.getAs[Long]("n_nations"))
+      val st = r.getAs[String]("statuses").split(",").toSeq
+      assert(st == st.sorted && st.distinct == st, "status listagg not sorted-distinct")
+    }
+  }
+
+  test("x92 row-local skip-gram counts equal the position-join construction") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("x92_skipgram_cooc")(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("pair"), r.getAs[Long]("cnt"))).toSeq
+    assert(got.size == 40)
+    // independent construction: positional self-join within each doc
+    val pos = graft.ops.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i", "w")))
+    val brute = pos.as("a")
+      .join(pos.as("b"), col("a.doc_id") === col("b.doc_id") &&
+        col("b.i") > col("a.i") && col("b.i") <= col("a.i") + 3)
+      .select(concat_ws(" ", col("a.w"), col("b.w")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair")).limit(40).collect()
+      .map(r => (r.getAs[String]("pair"), r.getAs[Long]("cnt"))).toSeq
+    assert(got == brute)
+  }
+
+  test("x93 recall equals the direct overlap of x06 exact top-3 and x07 LSH results") {
+    val got = SparkEntry.queries("x93_ann_recall")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_hit"), r.getAs[Long]("recall_ppm"))).toSeq
+    assert(got.nonEmpty)
+    got.foreach { case (_, h, ppm) =>
+      assert(h >= 0 && h <= 3); assert(ppm == h * 1000000L / 3)
+    }
+    val exact = SparkEntry.queries("x06_cosine_topk")(spark, sfDir).collect()
+      .filter(_.getAs[Number]("rk").longValue <= 3)
+      .groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.map(_.getAs[Long]("n_id")).toSet).toMap
+    val lsh = SparkEntry.queries("x07_ann_lsh")(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.map(_.getAs[Long]("n_id")).toSet).toMap
+    val expect = exact.map { case (q, top3) =>
+      (q, (top3 intersect lsh.getOrElse(q, Set.empty)).size.toLong)
+    }
+    assert(got.map(g => (g._1, g._2)).toMap == expect)
+  }
+
   test("x25 chunk-dedup counts are consistent (n_dup = n_chunks - n_distinct)") {
     val rows = SparkEntry.queries("x25_chunk_dedup")(spark, sfDir).collect()
     assert(rows.nonEmpty)
