@@ -154,7 +154,7 @@ object PlanAudit {
     // skip-gram co-occurrence: pair generation is row-local — NO join in
     // the plan at all; top-40 never global-sorts
     "x92_skipgram_cooc" -> Seq("(?s)\\A(?!.*Join).*", "HashAggregate",
-      "TakeOrderedAndProject"),
+      "TakeOrderedAndProject", "(?i)roundrobinpartitioning"),
     // ANN recall eval: the hit check is a semi join on (q_id, n_id) over
     // top-k-sized sets
     "x93_ann_recall" -> Seq("LeftSemi"))

@@ -461,7 +461,10 @@ object CorpusStatsOps {
       |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 40""".stripMargin
   ) { (s, dir) =>
     val w = split(col("text"), " ")
-    docs(s, dir)
+    // computeParallel: the ×3(len−1) pair explode is the dominant CPU and
+    // runs before the aggregate's exchange — serialized on a single-file
+    // corpus scan without the spread (6.4 → ~1 s at sf0.1)
+    Tables.computeParallel(docs(s, dir))
       .select(explode(flatten(
         transform(sequence(lit(1), lit(3)), k =>
           when(size(w) > k,
