@@ -178,7 +178,8 @@ object DedupOps {
     * each pass.
     */
   private[graft] def memoSize: Int =
-    pairsCache.size + labelsCache.size + bandsCache.size + candShinglesCache.size
+    pairsCache.size + labelsCache.size + bandsCache.size + candShinglesCache.size +
+      spanPosCache.size
 
   /** Drop the memoized caches (Bench calls this between timing passes
     * so a best-of-N never times a cache read where pass 1 timed the real
@@ -193,6 +194,8 @@ object DedupOps {
     bandsCache.clear()
     candShinglesCache.values.foreach(df => scala.util.Try(df.unpersist()))
     candShinglesCache.clear()
+    spanPosCache.values.foreach(df => scala.util.Try(df.unpersist()))
+    spanPosCache.clear()
   }
 
   /** Per-document LSH band signatures (doc_id, band, sig) — the standing
@@ -884,6 +887,33 @@ object DedupOps {
     * corpus tokens; both the df aggregate and the join shuffle hash-
     * partition on the digest, so the plan is the same at 1000 executors.
     */
+  /** x88's positional-span stream, memoized: the plan consumes it twice
+    * (the cross-doc df aggregate AND the mark-back join) — without
+    * materialization the scan + 5-gram explode + per-position MD5 run
+    * twice per execution. Same clearMemo discipline as the pair lineage.
+    */
+  private val spanPosCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def spanPositions(s: SparkSession, dir: String): DataFrame = {
+    spanPosCache.keys.filter(_._1.sparkContext.isStopped).foreach(spanPosCache.remove)
+    spanPosCache.getOrElseUpdate((s, dir), {
+      val w = split(col("text"), " ")
+      // one row per 5-gram POSITION (not distinct): the duplicated fraction
+      // weights a span by how often the document repeats it
+      Tables.computeParallel(docs(s, dir)).select(
+          col("doc_id"),
+          explode(
+            when(size(w) >= 5,
+              transform(sequence(lit(1), size(w) - 4),
+                i => substring(md5(concat_ws(" ",
+                  element_at(w, i), element_at(w, i + 1), element_at(w, i + 2),
+                  element_at(w, i + 3), element_at(w, i + 4))), 1, 16)))
+              .otherwise(array().cast("array<string>"))).as("g"))
+        .cache()
+    })
+  }
+
   val spanDedup: Q = Q(
     "x88_span_dedup",
     """WITH pos AS (
@@ -897,18 +927,7 @@ object DedupOps {
       |FROM pos JOIN df USING (g)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   ) { (s, dir) =>
-    val w = split(col("text"), " ")
-    // one row per 5-gram POSITION (not distinct): the duplicated fraction
-    // weights a span by how often the document repeats it
-    val pos = Tables.computeParallel(docs(s, dir)).select(
-        col("doc_id"),
-        explode(
-          when(size(w) >= 5,
-            transform(sequence(lit(1), size(w) - 4),
-              i => substring(md5(concat_ws(" ",
-                element_at(w, i), element_at(w, i + 1), element_at(w, i + 2),
-                element_at(w, i + 3), element_at(w, i + 4))), 1, 16)))
-            .otherwise(array().cast("array<string>"))).as("g"))
+    val pos = spanPositions(s, dir)
     val df = pos.groupBy("g").agg(countDistinct(col("doc_id")).as("df"))
     pos.join(df, "g")
       .groupBy("doc_id")

@@ -67,6 +67,28 @@ class PropertySpec extends AnyFunSuite {
       .distinct.sorted.take(4).mkString("|")
   }
 
+  test("x91 band split guarantees recall: every Hamming<=2 pair shares a band (pigeonhole)") {
+    // Mirror of the query's band arithmetic: bits [0,11) / [11,22) / [22,32).
+    def bands(s: Long): Seq[Long] = Seq(s & 2047L, (s >> 11) & 2047L, (s >> 22) & 1023L)
+    // Random 32-bit signatures, biased toward near-pairs: base signatures
+    // plus <=2-bit perturbations of earlier ones (pure random longs almost
+    // never land within Hamming 2 of each other).
+    val sigs = {
+      val base = samples(Gen.choose(0L, (1L << 32) - 1), 120)
+      val perturbed = base.zip(samples(Gen.choose(0, 31), 120))
+        .zip(samples(Gen.choose(0, 31), 120))
+        .map { case ((s, b1), b2) => (s ^ (1L << b1) ^ (1L << b2)) & 0xFFFFFFFFL }
+      (base ++ perturbed).distinct
+    }
+    for {
+      (a, i) <- sigs.zipWithIndex
+      b <- sigs.drop(i + 1)
+      if java.lang.Long.bitCount(a ^ b) <= 2
+    } assert(
+      bands(a).zip(bands(b)).exists { case (x, y) => x == y },
+      f"Hamming<=2 pair 0x$a%08x / 0x$b%08x shares no band — pigeonhole violated")
+  }
+
   test("doc_fingerprint byte-loop equals the codepoint-window reference on random unicode") {
     val word = Gen.oneOf(
       Gen.alphaNumStr,
