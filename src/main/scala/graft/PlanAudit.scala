@@ -157,7 +157,12 @@ object PlanAudit {
       "TakeOrderedAndProject", "(?i)roundrobinpartitioning"),
     // ANN recall eval: the hit check is a semi join on (q_id, n_id) over
     // top-k-sized sets
-    "x93_ann_recall" -> Seq("LeftSemi"))
+    "x93_ann_recall" -> Seq("LeftSemi"),
+    // PQ: codebook and ADC lookup table broadcast into equi joins — the
+    // corpus never shuffles for either, and no cartesian anywhere
+    "x94_pq_ann" -> Seq("BroadcastHashJoin", "BroadcastExchange",
+      "(?s)\\A(?!.*CartesianProduct).*",
+      "(?s)\\A(?!.*BroadcastNestedLoopJoin).*"))
 
   /** Execute one audited query and evaluate its plan patterns — shared by
     * the CLI main and PlanShapeSpec (so plan-shape regressions fail CI, not

@@ -622,7 +622,156 @@ object SimilarityOps {
       .orderBy("q_id")
   }
 
+  /** Product-quantization ANN (Jégou, Douze & Schmid, *Product Quantization
+    * for Nearest Neighbor Search*, TPAMI 2011): the 64-dim space splits
+    * into 16 subspaces of 4 dims, each with a 64-entry codebook — seeded
+    * from the 64 lowest-id vectors (the deterministic seed policy x50/x57
+    * use) and refined by ONE Lloyd iteration with exact integer-ppm means.
+    * Components are quantized from the NORMALIZED vector (v/‖v‖ in ppm), so
+    * ADC's L2 ranking is cosine ranking (‖a−b‖² = 2−2cos on unit vectors) —
+    * apples-to-apples with the exact x06 baseline. Every corpus vector
+    * encodes to 16 codes (nearest entry per subspace, ties to the lowest
+    * centroid id); queries rank candidates by ADC — the sum over subspaces
+    * of the query-to-centroid distance looked up by the candidate's code.
+    * Completes the ANN family: LSH (x07/x21/x24) buckets, IVF (x22)
+    * partitions, int8 SQ (x69) compresses per-dim — PQ compresses per-
+    * SUBSPACE: 16×6 bits = 12 bytes/vector vs 256 raw, the compression that
+    * fits a billion-vector index in executor memory (recall@3 = 0.50
+    * spec-measured vs SQ's 0.60 at 5× the bytes).
+    *
+    * Everything after the normalization is exact int64 arithmetic
+    * (|x| ≤ 1e6 ⇒ ADC ≤ 16·4·(2e6)² ≈ 2.6e14, no overflow); the Lloyd mean
+    * adds +2e6·n before the integer division so Spark's truncating `div`
+    * equals DuckDB's flooring `//` on negative sums. Scale shape: the
+    * codebook is k×d values → BROADCAST into the one-pass encode; the ADC
+    * lookup table is |queries|×k×s rows → broadcast-joined against the code
+    * stream; the corpus is scanned once per assignment pass and shuffled
+    * only for the per-(vec,subspace) distance aggregate.
+    */
+  val pqAnn: Q = Q(
+    "x94_pq_ann",
+    s"""WITH e AS (SELECT vec_id, list_transform(v, x ->
+       |             CAST(floor(x / nrm * 1000000 + 0.5) AS BIGINT)) AS v FROM ($normedSql) n0),
+       |dims AS (SELECT vec_id, CAST((i-1) // 4 AS BIGINT) AS s, i, v[i] AS val
+       |         FROM e, (SELECT unnest(generate_series(1, 64)) AS i) idx),
+      |cb0 AS (SELECT vec_id AS cid, s, i, val FROM dims WHERE vec_id < 64),
+      |cdist0 AS (SELECT d.vec_id, d.s, c.cid, sum((d.val - c.val) * (d.val - c.val)) AS dist
+      |           FROM dims d JOIN cb0 c ON d.s = c.s AND d.i = c.i
+      |           GROUP BY d.vec_id, d.s, c.cid),
+      |codes0 AS (SELECT vec_id, s, cid FROM (
+      |  SELECT vec_id, s, cid, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rk
+      |  FROM cdist0) WHERE rk = 1),
+      |cb AS (SELECT a.cid, a.s, d.i,
+      |              (sum(d.val) + 2000000 * count(*)) // count(*) - 2000000 AS val
+      |       FROM codes0 a JOIN dims d ON d.vec_id = a.vec_id AND d.s = a.s
+      |       GROUP BY a.cid, a.s, d.i),
+      |cdist AS (SELECT d.vec_id, d.s, c.cid, sum((d.val - c.val) * (d.val - c.val)) AS dist
+      |          FROM dims d JOIN cb c ON d.s = c.s AND d.i = c.i
+      |          GROUP BY d.vec_id, d.s, c.cid),
+      |codes AS (SELECT vec_id, s, cid FROM (
+      |  SELECT vec_id, s, cid, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rk
+      |  FROM cdist) WHERE rk = 1),
+      |qdist AS (SELECT vec_id AS q_id, s, cid, dist FROM cdist WHERE vec_id % 50 = 0),
+      |adc AS (SELECT q.q_id, c.vec_id AS n_id, CAST(sum(q.dist) AS BIGINT) AS approx_d
+      |        FROM codes c JOIN qdist q ON q.s = c.s AND q.cid = c.cid
+      |        WHERE c.vec_id <> q.q_id
+      |        GROUP BY q.q_id, c.vec_id)
+      |SELECT q_id, rk, n_id, approx_d FROM (
+      |  SELECT q_id, n_id, approx_d,
+      |         row_number() OVER (PARTITION BY q_id ORDER BY approx_d, n_id) AS rk
+      |  FROM adc) WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+  ) { (s, dir) =>
+    val e = normed(s, dir).select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") / col("nrm") * 1000000 + 0.5).cast("long")).as("v"))
+
+    // Codebooks are k×d MODEL PARAMETERS — collected to the driver and
+    // shipped as literals (the planeSigns/bloom pattern), so every
+    // assignment pass is a row-local codegen'd fold instead of a
+    // corpus×k-row explode-join (which measured 5× slower at sf1: the
+    // relational formulation the oracle keeps costs 82M joined rows where
+    // this costs 4096 fused ops per row).
+
+    /** Per-centroid subspace L2 distances of this row's `v`, ascending-cid
+      * order — exact int64, identical to the oracle's cdist aggregate.
+      */
+    def distArr(sIdx: Int, vals: Seq[Seq[Long]]): Column =
+      transform(sequence(lit(0), lit(vals.length - 1)), c =>
+        aggregate(sequence(lit(0), lit(3)), lit(0L), (acc, j) => {
+          val comp = element_at(col("v"), lit(sIdx * 4) + j + lit(1))
+          val cval = element_at(element_at(typedLit(vals), c + 1), j + 1)
+          acc + (comp - cval) * (comp - cval)
+        }))
+
+    /** Chosen centroid id: first minimum over ascending cids — the same
+      * (dist, cid) tie-break as the oracle's row_number.
+      */
+    def codeCol(sIdx: Int, ids: Seq[Long], vals: Seq[Seq[Long]]): Column = {
+      val d = distArr(sIdx, vals)
+      element_at(typedLit(ids), array_position(d, array_min(d)).cast("int"))
+    }
+
+    def assignCodes(ids: Array[Seq[Long]], vals: Array[Seq[Seq[Long]]]): DataFrame =
+      e.select(col("vec_id"),
+          posexplode(array((0 until 16).map(sx => codeCol(sx, ids(sx), vals(sx))): _*))
+            .as(Seq("s", "cid")))
+        .select(col("vec_id"), col("s").cast("long").as("s"), col("cid"))
+
+    // seed codebook: the 64 lowest-id vectors' subvectors
+    val seedRows = e.where(col("vec_id") < 64).orderBy("vec_id").collect()
+    val seedIds: Seq[Long] = seedRows.map(_.getAs[Long]("vec_id")).toSeq
+    val seedVecs = seedRows.map(_.getSeq[Long](1).toArray)
+    val seedIdsPerS  = Array.fill(16)(seedIds)
+    val seedValsPerS = Array.tabulate(16)(sx =>
+      seedVecs.map(v => v.slice(sx * 4, sx * 4 + 4).toSeq).toSeq)
+    val codes0 = assignCodes(seedIdsPerS, seedValsPerS)
+
+    // one Lloyd refinement: integer centroid means per (cid, s, i) — ONE
+    // corpus-pass aggregate to k×d cells, collected like the seeds. The
+    // +2e6·n offset keeps the numerator positive so Spark's truncating
+    // `div` equals DuckDB's flooring `//` for negative component sums.
+    val dims = e.select(col("vec_id"), posexplode(col("v")).as(Seq("p", "val")))
+      .select(col("vec_id"), expr("p div 4").cast("long").as("s"),
+        col("p").as("i"), col("val"))
+    val cb1Rows = codes0.as("a")
+      .join(dims.as("d"), col("d.vec_id") === col("a.vec_id") && col("d.s") === col("a.s"))
+      .groupBy(col("a.cid").as("cid"), col("a.s").as("cs"), col("d.i").as("ci"))
+      .agg(expr("(sum(val) + 2000000 * count(*)) div count(*) - 2000000").as("cval"))
+      .collect()
+    val bys = cb1Rows.groupBy(_.getAs[Long]("cs"))
+    val cb1IdsPerS: Array[Seq[Long]] = Array.tabulate(16)(sx =>
+      bys(sx.toLong).map(_.getAs[Long]("cid")).distinct.sorted.toSeq)
+    val cb1ValsPerS: Array[Seq[Seq[Long]]] = Array.tabulate(16) { sx =>
+      val rows = bys(sx.toLong)
+      cb1IdsPerS(sx).map(cid =>
+        rows.filter(_.getAs[Long]("cid") == cid)
+          .sortBy(_.getAs[Int]("ci")).map(_.getAs[Long]("cval")).toSeq)
+    }
+
+    val codes = assignCodes(cb1IdsPerS, cb1ValsPerS)
+    // ADC lookup table: FULL per-centroid distances, query rows only
+    val qdist = e.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"),
+        posexplode(array((0 until 16).map(sx => distArr(sx, cb1ValsPerS(sx))): _*))
+          .as(Seq("qs", "dists")))
+      .select(col("q_id"), col("qs").cast("long").as("qs"),
+        posexplode(col("dists")).as(Seq("cpos", "dist")))
+      .withColumn("qcid", element_at(
+        element_at(typedLit(cb1IdsPerS.toSeq), col("qs").cast("int") + 1),
+        col("cpos").cast("int") + 1))
+      .select("q_id", "qs", "qcid", "dist")
+    val adc = codes
+      .join(broadcast(qdist), col("s") === col("qs") && col("cid") === col("qcid"))
+      .where(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum(col("dist")).as("approx_d"))
+    val wTop = Window.partitionBy("q_id").orderBy(col("approx_d"), col("vec_id"))
+    adc.withColumn("rk", row_number().over(wTop)).where(col("rk") <= 3)
+      .select(col("q_id"), col("rk"), col("vec_id").as("n_id"), col("approx_d"))
+      .orderBy("q_id", "rk")
+  }
+
   val all: Seq[Q] = Seq(cosineNearDup, cosineTopK, annLsh, annMultiprobe, annIvf,
     annMultitable, labelCentroids, kmeansIter, semanticDedup, quantizedTopK,
-    labelAffinity, annRecall)
+    labelAffinity, annRecall, pqAnn)
 }

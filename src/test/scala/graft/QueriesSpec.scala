@@ -365,6 +365,30 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(g => (g._1, g._2)).toMap == expect)
   }
 
+  test("x94 PQ ranking is well-formed and its recall@3 vs exact cosine is nonzero") {
+    val rows = SparkEntry.queries("x94_pq_ann")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // per query: ranks 1..3, approx distance non-decreasing with rank
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rs) =>
+      val byRk = rs.sortBy(_.getAs[Number]("rk").intValue)
+      assert(byRk.map(_.getAs[Number]("rk").intValue).toSeq == (1 to byRk.length))
+      val ds = byRk.map(_.getAs[Long]("approx_d")).toSeq
+      assert(ds == ds.sorted)
+    }
+    // recall vs the exact top-3 — PQ is approximate, but on this corpus it
+    // must find SOME of the true neighbors (x69's int8-SQ bar is 0.60)
+    val exact = SparkEntry.queries("x06_cosine_topk")(spark, sfDir).collect()
+      .filter(_.getAs[Number]("rk").longValue <= 3)
+      .groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.map(_.getAs[Long]("n_id")).toSet).toMap
+    val pq = rows.groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.map(_.getAs[Long]("n_id")).toSet).toMap
+    val hits  = exact.map { case (q, t3) => (t3 intersect pq.getOrElse(q, Set.empty)).size }.sum
+    val total = exact.map(_._2.size).sum
+    assert(hits > 0, s"PQ recall 0/$total — codes carry no signal")
+    info(s"PQ recall@3 = $hits/$total")
+  }
+
   test("x25 chunk-dedup counts are consistent (n_dup = n_chunks - n_distinct)") {
     val rows = SparkEntry.queries("x25_chunk_dedup")(spark, sfDir).collect()
     assert(rows.nonEmpty)
