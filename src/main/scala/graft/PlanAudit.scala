@@ -162,7 +162,12 @@ object PlanAudit {
     // corpus never shuffles for either, and no cartesian anywhere
     "x94_pq_ann" -> Seq("BroadcastHashJoin", "BroadcastExchange",
       "(?s)\\A(?!.*CartesianProduct).*",
-      "(?s)\\A(?!.*BroadcastNestedLoopJoin).*"))
+      "(?s)\\A(?!.*BroadcastNestedLoopJoin).*"),
+    // vocab growth: the corpus count broadcasts into row-local decile
+    // arithmetic; the word aggregates are hash aggregates (first-occurrence
+    // trick — no count-distinct over growing prefixes)
+    "x95_vocab_growth" -> Seq("BroadcastExchange", "HashAggregate",
+      "(?s)\\A(?!.*CartesianProduct).*"))
 
   /** Execute one audited query and evaluate its plan patterns — shared by
     * the CLI main and PlanShapeSpec (so plan-shape regressions fail CI, not

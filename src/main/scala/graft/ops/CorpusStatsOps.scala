@@ -476,7 +476,56 @@ object CorpusStatsOps {
       .limit(40)
   }
 
+  /** Vocabulary growth curve (Heaps' law): per corpus decile (doc_id
+    * order), tokens seen, NEW word types introduced, and the cumulative
+    * vocabulary — the curve that decides tokenizer vocab size and flags
+    * corpus drift (a flattening curve means new data adds no new language).
+    *
+    * Computed INCREMENTALLY with the x72 first-occurrence trick: a word
+    * belongs to the decile of its min(doc_id) — one vocabulary-sized
+    * aggregate — so no count(DISTINCT) ever runs over a growing prefix
+    * (the naive formulation re-scans the whole corpus per decile). Decile
+    * assignment is row-local arithmetic against the broadcast corpus count
+    * (no global ntile window — a total-order window is single-partition at
+    * any scale); the cumulative sum runs over 10 bucket rows.
+    */
+  val vocabGrowth: Q = Q(
+    "x95_vocab_growth",
+    """WITH cnt AS (SELECT count(*) AS n FROM documents),
+      |db AS (SELECT doc_id, least(10, doc_id * 10 // n + 1) AS bucket
+      |       FROM documents CROSS JOIN cnt),
+      |words AS (SELECT doc_id, w FROM (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE len(w) > 0),
+      |fw AS (SELECT w, min(doc_id) AS fd FROM words GROUP BY w),
+      |nw AS (SELECT b.bucket, CAST(count(*) AS BIGINT) AS new_words
+      |       FROM fw JOIN db b ON fw.fd = b.doc_id GROUP BY 1),
+      |tok AS (SELECT b.bucket, CAST(count(*) AS BIGINT) AS n_tokens
+      |        FROM words JOIN db b USING (doc_id) GROUP BY 1)
+      |SELECT t.bucket AS bucket, n_tokens, coalesce(new_words, 0) AS new_words,
+      |       CAST(sum(coalesce(new_words, 0)) OVER (ORDER BY t.bucket) AS BIGINT) AS vocab
+      |FROM tok t LEFT JOIN nw ON t.bucket = nw.bucket ORDER BY bucket""".stripMargin
+  ) { (s, dir) =>
+    val d   = docs(s, dir)
+    val cnt = d.agg(count(lit(1)).as("n"))
+    val db  = d.crossJoin(broadcast(cnt))
+      .select(col("doc_id"), expr("least(10, doc_id * 10 div n + 1)").as("bucket"))
+    val words = d.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+    val fw = words.groupBy("w").agg(min(col("doc_id")).as("fd"))
+    val nw = fw.join(db, col("fd") === col("doc_id"))
+      .groupBy("bucket").agg(count(lit(1)).as("new_words"))
+    val tok = words.join(db, "doc_id")
+      .groupBy("bucket").agg(count(lit(1)).as("n_tokens"))
+    val wCum = Window.orderBy("bucket")
+    tok.join(nw.withColumnRenamed("bucket", "nb"), col("bucket") === col("nb"), "left")
+      .select(col("bucket"), col("n_tokens"),
+        coalesce(col("new_words"), lit(0L)).as("new_words"))
+      .withColumn("vocab", sum(col("new_words")).over(wCum))
+      .orderBy("bucket")
+  }
+
   val all: Seq[Q] = Seq(tfidfTopTerms, bigramLift, sourceOverlap, mixtureSample,
     typeToken, lenQuartiles, invertedIndex, madOutliers, stopwordIndex, lenDeciles,
-    oovRate, langGini, skipgramCooc)
+    oovRate, langGini, skipgramCooc, vocabGrowth)
 }

@@ -389,6 +389,21 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     info(s"PQ recall@3 = $hits/$total")
   }
 
+  test("x95 vocab growth is a true cumulative curve ending at the distinct word count") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("x95_vocab_growth")(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("bucket")).toSeq == (1L to 10L))
+    var cum = 0L
+    rows.foreach { r =>
+      cum += r.getAs[Long]("new_words")
+      assert(r.getAs[Long]("vocab") == cum, s"bucket ${r.getAs[Long]("bucket")} cumulative drift")
+    }
+    val distinctWords = graft.ops.Tables(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0).select("w").distinct().count()
+    assert(cum == distinctWords, "final vocab != corpus distinct word count")
+  }
+
   test("x25 chunk-dedup counts are consistent (n_dup = n_chunks - n_distinct)") {
     val rows = SparkEntry.queries("x25_chunk_dedup")(spark, sfDir).collect()
     assert(rows.nonEmpty)
