@@ -255,5 +255,58 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(mmMetadata, mmFeatures, mmFrames, mmDedup, mmContrastivePairs)
+  /** Frame-level PCM features: the WAVE body parsed as little-endian
+    * signed-int16 samples, framed at 64 samples, per-file sample count,
+    * total |amplitude| energy, and peak frame energy — the audio-curation
+    * signal (silence/clipping detection) computed where it belongs: in the
+    * partition iterator, on the REAL container's located body bytes, exact
+    * integer arithmetic end to end. The oracle recomputes the same sample
+    * stream from the fixture rule (body = utf-8 text), so a hash match
+    * proves the byte-pair decode, sign handling, and framing.
+    */
+  val mmAudioEnergy: Q = Q(
+    "x96_mm_audio_energy",
+    """WITH wav AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
+      |samp AS (SELECT doc_id, (i + 63) // 64 AS frame,
+      |                ascii(substr(text, CAST(2*i-1 AS INT), 1)) +
+      |                  256 * ascii(substr(text, CAST(2*i AS INT), 1)) AS raw
+      |         FROM wav, LATERAL (SELECT unnest(generate_series(1, strlen(text) // 2)) AS i) s),
+      |sv AS (SELECT doc_id, frame,
+      |              CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v FROM samp),
+      |fr AS (SELECT doc_id, frame, CAST(sum(abs(v)) AS BIGINT) AS fe,
+      |              CAST(count(*) AS BIGINT) AS ns FROM sv GROUP BY 1, 2)
+      |SELECT doc_id, CAST(sum(ns) AS BIGINT) AS n_samples,
+      |       CAST(count(*) AS BIGINT) AS n_frames,
+      |       CAST(sum(fe) AS BIGINT) AS energy,
+      |       CAST(max(fe) AS BIGINT) AS peak_energy
+      |FROM fr GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val sp = s
+    import sp.implicits._
+    media(s, dir)
+      .filter(col("fmt") === "wav")
+      .mapPartitions(_.flatMap { r =>
+        val d    = MediaCodec.decode(r.payload)
+        val body = MediaCodec.body(r.payload, d)
+        val n    = body.length / 2
+        if (n == 0) None // oracle's generate_series emits no sample rows
+        else {
+          var energy = 0L; var peak = 0L; var frameE = 0L
+          var k = 0
+          while (k < n) {
+            // little-endian signed int16
+            val v = (((body(2 * k) & 0xff) | (body(2 * k + 1) << 8)).toShort).toLong
+            frameE += math.abs(v)
+            k += 1
+            if (k % 64 == 0 || k == n) { if (frameE > peak) peak = frameE; energy += frameE; frameE = 0L }
+          }
+          Some((r.doc_id, n.toLong, ((n + 63) / 64).toLong, energy, peak))
+        }
+      })
+      .toDF("doc_id", "n_samples", "n_frames", "energy", "peak_energy")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(mmMetadata, mmFeatures, mmFrames, mmDedup, mmContrastivePairs,
+    mmAudioEnergy)
 }

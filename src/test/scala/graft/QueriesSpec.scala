@@ -404,6 +404,33 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cum == distinctWords, "final vocab != corpus distinct word count")
   }
 
+  test("x96 audio energy equals a direct recompute from the document bytes") {
+    val rows = SparkEntry.queries("x96_mm_audio_energy")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val expect = graft.ops.Tables(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .filter(r => r.getAs[Long]("doc_id") % 3 == 2 && r.getAs[String]("text") != null)
+      .flatMap { r =>
+        val b = r.getAs[String]("text").getBytes("UTF-8")
+        val n = b.length / 2
+        if (n == 0) None
+        else {
+          val frames = (0 until n).grouped(64).map(_.map { k =>
+            math.abs((((b(2 * k) & 0xff) | (b(2 * k + 1) << 8)).toShort).toLong)
+          }.sum).toSeq
+          Some((r.getAs[Long]("doc_id"),
+            (n.toLong, frames.length.toLong, frames.sum, frames.max)))
+        }
+      }.toMap
+    rows.foreach { r =>
+      val got = (r.getAs[Long]("n_samples"), r.getAs[Long]("n_frames"),
+        r.getAs[Long]("energy"), r.getAs[Long]("peak_energy"))
+      assert(got == expect(r.getAs[Long]("doc_id")))
+      assert(got._4 <= got._3 && got._2 == (got._1 + 63) / 64)
+    }
+    assert(rows.length == expect.size)
+  }
+
   test("x25 chunk-dedup counts are consistent (n_dup = n_chunks - n_distinct)") {
     val rows = SparkEntry.queries("x25_chunk_dedup")(spark, sfDir).collect()
     assert(rows.nonEmpty)
