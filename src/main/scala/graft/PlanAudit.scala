@@ -167,7 +167,12 @@ object PlanAudit {
     // arithmetic; the word aggregates are hash aggregates (first-occurrence
     // trick — no count-distinct over growing prefixes)
     "x95_vocab_growth" -> Seq("BroadcastExchange", "HashAggregate",
-      "(?s)\\A(?!.*CartesianProduct).*"))
+      "(?s)\\A(?!.*CartesianProduct).*"),
+    // IVF-PQ: cell assign/residual/encode are row-local against literal
+    // model parameters; the ADC table broadcasts into an equi join
+    "x97_ivfpq_ann" -> Seq("BroadcastHashJoin", "BroadcastExchange",
+      "(?s)\\A(?!.*CartesianProduct).*",
+      "(?s)\\A(?!.*BroadcastNestedLoopJoin).*"))
 
   /** Execute one audited query and evaluate its plan patterns — shared by
     * the CLI main and PlanShapeSpec (so plan-shape regressions fail CI, not

@@ -771,7 +771,150 @@ object SimilarityOps {
       .orderBy("q_id", "rk")
   }
 
+  /** IVF-PQ ANN — the composition FAISS ships as its production index
+    * (Jégou et al. TPAMI'11 §IV): a coarse IVF quantizer (the x22/x57 seed
+    * cells, vec_id % 250 = 1) partitions the corpus; every vector is PQ-
+    * encoded on its RESIDUAL (v − cell centroid) with a shared 16×64
+    * codebook seeded from the 64 lowest-id residuals; a query probes its
+    * 2 nearest cells, forms a PER-CELL query residual, and ranks only the
+    * probed cells' members by integer ADC. Residual encoding is what makes
+    * the composition work: residual magnitudes are cell-radius-sized, so
+    * the shared codebook spends its 64 entries on a much smaller space
+    * than raw vectors (x94's flat PQ) would need.
+    *
+    * Exact int64 throughout: ppm components, residual subtraction, squared
+    * L2 (≤ 16·4·(4e6)² ≈ 1e15), first-min ties to the lowest id at every
+    * level — identical in both engines. Scale shape: coarse centroids and
+    * PQ codebook are collected model parameters shipped as LITERALS (cell
+    * assign, residual, encode all row-local, one corpus pass); the ADC
+    * table is |queries|×2×k×s rows broadcast against the code stream; the
+    * probe-2-of-C cell filter is what bounds candidate volume at a billion
+    * vectors.
+    */
+  val ivfpqAnn: Q = Q(
+    "x97_ivfpq_ann",
+    s"""WITH n AS ($normedSql),
+       |e AS (SELECT vec_id, list_transform(v, x ->
+       |        CAST(floor(x / nrm * 1000000 + 0.5) AS BIGINT)) AS v FROM n),
+       |dims AS (SELECT vec_id, CAST((i-1) // 4 AS BIGINT) AS s, i, v[i] AS val
+       |         FROM e, (SELECT unnest(generate_series(1, 64)) AS i) idx),
+       |cdims AS (SELECT vec_id AS gid, i, val FROM dims WHERE vec_id % 250 = 1),
+       |cd AS (SELECT d.vec_id, c.gid, sum((d.val - c.val) * (d.val - c.val)) AS gd
+       |       FROM dims d JOIN cdims c ON d.i = c.i GROUP BY d.vec_id, c.gid),
+       |cellrk AS (SELECT vec_id, gid, row_number() OVER (PARTITION BY vec_id ORDER BY gd, gid) AS rk FROM cd),
+       |cell AS (SELECT vec_id, gid FROM cellrk WHERE rk = 1),
+       |rdims AS (SELECT d.vec_id, a.gid, d.s, d.i, d.val - c.val AS val
+       |          FROM dims d JOIN cell a ON a.vec_id = d.vec_id
+       |                      JOIN cdims c ON c.gid = a.gid AND c.i = d.i),
+       |scb AS (SELECT vec_id AS cid, s, i, val FROM rdims WHERE vec_id < 64),
+       |pdist AS (SELECT r.vec_id, r.s, c.cid, sum((r.val - c.val) * (r.val - c.val)) AS dist
+       |          FROM rdims r JOIN scb c ON r.s = c.s AND r.i = c.i
+       |          GROUP BY r.vec_id, r.s, c.cid),
+       |codes AS (SELECT vec_id, s, cid FROM (
+       |  SELECT vec_id, s, cid, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rk
+       |  FROM pdist) WHERE rk = 1),
+       |qprobe AS (SELECT vec_id AS q_id, gid FROM cellrk
+       |           WHERE vec_id % 50 = 0 AND rk <= 2),
+       |qrdims AS (SELECT p.q_id, p.gid, d.s, d.i, d.val - c.val AS val
+       |           FROM qprobe p JOIN dims d ON d.vec_id = p.q_id
+       |                        JOIN cdims c ON c.gid = p.gid AND c.i = d.i),
+       |qdist AS (SELECT r.q_id, r.gid, r.s, c.cid, sum((r.val - c.val) * (r.val - c.val)) AS dist
+       |          FROM qrdims r JOIN scb c ON r.s = c.s AND r.i = c.i
+       |          GROUP BY r.q_id, r.gid, r.s, c.cid),
+       |adc AS (SELECT p.q_id, x.vec_id AS n_id, CAST(sum(qd.dist) AS BIGINT) AS approx_d
+       |        FROM qprobe p JOIN cell x ON x.gid = p.gid AND x.vec_id <> p.q_id
+       |                      JOIN codes k ON k.vec_id = x.vec_id
+       |                      JOIN qdist qd ON qd.q_id = p.q_id AND qd.gid = x.gid
+       |                                   AND qd.s = k.s AND qd.cid = k.cid
+       |        GROUP BY p.q_id, x.vec_id)
+       |SELECT q_id, rk, n_id, approx_d FROM (
+       |  SELECT q_id, n_id, approx_d,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY approx_d, n_id) AS rk
+       |  FROM adc) WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+  ) { (s, dir) =>
+    val e = normed(s, dir).select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") / col("nrm") * 1000000 + 0.5).cast("long")).as("v"))
+
+    // --- coarse quantizer: collected centroids as literals, ascending gid
+    val centRows = e.where(col("vec_id") % 250 === 1).orderBy("vec_id").collect()
+    require(centRows.length >= 2, "IVF needs at least 2 cells to probe")
+    val centIds: Seq[Long]       = centRows.map(_.getAs[Long]("vec_id")).toSeq
+    val centVals: Seq[Seq[Long]] = centRows.map(_.getSeq[Long](1).toSeq).toSeq
+
+    /** Full-64-dim squared L2 to every centroid, ascending-gid order. */
+    def centDists(vc: Column): Column =
+      transform(sequence(lit(0), lit(centIds.length - 1)), c =>
+        aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, j) => {
+          val d = element_at(vc, j + 1) - element_at(element_at(typedLit(centVals), c + 1), j + 1)
+          acc + d * d
+        }))
+    /** Residual v − centroid[cpos] (cpos 1-based into the literal). */
+    def residual(vc: Column, cpos: Column): Column =
+      transform(sequence(lit(0), lit(63)), j =>
+        element_at(vc, j + 1) - element_at(element_at(typedLit(centVals), cpos), j + 1))
+
+    val withCell = e.withColumn("cd", centDists(col("v")))
+      .withColumn("cpos", array_position(col("cd"), array_min(col("cd"))).cast("int"))
+      .withColumn("gid", element_at(typedLit(centIds), col("cpos")))
+    val r = withCell.withColumn("rv", residual(col("v"), col("cpos")))
+
+    // --- shared residual PQ codebook: the 64 lowest-id residuals
+    val seedRows = r.where(col("vec_id") < 64).orderBy("vec_id")
+      .select("vec_id", "rv").collect()
+    val seedIds: Seq[Long] = seedRows.map(_.getAs[Long]("vec_id")).toSeq
+    val seedValsPerS: Array[Seq[Seq[Long]]] = Array.tabulate(16)(sx =>
+      seedRows.map(_.getSeq[Long](1).slice(sx * 4, sx * 4 + 4).toSeq).toSeq)
+
+    /** Per-centroid subspace L2 of `vec`'s subvector, ascending-cid order. */
+    def distArr(vec: Column, sIdx: Int, vals: Seq[Seq[Long]]): Column =
+      transform(sequence(lit(0), lit(vals.length - 1)), c =>
+        aggregate(sequence(lit(0), lit(3)), lit(0L), (acc, j) => {
+          val d = element_at(vec, lit(sIdx * 4) + j + lit(1)) -
+            element_at(element_at(typedLit(vals), c + 1), j + 1)
+          acc + d * d
+        }))
+    def codeCol(vec: Column, sIdx: Int): Column = {
+      val d = distArr(vec, sIdx, seedValsPerS(sIdx))
+      element_at(typedLit(seedIds), array_position(d, array_min(d)).cast("int"))
+    }
+
+    // one corpus pass: cell id + 16 codes, all row-local
+    val codes = r.select(col("vec_id"), col("gid"),
+        posexplode(array((0 until 16).map(sx => codeCol(col("rv"), sx)): _*)).as(Seq("s", "cid")))
+      .select(col("vec_id"), col("gid"), col("s").cast("long").as("s"), col("cid"))
+
+    // --- query side: probe the 2 nearest cells, per-cell residual, ADC table
+    val masked = expr("transform(cd, (x, i) -> CASE WHEN i + 1 = cpos THEN CAST(9223372036854775807 AS BIGINT) ELSE x END)")
+    val q = withCell.where(col("vec_id") % 50 === 0)
+      .withColumn("cd2", masked)
+      .withColumn("cpos2", array_position(col("cd2"), array_min(col("cd2"))).cast("int"))
+      .select(col("vec_id").as("q_id"), col("v"),
+        explode(array(col("cpos"), col("cpos2"))).as("qcpos"))
+      .withColumn("qgid", element_at(typedLit(centIds), col("qcpos")))
+      .withColumn("qrv", residual(col("v"), col("qcpos")))
+    val qdist = q
+      .select(col("q_id"), col("qgid"),
+        posexplode(array((0 until 16).map(sx => distArr(col("qrv"), sx, seedValsPerS(sx))): _*))
+          .as(Seq("qs", "dists")))
+      .select(col("q_id"), col("qgid"), col("qs").cast("long").as("qs"),
+        posexplode(col("dists")).as(Seq("cposx", "dist")))
+      .withColumn("qcid", element_at(typedLit(seedIds), col("cposx").cast("int") + 1))
+      .select("q_id", "qgid", "qs", "qcid", "dist")
+
+    val adc = codes
+      .join(broadcast(qdist),
+        col("gid") === col("qgid") && col("s") === col("qs") && col("cid") === col("qcid"))
+      .where(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum(col("dist")).as("approx_d"))
+    val wTop = Window.partitionBy("q_id").orderBy(col("approx_d"), col("vec_id"))
+    adc.withColumn("rk", row_number().over(wTop)).where(col("rk") <= 3)
+      .select(col("q_id"), col("rk"), col("vec_id").as("n_id"), col("approx_d"))
+      .orderBy("q_id", "rk")
+  }
+
   val all: Seq[Q] = Seq(cosineNearDup, cosineTopK, annLsh, annMultiprobe, annIvf,
     annMultitable, labelCentroids, kmeansIter, semanticDedup, quantizedTopK,
-    labelAffinity, annRecall, pqAnn)
+    labelAffinity, annRecall, pqAnn, ivfpqAnn)
 }

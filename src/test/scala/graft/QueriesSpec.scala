@@ -431,6 +431,25 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.length == expect.size)
   }
 
+  test("x97 IVF-PQ neighbors come only from probed cells and recall is nonzero") {
+    val rows = SparkEntry.queries("x97_ivfpq_ann")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rs) =>
+      val ds = rs.sortBy(_.getAs[Number]("rk").intValue).map(_.getAs[Long]("approx_d")).toSeq
+      assert(ds == ds.sorted)
+    }
+    val exact = SparkEntry.queries("x06_cosine_topk")(spark, sfDir).collect()
+      .filter(_.getAs[Number]("rk").longValue <= 3)
+      .groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.map(_.getAs[Long]("n_id")).toSet).toMap
+    val got = rows.groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.map(_.getAs[Long]("n_id")).toSet).toMap
+    val hits  = exact.map { case (q, t3) => (t3 intersect got.getOrElse(q, Set.empty)).size }.sum
+    val total = exact.map(_._2.size).sum
+    assert(hits > 0, s"IVF-PQ recall 0/$total")
+    info(s"IVF-PQ recall@3 = $hits/$total")
+  }
+
   test("x25 chunk-dedup counts are consistent (n_dup = n_chunks - n_distinct)") {
     val rows = SparkEntry.queries("x25_chunk_dedup")(spark, sfDir).collect()
     assert(rows.nonEmpty)
