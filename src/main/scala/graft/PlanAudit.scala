@@ -172,7 +172,16 @@ object PlanAudit {
     // model parameters; the ADC table broadcasts into an equi join
     "x97_ivfpq_ann" -> Seq("BroadcastHashJoin", "BroadcastExchange",
       "(?s)\\A(?!.*CartesianProduct).*",
-      "(?s)\\A(?!.*BroadcastNestedLoopJoin).*"))
+      "(?s)\\A(?!.*BroadcastNestedLoopJoin).*"),
+    // BM25: the 3-term query dim broadcasts into the token stream (only
+    // matches survive to any exchange), df/corpus stats broadcast back,
+    // and the top-20 never global-sorts
+    "x98_bm25_rank" -> Seq("BroadcastHashJoin", "BroadcastExchange",
+      "TakeOrderedAndProject"),
+    // heavy hitters: the SpaceSaving candidate union (≤64/partition)
+    // broadcasts into the exact verify — the token stream never shuffles
+    // on the term key
+    "x99_heavy_hitters" -> Seq("BroadcastHashJoin", "BroadcastExchange"))
 
   /** Execute one audited query and evaluate its plan patterns — shared by
     * the CLI main and PlanShapeSpec (so plan-shape regressions fail CI, not

@@ -525,7 +525,146 @@ object CorpusStatsOps {
       .orderBy("bucket")
   }
 
+  /** BM25 relevance ranking against a literal query-term set — the
+    * retrieval-scoring op a curation/RAG pipeline runs to pick documents
+    * for a topic (Robertson–Spärck Jones probabilistic model; k1 = 1.2,
+    * b = 0.75, the classic defaults). Two determinism moves keep the score
+    * cross-engine exact: (1) the idf is the RATIONAL Robertson idf
+    * (N−df+½)/(df+½), scaled ×2 to clear the halves — no transcendental
+    * log; (2) the tf saturation tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl)) is
+    * multiplied through by 10·L (avgdl = L/N, L = corpus token count)
+    * into the rational 22·tf·L / (10·tf·L + 3·L + 9·dl·N), whose
+    * numerator rides one same-order IEEE multiply/divide chain + the
+    * floor(x+0.5) contract (the x34/x35 overflow argument: 22·tf·L·1e6
+    * passes int64 at web scale; the int64 DENOMINATOR peaks ~1e17 at
+    * tf 1e4 × L 1e12 — safe). Per-term idf_ppm·tfnorm_ppm products
+    * accumulate in decimal(38,0) (idf_ppm reaches ~2e14 at 1e8 docs, the
+    * product 4e20 — past int64, the x85 overflow class) and one integral
+    * ÷1e6 lands the milli-score. That divide goes through HUGEINT on the
+    * DuckDB side: its `decimal // int` is scale-preserving division (a
+    * later BIGINT cast would round-half-up where Spark's `div`
+    * truncates — measured off-by-one on every score), while
+    * `hugeint // int` truncates exactly like `div`.
+    *
+    * Scale shape: tokenization is row-local and only tokens MATCHING the
+    * broadcast query survive to any exchange — the (doc, term) tf
+    * aggregate is bounded by query-hit volume, not corpus volume; df/N/L
+    * are three tiny aggregates (df/nl broadcast back); the final ranking
+    * is TakeOrderedAndProject, never a global sort.
+    */
+  val bm25Rank: Q = Q(
+    "x98_bm25_rank",
+    """WITH q(term) AS (SELECT unnest(['spark', 'join', 'window'])),
+      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+      |nl AS (SELECT count(*) AS n,
+      |              sum(len(string_split(text, ' '))) AS l FROM documents),
+      |hits AS (SELECT t.doc_id, t.term FROM tok t JOIN q USING (term)),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM hits GROUP BY 1, 2),
+      |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY 1),
+      |scored AS (
+      |  SELECT tf.doc_id,
+      |         sum(CAST((2 * (n - df) + 1) * 1000000 // (2 * df + 1) AS DECIMAL(38,0))
+      |             * CAST(floor(22.0 * tf * l * 1000000
+      |                          / (10 * tf * l + 3 * l + 9 * dl * n) + 0.5) AS DECIMAL(38,0))) AS acc
+      |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN nl
+      |  GROUP BY 1)
+      |SELECT doc_id, CAST(CAST(acc AS HUGEINT) // 1000000 AS BIGINT) AS score_ppm
+      |FROM scored ORDER BY score_ppm DESC, doc_id LIMIT 20""".stripMargin
+  ) { (s, dir) =>
+    val d   = docs(s, dir)
+    val tok = d.select(col("doc_id"), explode(ws).as("term"))
+    val dl  = d.select(col("doc_id"), size(ws).cast("long").as("dl"))
+    val nl  = d.agg(count(lit(1)).as("n"), sum(size(ws).cast("long")).as("l"))
+    val qt  = s.createDataFrame(Seq("spark", "join", "window").map(Tuple1.apply))
+      .toDF("term")
+    val hits = tok.join(broadcast(qt), Seq("term"))
+    val tf   = hits.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfT  = hits.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    tf.join(broadcast(dfT), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(nl))
+      .withColumn("idf_ppm", expr("(2 * (n - df) + 1) * 1000000 div (2 * df + 1)"))
+      .withColumn("tfn_ppm",
+        floor(lit(22.0) * col("tf") * col("l") * lit(1000000)
+          / (lit(10) * col("tf") * col("l") + lit(3) * col("l")
+            + lit(9) * col("dl") * col("n")) + lit(0.5)).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum(col("idf_ppm").cast("decimal(38,0)")
+        * col("tfn_ppm").cast("decimal(38,0)")).as("acc"))
+      .select(col("doc_id"), expr("cast(acc div 1000000 as bigint)").as("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** EXACT frequent terms (global share ≥ 1/50) with a sketch-bounded
+    * shuffle — the distributed heavy-hitters shape (SpaceSaving, Metwally
+    * et al. ICDT'05) in the x90 propose→verify mold: the sketch is purely
+    * a perf layer, the answer stays exact.
+    *
+    * Propose: each partition runs a SpaceSaving summary of capacity 64 in
+    * the scan iterator — O(1/f) memory, no exchange — and emits only its
+    * tracked terms. Correctness rests on two pigeonholes: (1) a term with
+    * GLOBAL share ≥ f must have LOCAL share ≥ f in at least one partition
+    * (if c_p < f·L_p for all p, summing contradicts C ≥ f·ΣL_p — needs no
+    * knowledge of partition count or corpus size); (2) SpaceSaving with
+    * capacity k tracks every term of local share > 1/k, and 1/64 < 1/50 =
+    * f. So the union of summaries is a GUARANTEED candidate superset —
+    * and it is tiny: ≤ 64 terms per partition regardless of vocabulary.
+    * Verify: exact counts for candidates only (broadcast semi-join), then
+    * the true global-share filter. QueriesSpec proves the prefiltered
+    * result equals the sketch-free groupBy/HAVING plan.
+    *
+    * Scale shape: the naive plan shuffles one (term, partial) pair per
+    * DISTINCT TERM PER PARTITION — at 13-gram/shingle granularity that is
+    * nearly the token stream itself. Here the only exchanges are the
+    * ≤64·P-row candidate union and the candidate-hit counts. Which extra
+    * (sub-threshold) candidates each summary emits can vary with hash
+    * iteration order; the verified RESULT cannot — any superset verifies
+    * to the same exact answer.
+    */
+  val heavyHitters: Q = Q(
+    "x99_heavy_hitters",
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+      |tot AS (SELECT count(*) AS t FROM tok),
+      |c AS (SELECT term, count(*) AS c FROM tok GROUP BY 1)
+      |SELECT term, CAST(c AS BIGINT) AS c,
+      |       CAST(c * 1000000 // t AS BIGINT) AS share_ppm
+      |FROM c CROSS JOIN tot WHERE c * 50 >= t
+      |ORDER BY c DESC, term""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val tok = Tables.computeParallel(docs(s, dir)).select(explode(ws).as("term")).as[String]
+    // Capacity-64 SpaceSaving per partition. The min-entry scan is O(k)
+    // per eviction (k = 64, a constant); a production sketch would keep a
+    // min-heap, but eviction only fires once the summary is full, which a
+    // natural-language token stream hits rarely relative to increments.
+    val cand = tok.mapPartitions { it =>
+      val k = 64
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        counts.get(t) match {
+          case Some(c) => counts(t) = c + 1
+          case None if counts.size < k => counts(t) = 1L
+          case None =>
+            val (mt, mc) = counts.minBy(_._2)
+            counts.remove(mt)
+            counts(t) = mc + 1
+        }
+      }
+      counts.keysIterator
+    }.toDF("term").distinct()
+    val exact = docs(s, dir).select(explode(ws).as("term"))
+      .join(broadcast(cand), Seq("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    val tot = docs(s, dir).select(explode(ws).as("term")).agg(count(lit(1)).as("t"))
+    exact.crossJoin(broadcast(tot))
+      .where(col("c") * 50 >= col("t"))
+      .select(col("term"), col("c"), expr("c * 1000000 div t").as("share_ppm"))
+      .orderBy(col("c").desc, col("term"))
+  }
+
   val all: Seq[Q] = Seq(tfidfTopTerms, bigramLift, sourceOverlap, mixtureSample,
     typeToken, lenQuartiles, invertedIndex, madOutliers, stopwordIndex, lenDeciles,
-    oovRate, langGini, skipgramCooc, vocabGrowth)
+    oovRate, langGini, skipgramCooc, vocabGrowth, bm25Rank, heavyHitters)
 }

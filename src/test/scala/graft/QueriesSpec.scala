@@ -692,6 +692,53 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.5, f"quantized recall collapsed: $recall%.3f")
   }
 
+  test("x98 BM25 matches a driver-side exact recomputation") {
+    val docs = graft.ops.Tables(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    val qterms = Seq("spark", "join", "window")
+    val n = docs.size.toLong
+    val l = docs.valuesIterator.map(_.size.toLong).sum
+    val df = qterms.map(t => t -> docs.valuesIterator.count(_.contains(t)).toLong).toMap
+    // independent arithmetic: BigInt accumulation, same IEEE chain for the
+    // tf-saturation ppm (left-assoc 22.0*tf*l*1e6 over the exact int64
+    // denominator 10*tf*l + 3*l + 9*dl*n)
+    val scores = docs.flatMap { case (doc, toks) =>
+      val dl = toks.size.toLong
+      val acc = qterms.map { t =>
+        val tf = toks.count(_ == t).toLong
+        if (tf == 0) BigInt(0)
+        else {
+          val idf = (2 * (n - df(t)) + 1) * 1000000L / (2 * df(t) + 1)
+          val tfn = math.floor(22.0 * tf * l * 1000000
+            / (10 * tf * l + 3 * l + 9 * dl * n) + 0.5).toLong
+          BigInt(idf) * BigInt(tfn)
+        }
+      }.sum
+      if (acc == 0) None else Some(doc -> (acc / 1000000).toLong)
+    }.toSeq
+    val expect = scores.sortBy { case (doc, s) => (-s, doc) }.take(20)
+    val got = SparkEntry.queries("x98_bm25_rank")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expect)
+  }
+
+  test("x99 heavy-hitter prefilter is lossless: equals the sketch-free plan") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("x99_heavy_hitters")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty, "no heavy hitters at the 1/50 threshold — fixture drift?")
+    val tok = graft.ops.Tables(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("term"))
+    val exact = tok.groupBy("term").agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(tok.agg(count(lit(1)).as("t"))))
+      .where(col("c") * 50 >= col("t"))
+      .select(col("term"), col("c"), expr("c * 1000000 div t").as("share_ppm"))
+      .orderBy(col("c").desc, col("term")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == exact)
+  }
+
   test("brute-force top-k and LSH ANN agree on bucket-colocated neighbors") {
     val exact = SparkEntry.queries("x06_cosine_topk")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
