@@ -181,7 +181,11 @@ object PlanAudit {
     // heavy hitters: the SpaceSaving candidate union (≤64/partition)
     // broadcasts into the exact verify — the token stream never shuffles
     // on the term key
-    "x99_heavy_hitters" -> Seq("BroadcastHashJoin", "BroadcastExchange"))
+    "x99_heavy_hitters" -> Seq("BroadcastHashJoin", "BroadcastExchange"),
+    // zone skipping: one scan, row-local layout fan-out, zone-granularity
+    // aggregates — no join anywhere
+    "x100_zone_skipping" -> Seq("(?s)\\A(?!.*Join).*", "HashAggregate",
+      "Generate"))
 
   /** Execute one audited query and evaluate its plan patterns — shared by
     * the CLI main and PlanShapeSpec (so plan-shape regressions fail CI, not

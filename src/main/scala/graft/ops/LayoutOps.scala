@@ -173,5 +173,77 @@ object LayoutOps {
       .orderBy("shard")
   }
 
-  val all: Seq[Q] = Seq(zorderLayout, keySkew, saltedJoin, shardRebalance)
+  /** Zone-map data-skipping evaluator: the write-side layout decision that
+    * determines whether a 100 TB scan reads 100 TB or one file. Rows are
+    * assigned to zones (the file/row-group unit whose min/max column stats
+    * a reader consults — parquet row groups, Delta/Iceberg file stats)
+    * under two layouts: `insertion` (zone = o_orderkey div 1024 — arrival
+    * order, dates spread everywhere) and `datepart` (zone = calendar month
+    * — the partition-by-date layout). For a literal one-month predicate
+    * the query reports, per layout, how many zones/rows min-max pruning
+    * would actually scan: skip_ppm (zones skipped) and read_amp_ppm (rows
+    * scanned per matching row). The spec asserts the designed contrast —
+    * datepart prunes to ≥100× fewer scanned rows — and that rows_match is
+    * layout-invariant (pruning never changes the answer, only the cost).
+    *
+    * Scale shape: ONE orders scan, a row-local 2-way layout fan-out
+    * (explode of two structs), then a zone-granularity aggregate — zone
+    * maps are file-count-sized, thousands of times smaller than rows; the
+    * layout report is 2 rows. No join, no window. rows_scanned·1e6 stays
+    * int64 to ~9e12 scanned rows per layout zone-set (1e38 via the decimal
+    * path is not needed at any plausible orders cardinality).
+    */
+  val zoneSkipping: Q = Q(
+    "x100_zone_skipping",
+    """WITH base AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders),
+      |z AS (
+      |  SELECT 'insertion' AS layout, o_orderkey // 1024 AS zone, d FROM base
+      |  UNION ALL
+      |  SELECT 'datepart' AS layout, CAST(year(d) * 12 + month(d) - 1 AS BIGINT) AS zone, d FROM base),
+      |zm AS (SELECT layout, zone, count(*) AS n, min(d) AS min_d, max(d) AS max_d,
+      |         sum(CASE WHEN d BETWEEN DATE '1995-03-01' AND DATE '1995-03-31'
+      |             THEN 1 ELSE 0 END) AS n_match
+      |       FROM z GROUP BY 1, 2)
+      |SELECT layout,
+      |  CAST(count(*) AS BIGINT) AS n_zones,
+      |  CAST(sum(CASE WHEN min_d <= DATE '1995-03-31' AND max_d >= DATE '1995-03-01'
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS zones_scanned,
+      |  CAST(sum(n) AS BIGINT) AS rows_total,
+      |  CAST(sum(CASE WHEN min_d <= DATE '1995-03-31' AND max_d >= DATE '1995-03-01'
+      |       THEN n ELSE 0 END) AS BIGINT) AS rows_scanned,
+      |  CAST(sum(n_match) AS BIGINT) AS rows_match,
+      |  CAST((count(*) - sum(CASE WHEN min_d <= DATE '1995-03-31' AND max_d >= DATE '1995-03-01'
+      |       THEN 1 ELSE 0 END)) * 1000000 // count(*) AS BIGINT) AS skip_ppm,
+      |  CAST(CAST(sum(CASE WHEN min_d <= DATE '1995-03-31' AND max_d >= DATE '1995-03-01'
+      |       THEN n ELSE 0 END) AS HUGEINT) * 1000000
+      |       // greatest(CAST(sum(n_match) AS HUGEINT), 1) AS BIGINT) AS read_amp_ppm
+      |FROM zm GROUP BY layout ORDER BY layout""".stripMargin
+  ) { (s, dir) =>
+    val lo = lit(java.sql.Date.valueOf("1995-03-01"))
+    val hi = lit(java.sql.Date.valueOf("1995-03-31"))
+    val base = Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("d"))
+    val z = base.select(explode(array(
+        struct(lit("insertion").as("layout"), expr("o_orderkey div 1024").as("zone")),
+        struct(lit("datepart").as("layout"),
+          (year(col("d")) * 12 + month(col("d")) - 1).cast("long").as("zone"))))
+        .as("lz"), col("d"))
+      .select(col("lz.layout").as("layout"), col("lz.zone").as("zone"), col("d"))
+    val scanned = col("min_d") <= hi && col("max_d") >= lo
+    z.groupBy("layout", "zone")
+      .agg(count(lit(1)).as("n"), min(col("d")).as("min_d"), max(col("d")).as("max_d"),
+        sum(when(col("d").between(lo, hi), 1L).otherwise(0L)).as("n_match"))
+      .groupBy("layout")
+      .agg(
+        count(lit(1)).as("n_zones"),
+        sum(when(scanned, 1L).otherwise(0L)).as("zones_scanned"),
+        sum(col("n")).as("rows_total"),
+        sum(when(scanned, col("n")).otherwise(0L)).as("rows_scanned"),
+        sum(col("n_match")).as("rows_match"))
+      .withColumn("skip_ppm", expr("(n_zones - zones_scanned) * 1000000 div n_zones"))
+      .withColumn("read_amp_ppm", expr("rows_scanned * 1000000 div greatest(rows_match, 1)"))
+      .orderBy("layout")
+  }
+
+  val all: Seq[Q] = Seq(zorderLayout, keySkew, saltedJoin, shardRebalance, zoneSkipping)
 }

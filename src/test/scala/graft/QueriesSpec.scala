@@ -739,6 +739,19 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == exact)
   }
 
+  test("x100 zone maps: date-partitioned layout scans only matching rows") {
+    val rows = SparkEntry.queries("x100_zone_skipping")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val dp = rows("datepart"); val ins = rows("insertion")
+    // pruning changes cost, never the answer
+    assert(dp.getAs[Long]("rows_match") == ins.getAs[Long]("rows_match"))
+    // the datepart zone IS the predicate month: scanned == matched exactly
+    assert(dp.getAs[Long]("read_amp_ppm") == 1000000L)
+    // insertion-order zones interleave dates — min/max pruning is blind
+    assert(ins.getAs[Long]("rows_scanned") >= 10 * dp.getAs[Long]("rows_scanned"),
+      s"layout contrast collapsed: ${ins.getAs[Long]("rows_scanned")} vs ${dp.getAs[Long]("rows_scanned")}")
+  }
+
   test("brute-force top-k and LSH ANN agree on bucket-colocated neighbors") {
     val exact = SparkEntry.queries("x06_cosine_topk")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
