@@ -185,7 +185,12 @@ object PlanAudit {
     // zone skipping: one scan, row-local layout fan-out, zone-granularity
     // aggregates — no join anywhere
     "x100_zone_skipping" -> Seq("(?s)\\A(?!.*Join).*", "HashAggregate",
-      "Generate"))
+      "Generate"),
+    // quota sampling: selection is the bounded pair UDAF, the quota table
+    // broadcasts, and no window ever touches the document stream (the one
+    // Window in the plan ranks the source-count-sized apportionment table)
+    "x101_quota_sample" -> Seq("(?i)bottomkpairagg", "ObjectHashAggregate",
+      "BroadcastHashJoin"))
 
   /** Execute one audited query and evaluate its plan patterns — shared by
     * the CLI main and PlanShapeSpec (so plan-shape regressions fail CI, not

@@ -464,7 +464,75 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** Exact-quota stratified sampling: draw EXACTLY 100 documents with
+    * per-source counts apportioned ∝ source size by largest-remainder
+    * (Hamilton) allocation — the sample-size guarantee the x28/x37 hash
+    * coins cannot give (a Bernoulli coin's stratum counts are binomial,
+    * ±√n; a fixed token budget needs exact counts). Selection within a
+    * stratum is deterministic: the quota-many smallest md5(doc_id) keys,
+    * tie-broken on doc_id.
+    *
+    * Scale shape: counts + apportionment are source-count-sized (the
+    * quota table broadcasts); selection is [[graft.functions.BottomKPairAgg]]
+    * — a bounded (hash, id)-pair top-k whose partial phase forwards ≤ 100
+    * pairs per (source, map task), so the only exchanges are bounded
+    * winner arrays. The oracle's per-source `row_number()` window — a full
+    * sort of every stratum — is exactly the shape the UDAF exists to
+    * avoid; QueriesSpec proves the two agree. Assumes corpus ≥ target
+    * (100): then quota_i ≤ c_i holds (floor(T·c/n) + a remainder top-up
+    * stays ≤ c whenever T ≤ n), so `slice` never runs short.
+    */
+  val quotaSample: Q = Q(
+    "x101_quota_sample",
+    """WITH cnt AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
+      |tot AS (SELECT sum(c) AS n FROM cnt),
+      |base AS (SELECT source, c, (100 * c) // n AS q0, (100 * c) % n AS rem
+      |         FROM cnt CROSS JOIN tot),
+      |fl AS (SELECT sum(q0) AS f FROM base),
+      |quota AS (SELECT source,
+      |            q0 + (CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+      |                       <= 100 - f THEN 1 ELSE 0 END) AS q
+      |          FROM base CROSS JOIN fl),
+      |keyed AS (SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+      |rk AS (SELECT source, doc_id,
+      |         row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+      |       FROM keyed)
+      |SELECT r.source, CAST(r.rk AS BIGINT) AS rk, r.doc_id
+      |FROM rk r JOIN quota USING (source) WHERE r.rk <= q
+      |ORDER BY source, rk""".stripMargin
+  ) { (s, dir) =>
+    val T = 100
+    val d = docs(s, dir)
+    val cnt = d.groupBy("source").agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(sum(col("c")).as("n"))
+    val base = cnt.crossJoin(broadcast(tot))
+      .withColumn("q0", expr(s"$T * c div n"))
+      .withColumn("rem", expr(s"($T * c) % n"))
+    val f = base.agg(sum(col("q0")).as("f"))
+    // single-partition window over the SOURCE-COUNT-sized apportionment
+    // table only — never over documents
+    val wq = Window.orderBy(col("rem").desc, col("source"))
+    val quota = base.crossJoin(broadcast(f))
+      .withColumn("rr", row_number().over(wq))
+      .withColumn("q", (col("q0") + when(col("rr") <= lit(T) - col("f"), 1L)
+        .otherwise(0L)).cast("int"))
+      .select(col("source").as("q_source"), col("q"))
+    val bottomk = udaf(new graft.functions.BottomKPairAgg(T),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong))
+    d.select(col("source"), col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
+      .groupBy("source")
+      .agg(bottomk(col("h"), col("doc_id")).as("picked"))
+      .join(broadcast(quota), col("source") === col("q_source"))
+      .select(col("source"),
+        posexplode(expr("slice(picked, 1, q)")).as(Seq("pos", "pair")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rk"),
+        col("pair._2").as("doc_id"))
+      .orderBy("source", "rk")
+  }
+
   val all: Seq[Q] = Seq(chunkDedup, repetitionScore, contamination, hashSample,
     seqPacking, stratifiedTopK, refIntegrity, temperatureMix, ragChunking,
-    driftMonitor, bloomNovelty)
+    driftMonitor, bloomNovelty, quotaSample)
 }

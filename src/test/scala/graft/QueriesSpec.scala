@@ -752,6 +752,35 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"layout contrast collapsed: ${ins.getAs[Long]("rows_scanned")} vs ${dp.getAs[Long]("rows_scanned")}")
   }
 
+  test("x101 quota sample: exactly 100 rows, equal to the window-sort plan") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("x101_quota_sample")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.size == 100, s"quota total drifted: ${got.size}")
+    // recompute with the oracle's full per-source window sort (the shape
+    // the bounded UDAF replaces) — selection must agree exactly
+    val d = graft.ops.Tables(spark, sfDir, "documents")
+    val cnt = d.groupBy("source").agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(sum(col("c")).as("n"))
+    val base = cnt.crossJoin(broadcast(tot))
+      .withColumn("q0", expr("100 * c div n"))
+      .withColumn("rem", expr("(100 * c) % n"))
+    val f = base.agg(sum(col("q0")).as("f"))
+    val quota = base.crossJoin(broadcast(f))
+      .withColumn("rr", row_number().over(Window.orderBy(col("rem").desc, col("source"))))
+      .withColumn("q", col("q0") + when(col("rr") <= lit(100) - col("f"), 1L).otherwise(0L))
+      .select(col("source"), col("q"))
+    val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+    val expect = d.select(col("source"), col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .join(quota, "source").where(col("rk") <= col("q"))
+      .select("source", "rk", "doc_id")
+      .orderBy("source", "rk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect)
+  }
+
   test("brute-force top-k and LSH ANN agree on bucket-colocated neighbors") {
     val exact = SparkEntry.queries("x06_cosine_topk")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
