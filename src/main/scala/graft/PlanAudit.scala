@@ -190,7 +190,13 @@ object PlanAudit {
     // broadcasts, and no window ever touches the document stream (the one
     // Window in the plan ranks the source-count-sized apportionment table)
     "x101_quota_sample" -> Seq("(?i)bottomkpairagg", "ObjectHashAggregate",
-      "BroadcastHashJoin"))
+      "BroadcastHashJoin"),
+    // deletion-key fuzzy join: candidates equi-join on the digest key —
+    // the all-pairs shape lives only in the oracle
+    "x102_fuzzy_prefix_join" -> Seq(
+      "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
+      "(?s)\\A(?!.*CartesianProduct).*",
+      "(?s)\\A(?!.*BroadcastNestedLoopJoin).*"))
 
   /** Execute one audited query and evaluate its plan patterns — shared by
     * the CLI main and PlanShapeSpec (so plan-shape regressions fail CI, not

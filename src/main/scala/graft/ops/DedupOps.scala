@@ -994,8 +994,66 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Hamming-distance comparison terms over two 8-word prefix arrays,
+    * generated once per dialect so both engines compute identically by
+    * construction (the x40 zTerms pattern).
+    */
+  private def hdTermsDuck(a: String, b: String): String =
+    (1 to 8).map(i => s"(CASE WHEN $a.w[$i] <> $b.w[$i] THEN 1 ELSE 0 END)").mkString(" + ")
+
+  /** Deletion-indexed fuzzy join (the SymSpell / spell-correction-at-scale
+    * shape): all document pairs whose 8-word prefixes are within word-level
+    * Hamming distance 1, found WITHOUT an all-pairs comparison. Each doc
+    * emits 8 deletion keys — md5 of its prefix with position k dropped —
+    * and two prefixes differing by ≤1 substitution MUST share the key that
+    * drops the differing position (guaranteed recall by construction, the
+    * x21 multiprobe/x91 pigeonhole argument applied to the deletion
+    * neighborhood). Candidates equi-join on the key; an exact zip_with
+    * Hamming verify keeps true pairs. The quadratic all-pairs shape lives
+    * only in the DuckDB oracle.
+    *
+    * Scale shape: the 8× key fan-out is row-local and digest-keyed (32-hex
+    * keys, never text); candidate volume is Σ(bucket²) over deletion-key
+    * buckets — near-dup-density-bounded, the x02 banding argument; the
+    * verify re-joins prefixes for candidate docs only. hd = 0 (identical
+    * prefixes) is included: the relation is "Hamming ≤ 1", not "exactly 1".
+    */
+  val fuzzyPrefixJoin: Q = Q(
+    "x102_fuzzy_prefix_join",
+    s"""WITH p AS (SELECT doc_id, list_slice(string_split(text, ' '), 1, 8) AS w
+       |  FROM documents WHERE len(string_split(text, ' ')) >= 8),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         ${hdTermsDuck("a", "b")} AS hd
+       |  FROM p a JOIN p b ON a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(hd AS BIGINT) AS hd
+       |FROM pairs WHERE hd <= 1 ORDER BY doc_a, doc_b""".stripMargin
+  ) { (s, dir) =>
+    val w = split(col("text"), " ")
+    val p = Tables.computeParallel(docs(s, dir))
+      .where(size(w) >= 8)
+      .select(col("doc_id"), slice(w, 1, 8).as("w"))
+    val keys = p.select(col("doc_id"),
+      explode(expr(
+        "transform(sequence(0, 7), k -> md5(array_join(filter(w, (x, i) -> i != k), ' ')))"))
+        .as("dk"))
+    val cand = keys.as("a")
+      .join(keys.as("b"), col("a.dk") === col("b.dk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(p.select(col("doc_id").as("doc_a"), col("w").as("wa")), "doc_a")
+      .join(p.select(col("doc_id").as("doc_b"), col("w").as("wb")), "doc_b")
+      .withColumn("hd", expr(
+        "aggregate(zip_with(wa, wb, (x, y) -> if(x = y, 0, 1)), 0, (acc, v) -> acc + v)")
+        .cast("long"))
+      .where(col("hd") <= 1)
+      .select("doc_a", "doc_b", "hd")
+      .orderBy("doc_a", "doc_b")
+  }
+
   val all: Seq[Q] =
     Seq(exactDedup, minhashLsh, simhash, ngramJaccard, dupClusters, pagerank, splitLeakage,
       canonicalPick, curationPipeline, triangleCount, incrementalDedup, lshVerify,
-      spanDedup, simhashBands)
+      spanDedup, simhashBands, fuzzyPrefixJoin)
 }

@@ -781,6 +781,23 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expect)
   }
 
+  test("x102 deletion-key blocking has guaranteed recall vs brute-force all-pairs") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("x102_fuzzy_prefix_join")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty, "no fuzzy prefix pairs at this sf — fixture drift?")
+    val w = split(col("text"), " ")
+    val p = graft.ops.Tables(spark, sfDir, "documents")
+      .where(size(w) >= 8).select(col("doc_id"), slice(w, 1, 8).as("w"))
+    val brute = p.as("a").join(p.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("aggregate(zip_with(a.w, b.w, (x, y) -> if(x = y, 0, 1)), 0, (acc, v) -> acc + v)")
+          .cast("long").as("hd"))
+      .where(col("hd") <= 1).orderBy("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == brute)
+  }
+
   test("brute-force top-k and LSH ANN agree on bucket-colocated neighbors") {
     val exact = SparkEntry.queries("x06_cosine_topk")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
