@@ -446,9 +446,56 @@ object StreamOps {
     }.distinct().orderBy("user_id", "event_type")
   }
 
+  /** Per-user streaming profile on Spark 4's `transformWithState` — the
+    * arbitrary-state API that supersedes `mapGroupsWithState` (typed
+    * `ValueState` handles, per-state TTL, timers; RocksDB-backed by
+    * requirement). The processor ([[graft.streaming.UserProfileProcessor]])
+    * folds three MONOTONE counters per user — event count, Σ value-milli
+    * (floor(v·1000+0.5), exact int64), max event epoch — and emits the
+    * updated row each micro-batch; the sink post-aggregate takes `max`
+    * per column, so the result is identical whether AvailableNow replays
+    * the backlog as one batch or fifty (the batch-count-independence
+    * contract a checkpoint-restart at 100 TB depends on). Oracle = the
+    * plain batch per-user aggregate.
+    */
+  val streamTws: Q = Q(
+    "x103_stream_tws",
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_milli,
+      |       CAST(floor(epoch(max(ts))) AS BIGINT) AS last_epoch
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      runStream(s, dir, "x103_sink", "update") { ev =>
+        ev.select(col("user_id"),
+            floor(col("value") * 1000 + 0.5).cast("long").as("milli"),
+            unix_timestamp(col("ts")).as("ep"))
+          .as[(Long, Long, Long)]
+          .groupByKey(_._1)
+          .transformWithState(new graft.streaming.UserProfileProcessor,
+            TimeMode.None(), OutputMode.Update())
+          .toDF("user_id", "n_events", "sum_milli", "last_epoch")
+      }
+        .groupBy("user_id")
+        .agg(max(col("n_events")).as("n_events"),
+          max(col("sum_milli")).as("sum_milli"),
+          max(col("last_epoch")).as("last_epoch"))
+        .orderBy("user_id")
+    } finally prev match {
+      case Some(v) => s.conf.set(providerKey, v)
+      case None    => s.conf.unset(providerKey)
+    }
+  }
+
   val all: Seq[Q] = Seq(
     tumbling, sliding, session, streamTumbling, streamDedup,
     streamWatermark, streamStaticJoin, streamClean, streamFunnel,
     streamStreamJoin, streamSession, streamStreamLeftOuter,
-    streamDedupWatermark)
+    streamDedupWatermark, streamTws)
 }

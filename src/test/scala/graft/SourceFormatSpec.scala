@@ -54,7 +54,7 @@ class SourceFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
 
-  test("the same query returns identical results over parquet, CSV, and JSON stagings") {
+  test("the same query returns identical results over parquet, CSV, JSON, and ORC stagings") {
     val parquetDocs = ops.Tables(spark, sfDir, "documents")
     val expected = probe(parquetDocs)
     assert(expected.nonEmpty)
@@ -74,5 +74,12 @@ class SourceFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
       .option("header", "true").option("escape", "\"")
       .csv(csvDir)
     assert(probe(csvDocs) == expected, "CSV staging diverged")
+
+    // ORC staging: the other columnar container Spark ships a native
+    // vectorized reader for — same plan, same pushdown story as parquet
+    val orcDir = tmp("graft-orc")
+    parquetDocs.write.mode("overwrite").orc(orcDir)
+    val orcDocs = spark.read.schema(parquetDocs.schema).orc(orcDir)
+    assert(probe(orcDocs) == expected, "ORC staging diverged")
   }
 }

@@ -97,6 +97,53 @@ class StatefulSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rocks("a") == (("v2", 2L)) && rocks("b") == (("w1", 1L)) && rocks("c") == (("z9", 1L)))
   }
 
+  test("x103's transformWithState fold is batch-count independent") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val batch = graft.ops.Tables(spark, sfDir, "events")
+      .select(col("user_id"),
+        floor(col("value") * 1000 + 0.5).cast("long").as("milli"),
+        unix_timestamp(col("ts")).as("ep"))
+    val expect = batch.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum(col("milli")).as("sum_milli"),
+        max(col("ep")).as("last_epoch"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // stage the backlog as 3 files and force one file per micro-batch —
+    // the SAME processor must land the same totals across 3 batches as
+    // x103's single-batch run (monotone counters + max post-aggregate)
+    val srcDir = Files.createTempDirectory("graft-tws-src").toString
+    batch.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new graft.streaming.UserProfileProcessor,
+          TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "n_events", "sum_milli", "last_epoch")
+      val q = stream.writeStream.format("memory").queryName("tws_multi")
+        .outputMode("update")
+        .option("checkpointLocation", Files.createTempDirectory("graft-tws-ck").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+        "backlog replayed in one batch — the multi-batch path was not exercised")
+      val got = spark.table("tws_multi")
+        .groupBy("user_id")
+        .agg(max(col("n_events")).as("n_events"), max(col("sum_milli")).as("sum_milli"),
+          max(col("last_epoch")).as("last_epoch"))
+        .orderBy("user_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(got == expect)
+    } finally spark.conf.unset(providerKey)
+  }
+
   test("TtlCache builds once per key, expires on TTL, and fires the eviction hook (O-29)") {
     var built   = 0
     var evicted = 0
