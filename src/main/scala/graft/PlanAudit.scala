@@ -196,7 +196,12 @@ object PlanAudit {
     "x102_fuzzy_prefix_join" -> Seq(
       "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
       "(?s)\\A(?!.*CartesianProduct).*",
-      "(?s)\\A(?!.*BroadcastNestedLoopJoin).*"))
+      "(?s)\\A(?!.*BroadcastNestedLoopJoin).*"),
+    // BPE merge round: the winning merge is a 1-row broadcast into a
+    // row-local projection over the (word, count) vocabulary; top-20
+    // never global-sorts
+    "x104_bpe_merge" -> Seq("BroadcastExchange", "TakeOrderedAndProject",
+      "(?s)\\A(?!.*CartesianProduct).*"))
 
   /** Execute one audited query and evaluate its plan patterns — shared by
     * the CLI main and PlanShapeSpec (so plan-shape regressions fail CI, not

@@ -458,6 +458,76 @@ object TextOps {
       .limit(50)
   }
 
+  /** One full BPE training iteration — the loop body x89 only STARTS
+    * (Sennrich et al. ACL'16): select the best merge (x89's top pair),
+    * APPLY it across the vocabulary, and recount pair frequencies over
+    * the merged symbol streams. The merge is greedy left-to-right
+    * non-overlapping — exactly what a global regexp_replace gives on both
+    * engines ("aaa" under merge "aa" → [aa, a]; "abab" under "ab" →
+    * [ab, ab]) — with the merged symbol marked by a '0' sentinel (the
+    * corpus alphabet is lowercase letters, so the sentinel and the regex
+    * are collision- and metacharacter-free by construction). Post-merge
+    * pairs decode the sentinel back to the merged pair's text and join
+    * symbols with '+' so "ab+c" ≠ "a+bc".
+    *
+    * Scale shape: x89's vocabulary-weighted trick carried through the
+    * whole iteration — the token stream collapses to (word, count) FIRST,
+    * so merge application and re-counting run over |V| rows (Zipf-
+    * sub-linear), never corpus tokens; the selected merge is a 1-row
+    * broadcast into a row-local projection; top-20 rides
+    * TakeOrderedAndProject. A tokenizer trainer iterates exactly this
+    * plan, feeding each round's winner back in.
+    */
+  val bpeMerge: Q = Q(
+    "x104_bpe_merge",
+    """WITH wf AS (
+      |  SELECT w, count(*) AS f FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE len(w) >= 2 GROUP BY w),
+      |tp AS (
+      |  SELECT pair FROM (
+      |    SELECT substr(w, CAST(i AS INT), 2) AS pair, sum(f) AS cnt
+      |    FROM wf, LATERAL (SELECT unnest(generate_series(1, len(w)-1)) AS i) s
+      |    GROUP BY pair)
+      |  ORDER BY cnt DESC, pair LIMIT 1),
+      |m AS (SELECT regexp_replace(w, tp.pair, '0', 'g') AS m, f, tp.pair AS mp
+      |      FROM wf CROSS JOIN tp),
+      |pp AS (
+      |  SELECT mp,
+      |         (CASE WHEN substr(m, CAST(i AS INT), 1) = '0' THEN mp
+      |               ELSE substr(m, CAST(i AS INT), 1) END) || '+' ||
+      |         (CASE WHEN substr(m, CAST(i AS INT) + 1, 1) = '0' THEN mp
+      |               ELSE substr(m, CAST(i AS INT) + 1, 1) END) AS pair, f
+      |  FROM m, LATERAL (SELECT unnest(generate_series(1, len(m)-1)) AS i) s
+      |  WHERE len(m) >= 2)
+      |SELECT mp AS merged, pair, CAST(sum(f) AS BIGINT) AS cnt
+      |FROM pp GROUP BY mp, pair
+      |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
+  ) { (s, dir) =>
+    val wf = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    val tp = wf.select(
+        explode(expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"),
+        col("f"))
+      .groupBy("pair").agg(sum(col("f")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair")).limit(1)
+      .select(col("pair").as("mp"))
+    wf.crossJoin(broadcast(tp))
+      .select(regexp_replace(col("w"), col("mp"), lit("0")).as("m"), col("f"), col("mp"))
+      .where(length(col("m")) >= 2)
+      .select(col("mp"), col("f"),
+        explode(expr(
+          """transform(sequence(1, length(m) - 1), i ->
+            |  concat(if(substring(m, i, 1) = '0', mp, substring(m, i, 1)), '+',
+            |         if(substring(m, i + 1, 1) = '0', mp, substring(m, i + 1, 1))))""".stripMargin))
+          .as("pair"))
+      .groupBy("mp", "pair").agg(sum(col("f")).as("cnt"))
+      .select(col("mp").as("merged"), col("pair"), col("cnt"))
+      .orderBy(col("cnt").desc, col("pair")).limit(20)
+  }
+
   val all: Seq[Q] = Seq(langId, qualityScore, tokenCount, fingerprint, corpusClean,
-    positionalIndex, trigramLm, nfcClean, piiRedact, bpePairs)
+    positionalIndex, trigramLm, nfcClean, piiRedact, bpePairs, bpeMerge)
 }

@@ -798,6 +798,40 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == brute)
   }
 
+  test("x104 BPE merge round matches a driver-side greedy-merge recomputation") {
+    import org.apache.spark.sql.functions.{col, explode, split, length}
+    val vocab = graft.ops.Tables(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) >= 2)
+      .groupBy("w").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("f"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    // round 1 selection: vocab-weighted char-pair counts
+    val pairCnt = scala.collection.mutable.Map.empty[String, Long]
+    vocab.foreach { case (w, f) =>
+      w.sliding(2).foreach(p => pairCnt(p) = pairCnt.getOrElse(p, 0L) + f)
+    }
+    val top = pairCnt.toSeq.minBy { case (p, c) => (-c, p) }._1
+    // greedy left-to-right merge as an explicit symbol fold (the semantics
+    // the regexp_replace('g') formulation must reproduce)
+    def merge(w: String): Vector[String] =
+      w.map(_.toString).foldLeft(Vector.empty[String]) { (acc, c) =>
+        if (acc.nonEmpty && acc.last == top.substring(0, 1) && c == top.substring(1, 2))
+          acc.init :+ top
+        else acc :+ c
+      }
+    val postCnt = scala.collection.mutable.Map.empty[String, Long]
+    vocab.foreach { case (w, f) =>
+      merge(w).sliding(2).filter(_.size == 2)
+        .foreach(p => postCnt(p.mkString("+")) = postCnt.getOrElse(p.mkString("+"), 0L) + f)
+    }
+    val expect = postCnt.toSeq.sortBy { case (p, c) => (-c, p) }.take(20)
+      .map { case (p, c) => (top, p, c) }
+    val got = SparkEntry.queries("x104_bpe_merge")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == expect)
+  }
+
   test("brute-force top-k and LSH ANN agree on bucket-colocated neighbors") {
     val exact = SparkEntry.queries("x06_cosine_topk")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
