@@ -214,6 +214,20 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("BottomKPairAgg reduce/merge equal the sort-based reference on random pair streams") {
+    val agg = new graft.functions.BottomKPairAgg(8)
+    val pairGen = Gen.zip(Gen.oneOf("a", "b", "ab", "ba", "c", ""), Gen.chooseNum(-50L, 50L))
+    val streamGen = Gen.listOf(pairGen)
+    samples(Gen.zip(streamGen, streamGen), 200).foreach { case (xs, ys) =>
+      val bufA = xs.foldLeft(agg.zero)(agg.reduce)
+      val bufB = ys.foldLeft(agg.zero)(agg.reduce)
+      val got  = agg.finish(agg.merge(bufA, bufB)).toSeq
+      val want = (xs ++ ys).sorted.take(8)
+      assert(got == want, s"xs=$xs ys=$ys")
+      assert(got.length <= 8, "buffer stays bounded")
+    }
+  }
+
   test("nfc normalize equals java.text.Normalizer on random unicode, identity on ASCII") {
     import org.apache.spark.unsafe.types.UTF8String
     import graft.functions.NfcNormalizeImpl
