@@ -199,6 +199,34 @@ final class BeamServer(
           }
         }
 
+      case ("GET", "debug" :: "profile" :: Nil) =>
+        // JVM analog of pprof's CPU profile endpoint (the reference mounts
+        // the full pprof mux, src/route/routes.go:45-82): sample every live
+        // thread's top frames at 10 ms for `seconds` (default 1, cap 10)
+        // and return the aggregated frame counts, hottest first. Same
+        // superrole barrier as /debug/threads — pprof binds localhost-only
+        // in the reference, so an HTTP route needs an equivalent gate.
+        withSubject(ex) { sub =>
+          if (!superRoles(sub)) respond(ex, 403, "forbidden")
+          else {
+            val seconds = queryParam(ex, "seconds").flatMap(_.toIntOption)
+              .getOrElse(1).max(1).min(10)
+            val bytes = Profiler.sample(seconds).getBytes(UTF_8)
+            ex.getResponseHeaders.set("Content-Type", "text/plain")
+            ex.sendResponseHeaders(200, bytes.length)
+            ex.getResponseBody.write(bytes)
+            ex.close()
+          }
+        }
+
+      case ("GET", "debug" :: "heap" :: Nil) =>
+        // pprof heap-profile analog: heap/non-heap usage, per-pool
+        // occupancy, and GC counts/time from the platform MXBeans.
+        withSubject(ex) { sub =>
+          if (!superRoles(sub)) respond(ex, 403, "forbidden")
+          else respond(ex, 200, Profiler.heapJson)
+        }
+
       case ("GET", "api-docs" :: Nil) =>
         // route contract document (ref src/docs/api.go:8-176 swagger spec)
         respond(ex, 200, ApiDocs.json)

@@ -237,6 +237,29 @@ class ServeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dump.body().contains("graft-cert-reloader") || dump.body().contains("main"))
   }
 
+  test("/debug/profile and /debug/heap are superrole-gated pprof analogs") {
+    assert(req("GET", "/debug/profile").statusCode() == 401)
+    assert(req("GET", "/debug/profile", headers = auth("tenant-a")).statusCode() == 403)
+    // keep a thread busy so the RUNNABLE sampler has something to count
+    @volatile var stop = false
+    val burner = new Thread(() => { var x = 0L; while (!stop) x += 1 }, "graft-burn")
+    burner.setDaemon(true); burner.start()
+    try {
+      val prof = req("GET", "/debug/profile?seconds=1", headers = auth("superuser"))
+      assert(prof.statusCode() == 200)
+      assert(prof.body().startsWith("samples="), prof.body().take(80))
+      assert(prof.body().linesIterator.size >= 2, "no frames sampled")
+    } finally { stop = true }
+    // cap: seconds clamps to [1, 10]
+    assert(req("GET", "/debug/profile?seconds=0", headers = auth("superuser")).statusCode() == 200)
+
+    assert(req("GET", "/debug/heap", headers = auth("tenant-a")).statusCode() == 403)
+    val heap = req("GET", "/debug/heap", headers = auth("superuser"))
+    assert(heap.statusCode() == 200)
+    assert(heap.body().contains("\"heap\"") && heap.body().contains("\"gc\""))
+    assert(heap.body().contains("\"used\""))
+  }
+
   test("topic CRUD over HTTP with tenant auth") {
     val cfgJson =
       """{"topicFullName":"persistent://tenant-c/ns/hooked","pulsarURL":"pulsar://broker0:6650",
