@@ -37,6 +37,15 @@ object ApiDocs {
       Map(200 -> "OpenAPI-shaped JSON")),
     Route("GET", "/debug/threads", "JVM thread dump (pprof analog)", "jwt-superrole", Nil,
       Map(200 -> "text/plain dump", 401 -> "bad/missing JWT", 403 -> "caller not a superrole")),
+    Route("GET", "/debug/profile", "sampling CPU profile, hottest frames first (pprof -top analog)",
+      "jwt-superrole",
+      Seq(Param("seconds", "query", "sampling window, clamped to 1-10 (default 1)")),
+      Map(200 -> "text/plain frame counts", 401 -> "bad/missing JWT",
+        403 -> "caller not a superrole")),
+    Route("GET", "/debug/heap", "heap/pool/GC MXBean report (pprof heap-summary analog)",
+      "jwt-superrole", Nil,
+      Map(200 -> "JSON usage report", 401 -> "bad/missing JWT",
+        403 -> "caller not a superrole")),
     Route("POST", "/v1/firehose", "ingest a message; topic from TopicFn header", "none",
       Seq(Param("TopicFn", "header", "full topic name", required = true),
         Param("PulsarUrl", "header", "target cluster; must be in the allowed list"),

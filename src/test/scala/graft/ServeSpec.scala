@@ -112,7 +112,8 @@ class ServeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // parses as JSON (the shim's writer escapes everything it emits)
     assert(body.startsWith("{") && body.contains("\"openapi\":\"3.0.0\""))
     // every route the server matches appears in the doc
-    for (path <- Seq("/status", "/metrics", "/api-docs", "/debug/threads", "/v1/firehose",
+    for (path <- Seq("/status", "/metrics", "/api-docs", "/debug/threads",
+        "/debug/profile", "/debug/heap", "/v1/firehose",
         "/v2/firehose/{persistent}/{tenant}/{namespace}/{topic}",
         "/v2/poll/{persistent}/{tenant}/{namespace}/{topic}",
         "/v2/sse/{persistent}/{tenant}/{namespace}/{topic}",
