@@ -195,6 +195,28 @@ object BeamSource {
     */
   def maxPublishTimeMicros(file: java.io.File): Option[Long] =
     segmentStats(file).flatMap(_.maxPt)
+
+  /** Shortest prefix of `segments` whose KNOWN footer row counts reach
+    * `limit` — the segment set a pushed LIMIT needs to open. Conservative:
+    * a segment with an unreadable footer contributes 0 to the running
+    * count (it stays in the prefix, and the prefix keeps growing until
+    * known rows alone cover the limit), so an unknown can only ADD
+    * segments, never starve the limit.
+    */
+  private[sources] def limitPrefix(segments: Seq[java.io.File],
+      limit: Option[Int]): Seq[java.io.File] = limit match {
+    case None => segments
+    case Some(n) =>
+      var known = 0L
+      val it = segments.iterator
+      val out = Seq.newBuilder[java.io.File]
+      while (it.hasNext && known < n) {
+        val f = it.next()
+        out += f
+        known += segmentStats(f).map(_.rows).getOrElse(0L)
+      }
+      out.result()
+  }
 }
 
 final class BeamTable(path: String, maxSegmentsPerTrigger: Option[Int] = None,
@@ -220,10 +242,12 @@ final class BeamTable(path: String, maxSegmentsPerTrigger: Option[Int] = None,
 
 final class BeamScanBuilder(path: String, maxSegmentsPerTrigger: Option[Int] = None,
     startingPosition: String = "earliest")
-    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownLimit {
   private var required: StructType = BeamSource.schema
   private var bound: Option[(Long, Boolean)] = None
   private var pruning: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var limit: Option[Int] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
@@ -241,14 +265,25 @@ final class BeamScanBuilder(path: String, maxSegmentsPerTrigger: Option[Int] = N
 
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pruning
 
+  /** LIMIT n bounds the scan to a footer-row-count-covering segment PREFIX
+    * (the pollBatch trick, surfaced at the DSv2 level): Spark only calls
+    * this when the limit sits directly on the scan, so any n rows satisfy
+    * it and a name-sorted prefix whose known row counts reach n is enough.
+    * Partial push — Spark still applies the exact LIMIT above the scan; we
+    * only avoid opening segments that cannot be needed.
+    */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def isPartiallyPushed(): Boolean = true
+
   override def build(): Scan =
-    new BeamScan(path, required, bound, maxSegmentsPerTrigger, startingPosition)
+    new BeamScan(path, required, bound, maxSegmentsPerTrigger, startingPosition, limit)
 }
 
 final class BeamScan(path: String, required: StructType,
     bound: Option[(Long, Boolean)],
     maxSegmentsPerTrigger: Option[Int] = None,
-    startingPosition: String = "earliest") extends Scan with SupportsReportStatistics {
+    startingPosition: String = "earliest",
+    limit: Option[Int] = None) extends Scan with SupportsReportStatistics {
 
   /** Size estimate = bytes of the surviving (post-pruning) segments —
     * lets Catalyst auto-broadcast a small topic table into a join.
@@ -262,7 +297,8 @@ final class BeamScan(path: String, required: StructType,
   override def description(): String =
     s"BeamScan path=$path, ReadSchema: ${required.simpleString}" +
       bound.map { case (v, incl) => s", PublishTimeBound: ${if (incl) ">=" else ">"} $v" }
-        .getOrElse("")
+        .getOrElse("") +
+      limit.map(n => s", PushedLimit: $n").getOrElse("")
 
   /** A segment can satisfy a publishTime lower bound only if its footer max
     * reaches it; unknown stats never prune (INT96 legacy, missing footer).
@@ -278,7 +314,7 @@ final class BeamScan(path: String, required: StructType,
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      BeamSource.listSegments(path).filter(mayMatch)
+      BeamSource.limitPrefix(BeamSource.listSegments(path).filter(mayMatch), limit)
         .map(f => BeamInputPartition(f.getAbsolutePath)).toArray
     override def createReaderFactory(): PartitionReaderFactory =
       new BeamReaderFactory(required)

@@ -111,6 +111,28 @@ class BeamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cur.collect().map(r => new String(r.getAs[Array[Byte]]("payload"))).toSeq == Seq("m3"))
   }
 
+  test("LIMIT pushes to the scan and opens only a row-covering segment prefix") {
+    val base   = Files.createTempDirectory("graft-beamsrc-limit").toString
+    val topics = new TopicTable(spark, base)
+    val fn     = "persistent://t/ns/lim"
+    for (i <- 1 to 4) topics.ingestPayload(s"m$i".getBytes, fn) // 4 one-row segments
+
+    val limited = topics.read(fn).limit(2)
+    val plan    = limited.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedLimit: 2"), plan)
+    // partial push: the exact limit still applies above the scan
+    assert(limited.collect().length == 2)
+    // the planned scan holds only the 2-segment prefix, not all 4
+    val scans = limited.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty, plan)
+    assert(scans.head.inputRDD.getNumPartitions == 2,
+      s"expected a 2-segment prefix, got ${scans.head.inputRDD.getNumPartitions}")
+    // no limit → all segments planned (builder state does not leak)
+    assert(topics.read(fn).rdd.getNumPartitions == 4)
+  }
+
   test("maxSegmentsPerTrigger drains a backlog in bounded micro-batches") {
     val base   = Files.createTempDirectory("graft-beamsrc-ac").toString
     val topics = new TopicTable(spark, base)
