@@ -243,11 +243,13 @@ final class BeamTable(path: String, maxSegmentsPerTrigger: Option[Int] = None,
 final class BeamScanBuilder(path: String, maxSegmentsPerTrigger: Option[Int] = None,
     startingPosition: String = "earliest")
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
   private var required: StructType = BeamSource.schema
   private var bound: Option[(Long, Boolean)] = None
   private var pruning: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   private var limit: Option[Int] = None
+  private var footerCount: Option[Long] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
@@ -275,15 +277,50 @@ final class BeamScanBuilder(path: String, maxSegmentsPerTrigger: Option[Int] = N
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
   override def isPartiallyPushed(): Boolean = true
 
+  /** Global COUNT(*) is answered from parquet footer row counts alone —
+    * zero data pages read, however deep the topic. Pushed COMPLETELY, and
+    * only when it is exact: no grouping, no other aggregate, no pushed
+    * bound/limit (Spark only attempts the push on a bare scan anyway —
+    * our filters stay residual, which blocks aggregate pushdown under any
+    * Filter node), and every segment footer readable (one unreadable
+    * footer → refuse, Spark falls back to the counting scan). The count
+    * snapshots the segment listing at planning time — the same moment
+    * every other read of this immutable-segment table binds to.
+    */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    footerCount.isDefined || tryPushCount(agg)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    tryPushCount(agg)
+
+  private def tryPushCount(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val shapeOk = agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar] &&
+      bound.isEmpty && limit.isEmpty
+    if (!shapeOk) return false
+    val stats = BeamSource.listSegments(path).map(BeamSource.segmentStats)
+    if (stats.exists(_.isEmpty)) return false
+    footerCount = Some(stats.flatten.map(_.rows).sum)
+    required = new StructType().add("count", LongType, nullable = false)
+    true
+  }
+
   override def build(): Scan =
-    new BeamScan(path, required, bound, maxSegmentsPerTrigger, startingPosition, limit)
+    new BeamScan(path, required, bound, maxSegmentsPerTrigger, startingPosition, limit,
+      footerCount)
 }
 
 final class BeamScan(path: String, required: StructType,
     bound: Option[(Long, Boolean)],
     maxSegmentsPerTrigger: Option[Int] = None,
     startingPosition: String = "earliest",
-    limit: Option[Int] = None) extends Scan with SupportsReportStatistics {
+    limit: Option[Int] = None,
+    footerCount: Option[Long] = None) extends Scan with SupportsReportStatistics {
 
   /** Size estimate = bytes of the surviving (post-pruning) segments —
     * lets Catalyst auto-broadcast a small topic table into a join.
@@ -298,7 +335,8 @@ final class BeamScan(path: String, required: StructType,
     s"BeamScan path=$path, ReadSchema: ${required.simpleString}" +
       bound.map { case (v, incl) => s", PublishTimeBound: ${if (incl) ">=" else ">"} $v" }
         .getOrElse("") +
-      limit.map(n => s", PushedLimit: $n").getOrElse("")
+      limit.map(n => s", PushedLimit: $n").getOrElse("") +
+      footerCount.map(c => s", PushedAggregate: count(*)=$c").getOrElse("")
 
   /** A segment can satisfy a publishTime lower bound only if its footer max
     * reaches it; unknown stats never prune (INT96 legacy, missing footer).
@@ -312,12 +350,22 @@ final class BeamScan(path: String, required: StructType,
       }
   }
 
-  override def toBatch: Batch = new Batch {
-    override def planInputPartitions(): Array[InputPartition] =
-      BeamSource.limitPrefix(BeamSource.listSegments(path).filter(mayMatch), limit)
-        .map(f => BeamInputPartition(f.getAbsolutePath)).toArray
-    override def createReaderFactory(): PartitionReaderFactory =
-      new BeamReaderFactory(required)
+  override def toBatch: Batch = footerCount match {
+    case Some(c) => new Batch {
+      // the answer was computed from footers at pushdown time: one
+      // partition, one row, no segment opened
+      override def planInputPartitions(): Array[InputPartition] =
+        Array(BeamCountPartition(c))
+      override def createReaderFactory(): PartitionReaderFactory =
+        new BeamCountReaderFactory
+    }
+    case None => new Batch {
+      override def planInputPartitions(): Array[InputPartition] =
+        BeamSource.limitPrefix(BeamSource.listSegments(path).filter(mayMatch), limit)
+          .map(f => BeamInputPartition(f.getAbsolutePath)).toArray
+      override def createReaderFactory(): PartitionReaderFactory =
+        new BeamReaderFactory(required)
+    }
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
@@ -325,6 +373,22 @@ final class BeamScan(path: String, required: StructType,
 }
 
 final case class BeamInputPartition(file: String) extends InputPartition
+
+/** Carrier for a completely-pushed COUNT(*): the value travels in the
+  * partition; the reader just emits it.
+  */
+final case class BeamCountPartition(count: Long) extends InputPartition
+
+final class BeamCountReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val c = partition.asInstanceOf[BeamCountPartition].count
+      private var emitted = false
+      override def next(): Boolean = if (emitted) false else { emitted = true; true }
+      override def get(): InternalRow = new GenericInternalRow(Array[Any](c))
+      override def close(): Unit = ()
+    }
+}
 
 final case class BeamOffset(count: Long) extends Offset {
   override def json(): String = s"""{"count":$count}"""

@@ -133,6 +133,33 @@ class BeamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(topics.read(fn).rdd.getNumPartitions == 4)
   }
 
+  test("COUNT(*) is answered from footers: pushed aggregate, no segment partitions") {
+    val base   = Files.createTempDirectory("graft-beamsrc-count").toString
+    val topics = new TopicTable(spark, base)
+    val fn     = "persistent://t/ns/cnt"
+    for (i <- 1 to 3) topics.ingestPayload(s"m$i".getBytes, fn)
+
+    val counted = topics.read(fn).groupBy().count()
+    val plan    = counted.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregate: count(*)=3"), plan)
+    assert(counted.collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // complete push: one carrier partition, no per-segment readers
+    val scans = counted.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty && scans.head.inputRDD.getNumPartitions == 1, plan)
+
+    // a filtered count must NOT push (filters are residual → real scan)
+    val filtered = topics.read(fn).where(col("messageId").isNotNull).groupBy().count()
+    assert(!filtered.queryExecution.executedPlan.toString.contains("PushedAggregate"))
+    assert(filtered.collect().map(_.getLong(0)).toSeq == Seq(3L))
+
+    // grouped counts keep the normal scan too
+    val grouped = topics.read(fn).groupBy("topic").count()
+    assert(!grouped.queryExecution.executedPlan.toString.contains("PushedAggregate"))
+    assert(grouped.collect().map(_.getLong(1)).sum == 3L)
+  }
+
   test("maxSegmentsPerTrigger drains a backlog in bounded micro-batches") {
     val base   = Files.createTempDirectory("graft-beamsrc-ac").toString
     val topics = new TopicTable(spark, base)
