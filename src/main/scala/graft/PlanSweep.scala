@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Global anti-pattern sweep over the ENTIRE declared batch surface —
+  * the complement of [[PlanAudit]]'s per-query positive checks: plan
+  * every query and enforce the one invariant that holds with an EMPTY
+  * allowlist — **no CartesianProductExec anywhere**. (Spark plans a
+  * CartesianProduct only for a non-broadcastable cross join — the shape
+  * that detonates at 100 TB. BroadcastNestedLoopJoin hits are printed as
+  * information, not failures: every one in this surface is a deliberate
+  * broadcast of a 1-row/tiny side — corpus counts, query samples, seed
+  * centroids — which PlanAudit asserts individually where it matters.)
+  *
+  * Run: `sbt "runMain graft.PlanSweep [sfDir]"` — exits 1 if any query
+  * plans a cartesian or fails to plan. Streaming queries are skipped:
+  * building their DataFrame executes the stream (they are covered by
+  * their own oracles and specs, and their stateful plans cannot contain
+  * a cartesian — stream-stream joins require equi/time-bound keys).
+  */
+object PlanSweep {
+
+  private val streaming = Set(
+    "x17_stream_tumbling", "x18_stream_dedup", "x19_stream_watermark",
+    "x20_stream_static_join", "x32_stream_clean", "x44_stream_funnel",
+    "x51_stream_stream_join", "x52_stream_session", "x60_stream_outer_join",
+    "x74_stream_dedup_watermark", "x103_stream_tws")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .appName("graft-plan-sweep")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    var cartesians = List.empty[String]
+    var errors = List.empty[String]
+    var bnlj = 0
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !streaming(name)) {
+      try {
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct")) cartesians ::= name
+        if (plan.contains("BroadcastNestedLoopJoin")) bnlj += 1
+      } catch { case e: Exception =>
+        errors ::= s"$name (${e.getClass.getSimpleName})"
+      }
+    }
+    println(s"[sweep] planned ${SparkEntry.queries.size - streaming.size} queries: " +
+      s"${cartesians.size} cartesian, ${errors.size} errors, " +
+      s"$bnlj informational BNLJ (deliberate tiny-side broadcasts)")
+    cartesians.foreach(n => println(s"[sweep] CARTESIAN in $n"))
+    errors.foreach(n => println(s"[sweep] ERROR planning $n"))
+    spark.stop()
+    if (cartesians.nonEmpty || errors.nonEmpty) sys.exit(1)
+  }
+}
