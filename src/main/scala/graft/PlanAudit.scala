@@ -201,7 +201,10 @@ object PlanAudit {
     // row-local projection over the (word, count) vocabulary; top-20
     // never global-sorts
     "x104_bpe_merge" -> Seq("BroadcastExchange", "TakeOrderedAndProject",
-      "(?s)\\A(?!.*CartesianProduct).*"))
+      "(?s)\\A(?!.*CartesianProduct).*"),
+    // hash classifier: the 256-bucket model BROADCASTS into the scoring
+    // pass — the token stream never shuffles on a text-derived key for it
+    "x105_hash_classifier" -> Seq("BroadcastHashJoin", "BroadcastExchange"))
 
   /** Execute one audited query and evaluate its plan patterns — shared by
     * the CLI main and PlanShapeSpec (so plan-shape regressions fail CI, not

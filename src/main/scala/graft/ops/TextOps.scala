@@ -528,6 +528,69 @@ object TextOps {
       .orderBy(col("cnt").desc, col("pair")).limit(20)
   }
 
+  /** Hashing-trick linear classifier — the fasttext/CCNet quality-filter
+    * shape: score every document against a reference domain (here
+    * lang='en' as the stand-in for "looks like the target corpus", the
+    * way CCNet targets Wikipedia) with a BROADCAST linear model over
+    * hashed token features. Train = two aggregates: per-bucket token
+    * counts overall and in the reference slice (hashing trick: 256
+    * buckets via the x41 md5 coin, so the model is fixed-size regardless
+    * of vocabulary); weight = milli-lift of the bucket in the reference,
+    * centered at 0 (floor(c_en·t_all·1000 / (c_all·t_en) + 0.5) − 1000 —
+    * the x34 double-path: the cross products pass int64 at web scale, so
+    * both engines run the identical IEEE chain and integerize once).
+    * Apply = row-local: token → bucket → broadcast weight lookup → sum.
+    * The score stays the RAW (Σw, n_tokens) pair — no per-doc division,
+    * whose trunc-vs-floor semantics diverge cross-engine on negatives —
+    * and pred is Σw > 0. Measured on this corpus: en mean-score +2.07
+    * milli/token vs −0.7..−2.8 for every other language.
+    *
+    * Scale shape: two token-stream aggregates to a 256-row model
+    * (broadcast), then a row-local scoring pass — the corpus never
+    * shuffles on any text-derived key; per-doc output rides the doc_id
+    * sort the driver contract requires.
+    */
+  val hashClassifier: Q = Q(
+    "x105_hash_classifier",
+    """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+      |b AS (SELECT doc_id, lang,
+      |        CAST('0x' || substr(md5(w), 1, 4) AS INTEGER) % 256 AS b FROM tok),
+      |allc AS (SELECT b, count(*) AS c_all FROM b GROUP BY b),
+      |enc AS (SELECT b, count(*) AS c_en FROM b WHERE lang = 'en' GROUP BY b),
+      |tot AS (SELECT count(*) AS t_all,
+      |               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_en FROM b),
+      |model AS (SELECT allc.b,
+      |            CAST(floor(CAST(coalesce(c_en, 0) AS DOUBLE) * t_all * 1000
+      |                       / (CAST(c_all AS DOUBLE) * t_en) + 0.5) - 1000 AS BIGINT) AS w
+      |          FROM allc LEFT JOIN enc ON allc.b = enc.b CROSS JOIN tot)
+      |SELECT doc_id, any_value(lang) AS lang, CAST(count(*) AS BIGINT) AS n_tokens,
+      |       CAST(sum(w) AS BIGINT) AS sw_milli, sum(w) > 0 AS pred_ref
+      |FROM b JOIN model USING (b) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val tok = docs(s, dir).select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("w"))
+    val b = tok.select(col("doc_id"), col("lang"),
+      (conv(substring(md5(col("w")), 1, 4), 16, 10).cast("long") % 256).as("b"))
+    val allc = b.groupBy("b").agg(count(lit(1)).as("c_all"))
+    val enc  = b.where(col("lang") === "en").groupBy(col("b").as("eb"))
+      .agg(count(lit(1)).as("c_en"))
+    val tot = b.agg(count(lit(1)).as("t_all"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_en"))
+    val model = allc.join(enc, col("b") === col("eb"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("b"), expr(
+        """cast(floor(cast(coalesce(c_en, 0) as double) * t_all * 1000
+          |           / (cast(c_all as double) * t_en) + 0.5) - 1000 as bigint)""".stripMargin)
+        .as("w"))
+    b.join(broadcast(model), "b")
+      .groupBy("doc_id")
+      .agg(first(col("lang")).as("lang"), count(lit(1)).as("n_tokens"),
+        sum(col("w")).as("sw_milli"))
+      .withColumn("pred_ref", col("sw_milli") > 0)
+      .select("doc_id", "lang", "n_tokens", "sw_milli", "pred_ref")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(langId, qualityScore, tokenCount, fingerprint, corpusClean,
-    positionalIndex, trigramLm, nfcClean, piiRedact, bpePairs, bpeMerge)
+    positionalIndex, trigramLm, nfcClean, piiRedact, bpePairs, bpeMerge, hashClassifier)
 }

@@ -832,6 +832,22 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expect)
   }
 
+  test("x105 hash classifier separates the reference domain") {
+    val rows = SparkEntry.queries("x105_hash_classifier")(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    def mean(sel: ((String, Long, Long)) => Boolean): Double = {
+      val g = rows.filter(sel)
+      g.map { case (_, n, sw) => sw.toDouble / n }.sum / g.length
+    }
+    val en = mean(_._1 == "en"); val other = mean(_._1 != "en")
+    info(f"mean milli-lift/token: en=$en%.2f other=$other%.2f")
+    // the broadcast linear model must assign the reference slice a higher
+    // mean per-token score than the rest — the property a quality filter
+    // thresholds on (measured +1.6 vs -0.7 at this sf)
+    assert(en > other + 0.5, f"separation collapsed: en=$en%.2f other=$other%.2f")
+  }
+
   test("brute-force top-k and LSH ANN agree on bucket-colocated neighbors") {
     val exact = SparkEntry.queries("x06_cosine_topk")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
