@@ -591,6 +591,80 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** BPE ENCODING — the other half of the tokenizer loop (x89 counts pairs,
+    * x104 runs one training iteration, this APPLIES a learned merge table to
+    * the corpus, the per-document operation a training pipeline runs over
+    * 100 TB once the merges.txt is frozen). The merge table here is a
+    * 5-entry literal (rank-ordered, including one RECURSIVE merge:
+    * th+e → "the" consumes the rank-1 symbol), standing in for the
+    * broadcast merges a user supplies.
+    *
+    * Algorithm: apply merges in rank order, each exhaustively greedy
+    * left-to-right (= one global regexp_replace per merge; "aaa" under
+    * "aa" → [aa, a]). This staged application is EXACTLY the classic
+    * priority-queue BPE encode: merge k's output symbol is a fresh
+    * sentinel, so it can only enable pairs learned AFTER k (rank > k), and
+    * replacing letters never creates new letter-letter adjacencies —
+    * adjacency across a merged span goes through the sentinel. Hence
+    * processing ranks 1..K sequentially finds every merge the pair-priority
+    * algorithm would. Sentinels are digits '1'..'5' (corpus alphabet is
+    * [a-z ], checked — collision-free); output decodes them back to the
+    * merged text.
+    *
+    * Scale shape: the token stream collapses to (word, count) FIRST, so the
+    * K-deep replace chain and the symbol explode run over |V| rows (Zipf-
+    * sub-linear in corpus size), never corpus tokens; the merge table is a
+    * plan-time literal (a user-supplied one broadcasts); top-50 rides
+    * TakeOrderedAndProject. The whole pipeline is two hash aggregates and
+    * row-local projections — no text-keyed shuffle of the corpus.
+    */
+  private val bpeMerges: Seq[(String, String, String)] = Seq(
+    // (pattern over current symbols, sentinel, fully-expanded text)
+    ("th", "1", "th"),
+    ("1e", "2", "the"), // recursive: rank-1 symbol + 'e'
+    ("in", "3", "in"),
+    ("an", "4", "an"),
+    ("er", "5", "er"))
+
+  val bpeEncode: Q = {
+    val encSql = bpeMerges.foldLeft("w") { case (e, (p, sn, _)) =>
+      s"regexp_replace($e, '$p', '$sn', 'g')"
+    }
+    val decSql = bpeMerges.map { case (_, sn, ex) => s"WHEN '$sn' THEN '$ex'" }
+      .mkString("CASE sym ", " ", " ELSE sym END")
+    Q(
+      "x106_bpe_encode",
+      s"""WITH wf AS (
+         |  SELECT w, count(*) AS f FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE len(w) >= 1 GROUP BY w),
+         |e AS (SELECT $encSql AS e, f FROM wf),
+         |sym AS (
+         |  SELECT substr(e, CAST(i AS INT), 1) AS sym, f
+         |  FROM e, LATERAL (SELECT unnest(generate_series(1, len(e))) AS i) s)
+         |SELECT $decSql AS token, CAST(sum(f) AS BIGINT) AS cnt
+         |FROM sym GROUP BY token
+         |ORDER BY cnt DESC, token LIMIT 50""".stripMargin
+    ) { (s, dir) =>
+      val wf = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .where(length(col("w")) >= 1)
+        .groupBy("w").agg(count(lit(1)).as("f"))
+      val enc = bpeMerges.foldLeft(col("w")) { case (e, (p, sn, _)) =>
+        regexp_replace(e, lit(p), lit(sn))
+      }
+      val decoded = bpeMerges.foldRight(col("sym")) { case ((_, sn, ex), acc) =>
+        when(col("sym") === lit(sn), lit(ex)).otherwise(acc)
+      }
+      wf.select(enc.as("e"), col("f"))
+        .select(explode(expr("transform(sequence(1, length(e)), i -> substring(e, i, 1))")).as("sym"),
+          col("f"))
+        .groupBy(decoded.as("token")).agg(sum(col("f")).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(50)
+    }
+  }
+
   val all: Seq[Q] = Seq(langId, qualityScore, tokenCount, fingerprint, corpusClean,
-    positionalIndex, trigramLm, nfcClean, piiRedact, bpePairs, bpeMerge, hashClassifier)
+    positionalIndex, trigramLm, nfcClean, piiRedact, bpePairs, bpeMerge, hashClassifier,
+    bpeEncode)
 }

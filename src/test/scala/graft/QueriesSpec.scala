@@ -832,6 +832,47 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expect)
   }
 
+  test("x106 BPE encode matches a driver-side priority-queue encoder") {
+    import org.apache.spark.sql.functions.{col, explode, split, length, count, lit}
+    // the query's literal merge table, as (left symbol, right symbol) -> text
+    val merges = Seq(("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"))
+      .map { case (l, r) => (l, r, l + r) }
+    // classic BPE encode: repeatedly merge the LOWEST-RANK applicable pair at
+    // its leftmost occurrence (the algorithm the staged global-replace chain
+    // in x106 claims to equal)
+    def encode(w: String): Vector[String] = {
+      var syms = w.map(_.toString).toVector
+      var cont = true
+      while (cont) {
+        val hit = merges.iterator.zipWithIndex.flatMap { case ((l, r, _), k) =>
+          syms.indices.dropRight(1).find(i => syms(i) == l && syms(i + 1) == r)
+            .map(i => (k, i))
+        }.toSeq.sortBy(_._1).headOption
+        hit match {
+          case Some((k, i)) =>
+            syms = (syms.take(i) :+ merges(k)._3) ++ syms.drop(i + 2)
+          case None => cont = false
+        }
+      }
+      syms
+    }
+    val vocab = graft.ops.Tables(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val inv = scala.collection.mutable.Map.empty[String, Long]
+    vocab.foreach { case (w, f) =>
+      encode(w).foreach(t => inv(t) = inv.getOrElse(t, 0L) + f)
+    }
+    val expect = inv.toSeq.sortBy { case (t, c) => (-c, t) }.take(50)
+    val got = SparkEntry.queries("x106_bpe_encode")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expect)
+    // the recursive merge must actually fire on this corpus
+    assert(got.exists(_._1 == "the"), "recursive merge th+e never applied")
+  }
+
   test("x105 hash classifier separates the reference domain") {
     val rows = SparkEntry.queries("x105_hash_classifier")(spark, sfDir).collect()
       .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
