@@ -679,6 +679,78 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** PREFIX-FILTERED exact all-pairs similarity join (Bayardo et al.
+    * "Scaling Up All Pairs Similarity Search", WWW'07; Xiao et al. PPJoin,
+    * WWW'08) — the same exact-Jaccard-0.6 semantics as x04, but with a
+    * PROVABLE candidate bound in place of x04's df-cap heuristic:
+    * order the shingle universe globally by (df asc, sh asc) and keep only
+    * each doc's PREFIX of its sorted set, length |d| − ⌈t·|d|⌉ + 1; the
+    * prefix-filter theorem says any pair with J ≥ t shares at least one
+    * prefix shingle, so joining prefixes (not full sets) generates every
+    * qualifying pair with zero false negatives. Candidates are then
+    * verified exactly on the full sets (the x86 propose→verify shape), and
+    * the threshold test is integer-pure: J ≥ 0.6 ⟺ 8·i ≥ 3·(na+nb);
+    * prefix length uses ⌈3n/5⌉ = (3n+4) div 5.
+    *
+    * Scale shape: hot shingles place themselves OUT of prefixes by
+    * construction — a shingle is in a doc's prefix only when it is among
+    * the doc's globally rarest, so ubiquitous shingles (the d² join bombs
+    * the df cap exists to kill) never generate candidates, while rare
+    * shingles have tiny df and join cheaply. Everything is equi-joins and
+    * window aggregates over the shingle hash partitioning; the verify pass
+    * touches only candidate pairs. At test SF no shingle approaches x04's
+    * cap, so x04 and x107 must agree EXACTLY — spec-asserted.
+    */
+  val prefixAllpairs: Q = Q(
+    "x107_prefix_allpairs",
+    s"""WITH sh0 AS ($shingleSql),
+       |d AS (SELECT sh, count(*) AS df FROM sh0 GROUP BY sh),
+       |r AS (SELECT s.doc_id, s.sh,
+       |        row_number() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.sh) AS rk,
+       |        count(*) OVER (PARTITION BY s.doc_id) AS n
+       |      FROM sh0 s JOIN d ON s.sh = d.sh),
+       |p AS (SELECT doc_id, sh FROM r WHERE rk <= n - (3*n + 4) // 5 + 1),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM p a JOIN p b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh0 GROUP BY doc_id),
+       |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+       |          FROM cand c JOIN sh0 a ON a.doc_id = c.doc_a
+       |                      JOIN sh0 b ON b.doc_id = c.doc_b AND b.sh = a.sh
+       |          GROUP BY c.doc_a, c.doc_b)
+       |SELECT i.doc_a, i.doc_b,
+       |       round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) AS jaccard
+       |FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a
+       |             JOIN sz sb ON sb.doc_id = i.doc_b
+       |WHERE 8 * i.i >= 3 * (sa.n + sb.n)
+       |ORDER BY doc_a, doc_b""".stripMargin
+  ) { (s, dir) =>
+    val sh0 = shingled(s, dir)
+    val ranked = sh0
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+    val prefix = ranked
+      .where(col("rk") <= col("n") - expr("(3*n + 4) div 5") + 1)
+      .select("doc_id", "sh")
+    val cand = prefix.as("a")
+      .join(prefix.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sz = sh0.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh0.as("fa"), col("fa.doc_id") === col("doc_a"))
+      .join(sh0.as("fb"), col("fb.doc_id") === col("doc_b") && col("fb.sh") === col("fa.sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    val jac = col("i").cast("double") / (col("sa.n") + col("sb.n") - col("i"))
+    inter
+      .join(sz.as("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(sz.as("sb"), col("sb.doc_id") === col("doc_b"))
+      .where(lit(8) * col("i") >= lit(3) * (col("sa.n") + col("sb.n")))
+      .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** The curation capstone: gates → near-dup drop → per-language sampling
     * as ONE declarative plan — the whole pipeline the x-series exercises
     * piecewise (x09 quality gates, x31/x64 cluster + pick, x37 mixture
@@ -1055,5 +1127,5 @@ object DedupOps {
   val all: Seq[Q] =
     Seq(exactDedup, minhashLsh, simhash, ngramJaccard, dupClusters, pagerank, splitLeakage,
       canonicalPick, curationPipeline, triangleCount, incrementalDedup, lshVerify,
-      spanDedup, simhashBands, fuzzyPrefixJoin)
+      spanDedup, simhashBands, fuzzyPrefixJoin, prefixAllpairs)
 }

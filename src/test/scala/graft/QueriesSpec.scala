@@ -832,6 +832,41 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expect)
   }
 
+  test("x107 prefix-filtered all-pairs equals the df-capped exact join, on fewer candidates") {
+    import org.apache.spark.sql.functions.{col, count, lit, row_number}
+    import org.apache.spark.sql.expressions.Window
+    // exactness: at test SF no shingle approaches x04's df cap, so the two
+    // formulations compute the same mathematical result — any divergence is
+    // a prefix-filter bug (a false negative would drop a pair)
+    val exact = SparkEntry.queries("x04_ngram_jaccard")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val pref = SparkEntry.queries("x107_prefix_allpairs")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(pref == exact)
+    assert(pref.nonEmpty)
+    // the filter must actually filter: candidate pairs from prefix sets are
+    // strictly fewer than the full inverted-index join generates
+    val sh = graft.ops.DedupOps.diagShingled(spark, sfDir).cache()
+    def pairs(df: org.apache.spark.sql.DataFrame): Long =
+      df.as("a").join(df.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .select("a.doc_id", "b.doc_id").distinct().count()
+    val full = pairs(sh)
+    val ranked = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+    val prefix = ranked.where(col("rk") <=
+      col("n") - org.apache.spark.sql.functions.expr("(3*n + 4) div 5") + 1)
+      .select("doc_id", "sh")
+    val cand = pairs(prefix)
+    sh.unpersist()
+    info(s"candidate pairs: full join $full -> prefix $cand")
+    assert(cand < full, s"prefix filter generated no savings: $cand vs $full")
+    assert(cand >= pref.size.toLong)
+  }
+
   test("x106 BPE encode matches a driver-side priority-queue encoder") {
     import org.apache.spark.sql.functions.{col, explode, split, length, count, lit}
     // the query's literal merge table, as (left symbol, right symbol) -> text
