@@ -751,6 +751,100 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** SORTED-NEIGHBORHOOD near-dup (Hernández & Stolfo, SIGMOD'95 — the
+    * sort-based alternative to index joins for blocking): derive a content
+    * sort key (first 40 consonants of the text — vowels and spaces dropped
+    * so the key is robust to small in-word edits), sort within key-prefix
+    * blocks, and compare each doc against only its next 2 neighbors in sort
+    * order; survivors are verified with the SAME exact trigram-Jaccard ≥
+    * 0.6 as x04/x107, row-local on the pair (both texts ride the window
+    * row — no second corpus pass).
+    *
+    * Key-design lesson, measured on this corpus: the near-dup copies carry
+    * DIFFERENT `lang` labels (the generator relabels its mutated copies),
+    * so a metadata-prefixed key (`lang || consonants`) scatters true pairs
+    * to distant sort positions — recall 6/25. A content-only key is 25/25
+    * on 58 candidates (vs 12 025 for the full inverted-index join). The
+    * blocking key must derive from the bytes being compared, never from
+    * labels that dedup itself would reveal to be inconsistent.
+    *
+    * Recall granularity: inside a dup cluster larger than the window the
+    * distance-(w+1) pair is not emitted (4 near-identical docs sorted
+    * adjacently → the 1st↔4th edge is missed), but every member still
+    * connects through its neighbors — so CLUSTER-level recall (what x31's
+    * closure consumes) survives; the spec asserts component equality with
+    * the exact join, plus precision 1.0 (every pair re-verified exactly).
+    *
+    * Scale shape: ONE shuffle — hash on the 8-char block prefix — then an
+    * in-partition sort and a 2-row lookahead window; candidate volume is
+    * ≤ 2·N rows regardless of key skew, and verification is row-local
+    * array intersection. The trade vs LSH banding (x02): SNM is a single
+    * sort with O(N·w) candidates but misses pairs whose first consonants
+    * diverge (edits at text START break the key — this corpus edits at the
+    * end); banding is edit-position-oblivious but costs a signature pass
+    * plus a band join. Both ship; x02 is the default.
+    */
+  val sortedNeighborhood: Q = {
+    val triSql = (t: String) =>
+      s"""list_distinct(list_transform(generate_series(1, greatest(len(string_split($t,' '))-2,0)),
+         |      i -> concat_ws(' ', string_split($t,' ')[i], string_split($t,' ')[i+1], string_split($t,' ')[i+2])))""".stripMargin
+    Q(
+      "x108_sorted_neighborhood",
+      s"""WITH k AS (
+         |  SELECT doc_id, text,
+         |         substr(regexp_replace(text, '[aeiou ]', '', 'g'), 1, 40) AS key
+         |  FROM documents WHERE text IS NOT NULL),
+         |n AS (
+         |  SELECT doc_id, text,
+         |         lead(doc_id, 1) OVER win AS id1, lead(text, 1) OVER win AS t1,
+         |         lead(doc_id, 2) OVER win AS id2, lead(text, 2) OVER win AS t2
+         |  FROM k WINDOW win AS (PARTITION BY substr(key, 1, 8) ORDER BY key, doc_id)),
+         |pairs AS (
+         |  SELECT DISTINCT least(a, b) AS doc_a, greatest(a, b) AS doc_b, ta, tb FROM (
+         |    SELECT doc_id AS a, id1 AS b, text AS ta, t1 AS tb FROM n WHERE id1 IS NOT NULL
+         |    UNION ALL
+         |    SELECT doc_id AS a, id2 AS b, text AS ta, t2 AS tb FROM n WHERE id2 IS NOT NULL)),
+         |tri AS (
+         |  SELECT doc_a, doc_b, ${triSql("ta")} AS sa, ${triSql("tb")} AS sb FROM pairs),
+         |m AS (
+         |  SELECT doc_a, doc_b, len(list_intersect(sa, sb)) AS i,
+         |         len(sa) AS na, len(sb) AS nb FROM tri)
+         |SELECT doc_a, doc_b, round(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jaccard
+         |FROM m WHERE i >= 1 AND 8 * i >= 3 * (na + nb)
+         |ORDER BY doc_a, doc_b""".stripMargin
+    ) { (s, dir) =>
+      val tri = (t: Column) => {
+        val w = split(t, " ")
+        array_distinct(
+          when(size(w) >= 3,
+            transform(sequence(lit(0), size(w) - 3), i =>
+              concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))
+            .otherwise(array()))
+      }
+      val k = docs(s, dir).where(col("text").isNotNull)
+        .select(col("doc_id"), col("text"),
+          substring(regexp_replace(col("text"), "[aeiou ]", ""), 1, 40).as("key"))
+      val win = Window.partitionBy(substring(col("key"), 1, 8)).orderBy("key", "doc_id")
+      val n = k.select(col("doc_id"), col("text"),
+        lead(col("doc_id"), 1).over(win).as("id1"), lead(col("text"), 1).over(win).as("t1"),
+        lead(col("doc_id"), 2).over(win).as("id2"), lead(col("text"), 2).over(win).as("t2"))
+      val pairs = n.where(col("id1").isNotNull)
+        .select(col("doc_id").as("a"), col("id1").as("b"), col("text").as("ta"), col("t1").as("tb"))
+        .unionAll(n.where(col("id2").isNotNull)
+          .select(col("doc_id").as("a"), col("id2").as("b"), col("text").as("ta"), col("t2").as("tb")))
+        .select(least(col("a"), col("b")).as("doc_a"), greatest(col("a"), col("b")).as("doc_b"),
+          col("ta"), col("tb"))
+        .distinct()
+      val m = pairs.select(col("doc_a"), col("doc_b"),
+          size(array_intersect(tri(col("ta")), tri(col("tb")))).cast("long").as("i"),
+          size(tri(col("ta"))).cast("long").as("na"), size(tri(col("tb"))).cast("long").as("nb"))
+      m.where(col("i") >= 1 && lit(8) * col("i") >= lit(3) * (col("na") + col("nb")))
+        .select(col("doc_a"), col("doc_b"),
+          round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }
+  }
+
   /** The curation capstone: gates → near-dup drop → per-language sampling
     * as ONE declarative plan — the whole pipeline the x-series exercises
     * piecewise (x09 quality gates, x31/x64 cluster + pick, x37 mixture
@@ -1127,5 +1221,5 @@ object DedupOps {
   val all: Seq[Q] =
     Seq(exactDedup, minhashLsh, simhash, ngramJaccard, dupClusters, pagerank, splitLeakage,
       canonicalPick, curationPipeline, triangleCount, incrementalDedup, lshVerify,
-      spanDedup, simhashBands, fuzzyPrefixJoin, prefixAllpairs)
+      spanDedup, simhashBands, fuzzyPrefixJoin, prefixAllpairs, sortedNeighborhood)
 }

@@ -867,6 +867,32 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cand >= pref.size.toLong)
   }
 
+  test("x108 sorted-neighborhood: perfect precision, cluster-complete recall") {
+    val exact = SparkEntry.queries("x04_ngram_jaccard")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val snm = SparkEntry.queries("x108_sorted_neighborhood")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // precision 1.0 by construction: every emitted pair is re-verified with
+    // the exact trigram-jaccard, so snm ⊆ exact (values included)
+    assert(snm.nonEmpty && snm.toSet.subsetOf(exact.toSet))
+    // pair-level recall may drop INSIDE a dup cluster bigger than the
+    // window (w=2 sees distances 1-2; a 4-member run misses its distance-3
+    // pair) — but dedup consumes CLUSTERS, so the meaningful recall gate is
+    // that SNM edges connect exactly the components the exact edges do
+    def components(edges: Seq[(Long, Long)]): Set[Set[Long]] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+      edges.flatMap(e => Seq(e._1, e._2)).groupBy(find).values.map(_.toSet).toSet
+    }
+    assert(components(snm.map(p => (p._1, p._2))) ==
+      components(exact.map(p => (p._1, p._2))),
+      "SNM split or merged a dup cluster the exact join defines")
+  }
+
   test("x106 BPE encode matches a driver-side priority-queue encoder") {
     import org.apache.spark.sql.functions.{col, explode, split, length, count, lit}
     // the query's literal merge table, as (left symbol, right symbol) -> text
