@@ -493,8 +493,67 @@ object FuncOps {
       .orderBy("r_name")
   }
 
+  /** COUNT-MIN SKETCH (Cormode & Muthukrishnan, J.Alg'05) — the mergeable
+    * fixed-size frequency summary: d=4 hash rows × w=512 counters; a key's
+    * estimate is the MIN of its d counters, an upper bound on the true
+    * count (collisions only inflate). Hashes are md5-derived (salt r per
+    * row), so the sketch is fully deterministic and the DuckDB twin
+    * rebuilds the IDENTICAL counter matrix — a hash-match oracle for a
+    * sketch, like f05/f11's deterministic splits. Output: the top-20 true
+    * heavy tokens with true count and CM estimate side by side (est ≥
+    * true always; spec-asserted, plus the 2e/w error bound on average).
+    *
+    * Scale shape: the counter matrix is ONE hash aggregate of the token
+    * stream over (r, bucket) — 2048 cells regardless of corpus size (this
+    * is the point of a sketch: the shuffle reduces to fixed width);
+    * per-partition partial aggregation does the heavy lifting map-side.
+    * Estimates then ride a broadcast of the 2048-cell matrix against the
+    * (bounded) query keys. Sketches from corpus shards merge by cell-wise
+    * ADD — the partial-aggregate path IS that merge.
+    */
+  val countMin: Q = Q(
+    "f16_countmin",
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |tw AS (SELECT w FROM tok WHERE len(w) >= 1),
+      |cells AS (
+      |  SELECT r, CAST('0x' || substr(md5(r || ':' || w), 1, 4) AS INTEGER) % 512 AS b,
+      |         count(*) AS c
+      |  FROM tw CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r) rs
+      |  GROUP BY 1, 2),
+      |truth AS (SELECT w, count(*) AS true_cnt FROM tw GROUP BY w
+      |          ORDER BY true_cnt DESC, w LIMIT 20),
+      |est AS (
+      |  SELECT t.w, t.true_cnt, min(c.c) AS cm_est
+      |  FROM truth t CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r) rs
+      |  JOIN cells c ON c.r = rs.r
+      |    AND c.b = CAST('0x' || substr(md5(rs.r || ':' || t.w), 1, 4) AS INTEGER) % 512
+      |  GROUP BY t.w, t.true_cnt)
+      |SELECT w, CAST(true_cnt AS BIGINT) AS true_cnt, CAST(cm_est AS BIGINT) AS cm_est
+      |FROM est ORDER BY true_cnt DESC, w""".stripMargin
+  ) { (s, dir) =>
+    val tw = Tables(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) >= 1)
+    def bucket(r: org.apache.spark.sql.Column, w: org.apache.spark.sql.Column) =
+      (conv(substring(md5(concat(r.cast("string"), lit(":"), w)), 1, 4), 16, 10)
+        .cast("long") % 512).cast("int")
+    val cells = tw
+      .select(col("w"), explode(expr("sequence(0, 3)")).as("r"))
+      .groupBy(col("r"), bucket(col("r"), col("w")).as("b"))
+      .agg(count(lit(1)).as("c"))
+    val truth = tw.groupBy("w").agg(count(lit(1)).as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("w")).limit(20)
+    truth
+      .select(col("w"), col("true_cnt"), explode(expr("sequence(0, 3)")).as("qr"))
+      .withColumn("qb", bucket(col("qr"), col("w")))
+      .join(broadcast(cells), col("qr") === col("r") && col("qb") === col("b"))
+      .groupBy("w", "true_cnt").agg(min(col("c")).as("cm_est"))
+      .select("w", "true_cnt", "cm_est")
+      .orderBy(col("true_cnt").desc, col("w"))
+  }
+
   val all: Seq[Q] =
     Seq(hashFuncs, datetimeFuncs, mathFuncs, aesRoundtrip, approxDistinct, editDistance,
       valueHistogram, topkAgg, stringFuncs, bitwiseFuncs, approxPercentile,
-      regressionStats, arrayFuncs, nullFuncs, listAgg)
+      regressionStats, arrayFuncs, nullFuncs, listAgg, countMin)
 }

@@ -893,6 +893,24 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SNM split or merged a dup cluster the exact join defines")
   }
 
+  test("f16 count-min estimates dominate true counts within the sketch bound") {
+    val rows = SparkEntry.queries("f16_countmin")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // upper-bound property: collisions only ever inflate a counter
+    rows.foreach { case (w, t, e) => assert(e >= t, s"CM underestimated '$w': $e < $t") }
+    // error bound: E[overestimate] = (N - true)/width per row; with d=4
+    // rows the min is far tighter — assert the loose single-row bound ×4
+    import org.apache.spark.sql.functions.{col, explode, length, split}
+    val n = graft.ops.Tables(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) >= 1).count()
+    rows.foreach { case (w, t, e) =>
+      assert(e - t <= 4L * n / 512,
+        s"'$w' overestimate ${e - t} exceeds 4N/w = ${4L * n / 512}")
+    }
+  }
+
   test("x106 BPE encode matches a driver-side priority-queue encoder") {
     import org.apache.spark.sql.functions.{col, explode, split, length, count, lit}
     // the query's literal merge table, as (left symbol, right symbol) -> text
