@@ -914,7 +914,111 @@ object SimilarityOps {
       .orderBy("q_id", "rk")
   }
 
+  /** MARGIN-BASED BITEXT MINING (Artetxe & Schwenk, ACL'19 — the CCMatrix /
+    * LASER alignment criterion): score candidate pairs across two corpus
+    * sides not by raw cosine but by the RATIO margin
+    * `2·cos(x,y) / (meanK(x) + meanK(y))` — cosine normalized by both
+    * endpoints' k-NN neighborhood density, which suppresses hubs (vectors
+    * cosine-close to everything) that raw-threshold mining mis-pairs. Sides
+    * here are the even/odd `vec_id` halves of `embeddings` (stand-ins for
+    * two languages' sentence encodings); emitted: each query's best-margin
+    * match above 1.05.
+    *
+    * Arithmetic is integer-pure past the one rounding point: cosines
+    * round to micro units (the x06 canonicalization), neighborhood sums
+    * add 4 bigints exactly, and the margin is one guarded integer division
+    * to ppm — so both engines agree bit-for-bit with no float-order terms
+    * (a grouped double mean would reintroduce them). Denominators are
+    * required positive BEFORE dividing: Spark `div` truncates toward zero
+    * while DuckDB `//` floors, and they only agree on positives.
+    *
+    * Scale shape: queries broadcast against the far side (the x06 brute
+    * pattern — the ANN packs x07/x22/x94/x97 are the indexed path to the
+    * same candidates); the reverse-direction neighborhoods are computed
+    * only for the ≤ q·k DISTINCT candidate matches, each scored against
+    * side A in one more broadcast pass — everything stays linear in corpus
+    * size for a bounded query batch, quadratic in nothing.
+    */
+  val bitextMargin: Q = {
+    val K = 4
+    Q(
+      "x109_bitext_margin",
+      s"""WITH n AS ($normedSql),
+         |a AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 2 = 0),
+         |b AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 2 = 1),
+         |q AS (SELECT vec_id, v, nrm FROM a WHERE vec_id % 50 = 0),
+         |fc AS (
+         |  SELECT q.vec_id AS q_id, b.vec_id AS b_id,
+         |         CAST(round(list_dot_product(q.v, b.v) / (q.nrm * b.nrm) * 1000000, 0) AS BIGINT) AS c,
+         |         row_number() OVER (PARTITION BY q.vec_id
+         |           ORDER BY CAST(round(list_dot_product(q.v, b.v) / (q.nrm * b.nrm) * 1000000, 0) AS BIGINT) DESC,
+         |                    b.vec_id) AS rk
+         |  FROM q CROSS JOIN b),
+         |top AS (SELECT q_id, b_id, c FROM fc WHERE rk <= $K),
+         |ma AS (SELECT q_id, sum(c) AS s_a FROM top GROUP BY q_id),
+         |cand AS (SELECT DISTINCT b_id FROM top),
+         |rc AS (
+         |  SELECT y.vec_id AS b_id, a.vec_id AS a_id,
+         |         CAST(round(list_dot_product(y.v, a.v) / (y.nrm * a.nrm) * 1000000, 0) AS BIGINT) AS c,
+         |         row_number() OVER (PARTITION BY y.vec_id
+         |           ORDER BY CAST(round(list_dot_product(y.v, a.v) / (y.nrm * a.nrm) * 1000000, 0) AS BIGINT) DESC,
+         |                    a.vec_id) AS rk
+         |  FROM (SELECT b.* FROM b JOIN cand ON b.vec_id = cand.b_id) y CROSS JOIN a),
+         |mb AS (SELECT b_id, sum(c) AS s_b FROM rc WHERE rk <= $K GROUP BY b_id),
+         |sc AS (
+         |  SELECT t.q_id, t.b_id, t.c,
+         |         8 * t.c * 1000000 // (ma.s_a + mb.s_b) AS margin_ppm
+         |  FROM top t JOIN ma ON t.q_id = ma.q_id JOIN mb ON t.b_id = mb.b_id
+         |  WHERE ma.s_a + mb.s_b > 0),
+         |best AS (
+         |  SELECT q_id, b_id AS m_id, c AS cos_micro, margin_ppm,
+         |         row_number() OVER (PARTITION BY q_id
+         |           ORDER BY margin_ppm DESC, b_id) AS rk
+         |  FROM sc)
+         |SELECT q_id, m_id, CAST(cos_micro AS BIGINT) AS cos_micro,
+         |       CAST(margin_ppm AS BIGINT) AS margin_ppm
+         |FROM best WHERE rk = 1 AND margin_ppm >= 1050000
+         |ORDER BY q_id""".stripMargin
+    ) { (s, dir) =>
+      val n = normed(s, dir)
+      val a = n.where(col("vec_id") % 2 === 0)
+      val b = n.where(col("vec_id") % 2 === 1)
+      val q = a.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("qn"))
+      val cMicro = (x: Column, xn: Column, y: Column, yn: Column) =>
+        round(graft.functions.GraftFunctions.dotF32(x, y) / (xn * yn) * 1000000, 0).cast("long")
+      val fc = b.join(broadcast(q), lit(true))
+        .select(col("q_id"), col("vec_id").as("b_id"),
+          cMicro(col("qv"), col("qn"), col("embedding"), col("nrm")).as("c"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("c").desc, col("b_id"))))
+      val top = fc.where(col("rk") <= K).select("q_id", "b_id", "c")
+      val ma = top.groupBy("q_id").agg(sum(col("c")).as("s_a"))
+      val cand = top.select("b_id").distinct()
+      val y = b.join(broadcast(cand), col("vec_id") === cand("b_id"))
+        .select(col("vec_id").as("y_id"), col("embedding").as("yv"), col("nrm").as("yn"))
+      val rc = a.join(broadcast(y), lit(true))
+        .select(col("y_id"), col("vec_id").as("a_id"),
+          cMicro(col("yv"), col("yn"), col("embedding"), col("nrm")).as("c"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("y_id").orderBy(col("c").desc, col("a_id"))))
+      val mb = rc.where(col("rk") <= K).groupBy(col("y_id").as("b_id2"))
+        .agg(sum(col("c")).as("s_b"))
+      val sc = top
+        .join(ma, "q_id")
+        .join(mb, col("b_id") === col("b_id2"))
+        .where(col("s_a") + col("s_b") > 0)
+        .select(col("q_id"), col("b_id"), col("c"),
+          expr("8 * c * 1000000 div (s_a + s_b)").as("margin_ppm"))
+      sc.withColumn("rk", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("margin_ppm").desc, col("b_id"))))
+        .where(col("rk") === 1 && col("margin_ppm") >= 1050000)
+        .select(col("q_id"), col("b_id").as("m_id"), col("c").as("cos_micro"), col("margin_ppm"))
+        .orderBy("q_id")
+    }
+  }
+
   val all: Seq[Q] = Seq(cosineNearDup, cosineTopK, annLsh, annMultiprobe, annIvf,
     annMultitable, labelCentroids, kmeansIter, semanticDedup, quantizedTopK,
-    labelAffinity, annRecall, pqAnn, ivfpqAnn)
+    labelAffinity, annRecall, pqAnn, ivfpqAnn, bitextMargin)
 }

@@ -893,6 +893,36 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SNM split or merged a dup cluster the exact join defines")
   }
 
+  test("x109 margin mining picks from the true forward top-k with sane margins") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("x109_bitext_margin")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // side/threshold contract
+    rows.foreach { case (q, m, _, marginPpm) =>
+      assert(q % 2 == 0 && q % 50 == 0, s"query $q not from side A's query batch")
+      assert(m % 2 == 1, s"match $m not from side B")
+      assert(marginPpm >= 1050000)
+    }
+    // driver-side ground truth: each emitted match must be one of the
+    // query's exact top-4 cosine neighbors on side B (margin re-ranks
+    // within the k-NN candidates, never invents a pair outside them)
+    val vecs = graft.ops.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val sideB = vecs.keys.filter(_ % 2 == 1).toSeq.sorted
+    rows.foreach { case (q, m, _, _) =>
+      val top4 = sideB.map(b => b -> cos(vecs(q), vecs(b)))
+        .sortBy { case (b, c) => (-c, b) }.take(4).map(_._1).toSet
+      assert(top4.contains(m), s"match $m for query $q outside exact top-4 $top4")
+    }
+  }
+
   test("f16 count-min estimates dominate true counts within the sketch bound") {
     val rows = SparkEntry.queries("f16_countmin")(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
