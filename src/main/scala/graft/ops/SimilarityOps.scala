@@ -914,6 +914,64 @@ object SimilarityOps {
       .orderBy("q_id", "rk")
   }
 
+  /** RANKING-QUALITY evaluation of the ANN index — NDCG@3 and MRR of the
+    * x07 LSH ranking against the exact x06 top-3, extending x93's recall
+    * to POSITION-AWARE metrics (recall can't see that the index returns
+    * the right neighbors in the wrong order; NDCG/MRR can). The
+    * logarithmic NDCG discounts 1/log2(i+1) would be transcendental —
+    * uncertifiable cross-engine — except that only k=3 positions exist, so
+    * they are PLAN-TIME ppm literals (1000000, 630930, 500000) and the
+    * whole metric is integer arithmetic: DCG = Σ w(rk) over hits,
+    * IDCG = 2130930 (all three relevant), ndcg_ppm = DCG·10⁶ div IDCG,
+    * mrr_ppm = 10⁶ div min hit rank. Per-query rows (the monitoring
+    * artifact a production index alerts on), zeros kept for queries the
+    * index fully misses.
+    *
+    * Scale shape: both rankings are already candidate-scale; the eval is
+    * a key-join of two (query, neighbor) lists plus a query-bounded
+    * aggregate — negligible next to the index it audits, which is the
+    * point of running it continuously on a query sample.
+    */
+  val annRankEval: Q = Q(
+    "x110_ann_rank_eval",
+    s"""WITH $annLshCtesSql,
+       |exact0 AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |             row_number() OVER (PARTITION BY q.vec_id
+       |               ORDER BY round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) DESC, c.vec_id) AS rk
+       |           FROM n q JOIN n c ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id),
+       |exact AS (SELECT q_id, n_id FROM exact0 WHERE rk <= 3),
+       |hits AS (
+       |  SELECT e.q_id, l.rk FROM exact e JOIN lsh l ON e.q_id = l.q_id AND e.n_id = l.n_id
+       |  WHERE l.rk <= 3),
+       |agg AS (
+       |  SELECT q_id, count(*) AS n_hit,
+       |         sum(CASE rk WHEN 1 THEN 1000000 WHEN 2 THEN 630930 ELSE 500000 END) AS dcg,
+       |         min(rk) AS first_hit
+       |  FROM hits GROUP BY q_id)
+       |SELECT q.q_id AS q_id,
+       |       CAST(coalesce(a.n_hit, 0) AS BIGINT) AS n_hit,
+       |       CAST(coalesce(1000000 // a.first_hit, 0) AS BIGINT) AS mrr_ppm,
+       |       CAST(coalesce(a.dcg * 1000000 // 2130930, 0) AS BIGINT) AS ndcg_ppm
+       |FROM (SELECT DISTINCT q_id FROM exact) q LEFT JOIN agg a ON q.q_id = a.q_id
+       |ORDER BY q_id""".stripMargin
+  ) { (s, dir) =>
+    val exact = cosineTopK.run(s, dir).where(col("rk") <= 3).select("q_id", "n_id")
+    val lsh = annLsh.run(s, dir).where(col("rk") <= 3).select("q_id", "rk", "n_id")
+    val hits = exact.join(lsh, Seq("q_id", "n_id"))
+    val agg = hits.groupBy("q_id").agg(
+      count(lit(1)).as("n_hit"),
+      sum(when(col("rk") === 1, 1000000L).when(col("rk") === 2, 630930L)
+        .otherwise(500000L)).as("dcg"),
+      min(col("rk")).as("first_hit"))
+    exact.select("q_id").distinct()
+      .join(agg, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(expr("1000000 div first_hit"), lit(0L)).as("mrr_ppm"),
+        coalesce(expr("dcg * 1000000 div 2130930"), lit(0L)).as("ndcg_ppm"))
+      .orderBy("q_id")
+  }
+
   /** MARGIN-BASED BITEXT MINING (Artetxe & Schwenk, ACL'19 — the CCMatrix /
     * LASER alignment criterion): score candidate pairs across two corpus
     * sides not by raw cosine but by the RATIO margin
@@ -1020,5 +1078,5 @@ object SimilarityOps {
 
   val all: Seq[Q] = Seq(cosineNearDup, cosineTopK, annLsh, annMultiprobe, annIvf,
     annMultitable, labelCentroids, kmeansIter, semanticDedup, quantizedTopK,
-    labelAffinity, annRecall, pqAnn, ivfpqAnn, bitextMargin)
+    labelAffinity, annRecall, pqAnn, ivfpqAnn, bitextMargin, annRankEval)
 }

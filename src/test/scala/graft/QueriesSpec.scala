@@ -923,6 +923,32 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("x110 NDCG/MRR agree with a driver-side recomputation from the two rankings") {
+    val exact = SparkEntry.queries("x06_cosine_topk")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val lsh = SparkEntry.queries("x07_ann_lsh")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val w = Map(1 -> 1000000L, 2 -> 630930L, 3 -> 500000L)
+    val relevant = exact.filter(_._2 <= 3).groupBy(_._1)
+      .view.mapValues(_.map(_._3).toSet).toMap
+    val expect = relevant.keys.toSeq.sorted.map { q =>
+      val hits = lsh.filter(t => t._1 == q && t._2 <= 3 && relevant(q).contains(t._3))
+      val dcg = hits.map(t => w(t._2)).sum
+      val mrr = if (hits.isEmpty) 0L else 1000000L / hits.map(_._2).min
+      (q, hits.size.toLong, mrr, dcg * 1000000L / 2130930L)
+    }
+    val got = SparkEntry.queries("x110_ann_rank_eval")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect)
+    // bounds + the binary-relevance identity: all 3 hits in 3 slots sum the
+    // same weights in any order, so full recall ⇒ NDCG exactly 1
+    got.foreach { case (q, nHit, mrrPpm, ndcgPpm) =>
+      assert(ndcgPpm <= 1000000L && mrrPpm <= 1000000L)
+      if (nHit == 3) assert(ndcgPpm == 1000000L,
+        s"full-recall query $q should have NDCG 1000000, got $ndcgPpm")
+    }
+  }
+
   test("f16 count-min estimates dominate true counts within the sketch bound") {
     val rows = SparkEntry.queries("f16_countmin")(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
