@@ -532,7 +532,73 @@ object PipelineOps {
       .orderBy("source", "rk")
   }
 
+  /** TOKEN-BUDGET corpus selection — "spend 30% of the corpus's token
+    * budget on the highest-quality documents": rank docs by an integer
+    * quality density (lexical diversity, distinct/total words in ppm — a
+    * stand-in for any per-doc score, e.g. x105's classifier), take the
+    * greedy prefix of the (density DESC, doc_id) order while the running
+    * token total stays within budget. The selection every data-constrained
+    * training run makes once per corpus build.
+    *
+    * The naive plan is a GLOBAL window (one partition sorts the corpus) —
+    * a scale-killer. Shipped instead: distributed threshold selection —
+    * (1) histogram the densities into 1001 fixed ppm bins (one map-side-
+    * combined aggregate); (2) a running sum over the BIN table (bounded
+    * rows — the only unpartitioned window) finds which bins fit entirely
+    * and which single bin the budget boundary crosses; (3) bins above the
+    * boundary select whole; ONLY the boundary bin's docs sort exactly
+    * ((density DESC, doc_id) + offset cumsum). Equality with the global
+    * greedy is structural: bins partition disjoint density ranges, and the
+    * boundary window applies the same order the global sort would inside
+    * the one range it touches. The oracle IS the naive global-window plan,
+    * so the hash match proves the phase split lossless.
+    */
+  val budgetSelect: Q = Q(
+    "x111_budget_select",
+    """WITH t AS (
+      |  SELECT doc_id, source, len(string_split(text, ' ')) AS tok,
+      |         len(list_distinct(string_split(text, ' '))) AS dw
+      |  FROM documents WHERE text IS NOT NULL),
+      |d AS (SELECT doc_id, source, tok, dw * 1000000 // tok AS dens
+      |      FROM t WHERE tok >= 1),
+      |b AS (SELECT 3 * sum(tok) // 10 AS budget FROM d),
+      |o AS (SELECT *, sum(tok) OVER (ORDER BY dens DESC, doc_id) AS cum FROM d)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(tok) AS BIGINT) AS n_tokens
+      |FROM o CROSS JOIN b WHERE cum <= budget
+      |GROUP BY source ORDER BY source""".stripMargin
+  ) { (s, dir) =>
+    val w = split(col("text"), " ")
+    val base = docs(s, dir).where(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        size(w).cast("long").as("tok"), size(array_distinct(w)).cast("long").as("dw"))
+      .where(col("tok") >= 1)
+      .withColumn("dens", expr("dw * 1000000 div tok"))
+      .withColumn("bin", expr("dens div 1000"))
+    val budget = base.agg(expr("3 * sum(tok) div 10").as("budget"))
+    val binCum = base.groupBy("bin").agg(sum(col("tok")).as("btok"))
+      .withColumn("pre", coalesce(sum(col("btok")).over(
+        Window.orderBy(col("bin").desc).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(budget))
+    val fullBins = binCum.where(col("pre") + col("btok") <= col("budget"))
+      .select(col("bin").as("fb"))
+    val crossing = binCum
+      .where(col("pre") <= col("budget") && col("pre") + col("btok") > col("budget"))
+      .select(col("bin").as("cb"), col("pre"), col("budget"))
+    val selFull = base.join(broadcast(fullBins), col("bin") === col("fb"))
+      .select("source", "tok")
+    val selBoundary = base.join(broadcast(crossing), col("bin") === col("cb"))
+      .withColumn("cum", sum(col("tok")).over(
+        Window.orderBy(col("dens").desc, col("doc_id"))))
+      .where(col("pre") + col("cum") <= col("budget"))
+      .select("source", "tok")
+    selFull.unionAll(selBoundary)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(chunkDedup, repetitionScore, contamination, hashSample,
     seqPacking, stratifiedTopK, refIntegrity, temperatureMix, ragChunking,
-    driftMonitor, bloomNovelty, quotaSample)
+    driftMonitor, bloomNovelty, quotaSample, budgetSelect)
 }

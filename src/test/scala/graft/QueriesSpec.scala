@@ -949,6 +949,34 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("x111 budget selection is maximal and within budget") {
+    import org.apache.spark.sql.functions.{col, split, size, expr, array_distinct}
+    val w = split(col("text"), " ")
+    val base = graft.ops.Tables(spark, sfDir, "documents")
+      .where(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(w).cast("long").as("tok"), size(array_distinct(w)).cast("long").as("dw"))
+      .where(col("tok") >= 1)
+      .withColumn("dens", expr("dw * 1000000 div tok"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val budget = 3L * base.map(_._2).sum / 10
+    // driver-side global greedy: (density DESC, doc_id ASC) prefix
+    val ordered = base.sortBy { case (id, _, dens) => (-dens, id) }
+    var cum = 0L
+    val selected = ordered.takeWhile { case (_, tok, _) =>
+      cum += tok; cum <= budget
+    }
+    val selTok = selected.map(_._2).sum
+    val got = SparkEntry.queries("x111_budget_select")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._2).sum == selected.length, "selected doc count mismatch")
+    assert(got.map(_._3).sum == selTok, "selected token total mismatch")
+    assert(selTok <= budget)
+    // maximality: the first rejected doc would overflow the budget
+    if (selected.length < ordered.length)
+      assert(selTok + ordered(selected.length)._2 > budget)
+  }
+
   test("f16 count-min estimates dominate true counts within the sketch bound") {
     val rows = SparkEntry.queries("f16_countmin")(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
