@@ -204,7 +204,34 @@ object PlanAudit {
       "(?s)\\A(?!.*CartesianProduct).*"),
     // hash classifier: the 256-bucket model BROADCASTS into the scoring
     // pass — the token stream never shuffles on a text-derived key for it
-    "x105_hash_classifier" -> Seq("BroadcastHashJoin", "BroadcastExchange"))
+    "x105_hash_classifier" -> Seq("BroadcastHashJoin", "BroadcastExchange"),
+    // BPE encode: the merge chain is row-local over the vocabulary — the
+    // only exchanges are the two hash aggregates and the final top-50
+    "x106_bpe_encode" -> Seq("TakeOrderedAndProject", "codegen id"),
+    // prefix join proposes and verifies through EQUI joins; the verify
+    // side is candidate-pruned by a broadcast semi-join
+    "x107_prefix_allpairs" -> Seq(
+      "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
+      "BroadcastExchange", "LeftSemi"),
+    // SNM: the window sees only (doc_id, key); the verify probes the
+    // digest index with equi joins
+    "x108_sorted_neighborhood" -> Seq("WindowExec|Window",
+      "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+    // bitext margins: query batch and candidate set broadcast — the far
+    // side never shuffles on a similarity key
+    "x109_bitext_margin" -> Seq("BroadcastExchange",
+      "BroadcastNestedLoopJoin|BroadcastHashJoin"),
+    // CM sketch: ONE partial-aggregated exchange to the 2048-cell matrix,
+    // which then broadcasts into the estimate join
+    "f16_countmin" -> Seq("BroadcastHashJoin", "BroadcastExchange",
+      "TakeOrderedAndProject"),
+    // rank eval joins two candidate-scale rankings on (q_id, n_id)
+    "x110_ann_rank_eval" -> Seq(
+      "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+    // budget selection: the bin histogram + boundary windows replace the
+    // global sort; the bin/crossing tables broadcast into the doc stream
+    "x111_budget_select" -> Seq("BroadcastHashJoin", "BroadcastExchange",
+      "WindowExec|Window"))
 
   /** Execute one audited query and evaluate its plan patterns — shared by
     * the CLI main and PlanShapeSpec (so plan-shape regressions fail CI, not
