@@ -529,6 +529,61 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** LABEL PROPAGATION communities over the candidate graph (Raghavan et
+    * al., Phys.Rev.E'07, synchronized variant): each node adopts the
+    * PLURALITY label among its neighbors plus itself (ties to the smallest
+    * label), 3 fixed rounds. The community view x31's connected components
+    * cannot give: CC merges two dup clusters through ANY single spurious
+    * candidate edge (one LSH collision chains unrelated template
+    * families), while LP requires a plurality of edges — bridge edges
+    * lose the vote. Deterministic by construction: the argmax is a
+    * (count DESC, label ASC) window rank, no randomized update order.
+    *
+    * Scale shape: per round, one equi-join of the edge list with the label
+    * table + a (node, label) count aggregate + a per-node argmax window —
+    * all hash-partitioned on node keys, rounds FIXED at 3 (no
+    * data-dependent loop); rides the memoized pair lineage like
+    * x31/x47/x55. The oracle unrolls the same 3 rounds as CTEs.
+    */
+  val labelProp: Q = {
+    def roundSql(prev: String, k: Int): String =
+      s"""votes$k AS (
+         |  SELECT e.b AS node, l.lbl AS lbl FROM edges e JOIN $prev l ON l.node = e.a
+         |  UNION ALL SELECT node, lbl FROM $prev),
+         |cnt$k AS (SELECT node, lbl, count(*) AS c FROM votes$k GROUP BY node, lbl),
+         |lab$k AS (SELECT node, lbl FROM (
+         |  SELECT node, lbl, row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rk
+         |  FROM cnt$k) WHERE rk = 1)""".stripMargin
+    Q(
+      "x112_label_prop",
+      s"""WITH pairs AS ($lshPairsSql),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+         |lab0 AS (SELECT DISTINCT a AS node, a AS lbl FROM edges),
+         |${roundSql("lab0", 1)},
+         |${roundSql("lab1", 2)},
+         |${roundSql("lab2", 3)}
+         |SELECT CAST(node AS BIGINT) AS doc_id, CAST(lbl AS BIGINT) AS community
+         |FROM lab3 ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val edges = symmetricEdges(s, dir)
+      var lab = edges.select(col("a").as("node")).distinct()
+        .select(col("node"), col("node").as("lbl"))
+      for (_ <- 1 to 3) {
+        val votes = edges.join(lab, col("a") === col("node"))
+          .select(col("b").as("node"), col("lbl"))
+          .unionAll(lab)
+        lab = votes.groupBy("node", "lbl").agg(count(lit(1)).as("c"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("node").orderBy(col("c").desc, col("lbl"))))
+          .where(col("rk") === 1)
+          .select("node", "lbl")
+      }
+      lab.select(col("node").cast("long").as("doc_id"), col("lbl").cast("long").as("community"))
+        .orderBy("doc_id")
+    }
+  }
+
   /** Dedup-aware train/test split audit: documents are split 75/25 by the
     * x28 content-hash coin (deterministic, shuffle-free), then the LSH
     * candidate pairs are bucketed by which sides of the split they land on
@@ -1264,5 +1319,6 @@ object DedupOps {
   val all: Seq[Q] =
     Seq(exactDedup, minhashLsh, simhash, ngramJaccard, dupClusters, pagerank, splitLeakage,
       canonicalPick, curationPipeline, triangleCount, incrementalDedup, lshVerify,
-      spanDedup, simhashBands, fuzzyPrefixJoin, prefixAllpairs, sortedNeighborhood)
+      spanDedup, simhashBands, fuzzyPrefixJoin, prefixAllpairs, sortedNeighborhood,
+      labelProp)
 }

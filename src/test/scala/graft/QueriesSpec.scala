@@ -977,6 +977,22 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(selTok + ordered(selected.length)._2 > budget)
   }
 
+  test("x112 label propagation refines the connected components") {
+    // LP can SPLIT a component (bridge edges lose the plurality vote) but
+    // can never merge nodes across components — labels only travel edges
+    val cc = SparkEntry.queries("x31_dup_clusters")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap // doc -> component
+    val lp = SparkEntry.queries("x112_label_prop")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(lp.nonEmpty)
+    assert(lp.map(_._1).toSet == cc.keySet, "LP must label exactly the candidate-graph nodes")
+    lp.groupBy(_._2).values.foreach { members =>
+      val comps = members.map(m => cc(m._1)).toSet
+      assert(comps.size == 1,
+        s"LP community ${members.head._2} spans components $comps")
+    }
+  }
+
   test("f16 count-min estimates dominate true counts within the sketch bound") {
     val rows = SparkEntry.queries("f16_countmin")(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
