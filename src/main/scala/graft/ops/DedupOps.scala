@@ -584,6 +584,88 @@ object DedupOps {
     }
   }
 
+  /** MINHASH ESTIMATOR-ERROR audit — the dedup-index analog of x93/x110's
+    * ANN monitoring: for every LSH candidate pair, the Jaccard ESTIMATE
+    * the 12-minimum signature implies (matching minima / 12, Broder'97:
+    * P[min_h(A) = min_h(B)] = J(A,B)) side by side with the EXACT Jaccard
+    * from the shingle sets, and the absolute error. This is the query that
+    * answers "are 12 hashes enough for this corpus?" — expected error is
+    * √(J(1−J)/k), so persistent outliers mean the signature width, not
+    * the data, is the problem. One bias is structural and the audit makes
+    * it visible: conditioning on candidacy FLOORS every estimate at 3/12
+    * (a banded pair matched one full band by definition), so low-J pairs
+    * read high — the spec pins the floor and checks the unbiased bound
+    * only where candidacy is near-certain (J ≥ 0.5).
+    *
+    * Scale shape: signatures recompute over CANDIDATE docs only (the
+    * memoized x86 slice — never the corpus-wide signature set the banding
+    * already consumed); the estimate is a column-wise row-local compare
+    * after two id-joins; exact Jaccard rides the same candidate shingle
+    * memo. Everything is candidate-scale; integers end to end.
+    */
+  val minhashError: Q = Q(
+    "x113_minhash_error",
+    s"""WITH pairs AS ($lshPairsSql),
+       |sh0 AS ($shingleSql),
+       |cd AS (SELECT doc_a AS doc_id FROM pairs UNION SELECT doc_b FROM pairs),
+       |shc AS (SELECT s.* FROM sh0 s JOIN cd ON s.doc_id = cd.doc_id),
+       |hv AS (SELECT doc_id, CAST(concat('0x', substr(sh, 1, 15)) AS BIGINT) % $MinhashP AS h FROM shc),
+       |mh AS (SELECT doc_id, seed,
+       |              min((CASE ${(0 to 11).map(j => s"WHEN seed = $j THEN ${minhashA(j)} * h + ${minhashB(j)}").mkString(" ")} END) % $MinhashP) AS mh
+       |       FROM hv CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS seed) seeds
+       |       GROUP BY doc_id, seed),
+       |est AS (SELECT p.doc_a, p.doc_b,
+       |               sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) * 1000000 // 12 AS est_ppm
+       |        FROM pairs p JOIN mh a ON a.doc_id = p.doc_a
+       |                     JOIN mh b ON b.doc_id = p.doc_b AND b.seed = a.seed
+       |        GROUP BY p.doc_a, p.doc_b),
+       |sz AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+       |inter AS (SELECT p.doc_a, p.doc_b, count(*) AS i
+       |          FROM pairs p JOIN shc a ON a.doc_id = p.doc_a
+       |                       JOIN shc b ON b.doc_id = p.doc_b AND b.sh = a.sh
+       |          GROUP BY 1, 2),
+       |ex AS (SELECT i.doc_a, i.doc_b,
+       |              i.i * 1000000 // (sa.n + sb.n - i.i) AS exact_ppm
+       |       FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a
+       |                    JOIN sz sb ON sb.doc_id = i.doc_b)
+       |SELECT e.doc_a AS doc_a, e.doc_b AS doc_b,
+       |       CAST(e.est_ppm AS BIGINT) AS est_ppm,
+       |       CAST(coalesce(x.exact_ppm, 0) AS BIGINT) AS exact_ppm,
+       |       CAST(abs(e.est_ppm - coalesce(x.exact_ppm, 0)) AS BIGINT) AS err_ppm
+       |FROM est e LEFT JOIN ex x ON e.doc_a = x.doc_a AND e.doc_b = x.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+  ) { (s, dir) =>
+    val pairs = lshCandidatePairs(s, dir)
+    val shc = candidateShingles(s, dir)
+    val h = expr(s"cast(conv(substring(sh, 1, 15), 16, 10) as bigint) % $MinhashP")
+    val minCols = (0 to 11).map(j =>
+      min((lit(minhashA(j)) * col("h") + lit(minhashB(j))) % MinhashP).as(s"mh$j"))
+    val sig = shc.withColumn("h", h).groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    val matches = (0 to 11).map(j =>
+      when(col(s"a.mh$j") === col(s"b.mh$j"), 1L).otherwise(0L)).reduce(_ + _)
+    val est = pairs
+      .join(sig.as("a"), col("a.doc_id") === col("doc_a"))
+      .join(sig.as("b"), col("b.doc_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), (matches * 1000000L).as("m"))
+      .withColumn("est_ppm", expr("m div 12")).drop("m")
+    val sz = shc.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(shc.as("fa"), col("fa.doc_id") === col("doc_a"))
+      .join(shc.as("fb"), col("fb.doc_id") === col("doc_b") && col("fb.sh") === col("fa.sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    val exact = inter
+      .join(sz.as("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(sz.as("sb"), col("sb.doc_id") === col("doc_b"))
+      .select(col("doc_a").as("xa"), col("doc_b").as("xb"),
+        expr("i * 1000000 div (sa.n + sb.n - i)").as("exact_ppm"))
+    est
+      .join(exact, col("doc_a") === col("xa") && col("doc_b") === col("xb"), "left")
+      .select(col("doc_a"), col("doc_b"), col("est_ppm"),
+        coalesce(col("exact_ppm"), lit(0L)).as("exact_ppm"),
+        abs(col("est_ppm") - coalesce(col("exact_ppm"), lit(0L))).as("err_ppm"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Dedup-aware train/test split audit: documents are split 75/25 by the
     * x28 content-hash coin (deterministic, shuffle-free), then the LSH
     * candidate pairs are bucketed by which sides of the split they land on
@@ -1320,5 +1402,5 @@ object DedupOps {
     Seq(exactDedup, minhashLsh, simhash, ngramJaccard, dupClusters, pagerank, splitLeakage,
       canonicalPick, curationPipeline, triangleCount, incrementalDedup, lshVerify,
       spanDedup, simhashBands, fuzzyPrefixJoin, prefixAllpairs, sortedNeighborhood,
-      labelProp)
+      labelProp, minhashError)
 }

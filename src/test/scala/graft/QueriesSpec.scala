@@ -993,6 +993,35 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("x113 minhash estimates track exact jaccard within the k=12 error bound") {
+    val rows = SparkEntry.queries("x113_minhash_error")(spark, sfDir).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (est, exact, err) =>
+      // estimates are exact twelfths; error column is |est - exact|
+      assert(est % (1000000L / 12) <= 11, s"est $est not a twelfth")
+      assert(err == math.abs(est - exact))
+      // identical sets force identical minima — J=1 must estimate as 1
+      if (exact == 1000000L) assert(est == 1000000L,
+        s"exact duplicate estimated at $est")
+    }
+    // candidacy bound: every banded pair shares one full 3-seed band, so
+    // its estimate is at least 3/12 — REGARDLESS of true jaccard (this is
+    // the selection bias the audit exists to expose: low-J pairs enter the
+    // candidate set precisely because their minima collided)
+    rows.foreach { case (est, _, _) =>
+      assert(est >= 250000L, s"candidate with estimate $est < 3/12 — banding broken")
+    }
+    // unconditional accuracy holds where candidacy is near-certain: for
+    // true near-dups (J ≥ 0.5) the estimate error obeys the k=12 binomial
+    // bound (σ = √(J(1−J)/12) ≤ 144k ppm; allow ~2σ on the mean)
+    val nearDups = rows.filter(_._2 >= 500000L)
+    if (nearDups.nonEmpty) {
+      val meanErr = nearDups.map(_._3).sum / nearDups.length
+      assert(meanErr <= 290000, s"mean near-dup minhash error $meanErr ppm")
+    }
+  }
+
   test("f16 count-min estimates dominate true counts within the sketch bound") {
     val rows = SparkEntry.queries("f16_countmin")(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
