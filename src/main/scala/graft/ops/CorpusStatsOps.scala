@@ -664,7 +664,54 @@ object CorpusStatsOps {
       .orderBy(col("c").desc, col("term"))
   }
 
+  /** EMPIRICAL-BAYES source quality prior — shrink each source's mean
+    * quality toward the corpus mean by its evidence (the James-Stein /
+    * beta-prior move every per-domain filter needs: a 10-doc domain's
+    * mean is noise, a 100k-doc domain's mean is signal; weighting both
+    * equally mis-ranks domains). prior = (Σq_s + k·ḡ) / (n_s + k) with
+    * pseudo-count k = 20 — algebraically the posterior mean under a prior
+    * worth k observations at the global mean.
+    *
+    * Integer-pure: per-doc quality is x111's lexical-diversity ppm; sums
+    * are exact int64; the global mean integerizes ONCE (ḡ = Σ div N,
+    * both engines) and every division is positive. The shift column is
+    * plain subtraction, so small sources visibly pull toward ḡ.
+    *
+    * Scale shape: one per-doc projection, one per-source aggregate, one
+    * 1-row global aggregate broadcast back — no join on any per-doc key.
+    */
+  val sourcePrior: Q = Q(
+    "x115_source_prior",
+    """WITH d AS (
+      |  SELECT source, len(string_split(text, ' ')) AS tok,
+      |         len(list_distinct(string_split(text, ' '))) AS dw
+      |  FROM documents WHERE text IS NOT NULL),
+      |q AS (SELECT source, dw * 1000000 // tok AS dens FROM d WHERE tok >= 1),
+      |g AS (SELECT sum(dens) // count(*) AS gmean FROM q),
+      |s AS (SELECT source, count(*) AS n_docs, sum(dens) AS sq FROM q GROUP BY source)
+      |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+      |       CAST(sq // n_docs AS BIGINT) AS raw_ppm,
+      |       CAST((sq + 20 * gmean) // (n_docs + 20) AS BIGINT) AS prior_ppm,
+      |       CAST((sq + 20 * gmean) // (n_docs + 20) - sq // n_docs AS BIGINT) AS shift_ppm
+      |FROM s CROSS JOIN g ORDER BY source""".stripMargin
+  ) { (s, dir) =>
+    val w = split(col("text"), " ")
+    val q = Tables(s, dir, "documents").where(col("text").isNotNull)
+      .select(col("source"),
+        size(w).cast("long").as("tok"), size(array_distinct(w)).cast("long").as("dw"))
+      .where(col("tok") >= 1)
+      .withColumn("dens", expr("dw * 1000000 div tok"))
+    val g = q.agg(expr("sum(dens) div count(*)").as("gmean"))
+    q.groupBy("source").agg(count(lit(1)).as("n_docs"), sum(col("dens")).as("sq"))
+      .crossJoin(broadcast(g))
+      .select(col("source"), col("n_docs"),
+        expr("sq div n_docs").as("raw_ppm"),
+        expr("(sq + 20 * gmean) div (n_docs + 20)").as("prior_ppm"),
+        expr("(sq + 20 * gmean) div (n_docs + 20) - sq div n_docs").as("shift_ppm"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(tfidfTopTerms, bigramLift, sourceOverlap, mixtureSample,
     typeToken, lenQuartiles, invertedIndex, madOutliers, stopwordIndex, lenDeciles,
-    oovRate, langGini, skipgramCooc, vocabGrowth, bm25Rank, heavyHitters)
+    oovRate, langGini, skipgramCooc, vocabGrowth, bm25Rank, heavyHitters, sourcePrior)
 }

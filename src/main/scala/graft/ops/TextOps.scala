@@ -664,7 +664,65 @@ object TextOps {
     }
   }
 
+  /** CALIBRATION AUDIT of the x105 quality classifier — the reliability
+    * diagram: bucket documents by their per-token milli-lift and report
+    * the ACTUAL reference-domain rate per bucket. A filter threshold is
+    * only as good as this curve (a score that separates on average can
+    * still be useless at the cut point); production quality gates publish
+    * exactly this table before anyone picks a threshold.
+    *
+    * Binning dodges the one cross-engine trap: per-token lift is
+    * sw_milli / n_tokens with NEGATIVE numerators, where Spark `div`
+    * truncates toward zero and DuckDB `//` floors — so bins are defined by
+    * MULTIPLICATION-only edge tests (sw ≥ k·n for k = 5…−5), identical on
+    * both engines and exact. The en-rate division is positive-only.
+    *
+    * Scale shape: rides the x105 scoring pass (broadcast model, row-local
+    * apply), then ONE 12-row aggregate — the audit is free next to the
+    * scoring it audits.
+    */
+  val calibration: Q = {
+    val binSql = (5 to -5 by -1)
+      .map(k => s"WHEN sw_milli >= $k * n_tokens THEN $k").mkString("CASE ", " ", " ELSE -6 END")
+    Q(
+      "x114_calibration",
+      s"""WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+         |b AS (SELECT doc_id, lang,
+         |        CAST('0x' || substr(md5(w), 1, 4) AS INTEGER) % 256 AS b FROM tok),
+         |allc AS (SELECT b, count(*) AS c_all FROM b GROUP BY b),
+         |enc AS (SELECT b, count(*) AS c_en FROM b WHERE lang = 'en' GROUP BY b),
+         |tot AS (SELECT count(*) AS t_all,
+         |               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_en FROM b),
+         |model AS (SELECT allc.b,
+         |            CAST(floor(CAST(coalesce(c_en, 0) AS DOUBLE) * t_all * 1000
+         |                       / (CAST(c_all AS DOUBLE) * t_en) + 0.5) - 1000 AS BIGINT) AS w
+         |          FROM allc LEFT JOIN enc ON allc.b = enc.b CROSS JOIN tot),
+         |scored AS (SELECT doc_id, any_value(lang) AS lang,
+         |                  CAST(count(*) AS BIGINT) AS n_tokens,
+         |                  CAST(sum(w) AS BIGINT) AS sw_milli
+         |           FROM b JOIN model USING (b) GROUP BY doc_id)
+         |SELECT $binSql AS bin, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+         |       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS en_rate_ppm
+         |FROM scored GROUP BY bin ORDER BY bin""".stripMargin
+    ) { (s, dir) =>
+      val scored = hashClassifier.run(s, dir)
+      // descending-priority WHEN chain, same k = 5…−5 order as the SQL
+      val binDesc = (5 to -5 by -1).map(k =>
+        (k, col("sw_milli") >= lit(k.toLong) * col("n_tokens")))
+        .foldLeft(Option.empty[Column]) {
+          case (None, (k, c))      => Some(when(c, lit(k)))
+          case (Some(acc), (k, c)) => Some(acc.when(c, lit(k)))
+        }.get.otherwise(lit(-6))
+      scored.groupBy(binDesc.as("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+        .withColumn("en_rate_ppm", expr("n_en * 1000000 div n_docs"))
+        .orderBy("bin")
+    }
+  }
+
   val all: Seq[Q] = Seq(langId, qualityScore, tokenCount, fingerprint, corpusClean,
     positionalIndex, trigramLm, nfcClean, piiRedact, bpePairs, bpeMerge, hashClassifier,
-    bpeEncode)
+    bpeEncode, calibration)
 }

@@ -1022,6 +1022,52 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("x114 reliability diagram matches a driver-side rebinning of x105 scores") {
+    val scored = SparkEntry.queries("x105_hash_classifier")(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3))) // lang, n_tokens, sw
+    def binOf(n: Long, sw: Long): Int =
+      (5 to -5 by -1).find(k => sw >= k * n).getOrElse(-6)
+    val expect = scored.groupBy { case (_, n, sw) => binOf(n, sw) }
+      .map { case (bin, g) =>
+        val nEn = g.count(_._1 == "en").toLong
+        (bin, g.length.toLong, nEn, nEn * 1000000L / g.length)
+      }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("x114_calibration")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect)
+    // the curve must actually rise: en-rate above the zero cut beats below
+    val above = got.filter(_._1 >= 0); val below = got.filter(_._1 < 0)
+    def rate(g: Seq[(Int, Long, Long, Long)]) =
+      if (g.map(_._2).sum == 0) 0.0 else g.map(_._3).sum.toDouble / g.map(_._2).sum
+    assert(rate(above) > rate(below),
+      s"calibration curve flat: above=${rate(above)} below=${rate(below)}")
+  }
+
+  test("x115 shrinkage prior sits between raw mean and global mean") {
+    val rows = SparkEntry.queries("x115_source_prior")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val gmean = {
+      // recompute the integerized global mean exactly as the query does
+      import org.apache.spark.sql.functions.{col, split, size, expr, array_distinct}
+      val w = split(col("text"), " ")
+      graft.ops.Tables(spark, sfDir, "documents").where(col("text").isNotNull)
+        .select(size(w).cast("long").as("tok"), size(array_distinct(w)).cast("long").as("dw"))
+        .where(col("tok") >= 1)
+        .select(expr("dw * 1000000 div tok").as("dens"))
+        .agg(expr("sum(dens) div count(*)")).collect()(0).getLong(0)
+    }
+    rows.foreach { case (src, n, raw, prior, shift) =>
+      assert(shift == prior - raw, s"$src shift mismatch")
+      // posterior mean is a convex combination: strictly between raw and
+      // global (or equal when they coincide), and the pull shrinks as n grows
+      assert((prior >= raw.min(gmean) - 1) && (prior <= raw.max(gmean) + 1),
+        s"$src prior $prior outside [$raw, $gmean]")
+      val maxPull = (20L * math.abs(gmean - raw)) / (n + 20) + 1
+      assert(math.abs(shift) <= maxPull, s"$src pulled $shift > bound $maxPull")
+    }
+  }
+
   test("f16 count-min estimates dominate true counts within the sketch bound") {
     val rows = SparkEntry.queries("f16_countmin")(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
