@@ -344,4 +344,48 @@ class PropertySpec extends AnyFunSuite {
         "offset: 5", "beginning", ""))
       assertThrows[IllegalArgumentException](BeamSource.parseStartingPosition(bad))
   }
+
+  test("staged global replace equals priority-queue BPE on random merge tables") {
+    // the x106 equivalence theorem, fuzzed: for ANY rank-ordered merge
+    // table whose patterns reference only symbols that already exist
+    // (letters or earlier sentinels — the shape every learned merges.txt
+    // has), applying each merge exhaustively in rank order equals the
+    // classic lowest-rank-first single-merge loop
+    val sentinels = "12345"
+    val tableGen: Gen[Seq[(Char, Char)]] = for {
+      k <- Gen.chooseNum(1, 5)
+      pairs <- Gen.sequence[Seq[(Char, Char)], (Char, Char)]((0 until k).map { i =>
+        val syms = "abcdef" + sentinels.take(i) // letters + earlier sentinels
+        for {
+          l <- Gen.oneOf(syms.toSeq)
+          r <- Gen.oneOf(syms.toSeq)
+        } yield (l, r)
+      })
+    } yield pairs
+    val wordGen = Gen.listOf(Gen.oneOf("abcdef".toSeq)).map(_.mkString).suchThat(_.length <= 14)
+    def staged(w: String, merges: Seq[(Char, Char)]): String =
+      merges.zipWithIndex.foldLeft(w) { case (acc, ((l, r), i)) =>
+        acc.replace(s"$l$r", sentinels(i).toString) // literal, global, L→R
+      }
+    def priority(w: String, merges: Seq[(Char, Char)]): String = {
+      var syms = w.toVector
+      var go = true
+      while (go) {
+        val hit = merges.zipWithIndex.iterator.flatMap { case ((l, r), k) =>
+          syms.indices.dropRight(1).find(i => syms(i) == l && syms(i + 1) == r)
+            .map(i => (k, i))
+        }.toSeq.sortBy(_._1).headOption
+        hit match {
+          case Some((k, i)) => syms = (syms.take(i) :+ sentinels(k)) ++ syms.drop(i + 2)
+          case None         => go = false
+        }
+      }
+      syms.mkString
+    }
+    val caseGen = for { t <- tableGen; w <- wordGen } yield (t, w)
+    samples(caseGen, 500).foreach { case (t, w) =>
+      assert(staged(w, t) == priority(w, t),
+        s"divergence for word '$w' under table $t")
+    }
+  }
 }
