@@ -511,6 +511,41 @@ object FuncOps {
     * (bounded) query keys. Sketches from corpus shards merge by cell-wise
     * ADD — the partial-aggregate path IS that merge.
     */
+  /** CM bucket for (row r, token w): md5 of the salted token, 16 bits,
+    * mod 512 — shared by the batch sketch (f16) and the streaming sketch
+    * (x116) so the two builds are the same hash family by construction.
+    */
+  private[graft] def cmBucket(r: org.apache.spark.sql.Column, w: org.apache.spark.sql.Column) =
+    (conv(substring(md5(concat(r.cast("string"), lit(":"), w)), 1, 4), 16, 10)
+      .cast("long") % 512).cast("int")
+
+  /** Token stream → (r, b, c) counter cells, the map-side-combined sketch
+    * build — works identically on a batch frame and a streaming frame
+    * (streaming: complete-mode state IS the cell-wise shard merge).
+    */
+  private[graft] def cmCells(tw: DataFrame): DataFrame =
+    tw.select(col("w"), explode(expr("sequence(0, 3)")).as("r"))
+      .groupBy(col("r"), cmBucket(col("r"), col("w")).as("b"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Estimates for the top-20 true heavy tokens against a counter matrix —
+    * the f16 output contract, parameterized by where the cells came from.
+    */
+  private[graft] def cmEstimates(s: SparkSession, dir: String, cells: DataFrame): DataFrame = {
+    val tw = Tables(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) >= 1)
+    val truth = tw.groupBy("w").agg(count(lit(1)).as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("w")).limit(20)
+    truth
+      .select(col("w"), col("true_cnt"), explode(expr("sequence(0, 3)")).as("qr"))
+      .withColumn("qb", cmBucket(col("qr"), col("w")))
+      .join(broadcast(cells), col("qr") === col("r") && col("qb") === col("b"))
+      .groupBy("w", "true_cnt").agg(min(col("c")).as("cm_est"))
+      .select("w", "true_cnt", "cm_est")
+      .orderBy(col("true_cnt").desc, col("w"))
+  }
+
   val countMin: Q = Q(
     "f16_countmin",
     """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
@@ -534,22 +569,7 @@ object FuncOps {
     val tw = Tables(s, dir, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
       .where(length(col("w")) >= 1)
-    def bucket(r: org.apache.spark.sql.Column, w: org.apache.spark.sql.Column) =
-      (conv(substring(md5(concat(r.cast("string"), lit(":"), w)), 1, 4), 16, 10)
-        .cast("long") % 512).cast("int")
-    val cells = tw
-      .select(col("w"), explode(expr("sequence(0, 3)")).as("r"))
-      .groupBy(col("r"), bucket(col("r"), col("w")).as("b"))
-      .agg(count(lit(1)).as("c"))
-    val truth = tw.groupBy("w").agg(count(lit(1)).as("true_cnt"))
-      .orderBy(col("true_cnt").desc, col("w")).limit(20)
-    truth
-      .select(col("w"), col("true_cnt"), explode(expr("sequence(0, 3)")).as("qr"))
-      .withColumn("qb", bucket(col("qr"), col("w")))
-      .join(broadcast(cells), col("qr") === col("r") && col("qb") === col("b"))
-      .groupBy("w", "true_cnt").agg(min(col("c")).as("cm_est"))
-      .select("w", "true_cnt", "cm_est")
-      .orderBy(col("true_cnt").desc, col("w"))
+    cmEstimates(s, dir, cmCells(tw))
   }
 
   val all: Seq[Q] =

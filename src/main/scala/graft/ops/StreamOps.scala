@@ -493,9 +493,33 @@ object StreamOps {
     }
   }
 
+  /** STREAMING COUNT-MIN — the f16 sketch maintained incrementally over a
+    * micro-batch document stream: the cell build is the SAME shared
+    * `cmCells` aggregate, run in complete mode, so streaming state does
+    * the sketch's defining merge (cell-wise add of per-batch partials)
+    * and the final matrix equals the batch build bit-for-bit — the oracle
+    * IS f16's. This is the shape a 100 TB ingest pipeline runs: the
+    * sketch absorbs each arriving shard as a micro-batch, the state is
+    * 2048 cells regardless of history length, and any checkpoint is a
+    * complete, queryable frequency summary. Estimates are computed
+    * batch-side against the final matrix (monitoring reads the state, it
+    * doesn't stream).
+    */
+  val streamCountmin: Q = Q(
+    "x116_stream_countmin",
+    graft.ops.FuncOps.countMin.oracle.get
+  ) { (s, dir) =>
+    val cells = runStream(s, dir, "x116_sink", "complete", table = "documents") { d =>
+      FuncOps.cmCells(
+        d.select(explode(split(col("text"), " ")).as("w"))
+          .where(length(col("w")) >= 1))
+    }
+    FuncOps.cmEstimates(s, dir, cells)
+  }
+
   val all: Seq[Q] = Seq(
     tumbling, sliding, session, streamTumbling, streamDedup,
     streamWatermark, streamStaticJoin, streamClean, streamFunnel,
     streamStreamJoin, streamSession, streamStreamLeftOuter,
-    streamDedupWatermark, streamTws)
+    streamDedupWatermark, streamTws, streamCountmin)
 }

@@ -1068,6 +1068,35 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("x116 streaming sketch equals the batch sketch across a forced 3-batch replay") {
+    import org.apache.spark.sql.functions.{col, explode, split, length}
+    import org.apache.spark.sql.streaming.Trigger
+    // stage the corpus as 3 files so maxFilesPerTrigger=1 forces 3 real
+    // micro-batches — the state must do the cell-wise sketch merge
+    val staged = java.nio.file.Files.createTempDirectory("x116-multi").toString
+    val docs = graft.ops.Tables(spark, sfDir, "documents")
+    docs.repartition(3).write.mode("overwrite").parquet(staged)
+    val schema = spark.read.parquet(staged).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = graft.ops.FuncOps.cmCells(
+        stream.select(explode(split(col("text"), " ")).as("w"))
+          .where(length(col("w")) >= 1))
+      .writeStream.format("memory").queryName("x116_spec_sink").outputMode("complete")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("x116-ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.length >= 3, s"expected ≥3 micro-batches, got ${q.recentProgress.length}")
+    val streamed = spark.table("x116_spec_sink").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    val batch = graft.ops.FuncOps.cmCells(
+        docs.select(explode(split(col("text"), " ")).as("w"))
+          .where(length(col("w")) >= 1)).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    assert(streamed == batch, "streaming sketch state diverged from the batch build")
+  }
+
   test("f16 count-min estimates dominate true counts within the sketch bound") {
     val rows = SparkEntry.queries("f16_countmin")(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
