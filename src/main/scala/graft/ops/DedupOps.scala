@@ -716,6 +716,127 @@ object DedupOps {
       .orderBy("cluster")
   }
 
+  /** TOMBSTONE PROPAGATION through the dedup index — the deletion
+    *(takedown/GDPR) pass a standing corpus index must survive: given a
+    * tombstone set (here the doc_id % 37 coin as the stand-in for a
+    * deletion manifest), report every near-dup cluster the deletions
+    * touch, and RE-ELECT its canonical from the SURVIVORS under x64's
+    * rule (longest doc, id tiebreak; −1 when the whole cluster died).
+    * Without this pass a curated corpus silently keeps serving a deleted
+    * canonical — or drops a cluster that still has live members.
+    *
+    * Scale shape: rides the memoized cluster labels (x31/x64/x65's shared
+    * propagation — NOT recomputed); the election is two windows over the
+    * cluster key and the tombstone flag is a row-local coin (a real
+    * manifest would broadcast-semi-join). Affected-cluster output is
+    * deletion-bounded, not corpus-bounded.
+    */
+  val tombstonePropagate: Q = Q(
+    "x117_tombstone_propagate",
+    s"""WITH RECURSIVE pairs AS ($lshPairsSql),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS node FROM edges),
+       |reach(node, lbl) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT e.b AS node, r.lbl FROM reach r JOIN edges e ON e.a = r.node),
+       |labels AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node),
+       |m AS (SELECT l.lbl AS cluster, d.doc_id, d.n_chars,
+       |             (d.doc_id % 37 = 0) AS tomb
+       |      FROM labels l JOIN documents d ON l.node = d.doc_id),
+       |agg AS (SELECT cluster, count(*) AS n_members,
+       |               sum(CASE WHEN tomb THEN 1 ELSE 0 END) AS n_tomb
+       |        FROM m GROUP BY cluster),
+       |oldc AS (SELECT cluster, doc_id AS old_canonical FROM (
+       |  SELECT cluster, doc_id,
+       |         row_number() OVER (PARTITION BY cluster ORDER BY n_chars DESC, doc_id) AS rk
+       |  FROM m) WHERE rk = 1),
+       |newc AS (SELECT cluster, doc_id AS new_canonical FROM (
+       |  SELECT cluster, doc_id,
+       |         row_number() OVER (PARTITION BY cluster ORDER BY n_chars DESC, doc_id) AS rk
+       |  FROM m WHERE NOT tomb) WHERE rk = 1)
+       |SELECT CAST(a.cluster AS BIGINT) AS cluster,
+       |       CAST(a.n_members AS BIGINT) AS n_members,
+       |       CAST(a.n_tomb AS BIGINT) AS n_tomb,
+       |       CAST(o.old_canonical AS BIGINT) AS old_canonical,
+       |       CAST(coalesce(n.new_canonical, -1) AS BIGINT) AS new_canonical
+       |FROM agg a JOIN oldc o ON o.cluster = a.cluster
+       |           LEFT JOIN newc n ON n.cluster = a.cluster
+       |WHERE a.n_tomb >= 1 ORDER BY cluster""".stripMargin
+  ) { (s, dir) =>
+    val m = clusterLabels(s, dir)
+      .join(docs(s, dir).select(col("doc_id"), col("n_chars")), col("node") === col("doc_id"))
+      .select(col("lbl").as("cluster"), col("doc_id"), col("n_chars"),
+        (col("doc_id") % 37 === 0).as("tomb"))
+    val w = Window.partitionBy("cluster").orderBy(col("n_chars").desc, col("doc_id"))
+    val agg = m.groupBy("cluster").agg(
+      count(lit(1)).as("n_members"),
+      sum(when(col("tomb"), 1L).otherwise(0L)).as("n_tomb"))
+    val oldc = m.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+      .select(col("cluster").as("oc"), col("doc_id").as("old_canonical"))
+    val newc = m.where(!col("tomb")).withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("cluster").as("nc"), col("doc_id").as("new_canonical"))
+    agg.join(oldc, col("cluster") === col("oc"))
+      .join(newc, col("cluster") === col("nc"), "left")
+      .where(col("n_tomb") >= 1)
+      .select(col("cluster").cast("long").as("cluster"), col("n_members"), col("n_tomb"),
+        col("old_canonical").cast("long").as("old_canonical"),
+        coalesce(col("new_canonical"), lit(-1L)).cast("long").as("new_canonical"))
+      .orderBy("cluster")
+  }
+
+  /** NEAR-DUP DECONTAMINATION — the fuzzy complement to x27: exact n-gram
+    * contamination checks (x27, the GPT-3 appendix method) miss
+    * PARAPHRASED benchmark leakage, so the production pass also probes the
+    * near-dup index: benchmark docs (the doc_id % 97 slice standing in for
+    * an eval suite) that share a VERIFIED LSH near-dup (J ≥ 0.5) with a
+    * non-benchmark corpus doc are contaminated at the near-dup level.
+    * Reports each contaminated benchmark doc with its hit count and worst
+    * Jaccard — the removal manifest for the corpus side.
+    *
+    * Scale shape: entirely candidate-scale — rides x86's verified pair
+    * set (memoized lineage: banding proposed, exact shingle join
+    * disposed), so the decontamination pass costs one filter + one
+    * aggregate over pairs. The benchmark side never needs to be tiny
+    * (unlike x27's broadcast gram set): banding treats both sides
+    * symmetrically.
+    */
+  val nearDupContamination: Q = Q(
+    "x118_neardup_contamination",
+    s"""WITH sh AS ($shingleSql),
+       |pairs AS ($lshPairsSql),
+       |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS i
+       |          FROM pairs p JOIN sh a ON a.doc_id = p.doc_a
+       |                       JOIN sh b ON b.doc_id = p.doc_b AND b.sh = a.sh
+       |          GROUP BY 1, 2),
+       |v AS (SELECT p.doc_a, p.doc_b,
+       |             CAST(coalesce(i.i, 0) * 1000000 // (sa.n + sb.n - coalesce(i.i, 0)) AS BIGINT) AS jaccard_ppm,
+       |             (coalesce(i.i, 0) * 2 >= sa.n + sb.n - coalesce(i.i, 0)) AS verified
+       |      FROM pairs p
+       |      JOIN sz sa ON sa.doc_id = p.doc_a
+       |      JOIN sz sb ON sb.doc_id = p.doc_b
+       |      LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b),
+       |x AS (SELECT CASE WHEN doc_a % 7 = 0 THEN doc_a ELSE doc_b END AS bench_doc,
+       |             jaccard_ppm
+       |      FROM v WHERE ((doc_a % 7 = 0) <> (doc_b % 7 = 0)) AND verified)
+       |SELECT CAST(bench_doc AS BIGINT) AS bench_doc,
+       |       CAST(count(*) AS BIGINT) AS n_near_dups,
+       |       CAST(max(jaccard_ppm) AS BIGINT) AS max_jaccard_ppm
+       |FROM x GROUP BY bench_doc ORDER BY bench_doc""".stripMargin
+  ) { (s, dir) =>
+    val v = lshVerify.run(s, dir)
+    v.where((col("doc_a") % 7 === 0) =!= (col("doc_b") % 7 === 0) && col("verified"))
+      .select(
+        when(col("doc_a") % 7 === 0, col("doc_a")).otherwise(col("doc_b")).as("bench_doc"),
+        col("jaccard_ppm"))
+      .groupBy("bench_doc")
+      .agg(count(lit(1)).as("n_near_dups"), max(col("jaccard_ppm")).as("max_jaccard_ppm"))
+      .orderBy("bench_doc")
+  }
+
   val splitLeakage: Q = Q(
     "x55_split_leakage",
     s"""WITH pairs AS ($lshPairsSql),
@@ -1402,5 +1523,5 @@ object DedupOps {
     Seq(exactDedup, minhashLsh, simhash, ngramJaccard, dupClusters, pagerank, splitLeakage,
       canonicalPick, curationPipeline, triangleCount, incrementalDedup, lshVerify,
       spanDedup, simhashBands, fuzzyPrefixJoin, prefixAllpairs, sortedNeighborhood,
-      labelProp, minhashError)
+      labelProp, minhashError, tombstonePropagate, nearDupContamination)
 }

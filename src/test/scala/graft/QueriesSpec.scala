@@ -1097,6 +1097,35 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch, "streaming sketch state diverged from the batch build")
   }
 
+  test("x117 re-elects canonicals only from survivors") {
+    val rows = SparkEntry.queries("x117_tombstone_propagate")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (cluster, nMembers, nTomb, oldC, newC) =>
+      assert(nTomb >= 1 && nTomb <= nMembers)
+      // the new canonical is never a deleted doc; −1 exactly when the
+      // whole cluster died
+      if (nTomb == nMembers) assert(newC == -1L, s"cluster $cluster: all dead but kept $newC")
+      else assert(newC != -1L && newC % 37 != 0, s"cluster $cluster elected tombstoned $newC")
+      // if the old canonical survives, the election must keep it
+      if (oldC % 37 != 0) assert(newC == oldC,
+        s"cluster $cluster replaced surviving canonical $oldC with $newC")
+    }
+  }
+
+  test("x118 near-dup contamination agrees with a driver-side filter of x86") {
+    val v = SparkEntry.queries("x86_lsh_verify")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getBoolean(5)))
+    val expect = v.filter { case (a, b, _, ok) => ok && ((a % 7 == 0) != (b % 7 == 0)) }
+      .map { case (a, b, j, _) => (if (a % 7 == 0) a else b, j) }
+      .groupBy(_._1)
+      .map { case (d, g) => (d, g.length.toLong, g.map(_._2).max) }
+      .toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("x118_neardup_contamination")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect)
+  }
+
   test("f16 count-min estimates dominate true counts within the sketch bound") {
     val rows = SparkEntry.queries("f16_countmin")(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
