@@ -722,7 +722,66 @@ object TextOps {
     }
   }
 
+  /** QUALITY-GATE ATTRIBUTION — the observability report behind every
+    * filter stack: per gate, how many docs FAIL it, and how many fail
+    * ONLY it (the marginal count — exactly the docs that one gate alone
+    * costs the corpus; relaxing the gate with the biggest fail-only count
+    * buys back the most data). A funnel (x23) hides this: a doc dropped
+    * at stage 2 never reaches stage 3's counter, so funnel counts
+    * conflate rule order with rule cost. Gates here are the standard
+    * cheap heuristics (min length, type-token repetition floor, mean
+    * word-length gibberish ceiling, has-a-stopword), all integer tests.
+    *
+    * Scale shape: ONE row-local projection computes all four booleans,
+    * one aggregate sums them — gate count is the only fan-out (a literal
+    * 4-element explode of the flag struct), so the report costs a single
+    * corpus pass regardless of how many gates ship.
+    */
+  val gateAttribution: Q = {
+    val stopAll = stopwords.values.flatten.toSeq.distinct.sorted
+    val stopSet = stopAll.map(w => s"'$w'").mkString(", ")
+    Q(
+      "x119_gate_attribution",
+      s"""WITH f AS (
+         |  SELECT
+         |    len(string_split(text, ' ')) >= 5 AS g1,
+         |    len(list_distinct(string_split(text, ' '))) * 10 >= len(string_split(text, ' ')) * 3 AS g2,
+         |    length(replace(text, ' ', '')) <= 12 * len(string_split(text, ' ')) AS g3,
+         |    len(list_filter(string_split(text, ' '), w -> w IN ($stopSet))) >= 1 AS g4
+         |  FROM documents WHERE text IS NOT NULL),
+         |g AS (SELECT gate, fail,
+         |             (CASE gate WHEN 1 THEN g2 AND g3 AND g4 WHEN 2 THEN g1 AND g3 AND g4
+         |                        WHEN 3 THEN g1 AND g2 AND g4 ELSE g1 AND g2 AND g3 END)
+         |               AND fail AS fail_only
+         |      FROM f, LATERAL (VALUES (1, NOT g1), (2, NOT g2), (3, NOT g3), (4, NOT g4))
+         |                AS v(gate, fail))
+         |SELECT gate, CAST(sum(CASE WHEN fail THEN 1 ELSE 0 END) AS BIGINT) AS n_fail,
+         |       CAST(sum(CASE WHEN fail_only THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_only
+         |FROM g GROUP BY gate ORDER BY gate""".stripMargin
+    ) { (s, dir) =>
+      val wsp = split(col("text"), " ")
+      val f = docs(s, dir).where(col("text").isNotNull).select(
+        (size(wsp) >= 5).as("g1"),
+        (size(array_distinct(wsp)) * 10 >= size(wsp) * 3).as("g2"),
+        (length(regexp_replace(col("text"), " ", "")) <= lit(12) * size(wsp)).as("g3"),
+        (size(filter(wsp, w => w.isInCollection(stopAll))) >= 1).as("g4"))
+      val others = Map(
+        1 -> (col("g2") && col("g3") && col("g4")),
+        2 -> (col("g1") && col("g3") && col("g4")),
+        3 -> (col("g1") && col("g2") && col("g4")),
+        4 -> (col("g1") && col("g2") && col("g3")))
+      val fails = Map(1 -> !col("g1"), 2 -> !col("g2"), 3 -> !col("g3"), 4 -> !col("g4"))
+      f.select(explode(array((1 to 4).map(k =>
+          struct(lit(k).as("gate"), fails(k).as("fail"),
+            (others(k) && fails(k)).as("fail_only"))): _*)).as("v"))
+        .groupBy(col("v.gate").as("gate"))
+        .agg(sum(when(col("v.fail"), 1L).otherwise(0L)).as("n_fail"),
+          sum(when(col("v.fail_only"), 1L).otherwise(0L)).as("n_fail_only"))
+        .orderBy("gate")
+    }
+  }
+
   val all: Seq[Q] = Seq(langId, qualityScore, tokenCount, fingerprint, corpusClean,
     positionalIndex, trigramLm, nfcClean, piiRedact, bpePairs, bpeMerge, hashClassifier,
-    bpeEncode, calibration)
+    bpeEncode, calibration, gateAttribution)
 }

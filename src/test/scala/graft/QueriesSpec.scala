@@ -1126,6 +1126,21 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expect)
   }
 
+  test("x119 gate attribution: fail_only bounded by fail, and sums consistent") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("x119_gate_attribution")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3, 4))
+    rows.foreach { case (g, nFail, nOnly) =>
+      assert(nOnly <= nFail, s"gate $g: fail_only $nOnly > fail $nFail")
+    }
+    // Σ fail_only ≤ total docs failing ANY gate (each doc counts in at
+    // most one gate's fail_only, by definition of "only")
+    val n = graft.ops.Tables(spark, sfDir, "documents")
+      .where(col("text").isNotNull).count()
+    assert(rows.map(_._3).sum <= n)
+  }
+
   test("f16 count-min estimates dominate true counts within the sketch bound") {
     val rows = SparkEntry.queries("f16_countmin")(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
