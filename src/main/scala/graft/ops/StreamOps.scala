@@ -97,7 +97,22 @@ object StreamOps {
   private def stagedDir(dir: String, table: String): String =
     staged.getOrElseUpdate((dir, table), {
       val d = Files.createTempDirectory(s"graft-$table-src")
-      Files.copy(java.nio.file.Paths.get(s"$dir/$table.parquet"), d.resolve(s"$table.parquet"))
+      val src = java.nio.file.Paths.get(s"$dir/$table.parquet")
+      // the corpus ships both layouts: a single parquet FILE (the driver's
+      // pyarrow writer) and a part-file DIRECTORY (ScaleData's Spark
+      // writer). Files.copy on a directory copies only the empty dir entry
+      // — the stream then reads ZERO rows without erroring (caught in r6
+      // s4: every sf1 streaming measurement before this fix consumed an
+      // empty stream) — so stage each data file flat into the temp dir.
+      if (Files.isDirectory(src)) {
+        val it = Files.list(src).iterator()
+        while (it.hasNext) {
+          val f = it.next()
+          val name = f.getFileName.toString
+          if (Files.isRegularFile(f) && name.endsWith(".parquet"))
+            Files.copy(f, d.resolve(name))
+        }
+      } else Files.copy(src, d.resolve(s"$table.parquet"))
       d.toString
     })
 
@@ -131,7 +146,17 @@ object StreamOps {
     // post-processing of the sink keeps the session's parallelism.
     val conf  = s.sessionState.conf
     val prev  = conf.numShufflePartitions
-    val bytes = Files.size(java.nio.file.Paths.get(srcDir, s"$table.parquet"))
+    val bytes = {
+      // staged input may be one file or several flat part files (see
+      // stagedDir) — shard sizing wants the total staged volume either way
+      val it = Files.list(java.nio.file.Paths.get(srcDir)).iterator()
+      var total = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (Files.isRegularFile(f)) total += Files.size(f)
+      }
+      total
+    }
     val shards = math.max(1L, math.min(prev.toLong, bytes / conf.filesMaxPartitionBytes + 1)).toInt
     lastStateShards = shards
     s.conf.set("spark.sql.shuffle.partitions", shards)
