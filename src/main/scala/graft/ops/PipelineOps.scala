@@ -598,7 +598,52 @@ object PipelineOps {
       .orderBy("source")
   }
 
+  /** EPOCH/REPEAT PLANNING under a token budget — the data-constrained
+    * regime's allocation table (Muennighoff et al., NeurIPS'23: repeating
+    * data up to ~4 epochs is near-as-good as fresh data, then returns
+    * decay): temperature weights (x76's α=0.5, up-weighting small
+    * domains) split a 2×-corpus token budget into per-source targets;
+    * each source's repeat factor is its target over its actual tokens,
+    * CAPPED at 4 epochs; the allocation column is what the cap leaves —
+    * the table a training run's data loader is configured from.
+    *
+    * Integer discipline: sqrt is IEEE correctly-rounded (both engines
+    * identical), integerized once to milli-units (the x76 path); every
+    * division is positive with floor ≡ trunc. Scale shape: one token
+    * aggregate to a source-count-sized table, then row-local arithmetic
+    * against one broadcast scalar — the planning table costs one pass.
+    */
+  val epochPlan: Q = Q(
+    "x120_epoch_plan",
+    """WITH t AS (
+      |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents WHERE text IS NOT NULL GROUP BY source),
+      |w AS (SELECT source, n_tokens,
+      |             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS w_milli
+      |      FROM t),
+      |g AS (SELECT sum(w_milli) AS sw, 2 * sum(n_tokens) AS budget FROM w)
+      |SELECT source, n_tokens, w_milli,
+      |       CAST(budget * w_milli // sw AS BIGINT) AS target_tokens,
+      |       CAST(least(4000, (budget * w_milli // sw) * 1000 // n_tokens) AS BIGINT) AS epochs_milli,
+      |       CAST(least(4000, (budget * w_milli // sw) * 1000 // n_tokens) * n_tokens // 1000 AS BIGINT) AS alloc_tokens
+      |FROM w CROSS JOIN g ORDER BY source""".stripMargin
+  ) { (s, dir) =>
+    val t = docs(s, dir).where(col("text").isNotNull)
+      .groupBy("source")
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    val w = t.withColumn("w_milli",
+      floor(sqrt(col("n_tokens").cast("double")) * 1000 + 0.5).cast("long"))
+    val g = w.agg(sum(col("w_milli")).as("sw"), (lit(2L) * sum(col("n_tokens"))).as("budget"))
+    w.crossJoin(broadcast(g))
+      .select(col("source"), col("n_tokens"), col("w_milli"),
+        expr("budget * w_milli div sw").as("target_tokens"),
+        expr("least(4000, (budget * w_milli div sw) * 1000 div n_tokens)").as("epochs_milli"),
+        expr("least(4000, (budget * w_milli div sw) * 1000 div n_tokens) * n_tokens div 1000")
+          .as("alloc_tokens"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(chunkDedup, repetitionScore, contamination, hashSample,
     seqPacking, stratifiedTopK, refIntegrity, temperatureMix, ragChunking,
-    driftMonitor, bloomNovelty, quotaSample, budgetSelect)
+    driftMonitor, bloomNovelty, quotaSample, budgetSelect, epochPlan)
 }
