@@ -643,7 +643,87 @@ object PipelineOps {
       .orderBy("source")
   }
 
+  /** DSIR-SHAPED importance resampling (Xie et al., NeurIPS'23 "Data
+    * Selection via Importance Resampling"): reweight the corpus toward a
+    * target domain (the lang='en' slice, as in x105) using HASHED
+    * CHAR-TRIGRAM features — the paper's hashed n-gram likelihood-ratio
+    * estimator, made integer-exact: per 1024-bucket feature, the
+    * milli-lift of target over raw probability (the x105/x34 double-path
+    * integerization), CLAMPED to ±1000 so a document's summed lift is
+    * bounded by ±1000·n and the keep decision needs NO division at all:
+    * keep ⟺ 2·n·coin < 1000·n + Σw (coin = md5(doc_id) mod 1000 — the
+    * deterministic resampling draw), which is exactly keep-probability
+    * (1 + mean_lift/1000)/2 per doc. Output: the per-language composition
+    * of the resampled corpus — the measurable distribution shift toward
+    * the target that is DSIR's whole point.
+    *
+    * Scale shape: two trigram-bucket aggregates to a FIXED 1024-row model
+    * (broadcast), one row-local scoring + coin pass, one language-sized
+    * aggregate — the corpus never shuffles on a text-derived key; trigram
+    * generation is the one-pass codegen `char_ngrams`.
+    */
+  val dsirResample: Q = Q(
+    "x121_dsir_resample",
+    """WITH tri AS (
+      |  SELECT doc_id, lang, substr(text, CAST(i AS INT), 3) AS tri
+      |  FROM documents, unnest(generate_series(1, length(text) - 2)) AS t(i)),
+      |b AS (SELECT doc_id, lang,
+      |             CAST('0x' || substr(md5(tri), 1, 4) AS INTEGER) % 1024 AS b FROM tri),
+      |rawc AS (SELECT b, count(*) AS c_raw FROM b GROUP BY b),
+      |tgtc AS (SELECT b, count(*) AS c_tgt FROM b WHERE lang = 'en' GROUP BY b),
+      |tot AS (SELECT count(*) AS t_raw,
+      |               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_tgt FROM b),
+      |model AS (SELECT rawc.b,
+      |            least(1000, greatest(-1000,
+      |              CAST(floor(CAST(coalesce(c_tgt, 0) AS DOUBLE) * t_raw * 1000
+      |                         / (CAST(c_raw AS DOUBLE) * t_tgt) + 0.5) - 1000 AS BIGINT))) AS w
+      |          FROM rawc LEFT JOIN tgtc ON rawc.b = tgtc.b CROSS JOIN tot),
+      |scored AS (SELECT doc_id, any_value(lang) AS lang,
+      |                  CAST(count(*) AS BIGINT) AS n, CAST(sum(w) AS BIGINT) AS sw
+      |           FROM b JOIN model USING (b) GROUP BY doc_id),
+      |kept AS (SELECT lang,
+      |                (2 * n * (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 1000)
+      |                   < 1000 * n + sw) AS keep, sw
+      |         FROM scored)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS kept_ppm,
+      |       CAST(sum(sw) AS BIGINT) AS sum_w_milli
+      |FROM kept GROUP BY lang ORDER BY lang""".stripMargin
+  ) { (s, dir) =>
+    val tri = docs(s, dir).select(col("doc_id"), col("lang"),
+      explode(graft.functions.CharNgramsFunctions.charNgrams(col("text"), 3)).as("tri"))
+    val b = tri.select(col("doc_id"), col("lang"),
+      (conv(substring(md5(col("tri")), 1, 4), 16, 10).cast("long") % 1024).as("b"))
+    val rawc = b.groupBy("b").agg(count(lit(1)).as("c_raw"))
+    val tgtc = b.where(col("lang") === "en").groupBy(col("b").as("tb"))
+      .agg(count(lit(1)).as("c_tgt"))
+    val tot = b.agg(count(lit(1)).as("t_raw"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_tgt"))
+    val model = rawc.join(tgtc, col("b") === col("tb"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("b"), least(lit(1000L), greatest(lit(-1000L), expr(
+        """cast(floor(cast(coalesce(c_tgt, 0) as double) * t_raw * 1000
+          |           / (cast(c_raw as double) * t_tgt) + 0.5) - 1000 as bigint)""".stripMargin)))
+        .as("w"))
+    val scored = b.join(broadcast(model), "b")
+      .groupBy("doc_id")
+      .agg(first(col("lang")).as("lang"), count(lit(1)).as("n"), sum(col("w")).as("sw"))
+    val coin = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("long") % 1000
+    scored
+      .select(col("lang"), col("sw"),
+        (lit(2L) * col("n") * coin < lit(1000L) * col("n") + col("sw")).as("keep"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("sw")).as("sum_w_milli"))
+      .select(col("lang"), col("n_docs"), col("n_kept"),
+        expr("n_kept * 1000000 div n_docs").as("kept_ppm"), col("sum_w_milli"))
+      .orderBy("lang")
+  }
+
   val all: Seq[Q] = Seq(chunkDedup, repetitionScore, contamination, hashSample,
     seqPacking, stratifiedTopK, refIntegrity, temperatureMix, ragChunking,
-    driftMonitor, bloomNovelty, quotaSample, budgetSelect, epochPlan)
+    driftMonitor, bloomNovelty, quotaSample, budgetSelect, epochPlan, dsirResample)
 }

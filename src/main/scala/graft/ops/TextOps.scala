@@ -781,7 +781,58 @@ object TextOps {
     }
   }
 
+  /** TOKENIZER FERTILITY per language — tokens-per-word and
+    * chars-per-token after applying x106's BPE merge table, the fairness
+    * metric every multilingual tokenizer report publishes (a tokenizer
+    * trained on one language's statistics fragments the others into more,
+    * shorter tokens — inflating their effective sequence length and
+    * training cost). Uses x106's exact encode chain (proved ≡ priority
+    * BPE); the merge table's targets are English-frequent pairs, so the
+    * measured fertility ordering IS the bias being quantified.
+    *
+    * Scale shape: (lang, word, count) vocabulary aggregate, row-local
+    * encode, language-sized aggregate — |V|-scaled like x106, ratios in
+    * exact milli (all divisions positive).
+    */
+  val bpeFertility: Q = {
+    val encSql = bpeMerges.foldLeft("w") { case (e, (p, sn, _)) =>
+      s"regexp_replace($e, '$p', '$sn', 'g')"
+    }
+    Q(
+      "x122_bpe_fertility",
+      s"""WITH wf AS (
+         |  SELECT lang, w, count(*) AS f FROM (
+         |    SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE len(w) >= 1 GROUP BY lang, w),
+         |e AS (SELECT lang, f, len(w) AS chars, len($encSql) AS toks FROM wf)
+         |SELECT lang,
+         |       CAST(sum(f) AS BIGINT) AS n_words,
+         |       CAST(sum(f * toks) AS BIGINT) AS n_tokens,
+         |       CAST(sum(f * toks) * 1000 // sum(f) AS BIGINT) AS fertility_milli,
+         |       CAST(sum(f * chars) * 1000 // sum(f * toks) AS BIGINT) AS chars_per_token_milli
+         |FROM e GROUP BY lang ORDER BY lang""".stripMargin
+    ) { (s, dir) =>
+      val wf = docs(s, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .where(length(col("w")) >= 1)
+        .groupBy("lang", "w").agg(count(lit(1)).as("f"))
+      val enc = bpeMerges.foldLeft(col("w")) { case (e, (p, sn, _)) =>
+        regexp_replace(e, lit(p), lit(sn))
+      }
+      wf.select(col("lang"), col("f"), length(col("w")).cast("long").as("chars"),
+          length(enc).cast("long").as("toks"))
+        .groupBy("lang")
+        .agg(sum(col("f")).as("n_words"),
+          sum(col("f") * col("toks")).as("n_tokens"),
+          sum(col("f") * col("chars")).as("sc"))
+        .select(col("lang"), col("n_words"), col("n_tokens"),
+          expr("n_tokens * 1000 div n_words").as("fertility_milli"),
+          expr("sc * 1000 div n_tokens").as("chars_per_token_milli"))
+        .orderBy("lang")
+    }
+  }
+
   val all: Seq[Q] = Seq(langId, qualityScore, tokenCount, fingerprint, corpusClean,
     positionalIndex, trigramLm, nfcClean, piiRedact, bpePairs, bpeMerge, hashClassifier,
-    bpeEncode, calibration, gateAttribution)
+    bpeEncode, calibration, gateAttribution, bpeFertility)
 }

@@ -1166,6 +1166,43 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "temperature weighting failed to favor the small source")
   }
 
+  test("x121 importance resampling shifts composition toward the target domain") {
+    val rows = SparkEntry.queries("x121_dsir_resample")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, n, kept, ppm, _) =>
+      assert(kept <= n)
+      assert(ppm == kept * 1000000L / n, s"$lang rate mismatch")
+    }
+    // the DETERMINISTIC separation signal is the summed importance lift
+    // (the realized keep rate adds binomial coin noise at tiny SF): the
+    // target domain's total lift must be positive and strictly above
+    // every other language's, which must each be negative — the hashed
+    // trigram ratio model recognizing its own domain
+    val en = rows.find(_._1 == "en").get
+    val others = rows.filter(_._1 != "en")
+    assert(en._5 > 0, s"target-domain lift ${en._5} not positive")
+    others.foreach { o =>
+      assert(o._5 < 0, s"${o._1} lift ${o._5} not negative")
+      // per-doc mean comparison (scale-free across language sizes)
+      assert(en._5 * o._2 > o._5 * en._2,
+        s"en mean lift not above ${o._1}'s")
+    }
+  }
+
+  test("x122 fertility is bounded by raw chars and reflects merge coverage") {
+    val rows = SparkEntry.queries("x122_bpe_fertility")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, nWords, nTokens, fert, cpt) =>
+      assert(nTokens >= nWords, s"$lang: fewer tokens than words")
+      assert(fert == nTokens * 1000L / nWords)
+      // merges only ever shrink: chars/token ≥ 1, and ≤ 3 ("the" is the
+      // longest merged symbol)
+      assert(cpt >= 1000L && cpt <= 3000L, s"$lang chars/token $cpt out of range")
+    }
+  }
+
   test("f16 count-min estimates dominate true counts within the sketch bound") {
     val rows = SparkEntry.queries("f16_countmin")(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
