@@ -231,7 +231,37 @@ object PlanAudit {
     // budget selection: the bin histogram + boundary windows replace the
     // global sort; the bin/crossing tables broadcast into the doc stream
     "x111_budget_select" -> Seq("BroadcastHashJoin", "BroadcastExchange",
-      "WindowExec|Window"))
+      "WindowExec|Window"),
+    // label propagation: rounds are equi-joins + argmax windows, and the
+    // memoized pair lineage is an InMemoryRelation, never recomputed
+    "x112_label_prop" -> Seq(
+      "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
+      "(?i)inmemory"),
+    // minhash-error audit is candidate-bounded: the cached candidate
+    // shingle slice feeds both the signatures and the exact join
+    "x113_minhash_error" -> Seq("(?i)inmemory",
+      "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+    // calibration rides x105's broadcast-model scoring
+    "x114_calibration" -> Seq("BroadcastHashJoin", "BroadcastExchange"),
+    // source prior: aggregates + one broadcast scalar, no per-doc join
+    "x115_source_prior" -> Seq("BroadcastExchange"),
+    // tombstone propagation rides the memoized labels; election windows
+    "x117_tombstone_propagate" -> Seq("(?i)inmemory", "WindowExec|Window"),
+    // near-dup decontamination is a filter+aggregate over x86's verified
+    // pairs — candidate-scale joins only
+    "x118_neardup_contamination" -> Seq(
+      "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+    // gate attribution: one corpus pass, the only fan-out is the literal
+    // 4-element gate explode
+    "x119_gate_attribution" -> Seq("Generate", "codegen id"),
+    // epoch plan: source-sized aggregate + broadcast scalar
+    "x120_epoch_plan" -> Seq("BroadcastExchange"),
+    // DSIR: the 1024-row model broadcasts into row-local scoring — the
+    // corpus never shuffles on a text key
+    "x121_dsir_resample" -> Seq("BroadcastHashJoin", "BroadcastExchange",
+      "char_ngrams"),
+    // fertility rides the |V|-scaled vocabulary aggregate
+    "x122_bpe_fertility" -> Seq("codegen id"))
 
   /** Execute one audited query and evaluate its plan patterns — shared by
     * the CLI main and PlanShapeSpec (so plan-shape regressions fail CI, not
