@@ -711,7 +711,76 @@ object CorpusStatsOps {
       .orderBy("source")
   }
 
+  /** THE DATA CARD — the one-query corpus datasheet (Gebru et al.,
+    * "Datasheets for Datasets"): the headline numbers a corpus release
+    * publishes, as a single long-format (metric, value) table so the
+    * artifact is one scan-shaped query rather than a notebook of ad-hoc
+    * ones. Covers volume (docs, tokens, chars), diversity (languages,
+    * sources), hygiene (exact-duplicate ppm, gate pass ppm), and shape
+    * (mean doc length in milli-tokens) — each integer-exact.
+    *
+    * Scale shape: ONE pass over the corpus computes every per-doc
+    * ingredient row-locally (digest, token count, gate booleans); the
+    * card is a handful of global aggregates unioned as literals-tagged
+    * rows. count(DISTINCT md5) and the categorical counts are the only
+    * multi-aggregate structure — Spark plans them as one expand, and the
+    * output is a fixed ~8 rows at any corpus size.
+    */
+  val dataCard: Q = Q(
+    "x123_data_card",
+    """WITH d AS (
+      |  SELECT md5(text) AS dig, lang, source,
+      |         len(string_split(text, ' ')) AS tok, length(text) AS chars,
+      |         (len(string_split(text, ' ')) >= 5
+      |          AND len(list_distinct(string_split(text, ' '))) * 10 >= len(string_split(text, ' ')) * 3
+      |          AND length(replace(text, ' ', '')) <= 12 * len(string_split(text, ' '))) AS pass
+      |  FROM documents WHERE text IS NOT NULL),
+      |a AS (SELECT count(*) AS n_docs, sum(tok) AS n_tokens, sum(chars) AS n_chars,
+      |             count(DISTINCT dig) AS n_unique,
+      |             count(DISTINCT lang) AS n_langs, count(DISTINCT source) AS n_sources,
+      |             sum(CASE WHEN pass THEN 1 ELSE 0 END) AS n_pass
+      |      FROM d)
+      |SELECT metric, CAST(value AS BIGINT) AS value FROM (
+      |  SELECT 'n_docs' AS metric, n_docs AS value FROM a
+      |  UNION ALL SELECT 'n_tokens', n_tokens FROM a
+      |  UNION ALL SELECT 'n_chars', n_chars FROM a
+      |  UNION ALL SELECT 'n_langs', n_langs FROM a
+      |  UNION ALL SELECT 'n_sources', n_sources FROM a
+      |  UNION ALL SELECT 'exact_dup_ppm', (n_docs - n_unique) * 1000000 // n_docs FROM a
+      |  UNION ALL SELECT 'gate_pass_ppm', n_pass * 1000000 // n_docs FROM a
+      |  UNION ALL SELECT 'mean_doc_tokens_milli', n_tokens * 1000 // n_docs FROM a)
+      |ORDER BY metric""".stripMargin
+  ) { (s, dir) =>
+    val wsp = split(col("text"), " ")
+    val d = Tables(s, dir, "documents").where(col("text").isNotNull)
+      .select(md5(col("text")).as("dig"), col("lang"), col("source"),
+        size(wsp).cast("long").as("tok"), length(col("text")).cast("long").as("chars"),
+        (size(wsp) >= 5 &&
+          size(array_distinct(wsp)) * 10 >= size(wsp) * 3 &&
+          length(regexp_replace(col("text"), " ", "")) <= lit(12) * size(wsp)).as("pass"))
+    val a = d.agg(
+      count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"),
+      sum(col("chars")).as("n_chars"), countDistinct(col("dig")).as("n_unique"),
+      countDistinct(col("lang")).as("n_langs"), countDistinct(col("source")).as("n_sources"),
+      sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"))
+    a.select(explode(array(
+        struct(lit("n_docs").as("metric"), col("n_docs").cast("long").as("value")),
+        struct(lit("n_tokens").as("metric"), col("n_tokens").cast("long").as("value")),
+        struct(lit("n_chars").as("metric"), col("n_chars").cast("long").as("value")),
+        struct(lit("n_langs").as("metric"), col("n_langs").cast("long").as("value")),
+        struct(lit("n_sources").as("metric"), col("n_sources").cast("long").as("value")),
+        struct(lit("exact_dup_ppm").as("metric"),
+          expr("(n_docs - n_unique) * 1000000 div n_docs").as("value")),
+        struct(lit("gate_pass_ppm").as("metric"),
+          expr("n_pass * 1000000 div n_docs").as("value")),
+        struct(lit("mean_doc_tokens_milli").as("metric"),
+          expr("n_tokens * 1000 div n_docs").as("value")))).as("m"))
+      .select(col("m.metric").as("metric"), col("m.value").as("value"))
+      .orderBy("metric")
+  }
+
   val all: Seq[Q] = Seq(tfidfTopTerms, bigramLift, sourceOverlap, mixtureSample,
     typeToken, lenQuartiles, invertedIndex, madOutliers, stopwordIndex, lenDeciles,
-    oovRate, langGini, skipgramCooc, vocabGrowth, bm25Rank, heavyHitters, sourcePrior)
+    oovRate, langGini, skipgramCooc, vocabGrowth, bm25Rank, heavyHitters, sourcePrior,
+    dataCard)
 }

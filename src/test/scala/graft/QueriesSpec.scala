@@ -1203,6 +1203,26 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("x123 data card agrees with the queries it summarizes") {
+    val card = SparkEntry.queries("x123_data_card")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // cross-check against independent single-purpose queries
+    import org.apache.spark.sql.functions.col
+    val docs = graft.ops.Tables(spark, sfDir, "documents").where(col("text").isNotNull)
+    assert(card("n_docs") == docs.count())
+    assert(card("n_langs") == docs.select("lang").distinct().count())
+    assert(card("n_sources") == docs.select("source").distinct().count())
+    // exact-dup ppm consistent with x01's survivor counts: the card's
+    // GLOBAL distinct-digest count can only find MORE dupes than x01's
+    // per-source view (cross-source copies dedup globally, not per source)
+    val x01 = SparkEntry.queries("x01_exact_dedup")(spark, sfDir).collect()
+    val nDup = x01.map(r => r.getLong(3)).sum // n_dupes column
+    assert(card("exact_dup_ppm") >= nDup * 1000000L / card("n_docs"),
+      s"dup ppm ${card("exact_dup_ppm")} below x01-derived $nDup dupes")
+    assert(card("gate_pass_ppm") <= 1000000L)
+    assert(card("mean_doc_tokens_milli") > 0)
+  }
+
   test("f16 count-min estimates dominate true counts within the sketch bound") {
     val rows = SparkEntry.queries("f16_countmin")(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
