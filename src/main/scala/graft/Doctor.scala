@@ -47,7 +47,18 @@ object Doctor {
 
     for (t <- Tables.names) check(s"table $t") {
       val df = Tables(spark, sfDir, t)
-      s"${df.schema.fields.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")}"
+      // layout matters for the stream staging path: a part-file DIRECTORY
+      // must be staged file-by-file (r6 s4 — dir-entry copies feed the
+      // stream zero rows silently)
+      val p = java.nio.file.Paths.get(s"$sfDir/$t.parquet")
+      val layout =
+        if (java.nio.file.Files.isDirectory(p)) {
+          var n = 0
+          val it = java.nio.file.Files.list(p).iterator()
+          while (it.hasNext) { if (it.next().toString.endsWith(".parquet")) n += 1 }
+          s"directory ($n part files)"
+        } else "single file"
+      s"[$layout] ${df.schema.fields.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")}"
     }
 
     check("events.ts written flavor") {

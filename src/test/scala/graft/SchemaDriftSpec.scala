@@ -101,6 +101,25 @@ class SchemaDriftSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sessionState.conf.numShufflePartitions == prev)
   }
 
+  test("streaming consumes a multi-part directory table identically to a single file") {
+    // the ScaleData corpus ships <table>.parquet as a part-file DIRECTORY;
+    // a staging that copies only the dir entry feeds the stream ZERO rows
+    // without erroring (caught live in r6 s4 — every sf1 streaming
+    // measurement before the fix ran empty). Lock the layout contract:
+    // same rows, same result, both layouts.
+    val dirLayout = {
+      val dir = Files.createTempDirectory("graft-drift-multi")
+      baseEvents.repartition(3).write.parquet(dir.resolve("events.parquet").toString)
+      dir.toString
+    }
+    val multi = ops.StreamOps.streamWatermark.run(spark, dirLayout).collect()
+      .map(_.toSeq).toSeq
+    val single = ops.StreamOps.streamWatermark.run(spark, tsDir).collect()
+      .map(_.toSeq).toSeq
+    assert(multi.nonEmpty, "multi-part stream emitted nothing — staging dropped the parts")
+    assert(multi == single, "multi-part layout diverges from single-file")
+  }
+
   test("unix_micros session transitions run on every ts flavor") {
     val results = flavors.map { case (name, dir) =>
       val rows = ops.BehaviorOps.transitions.run(spark, dir()).collect()
