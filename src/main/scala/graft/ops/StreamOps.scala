@@ -137,13 +137,21 @@ object StreamOps {
     // State shards sized like scan splits: shuffle partitions (which pin the
     // stateful operators' state-store shard count into the checkpoint at
     // first batch) are set to one shard per maxPartitionBytes of staged
-    // input, capped at the session's parallelism — the same volume→splits
-    // math Spark's file scan uses. A bounded replay of a small topic backlog
-    // stops paying sessionParallelism× state-store open/commit/maintenance
-    // per micro-batch (measured: x51/x60 8.1/8.3 s → ~2 s at sf0.1), while a
-    // 100 TB backlog saturates to the session value, where a real cluster
-    // session declares its executor count. Restored after the run so batch
-    // post-processing of the sink keeps the session's parallelism.
+    // input, capped at the session's parallelism. A bounded replay of a
+    // small topic backlog stops paying sessionParallelism× state-store
+    // open/commit/maintenance per micro-batch (measured: x51/x60 8.1/8.3 s
+    // → ~2 s at sf0.1), while a 100 TB backlog saturates to the session
+    // value, where a real cluster session declares its executor count.
+    // The per-shard budget is 2 MiB of COMPRESSED input — far below the
+    // scan-split size deliberately: stateful work per input byte (state
+    // lookups, sort, per-key timers) dwarfs scan work per byte, and
+    // parquet hides a ~10× decompression fan-out. The first sizing used
+    // the 128 MiB scan budget and serialized sf1's 23 MiB / 1M-event
+    // backlog onto ONE state shard: measured x52 14.9 → 6.0 s, x60 7.3 →
+    // 3.7 s, x51 5.6 → 3.8 s under this budget (12 shards), while sf0.1
+    // keeps 1 shard — the small-backlog win untouched. Restored after the
+    // run so batch post-processing of the sink keeps the session
+    // parallelism.
     val conf  = s.sessionState.conf
     val prev  = conf.numShufflePartitions
     val bytes = {
@@ -157,7 +165,7 @@ object StreamOps {
       }
       total
     }
-    val shards = math.max(1L, math.min(prev.toLong, bytes / conf.filesMaxPartitionBytes + 1)).toInt
+    val shards = math.max(1L, math.min(prev.toLong, bytes / (2L << 20) + 1)).toInt
     lastStateShards = shards
     s.conf.set("spark.sql.shuffle.partitions", shards)
     try {
