@@ -294,7 +294,7 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       val (_, queue, _) = hub.subscribe(fn, earliest = false)
       // EXACTLY 3 messages into a capacity-2 queue nobody drains → two fill
       // the queue, the third triggers the overflow kick; the stalled client
-      // never polls, so the sentinel lands IN the queue. No slack messages:
+      // never polls, so the sentinel lands IN the queue. No spare messages:
       // with the pinned stream start offset every publish after subscribe()
       // is guaranteed to reach the hub, so 3 must suffice — a fourth would
       // only mask a message silently lost to an init race.
