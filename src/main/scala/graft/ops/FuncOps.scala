@@ -572,8 +572,57 @@ object FuncOps {
     cmEstimates(s, dir, cmCells(tw))
   }
 
+  /** PRIORITY SAMPLING (Duffield, Lund & Thorup, JACM'07) — weighted
+    * sampling with an UNBIASED subset-sum estimator: each item gets
+    * priority w/u for a uniform coin u; the top-k by priority form the
+    * sample, τ = the (k+1)-th priority, and Σ max(w_i, τ) over the sample
+    * estimates the TRUE total weight of any subset, unbiased. The
+    * weighted generalization of the x28/x101 hash-coin family: heavy docs
+    * enter almost surely, light docs proportionally, and the estimator
+    * corrects for both.
+    *
+    * Integer-pure: the coin is md5(doc_id) in (0, 65536]; priority
+    * ordering w/u is evaluated as exact cross-multiplied integers where
+    * needed, and materialized as prio = w·65536 div u (collision-free
+    * enough at this scale; ties broken by doc_id both engines). Scale
+    * shape: the top-(k+1) rides TakeOrderedAndProject — no global sort;
+    * the estimator column is row-local against the broadcast τ.
+    */
+  val prioritySample: Q = {
+    val K = 50
+    Q(
+      "f17_priority_sample",
+      s"""WITH d AS (
+         |  SELECT doc_id, n_chars AS w,
+         |         (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) + 1) AS u
+         |  FROM documents WHERE text IS NOT NULL),
+         |p AS (SELECT doc_id, w, w * 65536 // u AS prio FROM d),
+         |top AS (SELECT doc_id, w, prio FROM p ORDER BY prio DESC, doc_id LIMIT ${K + 1}),
+         |tau AS (SELECT min(prio) AS tau FROM top),
+         |smp AS (SELECT doc_id, w, prio FROM top ORDER BY prio DESC, doc_id LIMIT $K)
+         |SELECT s.doc_id AS doc_id, CAST(s.w AS BIGINT) AS w,
+         |       CAST(s.prio AS BIGINT) AS prio,
+         |       CAST(greatest(s.w, t.tau) AS BIGINT) AS est_w
+         |FROM smp s CROSS JOIN tau t
+         |ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val d = Tables(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"), col("n_chars").cast("long").as("w"),
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("long") + 1).as("u"))
+      val p = d.select(col("doc_id"), col("w"), expr("w * 65536 div u").as("prio"))
+      val top = p.orderBy(col("prio").desc, col("doc_id")).limit(K + 1)
+      val tau = top.agg(min(col("prio")).as("tau"))
+      val smp = top.orderBy(col("prio").desc, col("doc_id")).limit(K)
+      smp.crossJoin(broadcast(tau))
+        .select(col("doc_id"), col("w"), col("prio"),
+          greatest(col("w"), col("tau")).as("est_w"))
+        .orderBy("doc_id")
+    }
+  }
+
   val all: Seq[Q] =
     Seq(hashFuncs, datetimeFuncs, mathFuncs, aesRoundtrip, approxDistinct, editDistance,
       valueHistogram, topkAgg, stringFuncs, bitwiseFuncs, approxPercentile,
-      regressionStats, arrayFuncs, nullFuncs, listAgg, countMin)
+      regressionStats, arrayFuncs, nullFuncs, listAgg, countMin, prioritySample)
 }

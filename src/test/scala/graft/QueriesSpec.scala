@@ -1223,6 +1223,36 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(card("mean_doc_tokens_milli") > 0)
   }
 
+  test("f17 priority sample selects by exact priority order and estimates the total") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("f17_priority_sample")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 50)
+    // recompute priorities driver-side and check selection correctness:
+    // every sampled priority ≥ every unsampled one
+    val all = graft.ops.Tables(spark, sfDir, "documents")
+      .where(col("text").isNotNull).select("doc_id", "n_chars").collect()
+      .map { r =>
+        val id = r.getLong(0); val w = r.getLong(1)
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+        val u = (((md(0) & 0xff) << 8) | (md(1) & 0xff)) + 1L
+        (id, w, w * 65536L / u)
+      }
+    val sampled = rows.map(_._1).toSet
+    val minSampled = rows.map(_._3).min
+    all.filterNot(t => sampled.contains(t._1)).foreach { case (id, _, prio) =>
+      assert(prio <= minSampled, s"unsampled doc $id has priority $prio > $minSampled")
+    }
+    // estimator sanity: Σ max(w, τ) over the sample tracks the true total
+    // (unbiased in expectation; generous band for one realization)
+    val trueTotal = all.map(_._2).sum.toDouble
+    val est = rows.map(_._4).sum.toDouble
+    info(f"priority-sampling estimate ratio: ${est / trueTotal}%.3f")
+    assert(est / trueTotal > 0.5 && est / trueTotal < 2.0,
+      s"estimate $est wildly off true $trueTotal")
+  }
+
   test("f16 count-min estimates dominate true counts within the sketch bound") {
     val rows = SparkEntry.queries("f16_countmin")(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
