@@ -26,6 +26,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -68,13 +69,20 @@ object Bench {
     // query that throws early in one pass would under-report its cost while
     // also being listed in errors. A query that failed EVERY pass surfaces
     // as -1 (plus its errors entry), never as a fake timing.
-    def pass(): (Seq[(String, Double)], String) = {
+    def loadavg: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    // (timings, memo payer, loadavg at pass start, loadavg at pass end):
+    // the per-pass load rides INTO the JSON artifact so a future reader can
+    // see neighbor-load distortion per pass without consulting prose
+    // (VERDICT r6 item 2 — bench_full_sf1's x88 read 18.2 s under ~25 load)
+    def pass(): (Seq[(String, Double)], String, Double, Double) = {
       // fresh cross-query memo per pass: x02/x31/x47/x55 share a cached LSH
       // pair lineage — legitimate within a pass (one lineage, four
       // queries), but a best-of over passes must never time a cache read
       // against pass 1's real compute
       ops.DedupOps.clearMemo()
       ops.PipelineOps.clearMemo()
+      val loadStart = loadavg
       var payer = "" // which dedup-family query absorbed the lineage cost
       val timings = named.map { case (name, fn) =>
         val memoWasEmpty = ops.DedupOps.memoSize + ops.PipelineOps.memoSize == 0
@@ -84,39 +92,47 @@ object Bench {
         if (memoWasEmpty && ops.DedupOps.memoSize > 0) payer = name
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity)
       }
-      (timings, payer)
+      (timings, payer, loadStart, loadavg)
     }
     val passes = (1 to runs).map(_ => pass())
     val results = passes.map(_._1)
       .reduce((a, b) => a.zip(b).map { case ((n, x), (_, y)) => n -> math.min(x, y) })
       .map { case (n, v) => n -> (if (v.isInfinity) -1.0 else v) }
+    // fixed 4-decimal seconds, not full double repr: the driver records only
+    // the TAIL of sbt stdout, and a 183-query map at 17 significant digits
+    // per value overflowed it (BENCH_r06 parsed:null) — 100 µs resolution
+    // halves the line and is far below host noise anyway
+    def fmt(v: Double): String =
+      if (v.isInfinity) "-1.0" else f"$v%.4f"
     def qJson(rs: Seq[(String, Double)]): String = rs
-      .map { case (k, v) => "\"" + k + "\":" + (if (v.isInfinity) -1.0 else v) }
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val qs = qJson(results)
     val errJson = errs.reverse.distinct.map(e => "\"" + e + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val payers = passes.map(p => "\"" + p._2 + "\"").mkString("[", ",", "]")
-    val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-      .getSystemLoadAverage
+    val loads = passes.map(p => s"[${fmt(p._3)},${fmt(p._4)}]").mkString("[", ",", "]")
     // ok:false + nonzero exit when anything errored: a consumer keying on
     // either signal must never read a failed run as a clean record
     val ok = errs.isEmpty
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","ok":$ok,"runs":$runs,"agg":"min","queries":$qs,"errors":$errJson,"loadavg":$load,"memo_payers":$payers,"sf":"$sfDir"}"""
-    println(line)
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","ok":$ok,"runs":$runs,"agg":"min","queries":$qs,"errors":$errJson,"loadavg_per_pass":$loads,"memo_payers":$payers,"sf":"$sfDir"}"""
     // Full artifact on disk: the driver's BENCH_r{N}.json keeps only the
     // tail of sbt output, which truncates the per-query map for a 100+
     // query suite. Write the headline line PLUS every per-pass timing to a
     // stable path the driver (or a human) can pick up whole.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     val perPass = passes.zipWithIndex
-      .map { case ((rs, payer), i) =>
-        s"""{"pass":${i + 1},"memo_payer":"$payer","queries":${qJson(rs)}}""" }
+      .map { case ((rs, payer, l0, l1), i) =>
+        s"""{"pass":${i + 1},"memo_payer":"$payer","loadavg":[${fmt(l0)},${fmt(l1)}],"queries":${qJson(rs)}}""" }
       .mkString("[", ",", "]")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
       s"""{"headline":$line,"passes":$perPass}\n""")
+    // the headline is the LAST thing on stdout — after spark.stop(), so no
+    // shutdown logging can land between it and the end of the tail the
+    // driver captures (BENCH_r06's parsed:null)
     spark.stop()
+    println(line)
     if (!ok) sys.exit(1)
   }
 }

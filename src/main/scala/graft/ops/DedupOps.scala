@@ -131,11 +131,20 @@ object DedupOps {
   private val pairsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Evict memo entries pinned to STOPPED sessions, across every cache in
+    * the file — in a long-lived multi-session process (test suites, the
+    * serve shim) a dead session's entries would otherwise hold its plans
+    * and cached blocks forever. Every accessor calls this before reading
+    * its cache, so eviction needs no explicit lifecycle hook: the first
+    * dedup access after any session stops sweeps ALL the maps.
+    */
+  private[graft] def evictStopped(): Unit =
+    for (m <- Seq(pairsCache, labelsCache, bandsCache, candShinglesCache,
+                  spanPosCache, shinglesCache, prefixIndexCache, prefixPairsCache))
+      m.keys.filter(_._1.sparkContext.isStopped).foreach(m.remove)
+
   private[ops] def lshCandidatePairs(s: SparkSession, dir: String): DataFrame = {
-    // evict entries pinned to stopped sessions — in a long-lived
-    // multi-session process (test suites, the serve shim) they would
-    // otherwise hold the dead session and its plan forever
-    pairsCache.keys.filter(_._1.sparkContext.isStopped).foreach(pairsCache.remove)
+    evictStopped()
     pairsCache.getOrElseUpdate((s, dir), lshCandidatePairsUncached(s, dir).cache())
   }
 
@@ -147,7 +156,7 @@ object DedupOps {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private[ops] def cachedBandSignatures(s: SparkSession, dir: String): DataFrame = {
-    bandsCache.keys.filter(_._1.sparkContext.isStopped).foreach(bandsCache.remove)
+    evictStopped()
     bandsCache.getOrElseUpdate((s, dir), bandSignatures(s, dir).cache())
   }
 
@@ -164,7 +173,7 @@ object DedupOps {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private[ops] def clusterLabels(s: SparkSession, dir: String): DataFrame = {
-    labelsCache.keys.filter(_._1.sparkContext.isStopped).foreach(labelsCache.remove)
+    evictStopped()
     // the pair set is already canonical (doc_a < doc_b, distinct) — feed it
     // straight in; symmetrizing first only doubles the rows the loop's
     // initial distinct immediately halves again
@@ -179,7 +188,7 @@ object DedupOps {
     */
   private[graft] def memoSize: Int =
     pairsCache.size + labelsCache.size + bandsCache.size + candShinglesCache.size +
-      spanPosCache.size + shinglesCache.size
+      spanPosCache.size + shinglesCache.size + prefixIndexCache.size + prefixPairsCache.size
 
   /** Drop the memoized caches (Bench calls this between timing passes
     * so a best-of-N never times a cache read where pass 1 timed the real
@@ -198,6 +207,10 @@ object DedupOps {
     spanPosCache.clear()
     shinglesCache.values.foreach(df => scala.util.Try(df.unpersist()))
     shinglesCache.clear()
+    prefixIndexCache.values.foreach(df => scala.util.Try(df.unpersist()))
+    prefixIndexCache.clear()
+    prefixPairsCache.values.foreach(df => scala.util.Try(df.unpersist()))
+    prefixPairsCache.clear()
   }
 
   /** Per-document LSH band signatures (doc_id, band, sig) — the standing
@@ -790,7 +803,7 @@ object DedupOps {
   /** NEAR-DUP DECONTAMINATION — the fuzzy complement to x27: exact n-gram
     * contamination checks (x27, the GPT-3 appendix method) miss
     * PARAPHRASED benchmark leakage, so the production pass also probes the
-    * near-dup index: benchmark docs (the doc_id % 97 slice standing in for
+    * near-dup index: benchmark docs (the doc_id % 7 slice standing in for
     * an eval suite) that share a VERIFIED LSH near-dup (J ≥ 0.5) with a
     * non-benchmark corpus doc are contaminated at the near-dup level.
     * Reports each contaminated benchmark doc with its hit count and worst
@@ -985,22 +998,7 @@ object DedupOps {
        |ORDER BY doc_a, doc_b""".stripMargin
   ) { (s, dir) =>
     val sh0 = cachedShingles(s, dir)
-    val ranked = sh0
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
-    val prefix = ranked
-      .where(col("rk") <= col("n") - expr("(3*n + 4) div 5") + 1)
-      .select("doc_id", "sh")
-    // cached: the candidate list (tiny — near-dup-density-bounded) is
-    // consumed twice (the verify probe and its own doc-id prune); without
-    // the cache both consumers replay the full window+join lineage
-    val cand = prefix.as("a")
-      .join(prefix.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-      .cache()
+    val cand = prefixCandidatePairs(s, dir)
     // Verify is CANDIDATE-bounded (the x86 shape): prune the shingle index
     // to candidate docs with a broadcast semi-join BEFORE any shuffle —
     // without this the fb equi-join re-shuffles the whole corpus index by
@@ -1260,7 +1258,7 @@ object DedupOps {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private def cachedShingles(s: SparkSession, dir: String): DataFrame = {
-    shinglesCache.keys.filter(_._1.sparkContext.isStopped).foreach(shinglesCache.remove)
+    evictStopped()
     // plain (doc_id, sh) — annotating df/n windows INTO the materialization
     // measured slower (10.8 vs 7.5 s for x107 at sf0.1): the window sorts
     // then run inside the cache-write pass and the wider rows cost more
@@ -1268,11 +1266,59 @@ object DedupOps {
     shinglesCache.getOrElseUpdate((s, dir), shingled(s, dir).cache())
   }
 
+  /** Ranked PREFIX index for x107 (doc_id, prefix shingle), memoized: the
+    * df and per-doc rank windows over the full shingle index are the
+    * dominant cost of the exact all-pairs plan, and the self-join consumes
+    * the index twice — cached, the windows run once per (session, dir) and
+    * both join sides read the materialized rows. Prefix rows are a strict
+    * subset of the shingle index (|d| − ⌈0.6|d|⌉ + 1 per doc), so this is
+    * smaller than shinglesCache, which it derives from.
+    */
+  private val prefixIndexCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def cachedPrefixIndex(s: SparkSession, dir: String): DataFrame = {
+    evictStopped()
+    prefixIndexCache.getOrElseUpdate((s, dir), {
+      val ranked = cachedShingles(s, dir)
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      ranked
+        .where(col("rk") <= col("n") - expr("(3*n + 4) div 5") + 1)
+        .select("doc_id", "sh")
+        .cache()
+    })
+  }
+
+  /** x107's candidate pair list (tiny — prefix-filter-theorem-bounded),
+    * memoized LIKE EVERY OTHER cache in this file: it is consumed twice
+    * inside the plan (the verify probe and its own doc-id prune), and an
+    * inline `.cache()` would survive Bench.clearMemo between best-of-N
+    * passes — letting pass 2 time a cache read where pass 1 timed the real
+    * window+join work (the exact discipline clearMemo documents).
+    */
+  private val prefixPairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def prefixCandidatePairs(s: SparkSession, dir: String): DataFrame = {
+    evictStopped()
+    prefixPairsCache.getOrElseUpdate((s, dir), {
+      val prefix = cachedPrefixIndex(s, dir)
+      prefix.as("a")
+        .join(prefix.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+        .cache()
+    })
+  }
+
   private val candShinglesCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private def candidateShingles(s: SparkSession, dir: String): DataFrame = {
-    candShinglesCache.keys.filter(_._1.sparkContext.isStopped).foreach(candShinglesCache.remove)
+    evictStopped()
     candShinglesCache.getOrElseUpdate((s, dir), {
       val pairs = lshCandidatePairs(s, dir)
       // shingle ONLY the docs the candidate list names — at 100 TB the
@@ -1363,7 +1409,7 @@ object DedupOps {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private def spanPositions(s: SparkSession, dir: String): DataFrame = {
-    spanPosCache.keys.filter(_._1.sparkContext.isStopped).foreach(spanPosCache.remove)
+    evictStopped()
     spanPosCache.getOrElseUpdate((s, dir), {
       val w = split(col("text"), " ")
       // one row per 5-gram POSITION (not distinct): the duplicated fraction

@@ -422,8 +422,12 @@ object PipelineOps {
     noveltyCache.clear()
   }
 
-  private def noveltyGrams(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  /** Drop entries pinned to stopped sessions (see DedupOps.evictStopped). */
+  private[graft] def evictStopped(): Unit =
     noveltyCache.keys.filter(_._1.sparkContext.isStopped).foreach(noveltyCache.remove)
+
+  private def noveltyGrams(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    evictStopped()
     noveltyCache.getOrElseUpdate((s, dir), {
       val d = Tables.computeParallel(docs(s, dir))
       (novGrams(d.where(col("source") =!= "src0")).select("g").distinct().cache(),

@@ -104,15 +104,27 @@ object StreamOps {
       // — the stream then reads ZERO rows without erroring (caught in r6
       // s4: every sf1 streaming measurement before this fix consumed an
       // empty stream) — so stage each data file flat into the temp dir.
+      var stagedFiles = 0
       if (Files.isDirectory(src)) {
-        val it = Files.list(src).iterator()
+        // walk, not list: a partitioned writer nests part files under
+        // key=value subdirectories; flatten them (name collisions across
+        // subdirs get an index prefix) so the file source lists them all
+        val it = Files.walk(src).iterator()
         while (it.hasNext) {
           val f = it.next()
           val name = f.getFileName.toString
-          if (Files.isRegularFile(f) && name.endsWith(".parquet"))
-            Files.copy(f, d.resolve(name))
+          if (Files.isRegularFile(f) && name.endsWith(".parquet")) {
+            val target = d.resolve(name)
+            Files.copy(f, if (Files.exists(target)) d.resolve(s"$stagedFiles-$name") else target)
+            stagedFiles += 1
+          }
         }
-      } else Files.copy(src, d.resolve(s"$table.parquet"))
+      } else { Files.copy(src, d.resolve(s"$table.parquet")); stagedFiles = 1 }
+      // fail LOUDLY on an empty staging — the r6 Files.copy-on-directory bug
+      // produced a zero-row stream with no error, which silently voided
+      // every sf1 streaming measurement before it was caught
+      require(stagedFiles > 0,
+        s"stream staging for $src copied zero data files — the stream would read 0 rows without erroring")
       d.toString
     })
 

@@ -27,7 +27,12 @@ object Tables {
   private val eventTimeCols: Map[String, Seq[String]] = Map("events" -> Seq("ts"))
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // every graft entrypoint sets this at session build (the conf that lets
+    // the reader surface TIMESTAMP(NANOS) columns as long); this fallback
+    // covers sessions built elsewhere (tests, library users) and fires only
+    // when the value actually differs — never a blind mutation per read
+    val nanosConf = "spark.sql.legacy.parquet.nanosAsLong"
+    if (spark.conf.get(nanosConf, "false") != "true") spark.conf.set(nanosConf, "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     eventTimeCols.getOrElse(name, Nil).foldLeft(df)(normalizeEventTime)
   }

@@ -180,6 +180,13 @@ final class WebhookEngine(
 
   private[graft] def runningKeys: Set[String] = running.keySet.toSet
 
+  /** Number of completed micro-batches across running queries that moved at
+    * least one row — StreamBench's cadence counter (recentProgress holds the
+    * last ~100 progress records per query, enough for a bench window).
+    */
+  private[graft] def recentProgressCount: Int =
+    running.values.map(_.recentProgress.count(_.numInputRows > 0)).sum
+
   private def startQuery(key: String, cfg: TopicConfig, wh: WebhookConfig): StreamingQuery = {
     // O-9 initial position: "latest" subscribes at the end of the topic;
     // anything else (incl. the reference's empty default at this layer)
