@@ -29,8 +29,10 @@ import org.apache.spark.sql.functions._
   */
 object ScaleData {
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: ScaleData <srcDir> <destDir> <k>")
-    val Array(src, dest, kStr) = args
+    val skew = args.contains("--skew")
+    val pos = args.filterNot(_ == "--skew")
+    require(pos.length == 3, "usage: ScaleData <srcDir> <destDir> <k> [--skew]")
+    val Array(src, dest, kStr) = pos
     val k = kStr.toInt
     require(k >= 1, s"k must be >= 1, got $k")
     val spark = SparkSession.builder()
@@ -42,7 +44,29 @@ object ScaleData {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, src, dest, k, skew)
+    spark.stop()
+  }
 
+  /** Hot fraction the skew mode injects (1 row in 10 → the hot key). */
+  val SkewHotMod = 10
+  /** The phrase appended to every other document in skew mode: its interior
+    * word-3-grams are IDENTICAL across those docs, so their df is
+    * ~half the corpus — deliberately past x04's df-cap on any corpus with
+    * > 2·cap documents. Applied AFTER the per-copy alphabet rotation so
+    * the hot shingles stay hot across copies instead of splitting K ways.
+    */
+  val SkewHotPhrase = " alpha beta gamma delta epsilon zeta eta theta"
+
+  /** Body of the scaler, callable with a caller-owned session (SkewSpec
+    * builds its fixture through this — main() owns its own session).
+    * `skew = true` additionally plants one hot key per family:
+    * events.user_id = 1 and lineitem.l_suppkey = 1 each carry ~10% of
+    * rows, and half the documents share the [[SkewHotPhrase]] shingles —
+    * the fixture for proving salting/df-cap/AQE actually engage.
+    */
+  def run(spark: SparkSession, src: String, dest: String, k: Int,
+      skew: Boolean = false): Unit = {
     val copies = spark.range(k).select(col("id").as("copy"))
     def shifted(df: DataFrame, keys: Map[String, Long]): DataFrame =
       keys.foldLeft(df.crossJoin(copies)) { case (d, (c, step)) =>
@@ -95,6 +119,31 @@ object ScaleData {
           .drop("copy", "r")
       })
 
+    // Skew injection (--skew): the benign corpus above deliberately spreads
+    // keys and shingles; this mode plants the hot spots a 100 TB pipeline
+    // actually meets, so the engine's skew answers (x61 salting, x04's
+    // df-cap, AQE skew-join) can be PROVEN to engage rather than argued.
+    val finalPlans =
+      if (!skew) plans
+      else plans.map {
+        case ("events", df) =>
+          // one hot user carries ~1/SkewHotMod of all events
+          "events" -> df.withColumn("user_id",
+            when(col("event_id") % SkewHotMod === 0, lit(1L)).otherwise(col("user_id")))
+        case ("lineitem", df) =>
+          // one hot supplier carries ~1/SkewHotMod of all line items
+          "lineitem" -> df.withColumn("l_suppkey",
+            when(col("l_orderkey") % SkewHotMod === 0, lit(1L)).otherwise(col("l_suppkey")))
+        case ("documents", df) =>
+          // every other doc carries the fixed phrase → its interior word
+          // 3-grams have df ≈ half the corpus (post-rotation, so the df
+          // concentrates instead of splitting across copies)
+          "documents" -> df.withColumn("text",
+            when(col("doc_id") % 2 === 0 && col("text").isNotNull,
+              concat(col("text"), lit(SkewHotPhrase))).otherwise(col("text")))
+        case other => other
+      }
+
     // Multi-file output: the driver testdata is one file with one row
     // group per table, which caps scan parallelism at 1 (parquet cannot
     // split below row-group granularity). A real K×-scale corpus is many
@@ -102,10 +151,9 @@ object ScaleData {
     // copy would again serialize every scan stage, so spread each table
     // across the session's cores. Dims stay single-file (they broadcast).
     val spreadN = spark.sparkContext.defaultParallelism
-    for ((t, df) <- plans) {
+    for ((t, df) <- finalPlans) {
       df.repartition(spreadN).write.mode("overwrite").parquet(s"$dest/$t.parquet")
-      println(s"[scaledata] $t x$k written")
+      println(s"[scaledata] $t x$k written" + (if (skew) " (skew)" else ""))
     }
-    spark.stop()
   }
 }

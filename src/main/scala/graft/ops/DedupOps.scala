@@ -22,7 +22,7 @@ object DedupOps {
     * x04 exact-jaccard self-join (Σdf² guard; behavior-neutral at test SF —
     * max observed df at sf0.01 is 7).
     */
-  private val DfCap = 1000
+  private[graft] val DfCap = 1000
 
   /** Word-3-gram shingle set, one row per distinct (doc_id, shingle),
     * keyed by the shingle's md5 DIGEST — the digest is projected BEFORE the

@@ -76,4 +76,133 @@ class SkewSpec extends AnyFunSuite with BeforeAndAfterAll with SqlConfHelper {
     val salted = Skew.saltedJoin(ev, dim, "user_id", salt = 4)
     assert(salted.count() == plain.count())
   }
+
+  // ---- skew-stress fixture (VERDICT r6 item 3): ScaleData --skew ----------
+  // One hot user (~10% of events), one hot supplier (~10% of lineitem), and
+  // a hot phrase on half the documents (interior 3-gram df ≈ corpus/2,
+  // past x04's df-cap). Built once from sf0.1 so the hot shingle df (≈2500)
+  // actually exceeds DfCap = 1000.
+
+  private lazy val skewDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-skewfix").toString
+    graft.ScaleData.run(spark, "/root/testdata/sf0.1", d, 1, skew = true)
+    d
+  }
+
+  test("--skew fixture plants the hot keys it promises") {
+    val ev = Tables(spark, skewDir, "events")
+    val hot = ev.where(col("user_id") === 1L).count().toDouble / ev.count()
+    assert(hot > 0.08 && hot < 0.15, s"hot user share $hot not ~10%")
+    val li = Tables(spark, skewDir, "lineitem")
+    val hotSupp = li.where(col("l_suppkey") === 1L).count().toDouble / li.count()
+    assert(hotSupp > 0.08 && hotSupp < 0.15, s"hot supplier share $hotSupp not ~10%")
+  }
+
+  test("salting spreads the hot key: max per-task shuffle records drop >=4x on the skewed corpus") {
+    // The scale claim behind x61, measured via task metrics instead of
+    // wall-clock (timing is host-noise-fragile in CI): with broadcast off,
+    // the unsalted sort-merge join funnels the hot user's ~60k rows into
+    // ONE reducer task; the 8-way salt bounds every task near 1/8 of that.
+    val maxRecords = new java.util.concurrent.atomic.AtomicLong(0)
+    val jobsDone = new java.util.concurrent.Semaphore(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null && m.shuffleReadMetrics != null)
+          maxRecords.getAndUpdate(v => math.max(v, m.shuffleReadMetrics.recordsRead))
+      }
+      // listener events are ordered: when onJobEnd lands, every onTaskEnd of
+      // that job has landed — the drain signal (listenerBus is private[spark])
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        jobsDone.release()
+    }
+    withSQLConf(spark)(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled"  -> "false", // measure salting alone
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      // enough reducers that the average task is far below the hot key —
+      // at the suite default of 4, every task averages 25% of the corpus
+      // and a 10% hot key is invisible at task granularity
+      "spark.sql.shuffle.partitions" -> "128") {
+      val ev  = Tables(spark, skewDir, "events")
+      // dim is MATERIALIZED before the listener window: its own build
+      // aggregates by user_id, so the hot user funnels the same ~10k rows
+      // into one dim-build task in both runs — measuring it would mask the
+      // join-side difference the salt exists to create
+      val dim = ev.groupBy("user_id").agg(count(lit(1)).as("n_user_events")).cache()
+      dim.count()
+      def maxTaskRecords(df: org.apache.spark.sql.DataFrame): Long = {
+        maxRecords.set(0)
+        spark.sparkContext.addSparkListener(listener)
+        try {
+          jobsDone.drainPermits()
+          df.agg(sum(col("n_user_events"))).collect()
+          assert(jobsDone.tryAcquire(30, java.util.concurrent.TimeUnit.SECONDS),
+            "listener did not observe job end")
+          // AQE splits one query into several jobs — drain the burst
+          while (jobsDone.tryAcquire(200, java.util.concurrent.TimeUnit.MILLISECONDS)) {}
+        } finally spark.sparkContext.removeSparkListener(listener)
+        maxRecords.get()
+      }
+      try {
+        val plainMax  = maxTaskRecords(ev.join(dim.hint("merge"), "user_id"))
+        val saltedMax = maxTaskRecords(Skew.saltedJoin(ev, dim.hint("merge"), "user_id", salt = 16))
+        assert(plainMax > 0 && saltedMax > 0)
+        assert(saltedMax * 4 <= plainMax,
+          s"salting did not spread the hot key: plain max/task $plainMax, salted $saltedMax")
+      } finally { dim.unpersist(); () }
+    }
+  }
+
+  test("x04's df-cap actually triggers on the skewed corpus and bounds the candidate volume") {
+    import spark.implicits._
+    // replicate the shingle df computation over the fixture (word 3-grams,
+    // distinct per doc — DedupOps' contract) and show (a) the hot phrase's
+    // interior shingles exceed the cap, (b) the capped candidate volume
+    // Σ C(df,2) is orders of magnitude below the uncapped one — the join
+    // blowup the cap exists to prevent
+    val docs = Tables(spark, skewDir, "documents").where(col("text").isNotNull)
+    val w = split(col("text"), " ")
+    val sh = docs.select(col("doc_id"), explode(
+        when(size(w) >= 3, transform(sequence(lit(0), size(w) - 3), i =>
+          concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))
+          .otherwise(array())).as("g"))
+      .distinct()
+    val df = sh.groupBy("g").agg(count(lit(1)).as("df")).cache()
+    try {
+      val hotDf = df.where(col("g") === "beta gamma delta").select("df").as[Long].head()
+      assert(hotDf > graft.ops.DedupOps.DfCap,
+        s"hot shingle df $hotDf does not exceed the cap ${graft.ops.DedupOps.DfCap}")
+      val capped = df.where(col("df") <= graft.ops.DedupOps.DfCap)
+        .agg(sum((col("df") * (col("df") - 1) / 2).cast("long"))).as[Long].head()
+      val uncapped = df.agg(sum((col("df") * (col("df") - 1) / 2).cast("long"))).as[Long].head()
+      assert(uncapped > capped * 5,
+        s"fixture not skewed enough to demonstrate the cap: capped $capped, uncapped $uncapped")
+      // and the production query itself completes, bounded, on this corpus
+      val pairs = SparkEntry.queries("x04_ngram_jaccard")(spark, skewDir)
+      assert(pairs.count() >= 0) // materializes without a pair explosion
+    } finally { df.unpersist(); () }
+  }
+
+  test("AQE skew-join engages on the t02-shaped fact join over the skewed supplier") {
+    withSQLConf(spark)(
+      "spark.sql.autoBroadcastJoinThreshold"                        -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled"                         -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor"           -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes"             -> "32KB",
+      "spark.sql.adaptive.coalescePartitions.enabled"               -> "false") {
+      val li   = Tables(spark, skewDir, "lineitem")
+      val supp = Tables(spark, skewDir, "supplier")
+      val q = li.join(supp, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      q.collect()
+      val plan = q.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(plan.contains("skew=true"),
+        "AQE did not split the hot supplier partition:\n" +
+          plan.linesIterator.take(40).mkString("\n"))
+    }
+  }
 }
