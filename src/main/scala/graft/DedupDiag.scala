@@ -49,6 +49,15 @@ object DedupDiag {
 
     val (nPairs, tPairs) = timed(ops.DedupOps.diagPairs(spark, sfDir).count())
 
+    // x107 stage attribution (round 7): the prefix-filtered exact join is
+    // the suite's deliberate heavyweight — time its three stages separately
+    // (shingle index / df+rank windows → prefix / candidate self-join) and
+    // the verify remainder, so a trim can target the stage that pays
+    val (prefixRows, tPrefix) = timed(ops.DedupOps.diagPrefixIndex(spark, sfDir).count())
+    val (candRows, tCand) = timed(ops.DedupOps.diagPrefixPairs(spark, sfDir).count())
+    val (x107Rows, tX107) = timed(
+      SparkEntry.queries("x107_prefix_allpairs")(spark, sfDir).count())
+
     // cluster-graph structure: LS/SS round count is the x31 cost driver
     val ((labels, rounds), tCluster) = timed {
       val (l, r) = ops.DedupOps.largeStarSmallStar(ops.DedupOps.diagEdges(spark, sfDir))
@@ -63,7 +72,9 @@ object DedupDiag {
       s""""distinct_shingles":${dfStats.getLong(0)},"max_df":${dfStats.getLong(1)},"sum_df2":${dfStats.getLong(2)},""" +
       s""""band_rows":$bandRows,"buckets":${buckets.getLong(0)},"max_bucket":${buckets.getLong(1)},"bucket_pair_rows":${buckets.getLong(2)},""" +
       s""""candidate_pairs":$nPairs,"lsss_rounds":$rounds,"clusters":${clusterStats.getLong(0)},"max_cluster":${clusterStats.getLong(1)},""" +
-      s""""sec_scan":$tDocs,"sec_shingle":$tShingle,"sec_bands":$tBands,"sec_pairs":$tPairs,"sec_cluster":$tCluster}""")
+      s""""prefix_rows":$prefixRows,"prefix_cand_pairs":$candRows,"x107_rows":$x107Rows,""" +
+      s""""sec_scan":$tDocs,"sec_shingle":$tShingle,"sec_bands":$tBands,"sec_pairs":$tPairs,"sec_cluster":$tCluster,""" +
+      s""""sec_prefix_windows":$tPrefix,"sec_prefix_join":$tCand,"sec_x107_verify":$tX107}""")
     spark.stop()
   }
 }

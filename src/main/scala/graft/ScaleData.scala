@@ -98,25 +98,47 @@ object ScaleData {
         Map("event_id" -> maxOf("events", "event_id"),
             "user_id"  -> maxOf("events", "user_id"))),
       "documents" -> {
-        val alpha = "aeiousnrtl"
-        val perms = (0 until k).map(c => {
-          val r = c % alpha.length
-          "'" + (alpha.drop(r) + alpha.take(r)) + "'"
-        }).mkString(",")
+        // TWO independent substitution alphabets, rotated by (copy % 10)
+        // and (copy div 10 % 10): 100 distinct compositions, so every copy
+        // pair differs in nearly every shingle up to K = 100. The first
+        // sf10 build used the single 10-rotation alphabet — copies 10 apart
+        // were BYTE-IDENTICAL, planting 10-deep exact-duplicate groups
+        // whose pair joins grow K²/10 and filled the disk at K = 100.
+        require(k <= 100, s"documents scaling supports k <= 100 distinct copies, got $k")
+        val alpha1 = "aeiousnrtl"
+        val alpha2 = "dhcmpgbfwy"
+        def perms(alpha: String, sel: Int => Int): String =
+          (0 until k).map(c => {
+            val r = sel(c) % alpha.length
+            "'" + (alpha.drop(r) + alpha.take(r)) + "'"
+          }).mkString(",")
+        val p1 = perms(alpha1, c => c % 10)
+        val p2 = perms(alpha2, c => (c / 10) % 10)
         ops.Tables(spark, src, "documents").crossJoin(copies)
           .withColumn("doc_id", col("doc_id") + col("copy") * maxOf("documents", "doc_id"))
           .withColumn("text",
-            expr(s"translate(text, '$alpha', element_at(array($perms), cast(copy + 1 as int)))"))
+            expr(s"translate(text, '$alpha1', element_at(array($p1), cast(copy + 1 as int)))"))
+          .withColumn("text",
+            expr(s"translate(text, '$alpha2', element_at(array($p2), cast(copy + 1 as int)))"))
           .drop("copy")
       },
       "embeddings" -> {
+        // element rotation (copy % dim) composed with whole-vector negation
+        // for copy >= dim: 2·dim distinct transforms (128 at dim 64), all
+        // norm-preserving. Rotation alone repeats every dim copies — the
+        // K = 100 build duplicated 36% of vectors, exploding the per-cell
+        // quadratic in x57. Negated pairs sit at cosine −1, far below every
+        // near-dup threshold, so pair counts stay ~K-linear.
         ops.Tables(spark, src, "embeddings").crossJoin(copies)
           .withColumn("vec_id", col("vec_id") + col("copy") * maxOf("embeddings", "vec_id"))
           .withColumn("r", (col("copy") % size(col("embedding"))).cast("int"))
+          .withColumn("sgn",
+            when((col("copy") / size(col("embedding"))).cast("int") % 2 === 1, lit(-1.0f))
+              .otherwise(lit(1.0f)))
           .withColumn("embedding",
-            concat(expr("slice(embedding, r + 1, size(embedding) - r)"),
-              expr("slice(embedding, 1, r)")))
-          .drop("copy", "r")
+            expr("transform(concat(slice(embedding, r + 1, size(embedding) - r), " +
+              "slice(embedding, 1, r)), x -> x * sgn)"))
+          .drop("copy", "r", "sgn")
       })
 
     // Skew injection (--skew): the benign corpus above deliberately spreads

@@ -248,6 +248,12 @@ object DedupOps {
   private[graft] def diagPairs(s: SparkSession, dir: String): DataFrame = lshCandidatePairsUncached(s, dir)
   private[graft] def diagEdges(s: SparkSession, dir: String): DataFrame =
     lshCandidatePairs(s, dir).select(col("doc_a").as("a"), col("doc_b").as("b"))
+  private[graft] def diagCachedShingles(s: SparkSession, dir: String): DataFrame =
+    cachedShingles(s, dir)
+  private[graft] def diagPrefixIndex(s: SparkSession, dir: String): DataFrame =
+    cachedPrefixIndex(s, dir)
+  private[graft] def diagPrefixPairs(s: SparkSession, dir: String): DataFrame =
+    prefixCandidatePairs(s, dir)
 
   private def lshCandidatePairsUncached(s: SparkSession, dir: String): DataFrame = {
     val bands = cachedBandSignatures(s, dir)
@@ -1285,9 +1291,12 @@ object DedupOps {
         .withColumn("rk", row_number().over(
           Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
         .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      // rk and n ride the index: the candidate join's length and positional
+      // filters (below) need them, and they're free here — both windows
+      // already computed them
       ranked
         .where(col("rk") <= col("n") - expr("(3*n + 4) div 5") + 1)
-        .select("doc_id", "sh")
+        .select("doc_id", "sh", "rk", "n")
         .cache()
     })
   }
@@ -1306,8 +1315,43 @@ object DedupOps {
     evictStopped()
     prefixPairsCache.getOrElseUpdate((s, dir), {
       val prefix = cachedPrefixIndex(s, dir)
+      // The bare prefix join admits far more candidates than the verified
+      // output (measured 3.0M candidates → 2,560 pairs at sf1, with verify
+      // at 21 of x107's 27 s) — so the OTHER two PPJoin filters run as
+      // row-local predicates on the join output, both provably lossless at
+      // J ≥ 0.6 ⟺ 8i ≥ 3(na+nb):
+      //  - LENGTH: i ≤ min(na,nb) ⇒ qualifying pairs have
+      //    3·max(na,nb) ≤ 5·min(na,nb).
+      //  - POSITIONAL (the join-predicate-safe form of Xiao et al. §3.2):
+      //    for a token matching at ranks (rka, rkb) of the SAME global
+      //    (df, sh) order, common tokens BEFORE it occupy distinct ranks
+      //    below rka in a and below rkb in b (≤ min(rka−1, rkb−1) of them),
+      //    and common tokens after it fit in the shorter suffix — so
+      //    overlap ≤ ub = min(rka−1, rkb−1) + 1 + min(na−rka, nb−rkb),
+      //    valid at EVERY match position (PPJoin's tighter first-match
+      //    bound assumes zero prior overlap, which only holds for the
+      //    pair's first common token — unsound as a per-row predicate). A
+      //    pair survives iff ANY shared prefix token passes 8·ub ≥
+      //    3(na+nb); pruning is lossless because each retained qualifying
+      //    pair retains its first-match row.
+      //  - PAIR-SPECIFIC PREFIX (the strongest cut): the stored prefix uses
+      //    the threshold-only length n − ⌈0.6n⌉ + 1 ≈ 0.4n (correct before
+      //    the partner's size is known), but once BOTH sizes are on the
+      //    row the required overlap is α = ⌈3(na+nb)/8⌉ ≥ ⌈0.75·min⌉, and
+      //    any qualifying pair must share a token within the SHORTER
+      //    pair-specific prefixes n − α + 1 ≈ 0.25n. Rows whose match sits
+      //    beyond either pair-specific prefix cannot be a qualifying
+      //    pair's first match — dropping them before distinct is lossless.
+      val alpha = expr("(3*(a.n + b.n) + 7) div 8")
+      val ub = least(col("a.rk"), col("b.rk")) +
+        least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk"))
       prefix.as("a")
         .join(prefix.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .where(lit(3) * greatest(col("a.n"), col("b.n")) <=
+          lit(5) * least(col("a.n"), col("b.n")))
+        .where(col("a.rk") <= col("a.n") - alpha + 1 &&
+          col("b.rk") <= col("b.n") - alpha + 1)
+        .where(lit(8) * ub >= lit(3) * (col("a.n") + col("b.n")))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
         .cache()

@@ -237,6 +237,32 @@ object SimilarityOps {
       .orderBy("q_id", "rk")
   }
 
+  /** Nearest-centroid assignment shared by x22/x50/x57: corpus × broadcast
+    * centroids, argmax rounded cosine with centroid-id tiebreak — as a
+    * MAP-SIDE-COMBINED max_by aggregate, not a window. The first
+    * formulation ranked the n×c crossJoin rows with row_number over
+    * Window.partitionBy(vec_id): centroid count c grows with the corpus
+    * (the % 250 seed policy keeps cells ~250 deep — the SemDeDup regime),
+    * so the window EXCHANGED AND SORTED n×c ≈ n²/250 wide rows — measured
+    * super-linear between decades (x57 sf1→sf10 exponent 1.67, a 48 GB
+    * sort at sf10 that OOMed an 8g heap). The aggregate collapses each
+    * vector's c candidate rows inside the scan partition (partial
+    * aggregation), so the exchange carries n rows at any centroid count;
+    * the per-row dot-product flops are unchanged and row-local.
+    * Tie-break parity with the oracle's row_number(ORDER BY ccos DESC,
+    * c_id): max_by on struct(ccos, −c_id).
+    */
+  private def assignCells(n: DataFrame, cents: DataFrame): DataFrame = {
+    val centCos = round(dot(col("embedding"), col("cv")) / (col("nrm") * col("cn")), 6)
+    n.crossJoin(broadcast(cents))
+      .withColumn("ccos", centCos)
+      .groupBy("vec_id")
+      .agg(
+        first(col("embedding")).as("embedding"),
+        first(col("nrm")).as("nrm"),
+        max_by(col("c_id"), struct(col("ccos"), (col("c_id") * -1).as("tb"))).as("c_id"))
+  }
+
   /** IVF (inverted-file) ANN: a deterministic centroid sample partitions the
     * corpus into cells (assignment = argmax rounded cosine, centroid-id
     * tiebreak); each query searches only its own cell (nprobe=1). The
@@ -265,12 +291,7 @@ object SimilarityOps {
     val n = normed(s, dir)
     val cents = n.where(col("vec_id") % 250 === 1)
       .select(col("vec_id").as("c_id"), col("embedding").as("cv"), col("nrm").as("cn"))
-    val centCos = round(dot(col("embedding"), col("cv")) / (col("nrm") * col("cn")), 6)
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("c_id"))
-    val assign = n.crossJoin(broadcast(cents))
-      .withColumn("ccos", centCos)
-      .withColumn("rk", row_number().over(wAssign))
-      .where(col("rk") === 1)
+    val assign = assignCells(n, cents)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id"))
     val q = assign.where(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("qn"), col("c_id"))
@@ -400,12 +421,7 @@ object SimilarityOps {
     val n = normed(s, dir)
     val cents = n.where(col("vec_id") % 250 === 1)
       .select(col("vec_id").as("c_id"), col("embedding").as("cv"), col("nrm").as("cn"))
-    val ccos = round(dot(col("embedding"), col("cv")) / (col("nrm") * col("cn")), 6)
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("c_id"))
-    n.crossJoin(broadcast(cents))
-      .withColumn("ccos", ccos)
-      .withColumn("rk", row_number().over(wAssign))
-      .where(col("rk") === 1)
+    assignCells(n, cents)
       .select(col("c_id"), posexplode(col("embedding")).as(Seq("p", "comp")))
       .groupBy(col("c_id").cast("long").as("c_id"), (col("p") + 1).cast("long").as("i"))
       .agg(
@@ -444,12 +460,7 @@ object SimilarityOps {
     val n = normed(s, dir)
     val cents = n.where(col("vec_id") % 250 === 1)
       .select(col("vec_id").as("c_id"), col("embedding").as("cv"), col("nrm").as("cn"))
-    val centCos = round(dot(col("embedding"), col("cv")) / (col("nrm") * col("cn")), 6)
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("c_id"))
-    val assign = n.crossJoin(broadcast(cents))
-      .withColumn("ccos", centCos)
-      .withColumn("rk", row_number().over(wAssign))
-      .where(col("rk") === 1)
+    val assign = assignCells(n, cents)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id"))
     val pairCos = round(dot(col("a.embedding"), col("b.embedding")) /
       (col("a.nrm") * col("b.nrm")), 6)

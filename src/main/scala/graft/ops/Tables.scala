@@ -3,7 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType, LongType,
+  TimestampNTZType, TimestampType}
 
 /** Loaders for the driver testdata (`TESTDATA.md`): TPC-H-ish star schema +
   * `events` stream stand-in + `documents`/`embeddings` extension tables.
@@ -34,8 +35,42 @@ object Tables {
     val nanosConf = "spark.sql.legacy.parquet.nanosAsLong"
     if (spark.conf.get(nanosConf, "false") != "true") spark.conf.set(nanosConf, "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    eventTimeCols.getOrElse(name, Nil).foldLeft(df)(normalizeEventTime)
+    val timed = eventTimeCols.getOrElse(name, Nil).foldLeft(df)(normalizeEventTime)
+    name match {
+      // drift normalization (SchemaDriftSpec locks each flavor): the corpus
+      // generator has changed physical types across regenerations before
+      // (events.ts three times) — documents/embeddings get the same
+      // treatment PRE-EMPTIVELY so the next regeneration lands here, not at
+      // the driver's correctness gate. Every cast is a no-op projection
+      // when the type already matches (skipped entirely), so the canonical
+      // corpus pays nothing and keeps scan-level pushdown on the id column.
+      case "documents"  => normalizeIdToLong(timed, "doc_id")
+      case "embeddings" =>
+        normalizeFloatArray(normalizeIdToLong(timed, "vec_id"), "embedding")
+      case _ => timed
+    }
   }
+
+  /** int32 id → bigint (a generator that shrinks an id column breaks joins
+    * and % bucketing arithmetic downstream); identity when already long.
+    */
+  private def normalizeIdToLong(d: DataFrame, c: String): DataFrame =
+    if (!d.schema.fieldNames.contains(c)) d
+    else d.schema(c).dataType match {
+      case IntegerType => d.withColumn(c, col(c).cast(LongType))
+      case _           => d
+    }
+
+  /** list<float64> → array<float> (DotF32 and every ANN codepath contract
+    * on float32 elements); identity when already float32.
+    */
+  private def normalizeFloatArray(d: DataFrame, c: String): DataFrame =
+    if (!d.schema.fieldNames.contains(c)) d
+    else d.schema(c).dataType match {
+      case ArrayType(DoubleType, n) =>
+        d.withColumn(c, col(c).cast(ArrayType(FloatType, n)))
+      case _ => d
+    }
 
   /** NTZ→TIMESTAMP / nanos-long→TIMESTAMP normalization for one column;
     * identity when the column is already a true TIMESTAMP or absent.

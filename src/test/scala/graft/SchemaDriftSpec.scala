@@ -120,6 +120,102 @@ class SchemaDriftSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(multi == single, "multi-part layout diverges from single-file")
   }
 
+  // ---- documents / embeddings drift (VERDICT r6 item 6) -------------------
+  // The generator has re-typed events.ts three times; assume documents and
+  // embeddings are next: id columns shrinking to int32, embedding elements
+  // widening to float64, nullability flips. Each flavor is written as a
+  // corpus-layout fixture and one dedup + one ANN query runs through Tables
+  // on it, asserting identical results to the canonical flavor.
+
+  private def writeTable(dir: java.nio.file.Path, name: String, df: DataFrame): Unit = {
+    val tmp = dir.resolve(s"$name-out")
+    df.coalesce(1).write.parquet(tmp.toString)
+    val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
+      .findFirst().orElseThrow()
+    Files.move(part, dir.resolve(s"$name.parquet"))
+  }
+
+  private def baseDocs: DataFrame = {
+    import spark.implicits._
+    val words = Array("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima")
+    (0 until 120).map { i =>
+      val text = (0 until 12).map(j => words((i * 7 + j * (1 + i % 3)) % words.length))
+        .mkString(" ")
+      // docs i and i+60 share a prefix → real near-dup structure for x02
+      (i.toLong, if (i % 40 == 39) null else text, "src" + (i % 3), "en")
+    }.toDF("doc_id", "text", "source", "lang")
+  }
+
+  private def baseEmb: DataFrame = {
+    import spark.implicits._
+    (0 until 100).map { i =>
+      (i.toLong, (0 until 16).map(j => ((i * 31 + j * 17) % 97) / 97.0f).toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def docEmbDir(docFlavor: DataFrame => DataFrame,
+      embFlavor: DataFrame => DataFrame): String = {
+    val dir = Files.createTempDirectory("graft-drift-de")
+    writeTable(dir, "documents", docFlavor(baseDocs))
+    writeTable(dir, "embeddings", embFlavor(baseEmb))
+    dir.toString
+  }
+
+  private lazy val deCanonical = docEmbDir(identity, identity)
+  private lazy val deDrifted = docEmbDir(
+    // doc_id shrunk to int32
+    _.withColumn("doc_id", col("doc_id").cast("int")),
+    // vec_id shrunk to int32, elements widened to float64
+    _.withColumn("vec_id", col("vec_id").cast("int"))
+      .withColumn("embedding", col("embedding").cast("array<double>")))
+  private lazy val deNonNull = docEmbDir(
+    // nullability flip: every field declared non-null (text nulls dropped)
+    d => spark.createDataFrame(d.where(col("text").isNotNull).rdd,
+      org.apache.spark.sql.types.StructType(d.schema.fields.map(_.copy(nullable = false)))),
+    e => spark.createDataFrame(e.rdd,
+      org.apache.spark.sql.types.StructType(e.schema.fields.map(_.copy(nullable = false)))))
+
+  test("Tables normalizes drifted documents/embeddings types back to the contract") {
+    val docs = ops.Tables(spark, deDrifted, "documents")
+    assert(docs.schema("doc_id").dataType == org.apache.spark.sql.types.LongType)
+    val emb = ops.Tables(spark, deDrifted, "embeddings")
+    assert(emb.schema("vec_id").dataType == org.apache.spark.sql.types.LongType)
+    assert(emb.schema("embedding").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, true))
+  }
+
+  test("minhash-LSH dedup runs identically on every documents flavor") {
+    graft.ops.DedupOps.clearMemo() // fixture dirs must not reuse corpus memos
+    val base = SparkEntry.queries("x02_minhash_lsh")(spark, deCanonical)
+      .collect().map(_.toSeq).toSeq
+    // docs i and i+60 are byte-identical by construction → real pairs exist,
+    // so flavor equality below is never vacuous
+    assert(base.nonEmpty)
+    for ((name, dir) <- Seq("drifted" -> deDrifted)) {
+      val got = SparkEntry.queries("x02_minhash_lsh")(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      assert(got == base, s"flavor $name diverges (${got.size} vs ${base.size} rows)")
+    }
+    // the non-null flavor drops null-text docs — identical because x02
+    // filters them anyway
+    val nn = SparkEntry.queries("x02_minhash_lsh")(spark, deNonNull)
+      .collect().map(_.toSeq).toSeq
+    assert(nn == base, "non-null flavor diverges")
+    graft.ops.DedupOps.clearMemo()
+  }
+
+  test("brute-force cosine top-k runs identically on every embeddings flavor") {
+    val base = SparkEntry.queries("x06_cosine_topk")(spark, deCanonical)
+      .collect().map(_.toSeq).toSeq
+    assert(base.nonEmpty)
+    for ((name, dir) <- Seq("drifted" -> deDrifted, "non-null" -> deNonNull)) {
+      val got = SparkEntry.queries("x06_cosine_topk")(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      assert(got == base, s"flavor $name diverges (${got.size} vs ${base.size} rows)")
+    }
+  }
+
   test("unix_micros session transitions run on every ts flavor") {
     val results = flavors.map { case (name, dir) =>
       val rows = ops.BehaviorOps.transitions.run(spark, dir()).collect()
