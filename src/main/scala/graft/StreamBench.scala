@@ -197,16 +197,40 @@ object StreamBench {
         val it = latencies.iterator(); val b = Seq.newBuilder[Double]
         while (it.hasNext) b += it.next(); b.result()
       }
+      // Steady-state result: the engine KEEPS UP with the offered wave load
+      // (flat latency, no backlog growth) — so the wave phase measures
+      // latency under sustained load, not capacity. Capacity = the burst
+      // drain below: publish a backlog at once, time first→last delivery.
+      // The burst arrives as BATCHED segments (5 × burst/5 rows), the shape
+      // of a real backlog — a per-message-segment burst measures segment
+      // file overhead instead (measured 11.5 msg/s for 500 one-row
+      // segments: ~0.9 s of scan/plan/collect per 64-segment micro-batch)
+      val burst = sys.env.getOrElse("SPARK_GRAFT_STREAM_BURST", "500").toInt
+      firstArrival.set(Long.MaxValue); lastArrival.set(0L)
+      val preBurst = deliveredCount.get()
+      locally {
+        import spark.implicits._
+        val per = burst / 5
+        for (g <- 0 until 5) {
+          val rows = (0 until per).map { i =>
+            (s"${System.nanoTime()}:burst:${g * per + i}".getBytes,
+              Option.empty[java.sql.Timestamp], Option(s"k$i"), Map.empty[String, String])
+          }
+          topics.ingest(rows.toDF("payload", "eventTime", "key", "props").coalesce(1), fn)
+        }
+      }
+      var bSpins = 0
+      while (deliveredCount.get() < preBurst + burst && bSpins < 1200) {
+        Thread.sleep(100); bSpins += 1
+      }
+      val burstSec = math.max(1e-9, (lastArrival.get() - firstArrival.get()) / 1e9)
       val batches = engine.recentProgressCount
-      // delivery rate over the first→last POST window: the wave publisher's
-      // own segment-write cost (a per-message parquet append) is the wall
-      // clock's dominant term and is NOT the engine's delivery cadence
-      val deliverSec = math.max(1e-9, (lastArrival.get() - firstArrival.get()) / 1e9)
-      s"""{"published":${waves * perWave},"delivered":${deliveredCount.get()},""" +
+      s"""{"published":${waves * perWave},"delivered":$preBurst,""" +
         s""""batches":$batches,"wall_sec":${fmt(wallSec)},""" +
-        s""""delivery_window_sec":${fmt(deliverSec)},""" +
-        s""""msgs_per_sec":${fmt(deliveredCount.get() / deliverSec)},""" +
-        s""""latency_ms_p50":${fmt(pct(lats, 0.5))},"latency_ms_p95":${fmt(pct(lats, 0.95))}}"""
+        s""""latency_ms_p50":${fmt(pct(lats, 0.5))},"latency_ms_p95":${fmt(pct(lats, 0.95))},""" +
+        s""""burst_msgs":$burst,"burst_drained":${deliveredCount.get() - preBurst},""" +
+        s""""burst_drain_sec":${fmt(burstSec)},""" +
+        s""""burst_msgs_per_sec":${fmt((deliveredCount.get() - preBurst) / burstSec)}}"""
     } finally {
       engine.stopAll()
       server.stop(0)
