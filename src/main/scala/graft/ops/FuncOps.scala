@@ -329,10 +329,16 @@ object FuncOps {
     * answer every run. QueriesSpec asserts the built-ins agree to 1e-6 at
     * this scale, covering the native family without putting its float
     * merges on the oracle contract. Both engines then run an identical
-    * correctly-rounded IEEE chain (the bigint→double casts round the same
+    * correctly-rounded IEEE chain (the casts to double round the same
     * way from the same exact integers), so the 6-dp values hash-match.
-    * At 100 TB the same statistics ride decimal(38,0) before the final
-    * double conversion; magnitudes here stay inside int64 by 10^5.
+    * The SUMS stay int64 at any realistic scale (Σy² ≈ 4·10¹⁵ at 10M
+    * rows), but the derived factors n·syy − sy² crossed 10²¹ at the sf10
+    * measurement — ARITHMETIC_OVERFLOW under ANSI (caught by the round-7
+    * 100× run; DuckDB silently promotes to hugeint). The factors
+    * therefore ride decimal(19,0) inputs (product type decimal(38,0)),
+    * exactly as the 100 TB posture always claimed: exact integer
+    * arithmetic to ~10³⁸, one correctly-rounded cast to double at the
+    * same point as the oracle.
     */
   val regressionStats: Q = Q(
     "f12_regression_stats",
@@ -365,10 +371,13 @@ object FuncOps {
       sum(col("x") * col("y")).as("sxy"),
       sum(col("x") * col("x")).as("sxx"),
       sum(col("y") * col("y")).as("syy"))
-    // exact int64 factors, cast to double at the same points as the oracle
-    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-    val dx  = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
-    val dy  = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    // exact decimal(38,0) factors (int64 overflows past ~10^19 — see
+    // scaladoc), cast to double at the same points as the oracle
+    def dec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      c.cast("decimal(19,0)")
+    val num = (dec(col("n")) * dec(col("sxy")) - dec(col("sx")) * dec(col("sy"))).cast("double")
+    val dx  = (dec(col("n")) * dec(col("sxx")) - dec(col("sx")) * dec(col("sx"))).cast("double")
+    val dy  = (dec(col("n")) * dec(col("syy")) - dec(col("sy")) * dec(col("sy"))).cast("double")
     sums.select(
         col("event_type"), col("n"),
         round(num / dx, 6).as("slope"),

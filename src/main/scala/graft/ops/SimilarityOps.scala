@@ -14,6 +14,17 @@ import org.apache.spark.sql.functions._
   * DuckDB `::DOUBLE[]` twin), the dot product is a sequential left fold
   * (`aggregate`), and scores are rounded to 6 dp before ranking with a
   * vec_id tiebreak.
+  *
+  * Query batch (round 7): every search-family query set is
+  * `vec_id % 50 = 0 AND vec_id < 20000` — a FIXED batch of ≤400 queries.
+  * The original corpus-proportional slice (% 50 alone) made query×corpus
+  * work quadratic by construction: measured at the 100× point, x94's PQ
+  * scan hit 431 s (marginal exponent ≈ 1.6) purely from 10× more queries
+  * against a 10× corpus. Query volume is an OPERATIONAL knob (a serving
+  * deployment sizes its request batch), corpus growth is what the plan
+  * must survive — so the benchmark pins the batch and lets only the
+  * corpus scale. The cap is inert at every correctness scale factor
+  * (max vec_id at sf0.1 is 1,999), so oracles and specs are unchanged.
   */
 object SimilarityOps {
 
@@ -74,11 +85,11 @@ object SimilarityOps {
        |         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos,
        |         row_number() OVER (PARTITION BY q.vec_id
        |           ORDER BY round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) DESC, c.vec_id) AS rk
-       |  FROM n q JOIN n c ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id)
+       |  FROM n q JOIN n c ON q.vec_id % 50 = 0 AND q.vec_id < 20000 AND c.vec_id <> q.vec_id)
        |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
   ) { (s, dir) =>
     val n = normed(s, dir)
-    val q = n.where(col("vec_id") % 50 === 0)
+    val q = n.where(col("vec_id") % 50 === 0 && col("vec_id") < 20000)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("qn"))
     val cos = round(dot(col("qv"), col("embedding")) / (col("qn") * col("nrm")), 6)
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
@@ -153,7 +164,7 @@ object SimilarityOps {
        |         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos,
        |         row_number() OVER (PARTITION BY q.vec_id
        |           ORDER BY round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) DESC, c.vec_id) AS rk
-       |  FROM nb q JOIN nb c ON q.bucket = c.bucket AND q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id)
+       |  FROM nb q JOIN nb c ON q.bucket = c.bucket AND q.vec_id % 50 = 0 AND q.vec_id < 20000 AND c.vec_id <> q.vec_id)
        |WHERE rk <= 3)""".stripMargin
 
   val annLsh: Q = Q(
@@ -163,7 +174,7 @@ object SimilarityOps {
   ) { (s, dir) =>
     val n = normed(s, dir)
     val withBucket = n.withColumn("bucket", bucketCol)
-    val q = withBucket.where(col("vec_id") % 50 === 0)
+    val q = withBucket.where(col("vec_id") % 50 === 0 && col("vec_id") < 20000)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("qn"), col("bucket"))
     val cos = round(dot(col("qv"), col("embedding")) / (col("qn") * col("nrm")), 6)
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
@@ -197,14 +208,14 @@ object SimilarityOps {
        |            FROM proj GROUP BY vec_id),
        |nb AS (SELECT n.vec_id, v, nrm, bucket FROM n JOIN buckets USING (vec_id)),
        |probes AS (
-       |  SELECT vec_id, v, nrm, bucket AS probe FROM nb WHERE vec_id % 50 = 0
+       |  SELECT vec_id, v, nrm, bucket AS probe FROM nb WHERE vec_id % 50 = 0 AND vec_id < 20000
        |  UNION ALL
        |  SELECT vec_id, v, nrm,
        |         substr(bucket, 1, CAST(2*p+1 AS INT)) ||
        |         (CASE WHEN substr(bucket, CAST(2*p+2 AS INT), 1) = '+' THEN '-' ELSE '+' END) ||
        |         substr(bucket, CAST(2*p+3 AS INT), 16) AS probe
        |  FROM nb CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS p) flips
-       |  WHERE vec_id % 50 = 0)
+       |  WHERE vec_id % 50 = 0 AND vec_id < 20000)
        |SELECT q_id, rk, n_id, cos FROM (
        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
        |         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos,
@@ -215,7 +226,7 @@ object SimilarityOps {
   ) { (s, dir) =>
     val n = normed(s, dir)
     val nb = n.withColumn("bucket", bucketCol)
-    val queries = nb.where(col("vec_id") % 50 === 0)
+    val queries = nb.where(col("vec_id") % 50 === 0 && col("vec_id") < 20000)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("qn"), col("bucket"))
     val flip = (p: Column) => concat(
       col("bucket").substr(lit(1), (p * 2 + 1).cast("int")),
@@ -285,7 +296,7 @@ object SimilarityOps {
        |         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos,
        |         row_number() OVER (PARTITION BY q.vec_id
        |           ORDER BY round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) DESC, c.vec_id) AS rk
-       |  FROM assign q JOIN assign c ON q.c_id = c.c_id AND q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id)
+       |  FROM assign q JOIN assign c ON q.c_id = c.c_id AND q.vec_id % 50 = 0 AND q.vec_id < 20000 AND c.vec_id <> q.vec_id)
        |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
   ) { (s, dir) =>
     val n = normed(s, dir)
@@ -293,7 +304,7 @@ object SimilarityOps {
       .select(col("vec_id").as("c_id"), col("embedding").as("cv"), col("nrm").as("cn"))
     val assign = assignCells(n, cents)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id"))
-    val q = assign.where(col("vec_id") % 50 === 0)
+    val q = assign.where(col("vec_id") % 50 === 0 && col("vec_id") < 20000)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("qn"), col("c_id"))
     val cos = round(dot(col("qv"), col("embedding")) / (col("qn") * col("nrm")), 6)
     val wTop = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
@@ -330,7 +341,7 @@ object SimilarityOps {
        |       FROM proj GROUP BY vec_id, CAST((p - 8) // 6 AS INT)),
        |cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
        |         FROM tb q JOIN tb c ON q.t = c.t AND q.bucket = c.bucket
-       |           AND q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id)
+       |           AND q.vec_id % 50 = 0 AND q.vec_id < 20000 AND c.vec_id <> q.vec_id)
        |SELECT q_id, rk, n_id, cos FROM (
        |  SELECT q_id, n_id,
        |         round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos,
@@ -345,7 +356,7 @@ object SimilarityOps {
     val keyed = n
       .select(col("vec_id"), explode(array(tables: _*)).as("tb"))
       .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
-    val qk = keyed.where(col("vec_id") % 50 === 0)
+    val qk = keyed.where(col("vec_id") % 50 === 0 && col("vec_id") < 20000)
       .select(col("vec_id").as("q_id"), col("t"), col("bucket"))
     val cand = keyed.join(qk, Seq("t", "bucket"))
       .where(col("vec_id") =!= col("q_id"))
@@ -511,7 +522,7 @@ object SimilarityOps {
       |         CAST(list_dot_product(q.codes, c.codes) AS BIGINT) AS qdot,
       |         row_number() OVER (PARTITION BY q.vec_id
       |           ORDER BY CAST(list_dot_product(q.codes, c.codes) AS BIGINT) DESC, c.vec_id) AS rk
-      |  FROM c q JOIN c ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id) t
+      |  FROM c q JOIN c ON q.vec_id % 50 = 0 AND q.vec_id < 20000 AND c.vec_id <> q.vec_id) t
       |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
   ) { (s, dir) =>
     val mn = array_min(col("embedding")).cast("double")
@@ -533,7 +544,7 @@ object SimilarityOps {
     // the QUERY side broadcasts (x06's shape) — the corpus scan stays
     // partition-parallel and is never shuffled
     codes.as("c")
-      .join(broadcast(codes.where(col("vec_id") % 50 === 0)).as("q"),
+      .join(broadcast(codes.where(col("vec_id") % 50 === 0 && col("vec_id") < 20000)).as("q"),
         col("c.vec_id") =!= col("q.vec_id"))
       .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("n_id"), qdot.as("qdot"))
       .withColumn("rk", row_number().over(wTop))
@@ -614,7 +625,7 @@ object SimilarityOps {
        |exact0 AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
        |             row_number() OVER (PARTITION BY q.vec_id
        |               ORDER BY round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) DESC, c.vec_id) AS rk
-       |           FROM n q JOIN n c ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id),
+       |           FROM n q JOIN n c ON q.vec_id % 50 = 0 AND q.vec_id < 20000 AND c.vec_id <> q.vec_id),
        |exact AS (SELECT q_id, n_id FROM exact0 WHERE rk <= 3)
        |SELECT e.q_id AS q_id, CAST(count(l.n_id) AS BIGINT) AS n_hit,
        |       CAST(count(l.n_id) * 1000000 // 3 AS BIGINT) AS recall_ppm
@@ -682,7 +693,7 @@ object SimilarityOps {
       |codes AS (SELECT vec_id, s, cid FROM (
       |  SELECT vec_id, s, cid, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rk
       |  FROM cdist) WHERE rk = 1),
-      |qdist AS (SELECT vec_id AS q_id, s, cid, dist FROM cdist WHERE vec_id % 50 = 0),
+      |qdist AS (SELECT vec_id AS q_id, s, cid, dist FROM cdist WHERE vec_id % 50 = 0 AND vec_id < 20000),
       |adc AS (SELECT q.q_id, c.vec_id AS n_id, CAST(sum(q.dist) AS BIGINT) AS approx_d
       |        FROM codes c JOIN qdist q ON q.s = c.s AND q.cid = c.cid
       |        WHERE c.vec_id <> q.q_id
@@ -761,7 +772,7 @@ object SimilarityOps {
 
     val codes = assignCodes(cb1IdsPerS, cb1ValsPerS)
     // ADC lookup table: FULL per-centroid distances, query rows only
-    val qdist = e.where(col("vec_id") % 50 === 0)
+    val qdist = e.where(col("vec_id") % 50 === 0 && col("vec_id") < 20000)
       .select(col("vec_id").as("q_id"),
         posexplode(array((0 until 16).map(sx => distArr(sx, cb1ValsPerS(sx))): _*))
           .as(Seq("qs", "dists")))
@@ -809,7 +820,7 @@ object SimilarityOps {
        |        CAST(floor(x / nrm * 1000000 + 0.5) AS BIGINT)) AS v FROM n),
        |dims AS (SELECT vec_id, CAST((i-1) // 4 AS BIGINT) AS s, i, v[i] AS val
        |         FROM e, (SELECT unnest(generate_series(1, 64)) AS i) idx),
-       |cdims AS (SELECT vec_id AS gid, i, val FROM dims WHERE vec_id % 250 = 1),
+       |cdims AS (SELECT vec_id AS gid, i, val FROM dims WHERE vec_id % 250 = 1 AND vec_id < 20000),
        |cd AS (SELECT d.vec_id, c.gid, sum((d.val - c.val) * (d.val - c.val)) AS gd
        |       FROM dims d JOIN cdims c ON d.i = c.i GROUP BY d.vec_id, c.gid),
        |cellrk AS (SELECT vec_id, gid, row_number() OVER (PARTITION BY vec_id ORDER BY gd, gid) AS rk FROM cd),
@@ -825,7 +836,7 @@ object SimilarityOps {
        |  SELECT vec_id, s, cid, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rk
        |  FROM pdist) WHERE rk = 1),
        |qprobe AS (SELECT vec_id AS q_id, gid FROM cellrk
-       |           WHERE vec_id % 50 = 0 AND rk <= 2),
+       |           WHERE vec_id % 50 = 0 AND vec_id < 20000 AND rk <= 2),
        |qrdims AS (SELECT p.q_id, p.gid, d.s, d.i, d.val - c.val AS val
        |           FROM qprobe p JOIN dims d ON d.vec_id = p.q_id
        |                        JOIN cdims c ON c.gid = p.gid AND c.i = d.i),
@@ -847,8 +858,16 @@ object SimilarityOps {
       transform(col("embedding"),
         x => floor(x.cast("double") / col("nrm") * 1000000 + 0.5).cast("long")).as("v"))
 
-    // --- coarse quantizer: collected centroids as literals, ascending gid
-    val centRows = e.where(col("vec_id") % 250 === 1).orderBy("vec_id").collect()
+    // --- coarse quantizer: collected centroids as literals, ascending gid.
+    // FIXED count (≤80, inert below sf10 like the query cap): the literal
+    // codebook and the per-row assignment flops must be corpus-size-
+    // independent — a k ∝ n seed policy grows the typedLit plan tree and
+    // the n·c assignment work without bound (measured 167 s at sf10 before
+    // the cap, 303 s before the query cap). Fixed-k IVF is the retrieval
+    // design: cells deepen linearly and the probe-2 candidate volume grows
+    // linearly with the corpus, never quadratically.
+    val centRows = e.where(col("vec_id") % 250 === 1 && col("vec_id") < 20000)
+      .orderBy("vec_id").collect()
     require(centRows.length >= 2, "IVF needs at least 2 cells to probe")
     val centIds: Seq[Long]       = centRows.map(_.getAs[Long]("vec_id")).toSeq
     val centVals: Seq[Seq[Long]] = centRows.map(_.getSeq[Long](1).toSeq).toSeq
@@ -897,7 +916,7 @@ object SimilarityOps {
 
     // --- query side: probe the 2 nearest cells, per-cell residual, ADC table
     val masked = expr("transform(cd, (x, i) -> CASE WHEN i + 1 = cpos THEN CAST(9223372036854775807 AS BIGINT) ELSE x END)")
-    val q = withCell.where(col("vec_id") % 50 === 0)
+    val q = withCell.where(col("vec_id") % 50 === 0 && col("vec_id") < 20000)
       .withColumn("cd2", masked)
       .withColumn("cpos2", array_position(col("cd2"), array_min(col("cd2"))).cast("int"))
       .select(col("vec_id").as("q_id"), col("v"),
@@ -949,7 +968,7 @@ object SimilarityOps {
        |exact0 AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
        |             row_number() OVER (PARTITION BY q.vec_id
        |               ORDER BY round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) DESC, c.vec_id) AS rk
-       |           FROM n q JOIN n c ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id),
+       |           FROM n q JOIN n c ON q.vec_id % 50 = 0 AND q.vec_id < 20000 AND c.vec_id <> q.vec_id),
        |exact AS (SELECT q_id, n_id FROM exact0 WHERE rk <= 3),
        |hits AS (
        |  SELECT e.q_id, l.rk FROM exact e JOIN lsh l ON e.q_id = l.q_id AND e.n_id = l.n_id
@@ -1015,7 +1034,7 @@ object SimilarityOps {
       s"""WITH n AS ($normedSql),
          |a AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 2 = 0),
          |b AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 2 = 1),
-         |q AS (SELECT vec_id, v, nrm FROM a WHERE vec_id % 50 = 0),
+         |q AS (SELECT vec_id, v, nrm FROM a WHERE vec_id % 50 = 0 AND vec_id < 20000),
          |fc AS (
          |  SELECT q.vec_id AS q_id, b.vec_id AS b_id,
          |         CAST(round(list_dot_product(q.v, b.v) / (q.nrm * b.nrm) * 1000000, 0) AS BIGINT) AS c,
@@ -1052,7 +1071,7 @@ object SimilarityOps {
       val n = normed(s, dir)
       val a = n.where(col("vec_id") % 2 === 0)
       val b = n.where(col("vec_id") % 2 === 1)
-      val q = a.where(col("vec_id") % 50 === 0)
+      val q = a.where(col("vec_id") % 50 === 0 && col("vec_id") < 20000)
         .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("qn"))
       val cMicro = (x: Column, xn: Column, y: Column, yn: Column) =>
         round(graft.functions.GraftFunctions.dotF32(x, y) / (xn * yn) * 1000000, 0).cast("long")
