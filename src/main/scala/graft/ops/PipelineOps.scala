@@ -727,7 +727,89 @@ object PipelineOps {
       .orderBy("lang")
   }
 
+  /** CONTENT-DEFINED chunk dedup (the FastCDC/rsync boundary idea —
+    * Muthitacharoen et al., "A Low-Bandwidth Network File System",
+    * SOSP'01): chunk boundaries are placed where a rolling content
+    * condition fires — here, after char i when the md5 of the trailing
+    * 8-char window ≡ 0 (mod 64) — so an insertion early in a document
+    * shifts ONLY the chunk it lands in, where x25's fixed-width chunking
+    * re-aligns every later chunk (the boundary-shift problem CDC exists to
+    * solve; textbook gear-CDC swaps md5 for a rolling gear hash and adds
+    * min/max clamps — same plan shape). Expected chunk length 64 chars.
+    * Per source: chunk count, distinct chunk digests, the fraction of
+    * chunk occurrences whose content also appears in ANOTHER document
+    * (cross-doc boilerplate, the dedup signal), and mean chunk length in
+    * centichars — all exact integers.
+    *
+    * Scale shape: boundary detection, chunk slicing and digesting are ONE
+    * row-local codegen HOF chain (the text never leaves its row — only
+    * 16-hex digests explode); the cross-doc test is a digest-keyed
+    * aggregate and the report is a source-count-sized rollup. The oracle
+    * reaches the same chunks via an explode + lag window — plan
+    * equivalence is not the contract, result equality is.
+    */
+  val cdcChunks: Q = Q(
+    "x124_cdc_chunks",
+    """WITH d AS (SELECT doc_id, source, text FROM documents
+      |           WHERE text IS NOT NULL AND len(text) > 0),
+      |pos AS (SELECT doc_id, source, text, i FROM (
+      |          SELECT doc_id, source, text,
+      |                 unnest(generate_series(1, len(text))) AS i FROM d) u
+      |        WHERE i = len(text)
+      |           OR (i >= 8 AND CAST(concat('0x', substr(md5(substr(text, i - 7, 8)), 1, 8)) AS BIGINT) % 64 = 0)),
+      |chunks AS (SELECT doc_id, source,
+      |             substr(text, coalesce(lag(i) OVER w, 0) + 1,
+      |                    i - coalesce(lag(i) OVER w, 0)) AS chunk
+      |           FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+      |dg AS (SELECT doc_id, source, substr(md5(chunk), 1, 16) AS cd, len(chunk) AS clen
+      |       FROM chunks),
+      |shared AS (SELECT cd, count(DISTINCT doc_id) AS nd FROM dg GROUP BY cd)
+      |SELECT dg.source, CAST(count(*) AS BIGINT) AS n_chunks,
+      |       CAST(count(DISTINCT dg.cd) AS BIGINT) AS n_distinct,
+      |       CAST(sum(CASE WHEN s.nd > 1 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS cross_doc_ppm,
+      |       CAST(sum(dg.clen) * 100 // count(*) AS BIGINT) AS mean_len_centi
+      |FROM dg JOIN shared s ON s.cd = dg.cd
+      |GROUP BY dg.source ORDER BY dg.source""".stripMargin
+  ) { (s, dir) =>
+    val d = Tables.computeParallel(
+      docs(s, dir).where(col("text").isNotNull && length(col("text")) > 0))
+      .select("doc_id", "source", "text")
+    val dg = cdcDigests(d)
+    val shared = dg.groupBy("cd").agg(countDistinct(col("doc_id")).as("nd"))
+    dg.join(shared, "cd")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("cd")).as("n_distinct"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared"),
+        sum(col("clen")).as("sum_len"))
+      .select(col("source"), col("n_chunks"), col("n_distinct"),
+        expr("n_shared * 1000000 div n_chunks").as("cross_doc_ppm"),
+        expr("sum_len * 100 div n_chunks").as("mean_len_centi"))
+      .orderBy("source")
+  }
+
+  /** Row-local CDC chunk digests of a (…, text) frame: cut positions →
+    * per-chunk (cd 16-hex digest, clen) via one codegen HOF chain — the
+    * text never leaves its row, only digests explode. Shared by x124 and
+    * the insertion-locality spec.
+    */
+  private[graft] def cdcDigests(d: DataFrame): DataFrame = {
+    val withCuts = d.withColumn("cuts",
+      expr("""filter(sequence(1, length(text)), i ->
+             |  i = length(text) OR (i >= 8 AND
+             |    cast(conv(substring(md5(substring(text, i - 7, 8)), 1, 8), 16, 10) as bigint) % 64 = 0))"""
+        .stripMargin))
+    withCuts.select(withCuts.columns.filter(c => c != "text" && c != "cuts").map(col) :+
+        explode(expr(
+          """transform(cuts, (c, j) -> named_struct(
+            |  'cd', substring(md5(substring(text, (CASE WHEN j = 0 THEN 0 ELSE element_at(cuts, j) END) + 1,
+            |                                c - (CASE WHEN j = 0 THEN 0 ELSE element_at(cuts, j) END))), 1, 16),
+            |  'clen', c - (CASE WHEN j = 0 THEN 0 ELSE element_at(cuts, j) END)))""".stripMargin)).as("ch"): _*)
+      .withColumn("cd", col("ch.cd")).withColumn("clen", col("ch.clen")).drop("ch")
+  }
+
   val all: Seq[Q] = Seq(chunkDedup, repetitionScore, contamination, hashSample,
     seqPacking, stratifiedTopK, refIntegrity, temperatureMix, ragChunking,
-    driftMonitor, bloomNovelty, quotaSample, budgetSelect, epochPlan, dsirResample)
+    driftMonitor, bloomNovelty, quotaSample, budgetSelect, epochPlan, dsirResample,
+    cdcChunks)
 }

@@ -1337,4 +1337,25 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     // exact-top-5 neighbor overall at this scale
     assert(ann.isEmpty || (exact & ann).nonEmpty)
   }
+
+  test("x124 CDC boundaries are insertion-local — the property fixed-width chunking lacks") {
+    import spark.implicits._
+    // one char inserted at the FRONT: content-defined cuts re-synchronize at
+    // the first boundary window after the edit, so all later chunks keep
+    // their digests; fixed-width chunking would shift every chunk
+    val base = (1 to 400).map(i => s"w$i").mkString(" ")
+    val edited = "Z" + base
+    val d = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val dg = graft.ops.PipelineOps.cdcDigests(d)
+      .select("doc_id", "cd").collect().groupBy(_.getLong(0))
+    val a = dg(1L).map(_.getString(1)).toSeq
+    val b = dg(2L).map(_.getString(1)).toSeq
+    assert(a.size > 5, s"fixture too short to chunk (got ${a.size} chunks)")
+    val shared = a.intersect(b).size
+    // everything but the first chunk (and at most one resync chunk) survives
+    assert(shared >= a.size - 2,
+      s"insertion shifted ${a.size - shared} of ${a.size} chunks — boundaries are not content-defined")
+    // and the two texts do differ in at least one chunk
+    assert(a.toSet != b.toSet)
+  }
 }
