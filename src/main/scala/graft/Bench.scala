@@ -128,10 +128,21 @@ object Bench {
       .mkString("[", ",", "]")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
       s"""{"headline":$line,"passes":$perPass}\n""")
+    // ALSO drop the bare headline at a fixed path: sbt appends its own
+    // [success] line after our stdout and the driver byte-caps the tail, so
+    // the stdout contract alone can lose the record (BENCH_r07
+    // parsed:null). bench_last.json is overwritten every run by design —
+    // it answers "what did the most recent Bench on this tree measure"
+    // regardless of how stdout was captured; durable runs keep their full
+    // record under the distinct SPARK_GRAFT_BENCH_OUT name.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_last.json"), line + "\n")
     // the headline is the LAST thing on stdout — after spark.stop(), so no
     // shutdown logging can land between it and the end of the tail the
-    // driver captures (BENCH_r06's parsed:null)
-    spark.stop()
+    // driver captures (BENCH_r06's parsed:null). stop() is best-effort:
+    // a shutdown-hook race must not eat the headline.
+    try spark.stop()
+    catch { case e: Throwable => System.err.println(s"[bench] stop: $e") }
     println(line)
     if (!ok) sys.exit(1)
   }

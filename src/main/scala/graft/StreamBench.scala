@@ -57,7 +57,10 @@ object StreamBench {
     val sliced = ev
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")))
-      .withColumn("slice", (((col("rn") - 1) * nSlices) / total).cast("int"))
+      // rn is IntegerType: widen BEFORE multiplying — rn*nSlices overflows
+      // Int32 past ~89M rows at 24 slices, scattering rows into negative
+      // slice ids the staging loop below would silently never copy
+      .withColumn("slice", (((col("rn").cast("long") - 1) * nSlices) / total).cast("int"))
       .drop("rn")
     sliced.write.partitionBy("slice").mode("overwrite").parquet(work.toString)
     var fileIdx = 0

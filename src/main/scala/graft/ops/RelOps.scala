@@ -289,6 +289,11 @@ object RelOps {
 
   /** Theta join (equi prefix + inequality residual): supplier/customer
     * account-balance dominance pairs per nation. Supplier side broadcast.
+    * Declared BOUNDED-SIDE theta oracle: this shape is correct only while
+    * one side stays broadcast-small (supplier is, by TPC-H contract — 100×
+    * data grows it 100×, still dimension-sized next to customer). For
+    * big⨝big band predicates the scale path is t26's cell-collapsed
+    * window count, which never enumerates qualifying pairs.
     */
   val thetaBalancePairs: Q = Q(
     "t13_theta_balance",
@@ -568,14 +573,33 @@ object RelOps {
       .orderBy("p_brand", "metric")
   }
 
-  /** Bucketed range self-join: |Δvalue| ≤ 0.5 pairs per event type. A
-    * naive range join is a nested loop (t13's theta shape — fine for one
-    * small side, quadratic for big⨝big); bucketing value into range-width
-    * cells and probing the 3 adjacent cells turns it into an EQUI join on
-    * (type, bucket) — the scalable interval-join pattern. Each qualifying
-    * pair is found exactly once (the probe side fans out, the build side
-    * keeps its home bucket). Oracle: the direct theta join, affordable at
-    * oracle scale.
+  /** Band-count range self-join: count pairs with |Δvalue| ≤ 0.5 per event
+    * type — WITHOUT enumerating the pairs. The result is a tiny grouped
+    * count, but in-band pair density is ∝ n² over a fixed value domain, so
+    * any plan that materializes the qualifying pairs (nested loop, or the
+    * earlier bucket-probe equi-join) is quadratic regardless of join
+    * strategy (this one measured 401 s / exponent 1.84 over the sf1→sf10
+    * decade). Counting needs only O(n log n):
+    *
+    *  1. Collapse rows to (type, value) CELLS with multiplicity m — one
+    *     hash aggregate; everything after runs on |distinct values|, which
+    *     is orders of magnitude below n for any bounded-granularity domain.
+    *  2. Per cell: ties contribute C(m,2); cross-cell in-band pairs are
+    *     counted once at the LATER cell via a value-RANGE window
+    *     [v−0.5, v] over the cell stream: m·(sum(m) over frame − m).
+    *  3. IEEE boundary repair: the oracle predicate fl(va−vb) ≤ 0.5 and the
+    *     window bound vb ≥ fl(va−0.5) agree everywhere except within an
+    *     ε-annulus of the band edge (|va−vb−0.5| ≤ ε, ε=1e-6 ≫ ulp). A
+    *     bucketed equi-join enumerates only annulus CELL pairs (a handful
+    *     per cell) and adds m_a·m_b·(oracle − window) per pair, making the
+    *     count bit-exact against the double-arithmetic oracle — no
+    *     grid/granularity assumption about `value`.
+    *
+    * Shuffles: one n-row aggregate + one cell-level window + one sparse
+    * cell-level join. At 100 TB the aggregate is the only full-data
+    * exchange and it carries 16-byte rows. (t13 keeps the enumerate-the-
+    * pairs theta shape as the declared BOUNDED-SIDE oracle — its supplier
+    * side is broadcast-small by contract; this query is the scale path.)
     */
   val rangeJoin: Q = Q(
     "t26_range_join",
@@ -585,17 +609,41 @@ object RelOps {
       | AND abs(a.value - b.value) <= 0.5
       |GROUP BY a.event_type ORDER BY a.event_type""".stripMargin
   ) { (s, dir) =>
-    val e = Tables(s, dir, "events").select(col("event_id"), col("event_type"), col("value"),
-      floor(col("value") * 2).cast("long").as("bk"))
-    val probes = e.select(col("event_id").as("a_id"), col("event_type"),
-      col("value").as("a_v"),
-      explode(array(col("bk") - 1, col("bk"), col("bk") + 1)).as("bk"))
-    probes
-      .join(e.select(col("event_id").as("b_id"), col("event_type"),
-        col("value").as("b_v"), col("bk")), Seq("event_type", "bk"))
-      .where(col("a_id") < col("b_id") && abs(col("a_v") - col("b_v")) <= 0.5)
+    val eps = 1e-6
+    val cells = Tables(s, dir, "events")
+      .groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).as("m"))
+    // In-frame row count over [v-0.5, v]; Spark computes the lower bound as
+    // fl(v - 0.5) (double subtract), the exact arithmetic the repair join
+    // replicates below.
+    val inFrame = expr(
+      "sum(m) OVER (PARTITION BY event_type ORDER BY value " +
+        "RANGE BETWEEN 0.5 PRECEDING AND CURRENT ROW)")
+    val windowed = cells
+      .select(col("event_type"),
+        (col("m") * (inFrame - col("m")) + col("m") * (col("m") - 1) / 2)
+          .as("pairs"))
+    // ε-annulus repair: candidate cell pairs with vb ≈ va - 0.5, found by an
+    // equi-join on ε-wide buckets of the shifted probe key (3-key probe
+    // covers bucket-edge placement; each b-cell owns one bucket so no pair
+    // is produced twice).
+    val probeKey = floor((col("value") - 0.5) / (2 * eps)).cast("long")
+    val aSide = cells.select(col("event_type"), col("value").as("va"),
+      col("m").as("ma"),
+      explode(array(probeKey - 1, probeKey, probeKey + 1)).as("bkt"))
+    val bSide = cells.select(col("event_type"), col("value").as("vb"),
+      col("m").as("mb"),
+      floor(col("value") / (2 * eps)).cast("long").as("bkt"))
+    val repair = aSide.join(bSide, Seq("event_type", "bkt"))
+      .where(col("vb") < col("va") &&
+        col("vb") >= col("va") - 0.5 - eps && col("vb") <= col("va") - 0.5 + eps)
+      .select(col("event_type"),
+        (col("ma") * col("mb") *
+          (when(col("va") - col("vb") <= 0.5, 1L).otherwise(0L) -
+           when(col("vb") >= col("va") - 0.5, 1L).otherwise(0L))).as("pairs"))
+    windowed.unionByName(repair)
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n_pairs"))
+      .agg(sum(col("pairs")).cast("long").as("n_pairs"))
       .orderBy("event_type")
   }
 

@@ -113,6 +113,15 @@ object StreamOps {
         while (it.hasNext) {
           val f = it.next()
           val name = f.getFileName.toString
+          // Hive-partitioned input would be silently corrupted by
+          // flattening: the partition columns live in key=value DIR NAMES,
+          // not in the part files, so the flattened stream would read them
+          // as all-null with no error. Refuse loudly; the staging layer
+          // supports flat and nested-but-unpartitioned layouts only.
+          require(!(Files.isDirectory(f) && name.contains("=")),
+            s"stream staging for $src hit Hive partition dir '$name' — " +
+              "flattening would null out its partition column; " +
+              "rewrite the source unpartitioned before streaming it")
           if (Files.isRegularFile(f) && name.endsWith(".parquet")) {
             val target = d.resolve(name)
             Files.copy(f, if (Files.exists(target)) d.resolve(s"$stagedFiles-$name") else target)
