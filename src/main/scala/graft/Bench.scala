@@ -115,18 +115,29 @@ object Bench {
     // ok:false + nonzero exit when anything errored: a consumer keying on
     // either signal must never read a failed run as a clean record
     val ok = errs.isEmpty
-    val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","ok":$ok,"runs":$runs,"agg":"min","queries":$qs,"errors":$errJson,"loadavg_per_pass":$loads,"memo_payers":$payers,"sf":"$sfDir"}"""
     // Full artifact on disk: the driver's BENCH_r{N}.json keeps only the
     // tail of sbt output, which truncates the per-query map for a 100+
     // query suite. Write the headline line PLUS every per-pass timing to a
-    // stable path the driver (or a human) can pick up whole.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    // RUN-DISTINCT path: earlier rounds defaulted to a fixed
+    // bench_full.json and same-round re-runs silently replaced the record
+    // BASELINE cited (VERDICT r7 "What's wrong" #3). Every run now keeps
+    // its own timestamped file and the headline names it, so a recorded
+    // number always resolves to an artifact with matching contents. Set
+    // SPARK_GRAFT_BENCH_OUT to pin a specific durable name instead.
+    val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val stamp = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss")
+      .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now())
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      s"bench_runs/bench_${stamp}_$sfName.json")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","ok":$ok,"runs":$runs,"agg":"min","queries":$qs,"errors":$errJson,"loadavg_per_pass":$loads,"memo_payers":$payers,"sf":"$sfDir","artifact":"$out"}"""
     val perPass = passes.zipWithIndex
       .map { case ((rs, payer, l0, l1), i) =>
         s"""{"pass":${i + 1},"memo_payer":"$payer","loadavg":[${fmt(l0)},${fmt(l1)}],"queries":${qJson(rs)}}""" }
       .mkString("[", ",", "]")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
+    val outPath = java.nio.file.Paths.get(out)
+    if (outPath.getParent != null) java.nio.file.Files.createDirectories(outPath.getParent)
+    java.nio.file.Files.writeString(outPath,
       s"""{"headline":$line,"passes":$perPass}\n""")
     // ALSO drop the bare headline at a fixed path: sbt appends its own
     // [success] line after our stdout and the driver byte-caps the tail, so

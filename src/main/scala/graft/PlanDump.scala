@@ -35,6 +35,14 @@ object PlanDump {
         val n = df.queryExecution.toRdd.count()
         println(f"run$i: ${(System.nanoTime - t0) / 1e9}%.3f s  ($n rows)")
       }
+      // The pre-execution dump above shows AQE's INITIAL plan; stage
+      // dedup (ReusedShuffle/ReusedExchange) only appears in the final
+      // adaptive plan, so print it post-run when asked.
+      if (sys.env.contains("SPARK_GRAFT_PLAN_FINAL")) {
+        println(s"===== $name (final adaptive) =====")
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.SimpleMode))
+      }
     }
     spark.stop()
   }

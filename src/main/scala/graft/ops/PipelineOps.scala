@@ -697,22 +697,43 @@ object PipelineOps {
   ) { (s, dir) =>
     val tri = docs(s, dir).select(col("doc_id"), col("lang"),
       explode(graft.functions.CharNgramsFunctions.charNgrams(col("text"), 3)).as("tri"))
+    // The isNotNull is semantically inert (char_ngrams yields no null
+    // elements, so b is never null) but load-bearing for the plan: the
+    // inner join below pushes isnotnull(b) onto ONLY the scoring branch,
+    // and that one-sided filter breaks exchange canonicalization. Stated
+    // here it appears in both branches and ReuseExchange can fire.
     val b = tri.select(col("doc_id"), col("lang"),
       (conv(substring(md5(col("tri")), 1, 4), 16, 10).cast("long") % 1024).as("b"))
-    val rawc = b.groupBy("b").agg(count(lit(1)).as("c_raw"))
-    val tgtc = b.where(col("lang") === "en").groupBy(col("b").as("tb"))
-      .agg(count(lit(1)).as("c_tgt"))
-    val tot = b.agg(count(lit(1)).as("t_raw"),
-      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_tgt"))
-    val model = rawc.join(tgtc, col("b") === col("tb"), "left")
-      .crossJoin(broadcast(tot))
+      .where(col("b").isNotNull)
+    // ONE trigram pass feeds BOTH phases: collapse the stream to
+    // per-(doc, bucket) counts first — a map-side-combined exchange both
+    // the model build and the scoring branch hang off. The two branches
+    // share that exchange byte-for-byte, so Catalyst's ReuseExchange
+    // materializes the explode+md5 lineage ONCE (the broadcast-model job
+    // writes the shuffle, the scoring job re-reads it) — no cache, no memo
+    // lifecycle. Earlier shapes ran the trigram stream 4× (rawc/tgtc/tot
+    // + scoring), then 2×; this is the floor. Values are bit-identical:
+    // every count becomes a sum of per-cell bigint counts, lang is
+    // functionally dependent on doc_id, and per-doc sum(w) over trigram
+    // rows ≡ sum(w·cnt) over cells. The model's corpus totals are
+    // unpartitioned window sums over the ≤1024-row bucket frame (free).
+    // lang rides as a GROUPING key, not first(lang): it is functionally
+    // dependent on doc_id so the groups are the same rows, but a
+    // first(String) buffer is not HashAggregate-mutable and would demote
+    // both partial aggregates to SortAggregate — a full sort of the
+    // trigram stream, the exact cost this staging exists to avoid.
+    val db = b.groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val bc = db.groupBy("b").agg(sum(col("cnt")).as("c_raw"),
+      sum(when(col("lang") === "en", col("cnt")).otherwise(0L)).as("c_tgt"))
+    val model = bc
       .select(col("b"), least(lit(1000L), greatest(lit(-1000L), expr(
-        """cast(floor(cast(coalesce(c_tgt, 0) as double) * t_raw * 1000
-          |           / (cast(c_raw as double) * t_tgt) + 0.5) - 1000 as bigint)""".stripMargin)))
+        """cast(floor(cast(c_tgt as double) * (sum(c_raw) over ()) * 1000
+          |           / (cast(c_raw as double) * (sum(c_tgt) over ())) + 0.5) - 1000 as bigint)""".stripMargin)))
         .as("w"))
-    val scored = b.join(broadcast(model), "b")
-      .groupBy("doc_id")
-      .agg(first(col("lang")).as("lang"), count(lit(1)).as("n"), sum(col("w")).as("sw"))
+    val scored = db.join(broadcast(model), "b")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("cnt")).as("n"), sum(col("w") * col("cnt")).as("sw"))
     val coin = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
       .cast("long") % 1000
     scored
