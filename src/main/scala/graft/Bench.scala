@@ -59,6 +59,27 @@ object Bench {
     // rather than the neighbors'. N=1 restores single-shot timing.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     var errs = List.empty[String]
+    // Opt-in per-query task-time skew: max/median task duration answers
+    // "did a straggler dominate this query" (the hostile-corpus question —
+    // salting/AQE claims need a measured max/med ratio, not prose). A
+    // listener collects task durations; the bus delivers asynchronously
+    // after the blocking collect, so the drain waits for quiescence.
+    val wantTaskStats = sys.env.contains("SPARK_GRAFT_BENCH_TASKSTATS")
+    val taskDurs = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    if (wantTaskStats) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskInfo != null) taskDurs.add(t.taskInfo.duration)
+      })
+    def drainTaskStats(): (Int, Long, Long) = {
+      var prev = -1; var cur = taskDurs.size(); var spins = 0
+      while (cur != prev && spins < 25) { Thread.sleep(20); prev = cur; cur = taskDurs.size(); spins += 1 }
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var v = taskDurs.poll()
+      while (v != null) { buf += v.longValue(); v = taskDurs.poll() }
+      if (buf.isEmpty) (0, 0L, 0L)
+      else { val s = buf.sorted; (s.length, s.last, s(s.length / 2)) }
+    }
     // optional subset (comma-separated names) for scale-exponent runs at
     // big SFs — the per-query map in the output shows exactly what ran
     val subset = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
@@ -75,7 +96,8 @@ object Bench {
     // the per-pass load rides INTO the JSON artifact so a future reader can
     // see neighbor-load distortion per pass without consulting prose
     // (VERDICT r6 item 2 — bench_full_sf1's x88 read 18.2 s under ~25 load)
-    def pass(): (Seq[(String, Double)], String, Double, Double) = {
+    def pass(): (Seq[(String, Double)], String, Double, Double,
+                 Map[String, (Int, Long, Long)]) = {
       // fresh cross-query memo per pass: x02/x31/x47/x55 share a cached LSH
       // pair lineage — legitimate within a pass (one lineage, four
       // queries), but a best-of over passes must never time a cache read
@@ -84,15 +106,18 @@ object Bench {
       ops.PipelineOps.clearMemo()
       val loadStart = loadavg
       var payer = "" // which dedup-family query absorbed the lineage cost
+      var taskStats = Map.empty[String, (Int, Long, Long)]
       val timings = named.map { case (name, fn) =>
         val memoWasEmpty = ops.DedupOps.memoSize + ops.PipelineOps.memoSize == 0
+        if (wantTaskStats) drainTaskStats() // discard the previous query's tail
         val t0 = System.nanoTime()
         val ok = try { materialize(fn(spark, sfDir)); true }
           catch { case e: Throwable => errs ::= s"$name:${e.getClass.getSimpleName}"; false }
         if (memoWasEmpty && ops.DedupOps.memoSize > 0) payer = name
+        if (wantTaskStats) taskStats += (name -> drainTaskStats())
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity)
       }
-      (timings, payer, loadStart, loadavg)
+      (timings, payer, loadStart, loadavg, taskStats)
     }
     val passes = (1 to runs).map(_ => pass())
     val results = passes.map(_._1)
@@ -112,6 +137,19 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val payers = passes.map(p => "\"" + p._2 + "\"").mkString("[", ",", "]")
     val loads = passes.map(p => s"[${fmt(p._3)},${fmt(p._4)}]").mkString("[", ",", "]")
+    // task-skew per query from the pass that WON the best-of-min (the
+    // reported timing and the reported straggler profile describe the same
+    // execution); ratio = max/med task ms, the straggler-impact number
+    val skewJson: Option[String] = if (!wantTaskStats) None else Some {
+      val perQuery = results.flatMap { case (name, best) =>
+        passes.find(p => p._1.exists { case (n, v) => n == name && v == best })
+          .flatMap(_._5.get(name))
+          .map { case (n, mx, md) =>
+            val ratio = if (md > 0) mx.toDouble / md else -1.0
+            "\"" + name + s"""":{"tasks":$n,"max_ms":$mx,"med_ms":$md,"ratio":${fmt(ratio)}}""" }
+      }
+      perQuery.mkString("{", ",", "}")
+    }
     // ok:false + nonzero exit when anything errored: a consumer keying on
     // either signal must never read a failed run as a clean record
     val ok = errs.isEmpty
@@ -129,10 +167,11 @@ object Bench {
       .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now())
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       s"bench_runs/bench_${stamp}_$sfName.json")
+    val skewField = skewJson.map(j => s""","task_skew":$j""").getOrElse("")
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","ok":$ok,"runs":$runs,"agg":"min","queries":$qs,"errors":$errJson,"loadavg_per_pass":$loads,"memo_payers":$payers,"sf":"$sfDir","artifact":"$out"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","ok":$ok,"runs":$runs,"agg":"min","queries":$qs,"errors":$errJson,"loadavg_per_pass":$loads,"memo_payers":$payers,"sf":"$sfDir","artifact":"$out"$skewField}"""
     val perPass = passes.zipWithIndex
-      .map { case ((rs, payer, l0, l1), i) =>
+      .map { case ((rs, payer, l0, l1, _), i) =>
         s"""{"pass":${i + 1},"memo_payer":"$payer","loadavg":[${fmt(l0)},${fmt(l1)}],"queries":${qJson(rs)}}""" }
       .mkString("[", ",", "]")
     val outPath = java.nio.file.Paths.get(out)

@@ -58,6 +58,21 @@ object DedupDiag {
     val (x107Rows, tX107) = timed(
       SparkEntry.queries("x107_prefix_allpairs")(spark, sfDir).count())
 
+    // x124 stage attribution (round 8): the production chunk stage is the
+    // native CdcChunkDigests expression (sec_cdc_digests); the SQL-HOF cut
+    // stage rides along as the interpreted reference (sec_cdc_hof) that
+    // motivated going native — the delta IS the lambda-dispatch + substring
+    // re-walk constant a 100 TB pass would otherwise pay
+    val cdcIn = ops.Tables.computeParallel(
+      docs.where(col("text").isNotNull && length(col("text")) > 0))
+      .select("doc_id", "source", "text")
+    val (nCuts, tCdcHof) = timed(
+      ops.PipelineOps.cdcCuts(cdcIn).select(sum(size(col("cuts"))).cast("long"))
+        .collect()(0).getLong(0))
+    val (nChunks, tCdcDigests) = timed(ops.PipelineOps.cdcDigests(cdcIn).count())
+    val (x124Rows, tX124) = timed(
+      SparkEntry.queries("x124_cdc_chunks")(spark, sfDir).count())
+
     // cluster-graph structure: LS/SS round count is the x31 cost driver
     val ((labels, rounds), tCluster) = timed {
       val (l, r) = ops.DedupOps.largeStarSmallStar(ops.DedupOps.diagEdges(spark, sfDir))
@@ -73,8 +88,10 @@ object DedupDiag {
       s""""band_rows":$bandRows,"buckets":${buckets.getLong(0)},"max_bucket":${buckets.getLong(1)},"bucket_pair_rows":${buckets.getLong(2)},""" +
       s""""candidate_pairs":$nPairs,"lsss_rounds":$rounds,"clusters":${clusterStats.getLong(0)},"max_cluster":${clusterStats.getLong(1)},""" +
       s""""prefix_rows":$prefixRows,"prefix_cand_pairs":$candRows,"x107_rows":$x107Rows,""" +
+      s""""cdc_cuts":$nCuts,"cdc_chunks":$nChunks,"x124_rows":$x124Rows,""" +
       s""""sec_scan":$tDocs,"sec_shingle":$tShingle,"sec_bands":$tBands,"sec_pairs":$tPairs,"sec_cluster":$tCluster,""" +
-      s""""sec_prefix_windows":$tPrefix,"sec_prefix_join":$tCand,"sec_x107_verify":$tX107}""")
+      s""""sec_prefix_windows":$tPrefix,"sec_prefix_join":$tCand,"sec_x107_verify":$tX107,""" +
+      s""""sec_cdc_hof":$tCdcHof,"sec_cdc_digests":$tCdcDigests,"sec_x124":$tX124}""")
     spark.stop()
   }
 }

@@ -751,12 +751,15 @@ object PipelineOps {
   /** CONTENT-DEFINED chunk dedup (the FastCDC/rsync boundary idea —
     * Muthitacharoen et al., "A Low-Bandwidth Network File System",
     * SOSP'01): chunk boundaries are placed where a rolling content
-    * condition fires — here, after char i when the md5 of the trailing
-    * 8-char window ≡ 0 (mod 64) — so an insertion early in a document
+    * condition fires — here, after char i when a windowed hash of the
+    * trailing 8 chars lands in a 1-in-64 slice — so an insertion early in a document
     * shifts ONLY the chunk it lands in, where x25's fixed-width chunking
     * re-aligns every later chunk (the boundary-shift problem CDC exists to
-    * solve; textbook gear-CDC swaps md5 for a rolling gear hash and adds
-    * min/max clamps — same plan shape). Expected chunk length 64 chars.
+    * solve). Boundaries come from the windowed gear-style integer hash in
+    * `cdcBoundaryCond` (round 8; previously md5 of the trailing window —
+    * DedupDiag measured that md5 at ~2/3 of the query's cost). Textbook
+    * gear-CDC also adds min/max clamps; deliberately omitted — see
+    * `cdcBoundaryCond`. Expected chunk length ~64 chars.
     * Per source: chunk count, distinct chunk digests, the fraction of
     * chunk occurrences whose content also appears in ANOTHER document
     * (cross-doc boilerplate, the dedup signal), and mean chunk length in
@@ -771,13 +774,13 @@ object PipelineOps {
     */
   val cdcChunks: Q = Q(
     "x124_cdc_chunks",
-    """WITH d AS (SELECT doc_id, source, text FROM documents
+    s"""WITH d AS (SELECT doc_id, source, text FROM documents
       |           WHERE text IS NOT NULL AND len(text) > 0),
       |pos AS (SELECT doc_id, source, text, i FROM (
       |          SELECT doc_id, source, text,
       |                 unnest(generate_series(1, len(text))) AS i FROM d) u
       |        WHERE i = len(text)
-      |           OR (i >= 8 AND CAST(concat('0x', substr(md5(substr(text, i - 7, 8)), 1, 8)) AS BIGINT) % 64 = 0)),
+      |           OR (i >= 8 AND ${cdcBoundaryCond(k => s"ascii(substring(text, i - $k, 1))", "//")})),
       |chunks AS (SELECT doc_id, source,
       |             substr(text, coalesce(lag(i) OVER w, 0) + 1,
       |                    i - coalesce(lag(i) OVER w, 0)) AS chunk
@@ -814,20 +817,57 @@ object PipelineOps {
     * text never leaves its row, only digests explode. Shared by x124 and
     * the insertion-locality spec.
     */
-  private[graft] def cdcDigests(d: DataFrame): DataFrame = {
-    val withCuts = d.withColumn("cuts",
-      expr("""filter(sequence(1, length(text)), i ->
-             |  i = length(text) OR (i >= 8 AND
-             |    cast(conv(substring(md5(substring(text, i - 7, 8)), 1, 8), 16, 10) as bigint) % 64 = 0))"""
-        .stripMargin))
-    withCuts.select(withCuts.columns.filter(c => c != "text" && c != "cuts").map(col) :+
-        explode(expr(
-          """transform(cuts, (c, j) -> named_struct(
-            |  'cd', substring(md5(substring(text, (CASE WHEN j = 0 THEN 0 ELSE element_at(cuts, j) END) + 1,
-            |                                c - (CASE WHEN j = 0 THEN 0 ELSE element_at(cuts, j) END))), 1, 16),
-            |  'clen', c - (CASE WHEN j = 0 THEN 0 ELSE element_at(cuts, j) END)))""".stripMargin)).as("ch"): _*)
-      .withColumn("cd", col("ch.cd")).withColumn("clen", col("ch.clen")).drop("ch")
+  /** The CDC boundary predicate at position `i`, as a SQL fragment shared
+    * verbatim by the Spark lambda and the DuckDB oracle (`div` is the one
+    * dialect split: Spark spells integer division `div`, DuckDB `//`).
+    *
+    * Round 8 swapped the original per-position md5-of-8-char-window for
+    * this windowed gear-style hash (DedupDiag measured the md5 window at
+    * ~2/3 of x124's whole cost): each of the trailing 8 chars is mixed
+    * through a Knuth multiplicative step (odd constant 2654435761) and
+    * summed with geometric weights 2^k — the same shape gear-CDC's
+    * `h = 2h + G[c]` produces over its effective window — then one more
+    * multiplicative mix and a mid-bit slice (`div 4096 % 64`) so ALL
+    * window chars influence the 6 decision bits, not just the last six.
+    * Everything is positive int64 arithmetic (max ~2^60), exact and
+    * identical in both engines. Expected chunk length stays ~64 chars
+    * (measured 60.0 on the test corpus); no min/max clamps — they would
+    * make each boundary depend on the previous cut, turning a row-local
+    * stateless predicate into a sequential scan.
+    */
+  private[graft] def cdcBoundaryCond(charCode: Int => String, div: String): String = {
+    val terms = (0 to 7)
+      .map(k => s"((${charCode(k)} * 2654435761) % 1048576) * ${1 << k}")
+      .mkString(" + ")
+    s"(((($terms) * 2654435761) $div 4096) % 64 = 0)"
   }
+
+  /** The boundary-detection stage in its SQL-HOF spelling — kept ONLY as
+    * DedupDiag's interpreted reference point (production goes through the
+    * codegen `CdcChunkDigests` expression; `cdcBoundaryCond` keeps the two
+    * and the oracle in lock-step). The window chars are read from `cc`, a
+    * per-doc char-code array built in one linear pass — not via
+    * ascii(substring(text, i-k, 1)): UTF8String.substring is O(position)
+    * (it byte-scans for char boundaries), so eight substring probes per
+    * position would make this O(len²) per document. Even with the array,
+    * interpreted HOF lambda dispatch keeps this path ~as slow as the
+    * md5-window it replaced — which is why x124 went native (DedupDiag
+    * round-8 numbers: md5 window 0.87 s, array-HOF gear 1.16 s, native
+    * expression ~0.1 s for the same stage at sf0.1).
+    */
+  private[graft] def cdcCuts(d: DataFrame): DataFrame =
+    d.withColumn("cc", expr("transform(split(text, ''), c -> ascii(c))"))
+      .withColumn("cuts",
+        expr(s"""filter(sequence(1, length(text)), i ->
+                |  i = length(text) OR (i >= 8 AND ${
+                   cdcBoundaryCond(k => s"element_at(cc, i - $k)", "div")}))"""
+          .stripMargin))
+      .drop("cc")
+
+  private[graft] def cdcDigests(d: DataFrame): DataFrame =
+    d.select(d.columns.filter(_ != "text").map(col) :+
+        explode(graft.functions.CdcChunksFunctions.cdcChunkDigests(col("text"))).as("ch"): _*)
+      .withColumn("cd", col("ch.cd")).withColumn("clen", col("ch.clen")).drop("ch")
 
   val all: Seq[Q] = Seq(chunkDedup, repetitionScore, contamination, hashSample,
     seqPacking, stratifiedTopK, refIntegrity, temperatureMix, ragChunking,
