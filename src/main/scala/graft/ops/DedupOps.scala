@@ -102,6 +102,25 @@ object DedupOps {
   private def minhashA(j: Int): Long = (2654435761L * (j + 1)) % MinhashP
   private def minhashB(j: Int): Long = (40503L * (j + 7) + 97) % MinhashP
 
+  /** LSH buckets larger than this connect through their min-doc HUB
+    * (m−1 star pairs) instead of enumerating all C(m,2) in-bucket pairs.
+    * A bucket this size is boilerplate collision, not similarity — the
+    * round-8 skew fixture planted one shared phrase in half the corpus and
+    * a single 7,464-doc bucket emitted 27.8M of 27.9M candidates (>99.9%
+    * false positives at J ≥ 0.5), turning every pair-lineage rider into a
+    * one-task straggler (x86 3.1 → 176 s). The star keeps the candidate
+    * volume LINEAR in bucket size while preserving exactly what the
+    * downstream consumers need from a mega-bucket: connectivity (x31's
+    * clustering merges the same components) and membership (every member
+    * still surfaces as a candidate, still exact-verified by x86). True
+    * near-dup pairs are unaffected on every benign corpus — measured max
+    * bucket is 14 at sf0.1 (DedupDiag) and the cap sits 4× above it; a
+    * genuine duplicate GROUP bigger than the cap still collapses to one
+    * representative via the hub component. The DuckDB oracle applies the
+    * identical rule, so the contract is capped-pairs on BOTH sides.
+    */
+  private[graft] val LshBucketCap = 64
+
   /** Self-contained DuckDB twin of [[lshCandidatePairs]] (no ORDER BY) —
     * also the `pairs` CTE body for the x31 cluster query.
     */
@@ -114,10 +133,19 @@ object DedupOps {
        |       GROUP BY doc_id, seed),
        |bands AS (SELECT doc_id, seed // 3 AS band,
        |                 md5(array_to_string(list_sort(list(lpad(CAST(seed AS VARCHAR), 2, '0') || ':' || CAST(mh AS VARCHAR))), ',')) AS sig
-       |          FROM mh GROUP BY doc_id, seed // 3)
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
-       |FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-       |GROUP BY 1, 2""".stripMargin
+       |          FROM mh GROUP BY doc_id, seed // 3),
+       |bstat AS (SELECT band, sig, count(*) AS c, min(doc_id) AS hub
+       |          FROM bands GROUP BY 1, 2),
+       |bp AS (SELECT b.band, b.sig, b.doc_id, s.c, s.hub
+       |       FROM bands b JOIN bstat s ON s.band = b.band AND s.sig = b.sig),
+       |pe AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |       FROM bp a JOIN bp b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |       WHERE a.c <= $LshBucketCap
+       |       UNION ALL
+       |       SELECT hub AS doc_a, doc_id AS doc_b FROM bp
+       |       WHERE c > $LshBucketCap AND doc_id != hub)
+       |SELECT doc_a, doc_b, count(*) AS n_bands
+       |FROM pe GROUP BY 1, 2""".stripMargin
 
   /** LSH candidate pairs (doc_a < doc_b, n_bands ≥ 1), un-ordered — the
     * shared core of x02, x31 (clusters) and x47 (pagerank). The pair set
@@ -255,14 +283,35 @@ object DedupOps {
   private[graft] def diagPrefixPairs(s: SparkSession, dir: String): DataFrame =
     prefixCandidatePairs(s, dir)
 
+  /** Band signatures annotated with bucket size and hub (bucket min doc):
+    * ONE (band, sig) window pass over the cached index rows — the frame
+    * the pair join and x80's incremental probe both cut by
+    * [[LshBucketCap]]. The window's exchange partitions by exactly the
+    * join keys, so the small-bucket self-join below adds no re-shuffle.
+    */
+  private def bucketStatBands(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")
+    cachedBandSignatures(s, dir)
+      .withColumn("bucket_n", count(lit(1)).over(w))
+      .withColumn("hub", min(col("doc_id")).over(w))
+  }
+
   private def lshCandidatePairsUncached(s: SparkSession, dir: String): DataFrame = {
-    val bands = cachedBandSignatures(s, dir)
-    val a = bands.as("a")
-    val b = bands.as("b")
-    a.join(b,
+    val bands = bucketStatBands(s, dir)
+    val small = bands.where(col("bucket_n") <= LshBucketCap)
+    val a = small.as("a")
+    val b = small.as("b")
+    // small buckets: the classic all-in-bucket enumeration; over-cap
+    // buckets: hub-star rows, row-local (no join) — see LshBucketCap
+    val allPairs = a.join(b,
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val starPairs = bands
+      .where(col("bucket_n") > LshBucketCap && col("doc_id") =!= col("hub"))
+      .select(col("hub").as("doc_a"), col("doc_id").as("doc_b"))
+    allPairs.union(starPairs)
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_bands"))
   }
 
@@ -1223,6 +1272,15 @@ object DedupOps {
     * pairs touching the delta. Both-sides-in-delta pairs match in both
     * probe orders, so the join canonicalizes (least, greatest) and dedups
     * (band, pair) before counting — n_bands stays exact.
+    *
+    * The probe applies [[LshBucketCap]] exactly like the full pair join:
+    * the delta joins only SMALL buckets, and an over-cap bucket reduces to
+    * row-local hub-star rows filtered to delta-touching — so a boilerplate
+    * mega-bucket costs the hourly ingest O(bucket) rows instead of
+    * O(delta·bucket) join output (the skew fixture's 7,464-doc bucket made
+    * the uncapped probe enumerate 5.6M pairs per run). Per band a doc has
+    * ONE signature, so a pair meets in at most one bucket per band and the
+    * (band, pair) distinct stays the exact n_bands dedup key.
     */
   val incrementalDedup: Q = Q(
     "x80_incremental_dedup",
@@ -1231,15 +1289,21 @@ object DedupOps {
        |WHERE doc_a % 10 = 0 OR doc_b % 10 = 0
        |ORDER BY doc_a, doc_b""".stripMargin
   ) { (s, dir) =>
-    val bands = cachedBandSignatures(s, dir)
-    val delta = bands.where(col("doc_id") % 10 === 0)
-    delta.as("a")
-      .join(bands.as("b"),
+    val bands = bucketStatBands(s, dir)
+    val small = bands.where(col("bucket_n") <= LshBucketCap)
+    val delta = small.where(col("doc_id") % 10 === 0)
+    val smallPairs = delta.as("a")
+      .join(small.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.band").as("band"),
         least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+    val starPairs = bands
+      .where(col("bucket_n") > LshBucketCap && col("doc_id") =!= col("hub") &&
+        (col("hub") % 10 === 0 || col("doc_id") % 10 === 0))
+      .select(col("band"), col("hub").as("doc_a"), col("doc_id").as("doc_b"))
+    smallPairs.union(starPairs)
       .distinct()
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_bands"))

@@ -184,6 +184,64 @@ class SkewSpec extends AnyFunSuite with BeforeAndAfterAll with SqlConfHelper {
     } finally { df.unpersist(); () }
   }
 
+  test("LSH bucket cap engages on the skewed corpus: linear candidate volume, connectivity kept") {
+    import spark.implicits._
+    val cap = graft.ops.DedupOps.LshBucketCap
+    val sizes = graft.ops.DedupOps.diagBands(spark, skewDir)
+      .groupBy("band", "sig").agg(count(lit(1)).as("m")).cache()
+    try {
+      val maxBucket = sizes.agg(max("m")).as[Long].head()
+      assert(maxBucket > cap,
+        s"fixture has no over-cap LSH bucket (max $maxBucket, cap $cap) — nothing to prove")
+      // candidate volume: uncapped Σ C(m,2) vs capped Σ[small] C(m,2) + Σ[big] (m−1)
+      val uncapped = sizes.agg(sum(col("m") * (col("m") - 1) / 2).cast("long")).as[Long].head()
+      val capped = sizes.agg(sum(
+        when(col("m") <= cap, col("m") * (col("m") - 1) / 2)
+          .otherwise(col("m") - 1)).cast("long")).as[Long].head()
+      assert(uncapped > capped * 10,
+        s"cap does not bound the volume: uncapped $uncapped vs capped $capped")
+      // production pair set stays within the capped bound (dedup across bands only shrinks)
+      val pairs = graft.ops.DedupOps.diagPairs(spark, skewDir).cache()
+      try {
+        assert(pairs.count() <= capped)
+        // connectivity: every member of the biggest bucket still lands in ONE cluster —
+        // the hub star is exactly the edge set that keeps a mega-bucket connected
+        val big = graft.ops.DedupOps.diagBands(spark, skewDir).as("b")
+          .join(sizes.where(col("m") === maxBucket).limit(1).as("s"),
+            col("b.band") === col("s.band") && col("b.sig") === col("s.sig"))
+          .select(col("b.doc_id").as("doc_id"))
+        val labels = SparkEntry.queries("x31_dup_clusters")(spark, skewDir)
+          .join(big, "doc_id")
+        assert(labels.select("cluster").distinct().count() === 1L,
+          "hub-star cap broke mega-bucket connectivity")
+      } finally { pairs.unpersist(); () }
+    } finally { sizes.unpersist(); () }
+  }
+
+  test("LSH bucket cap is invariant on the benign correctness corpus (sf0.01)") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.01"
+    val cap = graft.ops.DedupOps.LshBucketCap
+    val bands = graft.ops.DedupOps.diagBands(spark, dir).cache()
+    try {
+      val maxBucket = bands.groupBy("band", "sig").agg(count(lit(1)).as("m"))
+        .agg(max("m")).as[Long].head()
+      assert(maxBucket <= cap,
+        s"benign sf0.01 corpus has a bucket of $maxBucket > cap $cap — the cap would " +
+          "change the oracle contract at the driver's correctness scale")
+      // and therefore the capped production pair set IS the classic enumeration
+      val classic = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_bands"))
+      val produced = graft.ops.DedupOps.diagPairs(spark, dir)
+      assert(produced.exceptAll(classic).isEmpty && classic.exceptAll(produced).isEmpty,
+        "capped pair set differs from the classic enumeration on a benign corpus")
+    } finally { bands.unpersist(); () }
+  }
+
   test("AQE skew-join engages on the t02-shaped fact join over the skewed supplier") {
     withSQLConf(spark)(
       "spark.sql.autoBroadcastJoinThreshold"                        -> "-1",
