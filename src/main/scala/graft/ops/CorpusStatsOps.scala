@@ -66,7 +66,12 @@ object CorpusStatsOps {
     val df = w.groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
     val n  = docs(s, dir).agg(count(lit(1)).as("n"))
     val rw = Window.partitionBy("source").orderBy(col("score_pm").desc, col("word"))
-    tf.join(df, "word")
+    // df is VOCABULARY-cardinality (Heaps' law: ~10^7-10^8 words at
+    // 100 TB) — Catalyst's post-aggregate estimate under-guesses it and
+    // would ship a per-executor copy. Shuffle-hash join instead: df is
+    // already hash-partitioned by word from its groupBy (free exchange
+    // reuse); only tf re-partitions from (source, word) to word.
+    tf.join(df.hint("shuffle_hash"), "word")
       .crossJoin(broadcast(n))
       .withColumn("score_pm",
         floor(col("tf").cast("double") * 1000000 * col("n") / col("df") + 0.5).cast("long"))
@@ -582,7 +587,12 @@ object CorpusStatsOps {
     val tf   = hits.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfT  = hits.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
     tf.join(broadcast(dfT), Seq("term"))
-      .join(dl, Seq("doc_id"))
+      // dl is the WHOLE corpus's (doc_id, length) — Catalyst would
+      // broadcast a per-executor copy of it (its select-from-scan size
+      // estimate reads small). The scoring side (query-term hits) is the
+      // data-dependent one — a stopword-ish query term makes it corpus-
+      // scale too — so the robust shape is a shuffled hash join on doc_id.
+      .join(dl.hint("shuffle_hash"), Seq("doc_id"))
       .crossJoin(broadcast(nl))
       .withColumn("idf_ppm", expr("(2 * (n - df) + 1) * 1000000 div (2 * df + 1)"))
       .withColumn("tfn_ppm",

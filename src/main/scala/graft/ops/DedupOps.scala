@@ -1550,7 +1550,15 @@ object DedupOps {
   ) { (s, dir) =>
     val pos = spanPositions(s, dir)
     val df = pos.groupBy("g").agg(countDistinct(col("doc_id")).as("df"))
-    pos.join(df, "g")
+    // the frequency table is CORPUS-cardinality (one row per distinct
+    // 5-gram digest) — Catalyst's post-aggregate size estimate under-
+    // guesses it and picks a broadcast, which is wrong at every scale:
+    // the 2 GB sf1 proof run died building it, and on a real cluster a
+    // corpus-sized broadcast is a per-executor copy of the whole digest
+    // space. Forced shuffle-hash join instead: df is ALREADY hash-
+    // partitioned by g from its groupBy, so its exchange reuses the
+    // aggregate's; only pos pays a shuffle, same as the aggregate above.
+    pos.join(df.hint("shuffle_hash"), "g")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_spans"),

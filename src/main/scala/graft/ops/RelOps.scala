@@ -24,6 +24,64 @@ object RelOps {
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
   private val d2 = "decimal(18,2)"
 
+  /** Exact interpolated quantiles (percentile_cont semantics) per group,
+    * WITHOUT the built-in `percentile` aggregate. Spark's exact
+    * `percentile`/`median` buffer is an OpenHashMap[value, count] per
+    * (group × aggregate) held boxed in every partial-aggregation task —
+    * O(distinct values) driver-style state inside the executor that
+    * neither spills nor shrinks. At sf1 that is ~190k boxed doubles ×
+    * groups × aggregates × 32 concurrent tasks ≈ 3 GB of buffers: the
+    * round-8 2 GB-heap proof run OOMed inside
+    * `TypedAggregateWithHashMapAsBuffer.serialize` on exactly this
+    * (t29, two quantiles × 5 groups over lineitem prices).
+    *
+    * This formulation keeps every stage spillable and codegen'd:
+    *  1. value histogram — ONE Tungsten hash aggregate on (group, value)
+    *     (map-side partials, spills like any groupBy);
+    *  2. per-group cumulative counts — a window over the HISTOGRAM,
+    *     whose row count is the value DOMAIN per group (prices, lengths),
+    *     not the corpus;
+    *  3. order-statistic lookup — the target indices floor/ceil of
+    *     q·(n−1) land in the one histogram row whose cumulative range
+    *     covers them; a conditional aggregate picks both neighbors and
+    *     interpolates with Spark's own formula
+    *     v_lo·(hi−pos) + v_hi·(pos−lo), so results are bit-identical to
+    *     the built-in (QueriesSpec asserts exact equality).
+    *
+    * At 100 TB the histogram aggregate is the only corpus-sized exchange;
+    * the window + lookup ride domain-sized rows. `qs` maps output column
+    * name → quantile in (0,1).
+    */
+  private[graft] def exactQuantiles(df: DataFrame, groupCol: String, valCol: String,
+                                    qs: Seq[(String, Double)]): DataFrame = {
+    // nulls are ignored, matching the built-in aggregate's contract
+    val hist = df.where(col(valCol).isNotNull)
+      .groupBy(groupCol, valCol).agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum",
+      sum("c").over(Window.partitionBy(groupCol).orderBy(valCol)))
+    val targets = hist.groupBy(groupCol).agg(sum("c").as("n"))
+      .select(col(groupCol), explode(array(qs.map { case (nm, q) =>
+        struct(lit(nm).as("qname"), (lit(q) * (col("n") - 1)).as("pos"))
+      }: _*)).as("t"))
+      .select(col(groupCol), col("t.qname").as("qname"), col("t.pos").as("pos"),
+        floor(col("t.pos")).cast("long").as("lo_i"),
+        ceil(col("t.pos")).cast("long").as("hi_i"))
+    val picked = cum.join(broadcast(targets), groupCol)
+      .groupBy(groupCol, "qname", "pos", "lo_i", "hi_i")
+      .agg(
+        max(when(col("lo_i").between(col("cum") - col("c"), col("cum") - 1),
+          col(valCol))).as("v_lo"),
+        max(when(col("hi_i").between(col("cum") - col("c"), col("cum") - 1),
+          col(valCol))).as("v_hi"))
+      .withColumn("qv",
+        when(col("lo_i") === col("hi_i"), col("v_lo"))
+          .otherwise(col("v_lo") * (col("hi_i") - col("pos")) +
+                     col("v_hi") * (col("pos") - col("lo_i"))))
+    val cols = qs.map { case (nm, _) =>
+      max(when(col("qname") === nm, col("qv"))).as(nm) }
+    picked.groupBy(groupCol).agg(cols.head, cols.tail: _*)
+  }
+
   /** TPC-H Q1-style pricing summary: the canonical partial+final hash
     * aggregate; Catalyst plans HashAggregate(partial)→Exchange(2 keys)→
     * HashAggregate(final) — the shape that scales to 100 TB.
@@ -466,11 +524,19 @@ object RelOps {
       |       round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   ) { (s, dir) =>
-    Tables(s, dir, "lineitem")
-      .groupBy("l_returnflag")
-      .agg(
-        round(median(col("l_quantity")), 6).as("med_qty"),
-        round(percentile(col("l_extendedprice"), lit(0.9)), 6).as("p90_price"))
+    val li = Tables(s, dir, "lineitem")
+    // med_qty keeps the built-in `median`: l_quantity's value domain is ~50
+    // integers, so its buffer is bounded. p90 over PRICES has a corpus-
+    // cardinality domain — that one goes through the histogram formulation
+    // (see exactQuantiles: the built-in's boxed map buffer OOMed the 2 GB
+    // heap proof at sf1).
+    val med = li.groupBy("l_returnflag")
+      .agg(round(median(col("l_quantity")), 6).as("med_qty"))
+    val p90 = exactQuantiles(li.select(col("l_returnflag"), col("l_extendedprice")),
+      "l_returnflag", "l_extendedprice", Seq("p90" -> 0.9))
+      .select(col("l_returnflag"), round(col("p90"), 6).as("p90_price"))
+    med.join(p90, "l_returnflag")
+      .select("l_returnflag", "med_qty", "p90_price")
       .orderBy("l_returnflag")
   }
 
@@ -740,9 +806,10 @@ object RelOps {
     val o  = Tables(s, dir, "orders").select("o_orderkey", "o_orderpriority")
     val j  = li.join(o, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_orderpriority").as("prio"), col("l_extendedprice").as("p"))
-    val bounds = j.groupBy("prio").agg(
-      percentile(col("p"), lit(0.05)).as("lo"),
-      percentile(col("p"), lit(0.99)).as("hi"))
+    // both quantiles come out of ONE histogram pass (exactQuantiles) —
+    // the built-in `percentile`'s per-(group × aggregate) boxed map
+    // buffer is what OOMed the 2 GB-heap sf1 proof run here
+    val bounds = exactQuantiles(j, "prio", "p", Seq("lo" -> 0.05, "hi" -> 0.99))
     j.join(broadcast(bounds), "prio")
       .groupBy("prio")
       .agg(

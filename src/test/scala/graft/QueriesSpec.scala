@@ -1358,4 +1358,35 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and the two texts do differ in at least one chunk
     assert(a.toSet != b.toSet)
   }
+
+  test("exactQuantiles is bit-identical to the built-in percentile aggregate") {
+    import org.apache.spark.sql.functions.{col, lit, percentile}
+    // the histogram formulation replaces the built-in's boxed-map buffer
+    // (which OOMed the 2 GB sf1 proof); its result must be EXACTLY the
+    // built-in's double — same neighbors, same interpolation arithmetic
+    val li = graft.ops.Tables(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val builtin = li.groupBy("l_returnflag").agg(
+      percentile(col("l_extendedprice"), lit(0.05)).as("lo"),
+      percentile(col("l_extendedprice"), lit(0.9)).as("p90"),
+      percentile(col("l_extendedprice"), lit(0.99)).as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val ours = graft.ops.RelOps.exactQuantiles(li, "l_returnflag", "l_extendedprice",
+      Seq("lo" -> 0.05, "p90" -> 0.9, "hi" -> 0.99))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(ours.keySet == builtin.keySet)
+    for ((k, (lo, p90, hi)) <- builtin) {
+      assert(ours(k)._1 == lo, s"$k lo: ${ours(k)._1} != $lo")
+      assert(ours(k)._2 == p90, s"$k p90: ${ours(k)._2} != $p90")
+      assert(ours(k)._3 == hi, s"$k hi: ${ours(k)._3} != $hi")
+    }
+    // degenerate group sizes: 1 and 2 values (pos lands on/between endpoints)
+    import spark.implicits._
+    val tiny = Seq(("a", 10.0), ("b", 1.0), ("b", 2.0)).toDF("g", "v")
+    val tb = tiny.groupBy("g").agg(percentile(col("v"), lit(0.5)).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val to = graft.ops.RelOps.exactQuantiles(tiny, "g", "v", Seq("m" -> 0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(to == tb)
+  }
 }
