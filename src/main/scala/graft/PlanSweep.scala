@@ -41,11 +41,29 @@ object PlanSweep {
     var cartesians = List.empty[String]
     var errors = List.empty[String]
     var bnlj = 0
+    var bcastGen = List.empty[String]
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !streaming(name)) {
       try {
-        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val executed = fn(spark, sfDir).queryExecution.executedPlan
+        val plan = executed.toString
         if (plan.contains("CartesianProduct")) cartesians ::= name
         if (plan.contains("BroadcastNestedLoopJoin")) bnlj += 1
+        // corpus-sized-broadcast heuristic: a BroadcastExchange whose
+        // build subtree EXPLODES corpus rows (Generate) usually means
+        // Catalyst's post-aggregate size estimate under-guessed an
+        // unbounded table (x88's 5-gram df, x34's word df — both found
+        // the hard way by the 2 GB sf1 proof run, which is the
+        // authoritative empirical detector: an over-sized broadcast
+        // fails to BUILD there). Informational: a bounded exploded side
+        // (x61's 8-way salted dim) legitimately trips it.
+        def hasGenerate(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+          p.exists(_.isInstanceOf[org.apache.spark.sql.execution.GenerateExec])
+        val hit = executed.exists {
+          case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+            hasGenerate(b.child)
+          case _ => false
+        }
+        if (hit) bcastGen ::= name
       } catch { case e: Exception =>
         errors ::= s"$name (${e.getClass.getSimpleName})"
       }
@@ -53,6 +71,7 @@ object PlanSweep {
     println(s"[sweep] planned ${SparkEntry.queries.size - streaming.size} queries: " +
       s"${cartesians.size} cartesian, ${errors.size} errors, " +
       s"$bnlj informational BNLJ (deliberate tiny-side broadcasts)")
+    bcastGen.reverse.foreach(n => println(s"[sweep] BROADCAST-over-Generate in $n (verify build side is bounded)"))
     cartesians.foreach(n => println(s"[sweep] CARTESIAN in $n"))
     errors.foreach(n => println(s"[sweep] ERROR planning $n"))
     spark.stop()
