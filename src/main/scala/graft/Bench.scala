@@ -21,19 +21,23 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.sql.functions._
-    // warmup: shuffle machinery + parquet reader + codegen paths
-    spark.range(1 << 20).groupBy(col("id") % 7).count().count()
-    ops.Tables(spark, sfDir, "nation").count()
+    def buildSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      // warmup: shuffle machinery + parquet reader + codegen paths
+      s.range(1 << 20).groupBy(col("id") % 7).count().count()
+      ops.Tables(s, sfDir, "nation").count()
+      s
+    }
+    var spark = buildSession()
 
     // Materialize: hash every column of every row, fold executor-side.
     // The fold sits ABOVE the compiled physical plan (toRdd), so the sort
@@ -66,11 +70,13 @@ object Bench {
     // after the blocking collect, so the drain waits for quiescence.
     val wantTaskStats = sys.env.contains("SPARK_GRAFT_BENCH_TASKSTATS")
     val taskDurs = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
-    if (wantTaskStats) spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-          if (t.taskInfo != null) taskDurs.add(t.taskInfo.duration)
-      })
+    def registerTaskListener(s: SparkSession): Unit =
+      s.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (t.taskInfo != null) taskDurs.add(t.taskInfo.duration)
+        })
+    if (wantTaskStats) registerTaskListener(spark)
     def drainTaskStats(): (Int, Long, Long) = {
       var prev = -1; var cur = taskDurs.size(); var spins = 0
       while (cur != prev && spins < 25) { Thread.sleep(20); prev = cur; cur = taskDurs.size(); spins += 1 }
@@ -124,6 +130,18 @@ object Bench {
             // class name, which is useless for a once-in-a-suite failure
             System.err.println(s"[bench] $name FAILED:")
             e.printStackTrace()
+            // An uncaught executor OOM stops the shared SparkContext, and
+            // every later query would die with IllegalStateException — the
+            // 2 GB sf1 proof runs cascaded exactly this way, reducing a
+            // whole-suite diagnostic to its first casualty. Rebuild the
+            // session so one query's death names ONE offender and the rest
+            // of the suite still reports real results.
+            if (spark.sparkContext.isStopped) {
+              System.err.println(s"[bench] SparkContext died during $name — rebuilding session")
+              ops.DedupOps.clearMemo(); ops.PipelineOps.clearMemo()
+              spark = buildSession()
+              if (wantTaskStats) registerTaskListener(spark)
+            }
             false
           }
         if (memoWasEmpty && ops.DedupOps.memoSize > 0) payer = name
