@@ -49,9 +49,10 @@ object PlanAudit {
     "x27_contamination" -> Seq("BroadcastHashJoin", "BroadcastExchange"),
     // packing is one exchange on source + in-partition running sum
     "x29_seq_packing" -> Seq("WindowExec|Window", "codegen id"),
-    // corpus stats: tf⨝df is an equi join on the word key; the scalar
-    // doc-count / token-total sides are broadcast (1-row cross joins)
-    "x34_tfidf_topterms" -> Seq("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
+    // corpus stats: tf⨝df is a FORCED shuffle-hash equi join on the word
+    // key (df is vocabulary-cardinality — Heaps' law makes a broadcast of
+    // it corpus-scale wrong); the scalar doc-count side stays broadcast
+    "x34_tfidf_topterms" -> Seq("ShuffledHashJoin",
       "BroadcastExchange"),
     "x35_bigram_lift" -> Seq("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
       "BroadcastExchange"),
@@ -120,8 +121,19 @@ object PlanAudit {
       "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
       "(?s)\\A(?!.*BroadcastNestedLoopJoin).*"),
     // winsorized sum: the group-sized bounds table BROADCASTS back to the
-    // fact — the fact side never shuffles for the clip
-    "t29_winsorized_revenue" -> Seq("BroadcastHashJoin", "BroadcastExchange"),
+    // fact — the fact side never shuffles for the clip — and the bounds
+    // come from the spillable histogram formulation: the built-in
+    // percentile's non-spillable ObjectHashAggregate buffer (which OOMed
+    // the 2 GB sf1 proof) must never reappear in this plan
+    "t29_winsorized_revenue" -> Seq("BroadcastHashJoin", "BroadcastExchange",
+      "(?s)\\A(?!.*ObjectHashAggregate).*"),
+    // exact percentiles: p90-over-PRICES runs the histogram plan (window
+    // over the value domain); only the ~50-value quantity median keeps the
+    // built-in (it lowers to percentile(l_quantity, 0.5)) — a
+    // `percentile(l_extendedprice` means the corpus-domain aggregate
+    // regressed to the non-spillable buffer
+    "t21_percentiles" -> Seq("WindowExec|Window",
+      "(?s)\\A(?!.*percentile\\(l_extendedprice).*"),
     // drift monitor: ONE conditional-aggregation scan — no join anywhere
     "x82_drift_monitor" -> Seq("(?s)\\A(?!.*Join).*", "HashAggregate"),
     // interpolation: windows over the broadcast-built grid, no self-join
@@ -134,8 +146,10 @@ object PlanAudit {
     // index over label-count-sized tables — never a cartesian of vectors
     "x87_label_affinity" -> Seq("HashAggregate",
       "(?s)\\A(?!.*CartesianProduct).*"),
-    // span dedup: the df mark-back is a digest equi-join, never a cartesian
-    "x88_span_dedup" -> Seq("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
+    // span dedup: the df mark-back is a digest equi-join FORCED to
+    // shuffle-hash — a BroadcastHashJoin here means Catalyst's estimate
+    // re-picked a corpus-cardinality broadcast (the 2 GB sf1 killer)
+    "x88_span_dedup" -> Seq("ShuffledHashJoin",
       "(?s)\\A(?!.*CartesianProduct).*"),
     // BPE pairs: partial-agg word counts, top-50 never global-sorts
     "x89_bpe_pairs" -> Seq("HashAggregate", "TakeOrderedAndProject"),
@@ -176,8 +190,10 @@ object PlanAudit {
     // BM25: the 3-term query dim broadcasts into the token stream (only
     // matches survive to any exchange), df/corpus stats broadcast back,
     // and the top-20 never global-sorts
+    // …and the doc-length join is FORCED shuffle-hash (dl is the whole
+    // corpus's (doc_id, length) — a broadcast of it is corpus-scale wrong)
     "x98_bm25_rank" -> Seq("BroadcastHashJoin", "BroadcastExchange",
-      "TakeOrderedAndProject"),
+      "TakeOrderedAndProject", "ShuffledHashJoin"),
     // heavy hitters: the SpaceSaving candidate union (≤64/partition)
     // broadcasts into the exact verify — the token stream never shuffles
     // on the term key
