@@ -1076,6 +1076,78 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** CONTAINMENT-threshold all-pairs join (the ASYMMETRIC cousin of x107:
+    * C(a→b) = |Sa∩Sb| / |Sa| ≥ 0.8 over the same trigram shingle sets).
+    * Resemblance dedup (x02/x04/x107) is blind to exactly these pairs — a
+    * short document quoted inside a much longer one has high containment
+    * but Jaccard ≈ |Sa|/|Sb| → 0, so no symmetric threshold catches it;
+    * containment is how a curation pass finds quotes, boilerplate
+    * inclusions, and near-supersets (Broder 1997's "roughly contained"
+    * relation; prefix filtering for asymmetric overlap per Chaudhuri et al.
+    * SSJoin, ICDE'06).
+    *
+    * Prefix bound (probe-side only — that is the asymmetric part): if
+    * C(a→b) ≥ t then |Sa∩Sb| ≥ ⌈t·na⌉, and a's df-ordered prefix of length
+    * na − ⌈t·na⌉ + 1 must contain a witness (its complement has only
+    * ⌈t·na⌉ − 1 slots), so joining a-prefixes against the FULL shingle
+    * index generates every qualifying ORDERED pair — no bound exists on
+    * the container side, which may be any size. The t=0.8 prefix
+    * (≈ 0.2·na + 1) is a strict subset of x107's t=0.6 rows, so it FILTERS
+    * the memoized prefix index instead of re-running the rank windows, and
+    * the verify pass reuses the memoized shingle index with the same
+    * candidate-bounded broadcast-semi prune as x107. Threshold is integer-
+    * pure: C ≥ 0.8 ⟺ 5·i ≥ 4·na; prefix length uses ⌈4n/5⌉ = (4n+4) div 5.
+    *
+    * Scale shape: the probe side is rare-shingle-only by construction (a
+    * prefix shingle is among its doc's globally RAREST), so candidate
+    * volume is Σ_prefix df(sh) with small dfs — hot boilerplate shingles
+    * never enter a prefix and the full-index side is only ever probed at
+    * rare keys. Both joins are equi-joins on the shingle hash
+    * partitioning; nothing pairs off corpus-wide.
+    */
+  val containmentJoin: Q = Q(
+    "x127_containment_join",
+    s"""WITH sh0 AS ($shingleSql),
+       |d AS (SELECT sh, count(*) AS df FROM sh0 GROUP BY sh),
+       |r AS (SELECT s.doc_id, s.sh,
+       |        row_number() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.sh) AS rk,
+       |        count(*) OVER (PARTITION BY s.doc_id) AS n
+       |      FROM sh0 s JOIN d ON s.sh = d.sh),
+       |p AS (SELECT doc_id, sh, n FROM r WHERE rk <= n - (4*n + 4) // 5 + 1),
+       |cand AS (SELECT DISTINCT p.doc_id AS doc_a, b.doc_id AS doc_b, p.n AS na
+       |         FROM p JOIN sh0 b ON p.sh = b.sh AND p.doc_id <> b.doc_id),
+       |inter AS (SELECT c.doc_a, c.doc_b, c.na, count(*) AS i
+       |          FROM cand c JOIN sh0 a ON a.doc_id = c.doc_a
+       |                      JOIN sh0 b ON b.doc_id = c.doc_b AND b.sh = a.sh
+       |          GROUP BY c.doc_a, c.doc_b, c.na)
+       |SELECT doc_a, doc_b, CAST(na AS BIGINT) AS na,
+       |       round(CAST(i AS DOUBLE) / na, 6) AS containment
+       |FROM inter WHERE 5 * i >= 4 * na
+       |ORDER BY doc_a, doc_b""".stripMargin
+  ) { (s, dir) =>
+    val sh0 = cachedShingles(s, dir)
+    // t=0.8 prefix rows ⊂ the memoized t=0.6 index: reuse its windows, keep n
+    val pref = cachedPrefixIndex(s, dir)
+      .where(col("rk") <= col("n") - expr("(4*n + 4) div 5") + 1)
+      .select(col("doc_id").as("doc_a"), col("sh"), col("n").as("na"))
+    val cand = pref
+      .join(sh0.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
+      .where(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b", "na").distinct()
+    // verify: candidate-bounded exact intersection (the x107/x86 shape)
+    val candDocs = cand.select(col("doc_a").as("cd"))
+      .union(cand.select(col("doc_b").as("cd"))).distinct()
+    val shCand = sh0.join(broadcast(candDocs), col("doc_id") === col("cd"), "left_semi")
+    cand
+      .join(shCand.as("fa"), col("fa.doc_id") === col("doc_a"))
+      .join(shCand.as("fb"), col("fb.doc_id") === col("doc_b") && col("fb.sh") === col("fa.sh"))
+      .groupBy("doc_a", "doc_b", "na").agg(count(lit(1)).as("i"))
+      .where(lit(5) * col("i") >= lit(4) * col("na"))
+      .select(col("doc_a"), col("doc_b"), col("na"),
+        round(col("i").cast("double") / col("na"), 6).as("containment"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** SORTED-NEIGHBORHOOD near-dup (Hernández & Stolfo, SIGMOD'95 — the
     * sort-based alternative to index joins for blocking): derive a content
     * sort key (first 40 consonants of the text — vowels and spaces dropped
@@ -1685,5 +1757,5 @@ object DedupOps {
     Seq(exactDedup, minhashLsh, simhash, ngramJaccard, dupClusters, pagerank, splitLeakage,
       canonicalPick, curationPipeline, triangleCount, incrementalDedup, lshVerify,
       spanDedup, simhashBands, fuzzyPrefixJoin, prefixAllpairs, sortedNeighborhood,
-      labelProp, minhashError, tombstonePropagate, nearDupContamination)
+      labelProp, minhashError, tombstonePropagate, nearDupContamination, containmentJoin)
 }

@@ -869,8 +869,67 @@ object PipelineOps {
         explode(graft.functions.CdcChunksFunctions.cdcChunkDigests(col("text"))).as("ch"): _*)
       .withColumn("cd", col("ch.cd")).withColumn("clen", col("ch.clen")).drop("ch")
 
+  /** Corpus-level passage dedup with document reconstruction accounting
+    * (the RefinedWeb / MassiveText recipe: split every document into
+    * passages, drop every passage already seen ANYWHERE in the corpus, and
+    * measure what survives per source). Differs from x25 (which counts
+    * duplicate chunks per source) by enforcing a GLOBAL first-occurrence
+    * winner — ordered by (doc_id, position), the deterministic scan order —
+    * and by accounting the retained word mass, tail passages included.
+    *
+    * Passages are non-overlapping 20-word windows (the corpus is
+    * single-line, so fixed windows stand in for paragraph breaks). Scale
+    * shape: passages are digested ROW-LOCALLY inside one generator lambda,
+    * so the only corpus-wide exchange is the digest window carrying
+    * (digest16, source, doc_id, pos, wcnt) ≈ 40 B/passage — never text;
+    * then one per-source hash aggregate. The ppm ratio is exact integer
+    * arithmetic, so no float seam.
+    */
+  val passageDedup: Q = Q(
+    "x125_passage_dedup",
+    """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w,
+      |                  len(string_split(text, ' ')) AS n FROM documents),
+      |p AS (SELECT doc_id, source, i,
+      |        substr(md5(array_to_string(list_slice(w, 20*i+1, 20*i+20), ' ')), 1, 16) AS dg,
+      |        least(20, n - 20*i) AS wcnt
+      |      FROM d, LATERAL (SELECT unnest(generate_series(0, (n-1)//20)) AS i) g),
+      |r AS (SELECT source, doc_id, dg, wcnt,
+      |        row_number() OVER (PARTITION BY dg ORDER BY doc_id, i) AS rn
+      |      FROM p)
+      |SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |       count(*) AS n_pass,
+      |       CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+      |       CAST(sum(wcnt) AS BIGINT) AS total_words,
+      |       CAST(sum(CASE WHEN rn = 1 THEN wcnt ELSE 0 END) AS BIGINT) AS kept_words,
+      |       CAST(sum(CASE WHEN rn = 1 THEN wcnt ELSE 0 END) * 1000000
+      |            // sum(wcnt) AS BIGINT) AS kept_ppm
+      |FROM r GROUP BY source ORDER BY source""".stripMargin
+  ) { (s, dir) =>
+    val w = split(col("text"), " ")
+    val n = size(w)
+    val passages = docs(s, dir).select(
+      col("source"), col("doc_id"),
+      posexplode(transform(sequence(lit(0), ((n - 1) / lit(20)).cast("int")), i =>
+        struct(
+          substring(md5(concat_ws(" ", slice(w, i * 20 + 1, lit(20)))), 1, 16).as("dg"),
+          least(lit(20), n - i * 20).as("wcnt")))).as(Seq("pos", "pa")))
+      .select(col("source"), col("doc_id"), col("pos"),
+        col("pa.dg").as("dg"), col("pa.wcnt").as("wcnt"))
+    val rn = row_number().over(Window.partitionBy("dg").orderBy("doc_id", "pos"))
+    passages.withColumn("rn", rn)
+      .groupBy("source")
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_pass"),
+        sum(when(col("rn") === 1, 0).otherwise(1)).as("n_removed"),
+        sum(col("wcnt")).as("total_words"),
+        sum(when(col("rn") === 1, col("wcnt")).otherwise(0)).as("kept_words"))
+      .withColumn("kept_ppm", expr("kept_words * 1000000 div total_words"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(chunkDedup, repetitionScore, contamination, hashSample,
     seqPacking, stratifiedTopK, refIntegrity, temperatureMix, ragChunking,
     driftMonitor, bloomNovelty, quotaSample, budgetSelect, epochPlan, dsirResample,
-    cdcChunks)
+    cdcChunks, passageDedup)
 }

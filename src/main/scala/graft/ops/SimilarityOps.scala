@@ -1106,7 +1106,148 @@ object SimilarityOps {
     }
   }
 
+  /** Per-dimension embedding moments — the feature-space health audit every
+    * vector pipeline runs before trusting ANN/whitening/quantization over a
+    * new corpus drop (mean shift ⇒ drift; variance collapse ⇒ dead dims;
+    * extreme min/max ⇒ encoder overflow). Components are integerized to
+    * exact micro-units (the x50 pattern: floor(v·1e6 + 0.5) on the widened
+    * double is deterministic on both engines), so the sums are ORDER-FREE
+    * int64 arithmetic — partitioning-independent, no float seam — and the
+    * derived mean/variance divide exact sums as a final scalar step, scaled
+    * BACK to original units before the 6-dp round: at μ² magnitudes (~1e10)
+    * six decimals exceed double precision and the round is engine-divergent
+    * by an ulp (measured), while at O(1) it is exact.
+    *
+    * Scale shape: one posexplode (row-local, 64× fan-out of 12-byte rows)
+    * into one 64-group hash aggregate with map-side partial combine — the
+    * exchange carries 64 rows per partition regardless of corpus size. The
+    * mu² sum is widened to decimal(38,0) BEFORE aggregation: at 100 TB
+    * (10¹² vectors/dim) an int64 sum of ~10¹³-sized squares would overflow.
+    */
+  val embeddingMoments: Q = Q(
+    "x128_embedding_moments",
+    """WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+      |x AS (SELECT i AS dim, CAST(floor(v[i] * 1000000 + 0.5) AS BIGINT) AS mu
+      |      FROM e, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) s)
+      |SELECT CAST(dim AS BIGINT) AS dim, count(*) AS n,
+      |       min(mu) AS min_mu, max(mu) AS max_mu,
+      |       round(CAST(sum(mu) AS DOUBLE) / count(*) / 1000000.0, 6) AS mean,
+      |       round((CAST(sum(mu * mu) AS DOUBLE)
+      |              - CAST(sum(mu) AS DOUBLE) * CAST(sum(mu) AS DOUBLE) / count(*))
+      |             / (count(*) - 1) / 1000000000000.0, 6) AS var
+      |FROM x GROUP BY dim ORDER BY dim""".stripMargin
+  ) { (s, dir) =>
+    embs(s, dir)
+      .select(posexplode(col("embedding")).as(Seq("p", "comp")))
+      .select((col("p") + 1).cast("long").as("dim"),
+        floor(col("comp").cast("double") * 1000000 + 0.5).cast("long").as("mu"))
+      .groupBy("dim")
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("mu")).as("min_mu"),
+        max(col("mu")).as("max_mu"),
+        sum(col("mu")).as("sum_mu"),
+        sum(col("mu").cast("decimal(38,0)") * col("mu")).as("sum_mu2"))
+      .select(col("dim"), col("n"), col("min_mu"), col("max_mu"),
+        round(col("sum_mu").cast("double") / col("n") / 1000000.0, 6).as("mean"),
+        round((col("sum_mu2").cast("double")
+            - col("sum_mu").cast("double") * col("sum_mu").cast("double") / col("n"))
+          / (col("n") - 1) / 1000000000000.0, 6).as("var"))
+      .orderBy("dim")
+  }
+
+  /** Greedy k-center coreset (farthest-point traversal, Gonzalez 1985 — the
+    * 2-approximation every diversity-aware data-selection pipeline uses as
+    * its coverage baseline): seed at the max-norm vector, then 7 rounds of
+    * "add the point farthest from every chosen center", then assign the
+    * whole corpus to its nearest pick. Output: the 8 picks in selection
+    * order with their selection criterion (norm² for the seed, min-distance²
+    * at pick time after) and the size of each pick's Voronoi cell.
+    *
+    * Determinism across engines: squared L2 distances expand to sequential-
+    * fold dot products (‖v‖² − 2⟨v,c⟩ + ‖c‖²) in double, rounded to 6 dp
+    * BEFORE the argmax/argmin with a vec_id (then pick-index) tiebreak —
+    * the exact discipline of the x06 family. Scale shape: each round is one
+    * TakeOrdered(1) over a narrow (vec_id, v, mind) frame — k·(scan + dot)
+    * work, candidates never pair off; the chosen centers travel as
+    * LITERALS (k·d floats), so assignment is one broadcast-free map pass +
+    * one 8-group aggregate. The only driver state is the 8 picked rows
+    * (bounded collect, the PQ-codebook pattern).
+    */
+  val kcenterCoreset: Q = {
+    val K = 8
+    // one d-stage per pick: mind_i = least(mind_{i-1}, round(d²(v, c_i), 6));
+    // the picked point leaves the frame (its mind is 0 — removing it keeps
+    // every later stage's ORDER BY tiny and the semantics identical)
+    val stages = (2 to K).map { i =>
+      val prev = if (i == 2) "e" else s"d${i - 2}"
+      val mind =
+        s"round(d.nv - 2*list_dot_product(d.v, c.v) + list_dot_product(c.v, c.v), 6)"
+      val acc = if (i == 2) mind else s"least(d.mind, $mind)"
+      s"""d${i - 1} AS (SELECT d.vec_id, d.v, d.nv, $acc AS mind
+         |  FROM $prev d, c${i - 1} c WHERE d.vec_id <> c.vec_id),
+         |c$i AS (SELECT vec_id, v, mind AS crit FROM d${i - 1}
+         |  ORDER BY mind DESC, vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    Q(
+      "x129_kcenter_coreset",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |  list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS nv FROM embeddings),
+         |c1 AS (SELECT vec_id, v, round(nv, 6) AS crit FROM e
+         |  ORDER BY round(nv, 6) DESC, vec_id LIMIT 1),
+         |$stages,
+         |cents AS (${(1 to K).map(i => s"SELECT $i AS pick, vec_id, v, crit FROM c$i")
+                      .mkString(" UNION ALL ")}),
+         |assign AS (SELECT e.vec_id, c.pick,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      round(e.nv - 2*list_dot_product(e.v, c.v) + list_dot_product(c.v, c.v), 6), c.pick) AS rk
+         |  FROM e CROSS JOIN cents c)
+         |SELECT CAST(c.pick AS BIGINT) AS pick, c.vec_id, round(c.crit, 6) AS crit,
+         |       count(*) AS n_assigned
+         |FROM assign a JOIN cents c ON a.pick = c.pick AND a.rk = 1
+         |GROUP BY c.pick, c.vec_id, c.crit ORDER BY pick""".stripMargin
+    ) { (s, dir) =>
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"),
+        dot(col("embedding"), col("embedding")).as("nv"))
+      def d2(cv: Seq[Float]): Column = {
+        val c = typedLit(cv)
+        round(col("nv") - lit(2) * dot(col("embedding"), c) + dot(c, c), 6)
+      }
+      // seed pick: max ‖v‖², vec_id tiebreak — a bounded TakeOrdered(1)
+      var picks = List.empty[(Int, Long, Double, Seq[Float])] // reversed
+      val first = e.select(col("vec_id"), col("embedding"), round(col("nv"), 6).as("crit"))
+        .orderBy(col("crit").desc, col("vec_id")).limit(1).collect()(0)
+      picks ::= ((1, first.getLong(0), first.getDouble(2), first.getSeq[Float](1)))
+      var cur = e.where(col("vec_id") =!= first.getLong(0))
+        .withColumn("mind", d2(picks.head._4))
+      for (i <- 2 to K) {
+        val r = cur.orderBy(col("mind").desc, col("vec_id")).limit(1).collect()(0)
+        val id = r.getLong(r.fieldIndex("vec_id"))
+        picks ::= ((i, id, r.getDouble(r.fieldIndex("mind")),
+          r.getSeq[Float](r.fieldIndex("embedding"))))
+        if (i < K)
+          cur = cur.where(col("vec_id") =!= id)
+            .withColumn("mind", least(col("mind"), d2(picks.head._4)))
+      }
+      val cents = picks.reverse
+      // nearest-pick assignment: min (rounded d², pick) via struct ordering —
+      // equivalent to the oracle's row_number rk=1 under the same total order
+      val best = array_min(array(cents.map { case (p, _, _, cv) =>
+        struct(d2(cv).as("d"), lit(p).as("p"))
+      }: _*))
+      val cells = e.select(best.getField("p").as("pick"))
+        .groupBy("pick").agg(count(lit(1)).as("n_assigned"))
+      val pickDf = s.createDataFrame(cents.map { case (p, id, crit, _) => (p, id, crit) })
+        .toDF("pick", "vec_id", "crit")
+      pickDf.join(cells, "pick")
+        .select(col("pick").cast("long").as("pick"), col("vec_id"),
+          round(col("crit"), 6).as("crit"), col("n_assigned"))
+        .orderBy("pick")
+    }
+  }
+
   val all: Seq[Q] = Seq(cosineNearDup, cosineTopK, annLsh, annMultiprobe, annIvf,
     annMultitable, labelCentroids, kmeansIter, semanticDedup, quantizedTopK,
-    labelAffinity, annRecall, pqAnn, ivfpqAnn, bitextMargin, annRankEval)
+    labelAffinity, annRecall, pqAnn, ivfpqAnn, bitextMargin, annRankEval,
+    embeddingMoments, kcenterCoreset)
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for the training-data pipeline surface
@@ -308,20 +309,29 @@ object TextOps {
     * floor (sum and count are exact, IEEE division is correctly rounded, so
     * both engines floor the same double).
     */
-  val trigramLm: Q = Q(
-    "x66_trigram_lm",
-    """WITH tri AS (
+  /** DuckDB CTE stack ending in a `score(doc_id, n_tri, mean_ppm)` relation —
+    * the per-doc trigram-LM score shared by x66 (which emits it directly)
+    * and x130 (which buckets it per language, CCNet-style). One definition
+    * so the two oracles cannot silently diverge.
+    */
+  private val triScoreSqlCtes =
+    """tri AS (
       |  SELECT doc_id, substr(text, CAST(i AS INT), 3) AS tri
       |  FROM documents, unnest(generate_series(1, length(text) - 2)) AS t(i)),
       |model AS (SELECT tri, count(*) AS c FROM tri GROUP BY tri),
       |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS tot FROM model),
       |ppm AS (SELECT tri, CAST(floor(c * 1000000.0 / tot + 0.5) AS BIGINT) AS ppm
-      |        FROM model, tot)
-      |SELECT t.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_tri,
-      |       CAST(floor(CAST(sum(p.ppm) AS DOUBLE) / count(*)) AS BIGINT) AS mean_ppm
-      |FROM tri t JOIN ppm p USING (tri)
-      |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin
-  ) { (s, dir) =>
+      |        FROM model, tot),
+      |score AS (
+      |  SELECT t.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+      |         CAST(floor(CAST(sum(p.ppm) AS DOUBLE) / count(*)) AS BIGINT) AS mean_ppm
+      |  FROM tri t JOIN ppm p USING (tri)
+      |  GROUP BY t.doc_id)""".stripMargin
+
+  /** Spark twin of [[triScoreSqlCtes]]'s `score`: per-doc (n_tri, mean_ppm)
+    * under the corpus trigram LM. Shared by x66 and x130.
+    */
+  private def triDocScores(s: SparkSession, dir: String): DataFrame = {
     // one-pass codegen generator ([[graft.functions.CharNgrams]]): the HOF
     // substr-per-position formulation re-walks the string from byte 0 for
     // every index (UTF8String char indexing is linear) — O(len²) on the
@@ -339,7 +349,118 @@ object TextOps {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tri"),
         floor(sum(col("ppm")).cast("double") / count(lit(1))).cast("long").as("mean_ppm"))
-      .orderBy("doc_id")
+  }
+
+  val trigramLm: Q = Q(
+    "x66_trigram_lm",
+    s"""WITH $triScoreSqlCtes
+       |SELECT doc_id, n_tri, mean_ppm FROM score ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    triDocScores(s, dir).orderBy("doc_id")
+  }
+
+  /** CCNet-style head/middle/tail corpus split (Wenzek et al. 2020,
+    * reference behavior class: quality-bucketed corpus partitioning): every
+    * document is scored by the corpus trigram LM (x66's exact score frame —
+    * shared code, so the gate and the bucketer cannot diverge), then split
+    * into per-LANGUAGE terciles by score. CCNet computes Wikipedia-LM
+    * perplexity per language and keeps the head; here the corpus LM is the
+    * stand-in and bucket 1 = head (highest mean ppm = most in-distribution).
+    *
+    * Scale shape: the LM model is |V_tri|-sized and broadcast (x66's plan);
+    * the tercile split is ONE ntile window per language partition — at
+    * 100 TB the heavy lifting is the scoring pass, which is the same
+    * two-narrow-pass shape x66 already proved linear, and the window
+    * shuffles only (lang, doc_id, n_tri, mean_ppm) — 28 bytes/doc, never
+    * text. ntile's remainder rule (first buckets get the extra row) is SQL
+    * standard on both engines; the (mean_ppm DESC, doc_id) order is total,
+    * so bucket assignment is deterministic.
+    */
+  val ccnetBuckets: Q = Q(
+    "x130_ccnet_buckets",
+    s"""WITH $triScoreSqlCtes,
+       |b AS (
+       |  SELECT d.lang, s.doc_id, s.n_tri, s.mean_ppm,
+       |         ntile(3) OVER (PARTITION BY d.lang ORDER BY s.mean_ppm DESC, s.doc_id) AS bucket
+       |  FROM score s JOIN documents d ON d.doc_id = s.doc_id)
+       |SELECT lang, CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+       |       CAST(sum(n_tri) AS BIGINT) AS tri_mass,
+       |       min(mean_ppm) AS min_ppm, max(mean_ppm) AS max_ppm
+       |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
+  ) { (s, dir) =>
+    val w = Window.partitionBy("lang").orderBy(col("mean_ppm").desc, col("doc_id"))
+    triDocScores(s, dir)
+      .join(docs(s, dir).select("doc_id", "lang"), "doc_id")
+      .withColumn("bucket", ntile(3).over(w).cast("long"))
+      .groupBy("lang", "bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tri")).as("tri_mass"),
+        min(col("mean_ppm")).as("min_ppm"),
+        max(col("mean_ppm")).as("max_ppm"))
+      .orderBy("lang", "bucket")
+  }
+
+  /** Gopher quality-rule funnel (Rae et al. 2021 §A2, the repetition gate
+    * being x26): the five document-shape rules as INDEPENDENT fail counts
+    * per source plus the all-rules survivor count — the per-rule
+    * attribution a filter-tuning pass needs (x119 attributes a composed
+    * gate stack; this is the rule-level view of the shape gates).
+    *
+    * Every rule is integer arithmetic on row-local counts — no doubles, so
+    * no cross-engine rounding seam:
+    *  - len:  50 ≤ n_words ≤ 100,000
+    *  - mwl:  mean word length in [3, 10] chars ⟺ 3·n ≤ chars ≤ 10·n,
+    *          where chars = length(text) − (n−1) (single-space separated)
+    *  - stop: ≥ 2 English stop-word tokens (the [[stopwords]] en profile —
+    *          same list as the x08/x23 gates)
+    *  - ttr:  distinct/total words ≥ 0.2 ⟺ 5·distinct ≥ total
+    *  - maxw: no token longer than 15 chars
+    *
+    * Row-local flags → one hash aggregate: the 100 TB plan is a single
+    * narrow scan, no shuffle beyond the per-source partial-agg exchange.
+    */
+  val gopherRules: Q = Q(
+    "x126_gopher_rules",
+    s"""SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN nw BETWEEN 50 AND 100000 THEN 0 ELSE 1 END) AS BIGINT) AS fail_len,
+       |  CAST(sum(CASE WHEN wc >= 3*nw AND wc <= 10*nw THEN 0 ELSE 1 END) AS BIGINT) AS fail_mwl,
+       |  CAST(sum(CASE WHEN stop_n >= 2 THEN 0 ELSE 1 END) AS BIGINT) AS fail_stop,
+       |  CAST(sum(CASE WHEN 5*uniq_n >= nw THEN 0 ELSE 1 END) AS BIGINT) AS fail_ttr,
+       |  CAST(sum(CASE WHEN long_n = 0 THEN 0 ELSE 1 END) AS BIGINT) AS fail_maxw,
+       |  CAST(sum(CASE WHEN nw BETWEEN 50 AND 100000 AND wc >= 3*nw AND wc <= 10*nw
+       |                 AND stop_n >= 2 AND 5*uniq_n >= nw AND long_n = 0
+       |            THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+       |FROM (SELECT source, len(string_split(text, ' ')) AS nw,
+       |             length(text) - len(string_split(text, ' ')) + 1 AS wc,
+       |             ${hitsSql("en")} AS stop_n,
+       |             len(list_distinct(string_split(text, ' '))) AS uniq_n,
+       |             len(list_filter(string_split(text, ' '), w -> length(w) > 15)) AS long_n
+       |      FROM documents)
+       |GROUP BY source ORDER BY source""".stripMargin
+  ) { (s, dir) =>
+    val w = split(col("text"), " ")
+    val flags = docs(s, dir).select(
+      col("source"),
+      size(w).as("nw"),
+      (length(col("text")) - size(w) + 1).as("wc"),
+      hits("en").as("stop_n"),
+      size(array_distinct(w)).as("uniq_n"),
+      size(filter(w, t => length(t) > 15)).as("long_n"))
+    val okLen  = col("nw").between(50, 100000)
+    val okMwl  = col("wc") >= col("nw") * 3 && col("wc") <= col("nw") * 10
+    val okStop = col("stop_n") >= 2
+    val okTtr  = col("uniq_n") * 5 >= col("nw")
+    val okMaxw = col("long_n") === 0
+    flags.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(okLen, 0).otherwise(1)).as("fail_len"),
+        sum(when(okMwl, 0).otherwise(1)).as("fail_mwl"),
+        sum(when(okStop, 0).otherwise(1)).as("fail_stop"),
+        sum(when(okTtr, 0).otherwise(1)).as("fail_ttr"),
+        sum(when(okMaxw, 0).otherwise(1)).as("fail_maxw"),
+        sum(when(okLen && okMwl && okStop && okTtr && okMaxw, 1).otherwise(0)).as("n_pass"))
+      .orderBy("source")
   }
 
   /** Unicode canonicalization report over the codegen'd
@@ -834,5 +955,5 @@ object TextOps {
 
   val all: Seq[Q] = Seq(langId, qualityScore, tokenCount, fingerprint, corpusClean,
     positionalIndex, trigramLm, nfcClean, piiRedact, bpePairs, bpeMerge, hashClassifier,
-    bpeEncode, calibration, gateAttribution, bpeFertility)
+    bpeEncode, calibration, gateAttribution, bpeFertility, gopherRules, ccnetBuckets)
 }

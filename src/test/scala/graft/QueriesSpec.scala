@@ -1389,4 +1389,174 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(to == tb)
   }
+
+  test("x125 passage dedup equals an independent collect-side re-derivation") {
+    val out = SparkEntry.queries("x125_passage_dedup")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // re-derive global first-occurrence passage dedup in plain Scala
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val docs = graft.ops.Tables(spark, sfDir, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    val seen = scala.collection.mutable.Set.empty[String]
+    val agg = scala.collection.mutable.Map.empty[String, (Set[Long], Long, Long, Long, Long)]
+    for ((id, src, text) <- docs) {
+      val w = text.split(" ", -1)
+      val passages = w.grouped(20).toSeq // in-order = (doc_id, pos) scan order
+      val (docsS, np, rem, tot, kept) =
+        agg.getOrElse(src, (Set.empty[Long], 0L, 0L, 0L, 0L))
+      var (np2, rem2, tot2, kept2) = (np, rem, tot, kept)
+      for (p <- passages) {
+        val dg = md5hex(p.mkString(" "))
+        np2 += 1; tot2 += p.length
+        if (seen(dg)) rem2 += 1 else { seen += dg; kept2 += p.length }
+      }
+      agg(src) = (docsS + id, np2, rem2, tot2, kept2)
+    }
+    assert(out.keySet == agg.keySet.toSet)
+    for ((src, (ids, np, rem, tot, kept)) <- agg) {
+      val got = out(src)
+      assert(got == ((ids.size.toLong, np, rem, tot, kept, kept * 1000000L / tot)),
+        s"source $src: $got != ${(ids.size, np, rem, tot, kept, kept * 1000000L / tot)}")
+    }
+    // the dedup must actually fire on this corpus (shared 20-word windows)
+    assert(agg.values.map(_._3).sum > 0, "no passage ever removed — fixture is vacuous")
+  }
+
+  test("x126 gopher rule counts equal an independent per-doc re-derivation") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("x126_gopher_rules")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // re-derive the flags with plain collect-side Scala (not the query's ops)
+    val docs = graft.ops.Tables(spark, sfDir, "documents")
+      .select("source", "text").collect().map(r => (r.getString(0), r.getString(1)))
+    val en = Set("the", "and", "of", "to", "a")
+    val agg = docs.groupBy(_._1).map { case (src, rows) =>
+      val f = rows.map { case (_, t) =>
+        val w = t.split(" ", -1)
+        val okLen = w.length >= 50 && w.length <= 100000
+        val mwl = w.map(_.length).sum.toDouble / w.length
+        val okMwl = mwl >= 3.0 && mwl <= 10.0
+        val okStop = w.count(en) >= 2
+        val okTtr = 5 * w.distinct.length >= w.length
+        val okMaxw = w.forall(_.length <= 15)
+        (okLen, okMwl, okStop, okTtr, okMaxw)
+      }
+      src -> (rows.size, f.count(!_._1), f.count(!_._2), f.count(!_._3),
+        f.count(!_._4), f.count(!_._5),
+        f.count(x => x._1 && x._2 && x._3 && x._4 && x._5))
+    }
+    assert(agg.nonEmpty && out.size == agg.size)
+    for ((src, (n, fl, fm, fs, ft, fw, np)) <- agg) {
+      val r = out(src)
+      assert(Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7)) ==
+        Seq(n.toLong, fl.toLong, fm.toLong, fs.toLong, ft.toLong, fw.toLong, np.toLong),
+        s"source $src mismatch")
+    }
+    // the funnel must actually discriminate on this corpus
+    assert(out.values.map(_.getLong(2)).sum + out.values.map(_.getLong(1)).sum > 0,
+      "no rule ever fails — fixture can't witness the gate")
+  }
+
+  test("x127 containment prefix filter is lossless vs the brute-force ordered all-pairs") {
+    import org.apache.spark.sql.functions._
+    // brute force: exact distinct-trigram-shingle sets, ALL ordered pairs
+    val w = split(col("text"), " ")
+    val sh = graft.ops.Tables(spark, sfDir, "documents").select(
+        col("doc_id"),
+        explode(when(size(w) >= 3,
+          transform(sequence(lit(0), size(w) - 3), i =>
+            concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))
+          .otherwise(array())).as("raw"))
+      .select(col("doc_id"), substring(md5(col("raw")), 1, 16).as("sh")).distinct()
+    val szs = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("i")).collect()
+      .filter(r => 5 * r.getLong(2) >= 4 * szs(r.getLong(0)))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = SparkEntry.queries("x127_containment_join")(spark, sfDir).collect()
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture has no containment pairs — losslessness is vacuous")
+    assert(got == brute, s"prefix filter lost ${(brute -- got).size} / invented ${(got -- brute).size} pairs")
+    // emitted values recompute: na is the probe's exact set size and
+    // containment ∈ [0.8, 1]
+    for (r <- rows) {
+      assert(r.getLong(2) == szs(r.getLong(0)), s"na mismatch for ${r.getLong(0)}")
+      assert(r.getDouble(3) >= 0.8 && r.getDouble(3) <= 1.0)
+    }
+    // asymmetry (the quote case): C(a→b) uses ONLY a's size, so a strict
+    // shingle-subset doc qualifies toward its superset regardless of the
+    // superset's size — witnessed structurally: every brute pair (a,b) with
+    // na ≤ nb qualifies while the reverse needs i ≥ 0.8·nb too; verify the
+    // query never emitted a reverse pair the brute force rejected
+    assert(got.forall(brute), "query emitted a pair brute force rejects")
+  }
+
+  test("x128 per-dimension moments match Spark's stddev/avg within integerization error") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("x128_embedding_moments")(spark, sfDir).collect()
+    val nVecs = graft.ops.Tables(spark, sfDir, "embeddings").count()
+    assert(out.length == 64 && out.forall(_.getLong(1) == nVecs))
+    val direct = graft.ops.Tables(spark, sfDir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("p", "v")))
+      .groupBy((col("p") + 1).cast("long").as("dim"))
+      .agg(avg(col("v").cast("double")).as("m"), var_samp(col("v").cast("double")).as("s2"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    for (r <- out) {
+      val (m, v) = direct(r.getLong(0))
+      // μ-integerization quantizes each component by ≤ 0.5e-6
+      assert(math.abs(r.getDouble(4) - m) < 1e-5, s"dim ${r.getLong(0)} mean")
+      assert(math.abs(r.getDouble(5) - v) < 1e-4, s"dim ${r.getLong(0)} var")
+    }
+  }
+
+  test("x129 k-center picks are a monotone farthest-point traversal that covers the corpus") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("x129_kcenter_coreset")(spark, sfDir).collect()
+    assert(out.map(_.getLong(0)).toSeq == (1L to 8L))
+    val ids = out.map(_.getLong(1))
+    assert(ids.distinct.length == 8, "picks must be distinct vectors")
+    // the max-min distance sequence is non-increasing (greedy argmax over a
+    // set that only shrinks and a mind that only decreases)
+    val crits = out.drop(1).map(_.getDouble(2))
+    assert(crits.zip(crits.tail).forall { case (a, b) => a >= b }, crits.mkString(","))
+    // cells partition the corpus
+    assert(out.map(_.getLong(3)).sum == graft.ops.Tables(spark, sfDir, "embeddings").count())
+    // covering radius ≤ the last pick's criterion: after the 8th center no
+    // point is farther than the 8th max-min distance
+    val e = graft.ops.Tables(spark, sfDir, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val cents = ids.map(e)
+    val radius = e.values.map(v => cents.map(c => d2(v, c)).min).max
+    assert(radius <= crits.last + 1e-6, s"radius $radius > last crit ${crits.last}")
+  }
+
+  test("x130 CCNet buckets are balanced per-language terciles with ordered score ranges") {
+    val out = SparkEntry.queries("x130_ccnet_buckets")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5)))
+    val perLang = out.groupBy(_._1)
+    val docsPerLang = graft.ops.Tables(spark, sfDir, "documents")
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((lang, rows) <- perLang) {
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length))
+      // ntile balance: sizes differ by at most 1, largest first
+      val sizes = sorted.map(_._3)
+      assert(sizes.max - sizes.min <= 1 && sizes.toSeq == sizes.sortBy(-_).toSeq)
+      assert(sizes.sum == docsPerLang(lang), s"$lang bucket mass")
+      // head bucket's worst score ≥ next bucket's best (DESC tercile order)
+      for (pair <- sorted.sliding(2).filter(_.length == 2)) {
+        val (hi, lo) = (pair(0), pair(1))
+        assert(hi._4 >= lo._5, s"$lang: bucket ${hi._2} min ${hi._4} < bucket ${lo._2} max ${lo._5}")
+      }
+    }
+  }
 }
