@@ -277,7 +277,29 @@ object PlanAudit {
     "x121_dsir_resample" -> Seq("BroadcastHashJoin", "BroadcastExchange",
       "char_ngrams"),
     // fertility rides the |V|-scaled vocabulary aggregate
-    "x122_bpe_fertility" -> Seq("codegen id"))
+    "x122_bpe_fertility" -> Seq("codegen id"),
+    // passage dedup: row-local generator (digests inside the lambda), ONE
+    // digest window — no join anywhere in the plan
+    "x125_passage_dedup" -> Seq("(?s)\\A(?!.*Join).*", "Generate",
+      "WindowExec|Window", "codegen id"),
+    // gopher rules: pure scan → aggregate, no join, no window
+    "x126_gopher_rules" -> Seq("(?s)\\A(?!.*Join).*",
+      "(?s)\\A(?!.*Window).*", "HashAggregate", "codegen id"),
+    // containment join: candidate joins are equi joins over the MEMOIZED
+    // prefix/shingle index (InMemory scan), never nested loops
+    "x127_containment_join" -> Seq("(?i)inmemory",
+      "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
+      "(?s)\\A(?!.*NestedLoop).*"),
+    // moments: posexplode → 64-group aggregate; no join, no window
+    "x128_embedding_moments" -> Seq("(?s)\\A(?!.*Join).*",
+      "(?s)\\A(?!.*Window).*", "Generate", "HashAggregate"),
+    // k-center: the RETURNED plan is the 8-literal Voronoi aggregate joined
+    // to the 8-row pick frame — the corpus side never shuffles on a key
+    "x129_kcenter_coreset" -> Seq("dot_f32", "HashAggregate"),
+    // CCNet buckets: LM model broadcast into scoring (x66's shape), one
+    // per-language ntile window
+    "x130_ccnet_buckets" -> Seq("BroadcastHashJoin", "BroadcastExchange",
+      "WindowExec|Window", "char_ngrams"))
 
   /** Execute one audited query and evaluate its plan patterns — shared by
     * the CLI main and PlanShapeSpec (so plan-shape regressions fail CI, not
