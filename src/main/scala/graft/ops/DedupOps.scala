@@ -1087,23 +1087,39 @@ object DedupOps {
     * SSJoin, ICDE'06).
     *
     * Prefix bound (probe-side only — that is the asymmetric part): if
-    * C(a→b) ≥ t then |Sa∩Sb| ≥ ⌈t·na⌉, and a's df-ordered prefix of length
-    * na − ⌈t·na⌉ + 1 must contain a witness (its complement has only
-    * ⌈t·na⌉ − 1 slots), so joining a-prefixes against the FULL shingle
-    * index generates every qualifying ORDERED pair — no bound exists on
-    * the container side, which may be any size. The t=0.8 prefix
-    * (≈ 0.2·na + 1) is a strict subset of x107's t=0.6 rows, so it FILTERS
-    * the memoized prefix index instead of re-running the rank windows, and
-    * the verify pass reuses the memoized shingle index with the same
-    * candidate-bounded broadcast-semi prune as x107. Threshold is integer-
-    * pure: C ≥ 0.8 ⟺ 5·i ≥ 4·na; prefix length uses ⌈4n/5⌉ = (4n+4) div 5.
+    * C(a→b) ≥ t then |Sa∩Sb| ≥ ⌈t·na⌉ =: mo, and a's df-ordered prefix of
+    * length na − mo + 1 must contain a witness (its complement has only
+    * mo − 1 slots), so joining a-prefixes against the FULL shingle index
+    * generates every qualifying ORDERED pair — no bound exists on the
+    * container side, which may be any size. Threshold is integer-pure:
+    * C ≥ 0.8 ⟺ 5·i ≥ 4·na; mo = ⌈4n/5⌉ = (4n+4) div 5.
+    *
+    * EXTENDED prefix + match-count floor (the adaptive-prefix-length idea,
+    * Wang et al. SIGMOD'12 §3, applied as a fixed k): the minimal prefix
+    * guarantees only ONE shared witness, so at 100× the pair set entering
+    * verify was every pair sharing a single rare shingle — 30.8M candidate
+    * rows whose per-pair full-set verify join enumerated ~9 BILLION rows
+    * and spilled 78 GB of sort runs before dying (measured, sf10 24 g: the
+    * first sf10 casualty of round 8, found the same way round 7 found its
+    * three). Extending the prefix to L = na − mo + k (the rows EXIST in
+    * x107's memoized t=0.6 index whenever k ≤ prefLen06 − (na − mo), so
+    * keff = max(1, min(8, that)) per doc) strengthens the pigeonhole:
+    * overlap∩prefix(L) ≥ overlap − (na − L) ≥ mo − (mo − keff) = keff —
+    * a qualifying pair must share ≥ keff PREFIX shingles. The candidate
+    * stage therefore GROUPS the prefix⋈index join by pair and keeps only
+    * count ≥ keff (an aggregate, not a distinct — no pair-set blowup ever
+    * materializes), then a length filter (overlap ≤ nb ⇒ nb ≥ mo) prunes
+    * short containers before the exact full-set verify touches anything.
+    * Every filter is provably lossless at t = 0.8; the spec asserts output
+    * equality with brute-force ordered all-pairs.
     *
     * Scale shape: the probe side is rare-shingle-only by construction (a
-    * prefix shingle is among its doc's globally RAREST), so candidate
-    * volume is Σ_prefix df(sh) with small dfs — hot boilerplate shingles
-    * never enter a prefix and the full-index side is only ever probed at
-    * rare keys. Both joins are equi-joins on the shingle hash
-    * partitioning; nothing pairs off corpus-wide.
+    * prefix shingle is among its doc's globally RAREST — measured max
+    * prefix df 12 at sf10), so the candidate join is linear-ish
+    * (Σ_prefix df); hot boilerplate shingles never enter a prefix and the
+    * full-index side is only ever probed at rare keys. Both joins are
+    * equi-joins on the shingle hash partitioning; nothing pairs off
+    * corpus-wide, and verify is bounded by the keff-filtered pair list.
     */
   val containmentJoin: Q = Q(
     "x127_containment_join",
@@ -1113,12 +1129,21 @@ object DedupOps {
        |        row_number() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.sh) AS rk,
        |        count(*) OVER (PARTITION BY s.doc_id) AS n
        |      FROM sh0 s JOIN d ON s.sh = d.sh),
-       |p AS (SELECT doc_id, sh, n FROM r WHERE rk <= n - (4*n + 4) // 5 + 1),
-       |cand AS (SELECT DISTINCT p.doc_id AS doc_a, b.doc_id AS doc_b, p.n AS na
-       |         FROM p JOIN sh0 b ON p.sh = b.sh AND p.doc_id <> b.doc_id),
+       |p AS (SELECT doc_id, sh, n, mo, greatest(1, least(8, pl6 - (n - mo))) AS keff
+       |      FROM (SELECT doc_id, sh, rk, n, (4*n + 4) // 5 AS mo,
+       |                   n - (3*n + 4) // 5 + 1 AS pl6 FROM r)
+       |      WHERE rk <= n - mo + greatest(1, least(8, pl6 - (n - mo)))),
+       |cand AS (SELECT p.doc_id AS doc_a, b.doc_id AS doc_b, p.n AS na,
+       |                p.mo AS mo, count(*) AS ip
+       |         FROM p JOIN sh0 b ON p.sh = b.sh AND p.doc_id <> b.doc_id
+       |         GROUP BY 1, 2, 3, 4, p.keff
+       |         HAVING count(*) >= p.keff),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh0 GROUP BY doc_id),
+       |cl AS (SELECT c.doc_a, c.doc_b, c.na FROM cand c
+       |       JOIN sz ON sz.doc_id = c.doc_b AND sz.n >= c.mo),
        |inter AS (SELECT c.doc_a, c.doc_b, c.na, count(*) AS i
-       |          FROM cand c JOIN sh0 a ON a.doc_id = c.doc_a
-       |                      JOIN sh0 b ON b.doc_id = c.doc_b AND b.sh = a.sh
+       |          FROM cl c JOIN sh0 a ON a.doc_id = c.doc_a
+       |                    JOIN sh0 b ON b.doc_id = c.doc_b AND b.sh = a.sh
        |          GROUP BY c.doc_a, c.doc_b, c.na)
        |SELECT doc_a, doc_b, CAST(na AS BIGINT) AS na,
        |       round(CAST(i AS DOUBLE) / na, 6) AS containment
@@ -1126,19 +1151,32 @@ object DedupOps {
        |ORDER BY doc_a, doc_b""".stripMargin
   ) { (s, dir) =>
     val sh0 = cachedShingles(s, dir)
-    // t=0.8 prefix rows ⊂ the memoized t=0.6 index: reuse its windows, keep n
+    // extended t=0.8 prefix — still a subset of the memoized t=0.6 index
+    // (keff ≤ pl6 − (n − mo) by construction): reuse its windows
     val pref = cachedPrefixIndex(s, dir)
-      .where(col("rk") <= col("n") - expr("(4*n + 4) div 5") + 1)
-      .select(col("doc_id").as("doc_a"), col("sh"), col("n").as("na"))
+      .withColumn("mo", expr("(4*n + 4) div 5"))
+      .withColumn("keff",
+        greatest(lit(1), least(lit(8), expr("(n - (3*n + 4) div 5 + 1) - (n - mo)"))))
+      .where(col("rk") <= col("n") - col("mo") + col("keff"))
+      .select(col("doc_id").as("doc_a"), col("sh"),
+        col("n").as("na"), col("mo"), col("keff"))
+    // candidate stage is an AGGREGATE, never a distinct pair materialization:
+    // count shared prefix shingles per ordered pair, floor at keff
     val cand = pref
       .join(sh0.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
       .where(col("doc_a") =!= col("doc_b"))
-      .select("doc_a", "doc_b", "na").distinct()
+      .groupBy("doc_a", "doc_b", "na", "mo", "keff")
+      .agg(count(lit(1)).as("ip"))
+      .where(col("ip") >= col("keff"))
+    // length filter: overlap ≤ nb, so a container shorter than mo can't qualify
+    val sz = sh0.groupBy(col("doc_id").as("szd")).agg(count(lit(1)).as("nb"))
+    val cl = cand.join(sz, col("szd") === col("doc_b") && col("nb") >= col("mo"))
+      .select("doc_a", "doc_b", "na")
     // verify: candidate-bounded exact intersection (the x107/x86 shape)
-    val candDocs = cand.select(col("doc_a").as("cd"))
-      .union(cand.select(col("doc_b").as("cd"))).distinct()
+    val candDocs = cl.select(col("doc_a").as("cd"))
+      .union(cl.select(col("doc_b").as("cd"))).distinct()
     val shCand = sh0.join(broadcast(candDocs), col("doc_id") === col("cd"), "left_semi")
-    cand
+    cl
       .join(shCand.as("fa"), col("fa.doc_id") === col("doc_a"))
       .join(shCand.as("fb"), col("fb.doc_id") === col("doc_b") && col("fb.sh") === col("fa.sh"))
       .groupBy("doc_a", "doc_b", "na").agg(count(lit(1)).as("i"))

@@ -242,6 +242,49 @@ class SkewSpec extends AnyFunSuite with BeforeAndAfterAll with SqlConfHelper {
     } finally { bands.unpersist(); () }
   }
 
+  test("x127's containment prefix is hot-shingle-immune on the skewed corpus") {
+    import spark.implicits._
+    // The planted boilerplate phrase gives its interior shingles df ≈ half
+    // the corpus. A df-ORDERED prefix keeps only each doc's globally rarest
+    // shingles, so the hot shingles must appear in ZERO prefixes — the
+    // candidate join never probes a hot key, which is exactly why the
+    // containment join needs no df-cap or bucket-cap heuristic.
+    val docs = Tables(spark, skewDir, "documents")
+    val w = split(col("text"), " ")
+    val sh = docs.select(col("doc_id"), explode(
+        when(size(w) >= 3, transform(sequence(lit(0), size(w) - 3), i =>
+          concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))
+          .otherwise(array())).as("g"))
+      .distinct()
+    val withDf = sh.join(sh.groupBy("g").agg(count(lit(1)).as("df")), "g")
+    val pref = withDf
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("df"), col("g"))))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .where(col("rk") <= col("n") - expr("(4*n + 4) div 5") + 1)
+      .cache()
+    try {
+      val hotDf = withDf.where(col("g") === "beta gamma delta")
+        .select("df").as[Long].head()
+      assert(hotDf > graft.ops.DedupOps.DfCap,
+        s"hot shingle df $hotDf too small — fixture can't witness immunity")
+      assert(pref.where(col("g") === "beta gamma delta").count() === 0L,
+        "a hot shingle entered a containment prefix — the df order is broken")
+      // candidate volume Σ_prefix (df−1) stays a small multiple of the
+      // corpus (linear), nowhere near the hot shingle's df² blowup
+      val candVol = pref.agg(sum(col("df") - 1)).as[Long].head()
+      val nDocs = docs.count()
+      assert(candVol < 40L * nDocs,
+        s"prefix candidate volume $candVol not linear-bounded (docs $nDocs)")
+      assert(candVol * 20 < hotDf * hotDf,
+        s"volume $candVol not clearly below the hot-key blowup ${hotDf * hotDf}")
+      // and the production query itself completes on the hostile corpus
+      assert(SparkEntry.queries("x127_containment_join")(spark, skewDir).count() >= 0)
+    } finally { pref.unpersist(); () }
+  }
+
   test("AQE skew-join engages on the t02-shaped fact join over the skewed supplier") {
     withSQLConf(spark)(
       "spark.sql.autoBroadcastJoinThreshold"                        -> "-1",
