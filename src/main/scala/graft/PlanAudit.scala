@@ -299,7 +299,16 @@ object PlanAudit {
     // CCNet buckets: LM model broadcast into scoring (x66's shape), one
     // per-language ntile window
     "x130_ccnet_buckets" -> Seq("BroadcastHashJoin", "BroadcastExchange",
-      "WindowExec|Window", "char_ngrams"))
+      "WindowExec|Window", "char_ngrams"),
+    // source affinity: centroid self-join on the dim key is an equi join
+    // over a #sources×64-row aggregate — never a nested loop
+    "x131_source_affinity" -> Seq("HashAggregate",
+      "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
+      "(?s)\\A(?!.*NestedLoop).*"),
+    // JL audit: fixed query batch broadcast against a linear corpus scan
+    // (the x06 BNLJ shape), projections row-local dot_f32 folds
+    "x132_jl_distortion" -> Seq("dot_f32",
+      "BroadcastNestedLoopJoin|BroadcastHashJoin", "HashAggregate"))
 
   /** Execute one audited query and evaluate its plan patterns — shared by
     * the CLI main and PlanShapeSpec (so plan-shape regressions fail CI, not

@@ -789,8 +789,68 @@ object CorpusStatsOps {
       .orderBy("metric")
   }
 
+  /** Feature-hashed source affinity matrix (the hashing trick, Weinberger
+    * et al. ICML'09 — the text→vector bridge this engine's document and
+    * embedding tables otherwise lack): every token occurrence hashes to one
+    * of 64 signed dimensions (dim = h mod 64, sign from the next hash bit),
+    * per-source sums form a 64-dim integer centroid, and the pairwise
+    * cosine of those centroids is the distributional source-similarity
+    * matrix — the signal behind "these two crawls are the same site" merge
+    * decisions and x76/x37-style mixture design (x36 answers the same
+    * question with shared chunk DIGESTS — verbatim overlap; this is
+    * distribution-level similarity that survives paraphrase).
+    *
+    * Scale shape: one token pass → a (source × 64)-row integer aggregate
+    * (map-side combined; the exchange is #sources × 64 rows at ANY corpus
+    * size) → a 190-pair self-join on the dim key. Weights and norms are
+    * exact int64 sums widened to decimal(38,0) before the squared/product
+    * aggregates (at 100 TB a per-dim weight is ~1e10 and its square
+    * overflows int64); the cosine divides exact sums in one identical IEEE
+    * chain on both engines, then rounds to 6 dp at O(1) magnitude.
+    */
+  val sourceAffinity: Q = Q(
+    "x131_source_affinity",
+    """WITH tok AS (
+      |  SELECT source, CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS hv
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)),
+      |wts AS (
+      |  SELECT source, hv % 64 AS dim,
+      |         CAST(sum(CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS w
+      |  FROM tok GROUP BY source, hv % 64),
+      |nrm AS (SELECT source, CAST(sum(w * w) AS DOUBLE) AS n2 FROM wts GROUP BY source),
+      |dots AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, CAST(sum(a.w * b.w) AS DOUBLE) AS dot
+      |  FROM wts a JOIN wts b ON a.dim = b.dim AND a.source < b.source
+      |  GROUP BY a.source, b.source)
+      |SELECT d.src_a, d.src_b,
+      |       round(d.dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cos
+      |FROM dots d JOIN nrm na ON na.source = d.src_a
+      |            JOIN nrm nb ON nb.source = d.src_b
+      |ORDER BY src_a, src_b""".stripMargin
+  ) { (s, dir) =>
+    val hv = expr("cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint)")
+    val tok = docs(s, dir)
+      .select(col("source"), explode(ws).as("w"))
+      .select(col("source"), hv.as("hv"))
+    val wts = tok
+      .groupBy(col("source"), (col("hv") % 64).as("dim"))
+      .agg(sum(when(expr("(hv div 64) % 2") === 0, 1).otherwise(-1)).as("w"))
+    val nrm = wts.groupBy("source")
+      .agg(sum((col("w").cast("decimal(38,0)") * col("w"))).cast("double").as("n2"))
+    val dots = wts.as("a")
+      .join(wts.as("b"), col("a.dim") === col("b.dim") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(sum((col("a.w").cast("decimal(38,0)") * col("b.w"))).cast("double").as("dot"))
+    dots
+      .join(nrm.select(col("source").as("src_a"), col("n2").as("na2")), "src_a")
+      .join(nrm.select(col("source").as("src_b"), col("n2").as("nb2")), "src_b")
+      .select(col("src_a"), col("src_b"),
+        round(col("dot") / (sqrt(col("na2")) * sqrt(col("nb2"))), 6).as("cos"))
+      .orderBy("src_a", "src_b")
+  }
+
   val all: Seq[Q] = Seq(tfidfTopTerms, bigramLift, sourceOverlap, mixtureSample,
     typeToken, lenQuartiles, invertedIndex, madOutliers, stopwordIndex, lenDeciles,
     oovRate, langGini, skipgramCooc, vocabGrowth, bm25Rank, heavyHitters, sourcePrior,
-    dataCard)
+    dataCard, sourceAffinity)
 }

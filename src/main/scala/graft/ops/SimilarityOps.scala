@@ -1246,8 +1246,89 @@ object SimilarityOps {
     }
   }
 
+  /** Johnson–Lindenstrauss distortion audit: project 64-dim embeddings to
+    * 16 dims through a deterministic ±1 sign matrix (Achlioptas 2003's
+    * database-friendly JL variant, scale 1/√16) and measure, over the fixed
+    * query batch × corpus pair set, how the projected squared L2 distance
+    * distorts the true one — the measurement that licenses running ANN
+    * candidate generation in a 4× cheaper space. Output is the distortion
+    * histogram: pairs bucketed by ratio_ppm div 100000 (0.1-wide ratio
+    * buckets; JL says mass concentrates around 1.0).
+    *
+    * Determinism: the sign matrix is generated from md5("jl:r:c") and
+    * INLINED as literals into both engines; projections are 16 sequential-
+    * fold dot products against those literals; both distances expand to
+    * the same IEEE chain (‖·‖² terms + fold dots, same association order,
+    * built from one Scala loop), and the ratio integerizes via
+    * floor(r·1e6 + 0.5) before bucketing — zero float comparisons.
+    *
+    * Scale shape: projections are row-local (16 dots per vector, computed
+    * ONCE per side before the join); the pair loop is the x06 broadcast
+    * shape — fixed ≤400-query batch against a linear corpus scan; the
+    * histogram is a ≤dozens-group aggregate. 100 TB story: this is the
+    * audit you run on a corpus SAMPLE before switching the ANN pipeline to
+    * the projected space, and every stage is either row-local or
+    * fixed-batch-bounded.
+    */
+  val jlDistortion: Q = {
+    val rows = 16
+    // Achlioptas ±1 signs from md5 — regenerated identically on both sides
+    def sign(r: Int, c: Int): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"jl:$r:$c".getBytes("UTF-8"))
+      if ((h(0) & 0x80) == 0) 1 else -1
+    }
+    val s16: Seq[Seq[Float]] =
+      (0 until rows).map(r => (0 until 64).map(c => sign(r, c).toFloat))
+    val sqlProj = (0 until rows).map { r =>
+      val arr = s16(r).map(v => if (v > 0) "1" else "-1").mkString(", ")
+      s"list_dot_product(v, [$arr]::DOUBLE[]) / 4.0"
+    }
+    Q(
+      "x132_jl_distortion",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |  list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS nv FROM embeddings),
+         |p AS (SELECT vec_id, v, nv, ${(0 until rows).map(r => s"${sqlProj(r)} AS p$r")
+                  .mkString(", ")} FROM e),
+         |q AS (SELECT * FROM p WHERE vec_id % 50 = 0 AND vec_id < 20000),
+         |pairs AS (
+         |  SELECT CAST(floor((${(0 until rows).map(r => s"(q.p$r - c.p$r) * (q.p$r - c.p$r)")
+                    .mkString(" + ")})
+         |         * 1000000.0 / (q.nv - 2*list_dot_product(q.v, c.v) + c.nv) + 0.5) AS BIGINT) AS ratio_ppm
+         |  FROM q, p c
+         |  WHERE q.vec_id <> c.vec_id
+         |    AND q.nv - 2*list_dot_product(q.v, c.v) + c.nv > 0)
+         |SELECT ratio_ppm // 100000 AS bucket, count(*) AS n,
+         |       min(ratio_ppm) AS min_ppm, max(ratio_ppm) AS max_ppm
+         |FROM pairs GROUP BY 1 ORDER BY bucket""".stripMargin
+    ) { (s, dir) =>
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"),
+        dot(col("embedding"), col("embedding")).as("nv"))
+      def proj(df: DataFrame): DataFrame =
+        df.select(Seq(col("vec_id"), col("embedding"), col("nv")) ++
+          (0 until rows).map(r =>
+            (dot(col("embedding"), typedLit(s16(r))) / 4.0).as(s"p$r")): _*)
+      val p = proj(e)
+      val q = p.where(col("vec_id") % 50 === 0 && col("vec_id") < 20000)
+        .select(Seq(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nv").as("qnv")) ++
+          (0 until rows).map(r => col(s"p$r").as(s"q$r")): _*)
+      val projD2 = (0 until rows)
+        .map(r => (col(s"q$r") - col(s"p$r")) * (col(s"q$r") - col(s"p$r")))
+        .reduce(_ + _)
+      val fullD2 = col("qnv") - lit(2) * dot(col("qv"), col("embedding")) + col("nv")
+      broadcast(q).join(p, col("q_id") =!= col("vec_id"))
+        .where(fullD2 > 0)
+        .select(floor(projD2 * 1000000.0 / fullD2 + 0.5).cast("long").as("ratio_ppm"))
+        .groupBy(expr("ratio_ppm div 100000").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("ratio_ppm")).as("min_ppm"),
+          max(col("ratio_ppm")).as("max_ppm"))
+        .orderBy("bucket")
+    }
+  }
+
   val all: Seq[Q] = Seq(cosineNearDup, cosineTopK, annLsh, annMultiprobe, annIvf,
     annMultitable, labelCentroids, kmeansIter, semanticDedup, quantizedTopK,
     labelAffinity, annRecall, pqAnn, ivfpqAnn, bitextMargin, annRankEval,
-    embeddingMoments, kcenterCoreset)
+    embeddingMoments, kcenterCoreset, jlDistortion)
 }

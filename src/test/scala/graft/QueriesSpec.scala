@@ -1539,6 +1539,75 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(radius <= crits.last + 1e-6, s"radius $radius > last crit ${crits.last}")
   }
 
+  test("x131 source affinity equals a collect-side feature-hash re-derivation") {
+    val out = SparkEntry.queries("x131_source_affinity")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // re-derive: hash every token occurrence to a signed dim, cosine of
+    // per-source centroids — plain Scala, no Spark expressions
+    def hv(w: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.take(15), 16)
+    }
+    val cents = scala.collection.mutable.Map.empty[String, Array[Long]]
+    for (r <- graft.ops.Tables(spark, sfDir, "documents").select("source", "text").collect()) {
+      val v = cents.getOrElseUpdate(r.getString(0), Array.fill(64)(0L))
+      for (w <- r.getString(1).split(" ", -1)) {
+        val h = hv(w)
+        v((h % 64).toInt) += (if ((h / 64) % 2 == 0) 1 else -1)
+      }
+    }
+    val srcs = cents.keys.toSeq.sorted
+    assert(out.size == srcs.size * (srcs.size - 1) / 2)
+    for (a <- srcs; b <- srcs if a < b) {
+      val (va, vb) = (cents(a), cents(b))
+      val dot = va.zip(vb).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val cos = dot / (math.sqrt(va.map(x => x.toDouble * x).sum) *
+        math.sqrt(vb.map(x => x.toDouble * x).sum))
+      assert(math.abs(out((a, b)) - cos) < 1e-5, s"($a,$b): ${out((a, b))} vs $cos")
+      assert(out((a, b)) >= -1.0 && out((a, b)) <= 1.0)
+    }
+  }
+
+  test("x132 JL distortion histogram equals a collect-side projection and is unbiased") {
+    val out = SparkEntry.queries("x132_jl_distortion")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // regenerate the sign matrix exactly as the query does
+    def sign(r: Int, c: Int): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"jl:$r:$c".getBytes("UTF-8"))
+      if ((h(0) & 0x80) == 0) 1 else -1
+    }
+    val e = graft.ops.Tables(spark, sfDir, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def proj(v: Array[Double]): Array[Double] =
+      (0 until 16).map(r => (0 until 64).map(c => sign(r, c) * v(c)).sum / 4.0).toArray
+    def nv(v: Array[Double]): Double = v.map(x => x * x).sum
+    val ratios = for {
+      (qid, qv) <- e.toSeq if qid % 50 == 0 && qid < 20000
+      (cid, cv) <- e.toSeq if cid != qid
+      // mirror the query's exact IEEE chain: ‖q‖² − 2⟨q,c⟩ + ‖c‖²
+      full = nv(qv) - 2 * qv.zip(cv).map { case (x, y) => x * y }.sum + nv(cv)
+      if full > 0
+    } yield {
+      val (pq, pc) = (proj(qv), proj(cv))
+      val pd = pq.zip(pc).map { case (x, y) => (x - y) * (x - y) }.sum
+      math.floor(pd * 1000000.0 / full + 0.5).toLong
+    }
+    assert(ratios.nonEmpty)
+    val hist = ratios.groupBy(_ / 100000)
+      .map { case (b, rs) => b -> (rs.size.toLong, rs.min, rs.max) }
+    assert(out == hist, s"histogram mismatch: got ${out.toSeq.sortBy(_._1)} " +
+      s"want ${hist.toSeq.sortBy(_._1)}")
+    // Achlioptas ±1 projection is unbiased: E[proj d²] = full d² — the
+    // sample mean ratio must sit near 1.0
+    val mean = ratios.map(_.toDouble).sum / ratios.size
+    assert(mean > 800000 && mean < 1200000, s"mean ratio $mean not ≈ 1e6")
+    // and mass concentrates (JL): at k=16 most pairs fall within ±50%
+    val central = ratios.count(r => r >= 500000 && r <= 1500000)
+    assert(central * 10 >= ratios.size * 8, s"only $central/${ratios.size} pairs central")
+  }
+
   test("x130 CCNet buckets are balanced per-language terciles with ordered score ranges") {
     val out = SparkEntry.queries("x130_ccnet_buckets")(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5)))
