@@ -58,6 +58,15 @@ object DedupDiag {
     val (x107Rows, tX107) = timed(
       SparkEntry.queries("x107_prefix_allpairs")(spark, sfDir).count())
 
+    // x127 stage attribution (round 8): the quantity that killed the first
+    // sf10 run was the PAIR COUNT entering verify (30.8M pairs → ~9B verify
+    // join rows), not the candidate join volume — report it so a corpus
+    // change that re-inflates it is visible in one diag run
+    val (contPairs, tContCand) = timed(
+      ops.DedupOps.containmentCandidates(spark, sfDir).count())
+    val (x127Rows, tX127) = timed(
+      SparkEntry.queries("x127_containment_join")(spark, sfDir).count())
+
     // x124 stage attribution (round 8): the production chunk stage is the
     // native CdcChunkDigests expression (sec_cdc_digests); the SQL-HOF cut
     // stage rides along as the interpreted reference (sec_cdc_hof) that
@@ -88,9 +97,11 @@ object DedupDiag {
       s""""band_rows":$bandRows,"buckets":${buckets.getLong(0)},"max_bucket":${buckets.getLong(1)},"bucket_pair_rows":${buckets.getLong(2)},""" +
       s""""candidate_pairs":$nPairs,"lsss_rounds":$rounds,"clusters":${clusterStats.getLong(0)},"max_cluster":${clusterStats.getLong(1)},""" +
       s""""prefix_rows":$prefixRows,"prefix_cand_pairs":$candRows,"x107_rows":$x107Rows,""" +
+      s""""containment_verify_pairs":$contPairs,"x127_rows":$x127Rows,""" +
       s""""cdc_cuts":$nCuts,"cdc_chunks":$nChunks,"x124_rows":$x124Rows,""" +
       s""""sec_scan":$tDocs,"sec_shingle":$tShingle,"sec_bands":$tBands,"sec_pairs":$tPairs,"sec_cluster":$tCluster,""" +
       s""""sec_prefix_windows":$tPrefix,"sec_prefix_join":$tCand,"sec_x107_verify":$tX107,""" +
+      s""""sec_containment_cand":$tContCand,"sec_x127":$tX127,""" +
       s""""sec_cdc_hof":$tCdcHof,"sec_cdc_digests":$tCdcDigests,"sec_x124":$tX124}""")
     spark.stop()
   }

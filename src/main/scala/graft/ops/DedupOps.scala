@@ -1121,6 +1121,37 @@ object DedupOps {
     * equi-joins on the shingle hash partitioning; nothing pairs off
     * corpus-wide, and verify is bounded by the keff-filtered pair list.
     */
+  /** x127's verified-candidate pair list (doc_a, doc_b, na) — the keff-
+    * floored, length-filtered set that enters the exact verify. Factored so
+    * DedupDiag can report the PAIR count entering verify (the quantity
+    * whose unbounded growth was the r8 sf10 casualty) without re-stating
+    * the filter stack.
+    */
+  private[graft] def containmentCandidates(s: SparkSession, dir: String): DataFrame = {
+    val sh0 = cachedShingles(s, dir)
+    // extended t=0.8 prefix — still a subset of the memoized t=0.6 index
+    // (keff ≤ pl6 − (n − mo) by construction): reuse its windows
+    val pref = cachedPrefixIndex(s, dir)
+      .withColumn("mo", expr("(4*n + 4) div 5"))
+      .withColumn("keff",
+        greatest(lit(1), least(lit(8), expr("(n - (3*n + 4) div 5 + 1) - (n - mo)"))))
+      .where(col("rk") <= col("n") - col("mo") + col("keff"))
+      .select(col("doc_id").as("doc_a"), col("sh"),
+        col("n").as("na"), col("mo"), col("keff"))
+    // candidate stage is an AGGREGATE, never a distinct pair materialization:
+    // count shared prefix shingles per ordered pair, floor at keff
+    val cand = pref
+      .join(sh0.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
+      .where(col("doc_a") =!= col("doc_b"))
+      .groupBy("doc_a", "doc_b", "na", "mo", "keff")
+      .agg(count(lit(1)).as("ip"))
+      .where(col("ip") >= col("keff"))
+    // length filter: overlap ≤ nb, so a container shorter than mo can't qualify
+    val sz = sh0.groupBy(col("doc_id").as("szd")).agg(count(lit(1)).as("nb"))
+    cand.join(sz, col("szd") === col("doc_b") && col("nb") >= col("mo"))
+      .select("doc_a", "doc_b", "na")
+  }
+
   val containmentJoin: Q = Q(
     "x127_containment_join",
     s"""WITH sh0 AS ($shingleSql),
@@ -1151,27 +1182,7 @@ object DedupOps {
        |ORDER BY doc_a, doc_b""".stripMargin
   ) { (s, dir) =>
     val sh0 = cachedShingles(s, dir)
-    // extended t=0.8 prefix — still a subset of the memoized t=0.6 index
-    // (keff ≤ pl6 − (n − mo) by construction): reuse its windows
-    val pref = cachedPrefixIndex(s, dir)
-      .withColumn("mo", expr("(4*n + 4) div 5"))
-      .withColumn("keff",
-        greatest(lit(1), least(lit(8), expr("(n - (3*n + 4) div 5 + 1) - (n - mo)"))))
-      .where(col("rk") <= col("n") - col("mo") + col("keff"))
-      .select(col("doc_id").as("doc_a"), col("sh"),
-        col("n").as("na"), col("mo"), col("keff"))
-    // candidate stage is an AGGREGATE, never a distinct pair materialization:
-    // count shared prefix shingles per ordered pair, floor at keff
-    val cand = pref
-      .join(sh0.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
-      .where(col("doc_a") =!= col("doc_b"))
-      .groupBy("doc_a", "doc_b", "na", "mo", "keff")
-      .agg(count(lit(1)).as("ip"))
-      .where(col("ip") >= col("keff"))
-    // length filter: overlap ≤ nb, so a container shorter than mo can't qualify
-    val sz = sh0.groupBy(col("doc_id").as("szd")).agg(count(lit(1)).as("nb"))
-    val cl = cand.join(sz, col("szd") === col("doc_b") && col("nb") >= col("mo"))
-      .select("doc_a", "doc_b", "na")
+    val cl = containmentCandidates(s, dir)
     // verify: candidate-bounded exact intersection (the x107/x86 shape)
     val candDocs = cl.select(col("doc_a").as("cd"))
       .union(cl.select(col("doc_b").as("cd"))).distinct()
