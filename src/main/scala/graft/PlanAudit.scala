@@ -308,7 +308,10 @@ object PlanAudit {
     // JL audit: fixed query batch broadcast against a linear corpus scan
     // (the x06 BNLJ shape), projections row-local dot_f32 folds
     "x132_jl_distortion" -> Seq("dot_f32",
-      "BroadcastNestedLoopJoin|BroadcastHashJoin", "HashAggregate"))
+      "BroadcastNestedLoopJoin|BroadcastHashJoin", "HashAggregate"),
+    // k-anonymity: pure two-level aggregate — no join, no window
+    "x133_k_anonymity" -> Seq("(?s)\\A(?!.*Join).*",
+      "(?s)\\A(?!.*Window).*", "HashAggregate"))
 
   /** Execute one audited query and evaluate its plan patterns — shared by
     * the CLI main and PlanShapeSpec (so plan-shape regressions fail CI, not

@@ -534,6 +534,42 @@ object BehaviorOps {
       .orderBy("user_id", "day")
   }
 
+  /** k-anonymity audit (Sweeney 2002) over the event stream's quasi-
+    * identifier (event_type, hour-of-day): every equivalence class with
+    * fewer than k=5 distinct users is a re-identification risk — the
+    * aggregate-disclosure complement to x70's direct-identifier scrub and
+    * x117's right-to-be-forgotten propagation, and the audit a training-
+    * data release runs before shipping behavioral logs. Emits every class
+    * with its event mass, distinct-user count, and risk flag, so the
+    * suppression cost (event mass inside risky classes) reads off the
+    * table.
+    *
+    * Scale shape: one hash aggregate per class for the counts plus an
+    * exact count-distinct (two-level aggregate on (class, user) — the
+    * exchange carries one row per DISTINCT pair, never per event, because
+    * partial aggregation dedups map-side). Class cardinality is
+    * #types × 24 regardless of corpus size, so the output and every
+    * post-aggregate stage are constant-sized at 100 TB.
+    */
+  val kAnonymity: Q = Q(
+    "x133_k_anonymity",
+    """SELECT event_type, CAST(hr AS BIGINT) AS hr, count(*) AS n_events,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |       CAST(CASE WHEN count(DISTINCT user_id) < 5 THEN 1 ELSE 0 END AS BIGINT) AS risky
+      |FROM (SELECT event_type, hour(ts) AS hr, user_id FROM events)
+      |GROUP BY event_type, hr
+      |ORDER BY event_type, hr""".stripMargin
+  ) { (s, dir) =>
+    events(s, dir)
+      .select(col("event_type"), hour(col("ts")).as("hr"), col("user_id"))
+      .groupBy("event_type", "hr")
+      .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
+      .select(col("event_type"), col("hr").cast("long").as("hr"), col("n_events"),
+        col("n_users"), when(col("n_users") < 5, 1L).otherwise(0L).as("risky"))
+      .orderBy("event_type", "hr")
+  }
+
   val all: Seq[Q] = Seq(funnel, retention, transitions, incrementalAgg, scd2History,
-    mergeApply, gapFill, cumulativeUniques, saxSimilarity, decayScore, interpolate)
+    mergeApply, gapFill, cumulativeUniques, saxSimilarity, decayScore, interpolate,
+    kAnonymity)
 }

@@ -1608,6 +1608,26 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(central * 10 >= ratios.size * 8, s"only $central/${ratios.size} pairs central")
   }
 
+  test("x133 k-anonymity classes equal a collect-side re-derivation and cover all events") {
+    val out = SparkEntry.queries("x133_k_anonymity")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val ev = graft.ops.Tables(spark, sfDir, "events")
+      .select(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.hour(org.apache.spark.sql.functions.col("ts")).as("hr"),
+        org.apache.spark.sql.functions.col("user_id"))
+      .collect().map(r => (r.getString(0), r.getInt(1).toLong, r.getLong(2)))
+    val agg = ev.groupBy(e => (e._1, e._2)).map { case (k, rows) =>
+      k -> (rows.length.toLong, rows.map(_._3).distinct.length.toLong)
+    }
+    assert(out.keySet == agg.keySet.toSet)
+    for ((k, (n, u)) <- agg) {
+      assert(out(k) == ((n, u, if (u < 5) 1L else 0L)), s"class $k")
+    }
+    // coverage: class masses partition the event stream
+    assert(out.values.map(_._1).sum == ev.length.toLong)
+  }
+
   test("x130 CCNet buckets are balanced per-language terciles with ordered score ranges") {
     val out = SparkEntry.queries("x130_ccnet_buckets")(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5)))
