@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `runMain graft.Bench` as the
+// headline JSON; sbt's trailing "[success] Total time: …" line was
+// defeating that parse every round (BENCH_r0*.json parsed: null).
+// showSuccess drops that line; StdoutOutput passes the forked JVM's
+// stdout through raw (LoggedOutput would prefix the headline "[info] ").
+Global / showSuccess := false
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

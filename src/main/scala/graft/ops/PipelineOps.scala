@@ -156,6 +156,16 @@ object PipelineOps {
     * total before it crosses the boundary) — the token-budget batching step
     * in front of tokenizer sharding. One hash exchange on `source`, then a
     * purely in-partition running sum.
+    *
+    * SEQUENTIAL-PER-SOURCE BY CONTRACT: bin b's start depends on every
+    * token count before it in the (source, doc_id) scan order, so one
+    * task per source IS the declared identity of a greedy pack stream —
+    * unlike the x130/x58/x30 rank windows (re-planned r9), there is no
+    * order-free reformulation that yields the same bins. A production
+    * packer shards the stream to (source, worker) substreams and accepts
+    * per-worker bin numbering; this operator keeps the single-stream
+    * semantics because its output (global bin ids per source) is what the
+    * oracle — and a resumable tokenizer shard manifest — requires.
     */
   val seqPacking: Q = Q(
     "x29_seq_packing",
@@ -883,7 +893,11 @@ object PipelineOps {
     * so the only corpus-wide exchange is the digest window carrying
     * (digest16, source, doc_id, pos, wcnt) ≈ 40 B/passage — never text;
     * then one per-source hash aggregate. The ppm ratio is exact integer
-    * arithmetic, so no float seam.
+    * arithmetic (kept_words widened to decimal(38,0) / HUGEINT before the
+    * ×1e6 — int64 wraps past ~9.2e12 kept words/source; HUGEINT not
+    * DECIMAL on the oracle side because DuckDB's DECIMAL `//` ROUNDS the
+    * quotient before flooring, off-by-one vs Spark's truncating div), so
+    * no float seam.
     */
   val passageDedup: Q = Q(
     "x125_passage_dedup",
@@ -901,7 +915,7 @@ object PipelineOps {
       |       CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
       |       CAST(sum(wcnt) AS BIGINT) AS total_words,
       |       CAST(sum(CASE WHEN rn = 1 THEN wcnt ELSE 0 END) AS BIGINT) AS kept_words,
-      |       CAST(sum(CASE WHEN rn = 1 THEN wcnt ELSE 0 END) * 1000000
+      |       CAST(CAST(sum(CASE WHEN rn = 1 THEN wcnt ELSE 0 END) AS HUGEINT) * 1000000
       |            // sum(wcnt) AS BIGINT) AS kept_ppm
       |FROM r GROUP BY source ORDER BY source""".stripMargin
   ) { (s, dir) =>
@@ -924,7 +938,11 @@ object PipelineOps {
         sum(when(col("rn") === 1, 0).otherwise(1)).as("n_removed"),
         sum(col("wcnt")).as("total_words"),
         sum(when(col("rn") === 1, col("wcnt")).otherwise(0)).as("kept_words"))
-      .withColumn("kept_ppm", expr("kept_words * 1000000 div total_words"))
+      .withColumn("kept_ppm",
+        // kept_words rides int64; the ×1e6 would wrap past ~9.2e12 kept
+        // words per source, so widen to decimal(38,0) BEFORE the multiply
+        // (the x128/x131 contract) — IntegralDivide lands back on int64
+        expr("cast(cast(kept_words as decimal(38,0)) * 1000000 div total_words as bigint)"))
       .orderBy("source")
   }
 
