@@ -17,6 +17,7 @@ run / fork := true
 // showSuccess drops that line; StdoutOutput passes the forked JVM's
 // stdout through raw (LoggedOutput would prefix the headline "[info] ").
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -116,11 +116,13 @@ object Bench {
       // against pass 1's real compute
       ops.DedupOps.clearMemo()
       ops.PipelineOps.clearMemo()
+      ops.TextOps.clearMemo()
       val loadStart = loadavg
       var payer = "" // which dedup-family query absorbed the lineage cost
       var taskStats = Map.empty[String, (Int, Long, Long)]
       val timings = named.map { case (name, fn) =>
-        val memoWasEmpty = ops.DedupOps.memoSize + ops.PipelineOps.memoSize == 0
+        val memoWasEmpty =
+          ops.DedupOps.memoSize + ops.PipelineOps.memoSize + ops.TextOps.memoSize == 0
         if (wantTaskStats) drainTaskStats() // discard the previous query's tail
         val t0 = System.nanoTime()
         val ok = try { materialize(fn(spark, sfDir)); true }
@@ -139,12 +141,14 @@ object Bench {
             if (spark.sparkContext.isStopped) {
               System.err.println(s"[bench] SparkContext died during $name — rebuilding session")
               ops.DedupOps.clearMemo(); ops.PipelineOps.clearMemo()
+              ops.TextOps.clearMemo()
               spark = buildSession()
               if (wantTaskStats) registerTaskListener(spark)
             }
             false
           }
-        if (memoWasEmpty && ops.DedupOps.memoSize > 0) payer = name
+        if (memoWasEmpty &&
+            ops.DedupOps.memoSize + ops.TextOps.memoSize > 0) payer = name
         if (wantTaskStats) taskStats += (name -> drainTaskStats())
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity)
       }

@@ -49,6 +49,11 @@ object PlanAudit {
     "x27_contamination" -> Seq("BroadcastHashJoin", "BroadcastExchange"),
     // packing is one exchange on source + in-partition running sum
     "x29_seq_packing" -> Seq("WindowExec|Window", "codegen id"),
+    // stratified top-k (re-planned r9): the bounded TopKPairAgg UDAF
+    // (ObjectHashAggregate) replaces the per-stratum row_number window —
+    // map tasks forward ≤ 5 pairs per stratum, no rank window anywhere
+    "x30_stratified_topk" -> Seq("(?i)topkpairagg", "ObjectHashAggregate",
+      "(?s)\\A(?!.*row_number).*", "(?s)\\A(?!.*ntile).*"),
     // corpus stats: tf⨝df is a FORCED shuffle-hash equi join on the word
     // key (df is vocabulary-cardinality — Heaps' law makes a broadcast of
     // it corpus-scale wrong); the scalar doc-count side stays broadcast
@@ -81,7 +86,12 @@ object PlanAudit {
     "x57_semantic_dedup" -> Seq("BroadcastExchange",
       "(?s)\\A(?!.*CartesianProduct).*"),
     // decile binning: one lang-partitioned window, no extra exchanges
-    "x58_len_deciles" -> Seq("WindowExec|Window", "codegen id"),
+    // decile binning (re-planned r9): the (lang, n_chars) value HISTOGRAM
+    // is the only corpus-sized aggregate and there is NO per-language
+    // doc-row rank window — ntile's absence is the pin; the windows that
+    // remain ride domain-sized histogram rows / boundary tie groups
+    "x58_len_deciles" -> Seq("Keys \\[2\\]: \\[lang#\\d+, n_chars#\\d+L\\]",
+      "(?s)\\A(?!.*ntile).*", "codegen id"),
     // positional index: a single Generate (posexplode) feeds the aggregate —
     // no window or self-join to recover token order
     "x59_positional_index" -> Seq("Generate", "codegen id",
@@ -296,10 +306,12 @@ object PlanAudit {
     // k-center: the RETURNED plan is the 8-literal Voronoi aggregate joined
     // to the 8-row pick frame — the corpus side never shuffles on a key
     "x129_kcenter_coreset" -> Seq("dot_f32", "HashAggregate"),
-    // CCNet buckets: LM model broadcast into scoring (x66's shape), one
-    // per-language ntile window
-    "x130_ccnet_buckets" -> Seq("BroadcastHashJoin", "BroadcastExchange",
-      "WindowExec|Window", "char_ngrams"),
+    // CCNet buckets (re-planned r9): scores ride the memoized x66 lineage
+    // (InMemory scan) into a (lang, score) histogram + row-local bucket
+    // arithmetic — NO per-language doc-row ntile window (the r8 verdict's
+    // single-hot-task shape); only boundary tie groups sort doc rows
+    "x130_ccnet_buckets" -> Seq("(?i)inmemory",
+      "(?s)\\A(?!.*ntile).*", "WindowExec|Window"),
     // source affinity: centroid self-join on the dim key is an equi join
     // over a #sources×64-row aggregate — never a nested loop
     "x131_source_affinity" -> Seq("HashAggregate",

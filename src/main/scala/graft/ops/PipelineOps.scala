@@ -191,8 +191,18 @@ object PipelineOps {
 
   /** Stratified selection: top-5 documents per (source, lang) stratum by
     * lexical diversity (unique-word count), the keep-the-best-per-domain
-    * curation step. Window top-k over the stratum key — one exchange, no
-    * global sort.
+    * curation step.
+    *
+    * Re-planned r9 (the verdict's x30 finding): the original per-stratum
+    * `row_number() ≤ 5` window sorted every row of every stratum through
+    * one task — parallelism capped at #(source, lang), and on a real
+    * corpus one stratum is a double-digit share of all documents. Now a
+    * bounded [[graft.functions.TopKPairAgg]] (key = n_unique DESC, id =
+    * doc_id ASC — the oracle window's exact composite order, so ties
+    * resolve identically): map tasks forward ≤ 5 pairs per stratum and
+    * the only exchange carries bounded winner arrays. The oracle IS the
+    * window formulation, so the hash match proves the re-plan lossless
+    * (x101's precedent); NtileSpec asserts plan-level equality too.
     */
   val stratifiedTopK: Q = Q(
     "x30_stratified_topk",
@@ -205,13 +215,18 @@ object PipelineOps {
       |WHERE rn <= 5 ORDER BY source, lang, rn""".stripMargin
   ) { (s, dir) =>
     val nUnique = size(array_distinct(split(col("text"), " "))).cast("long")
-    val wspec   = Window.partitionBy("source", "lang")
-      .orderBy(col("n_unique").desc, col("doc_id"))
+    val topk = udaf(new graft.functions.TopKPairAgg(5),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
     docs(s, dir)
       .select(col("source"), col("lang"), col("doc_id"), nUnique.as("n_unique"))
-      .withColumn("rn", row_number().over(wspec).cast("long"))
-      .where(col("rn") <= 5)
-      .select("source", "lang", "rn", "doc_id", "n_unique")
+      .groupBy("source", "lang")
+      .agg(topk(col("n_unique"), col("doc_id")).as("picked"))
+      .select(col("source"), col("lang"),
+        posexplode(col("picked")).as(Seq("pos", "pair")))
+      .select(col("source"), col("lang"), (col("pos") + 1).cast("long").as("rn"),
+        col("pair._2").as("doc_id"), col("pair._1").as("n_unique"))
       .orderBy("source", "lang", "rn")
   }
 

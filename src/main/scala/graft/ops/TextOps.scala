@@ -351,12 +351,47 @@ object TextOps {
         floor(sum(col("ppm")).cast("double") / count(lit(1))).cast("long").as("mean_ppm"))
   }
 
+  /** Per-doc LM scores WITH the document's language, memoized per
+    * (session, sf dir) — the DedupOps.lshCandidatePairs discipline. The
+    * score lineage (trigram explode ×2 + model join) is this family's
+    * expensive subtree and is consumed three times in one process: by
+    * x66, and twice inside x130's histogram-ntile plan (value histogram +
+    * bucket-assignment join). The cached frame is 4 skinny columns
+    * (doc_id, lang, n_tri, mean_ppm) ≈ 30 B/doc — doc-count-sized, never
+    * text — so at 100 TB it is a few TB of spillable storage-level cache
+    * cluster-wide vs re-running the corpus trigram pass per consumer.
+    * Bench.clearMemo drops it between timing passes like every other memo.
+    */
+  private val scoreCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def evictStopped(): Unit =
+    scoreCache.keys.filter(_._1.sparkContext.isStopped).foreach(scoreCache.remove)
+
+  private[graft] def memoSize: Int = scoreCache.size
+
+  /** Same contract as DedupOps.clearMemo (Bench drops memos between
+    * best-of-N passes so pass 2 never times a cache read).
+    */
+  private[graft] def clearMemo(): Unit = {
+    scoreCache.values.foreach(df => scala.util.Try(df.unpersist()))
+    scoreCache.clear()
+  }
+
+  private[ops] def cachedLangScores(s: SparkSession, dir: String): DataFrame = {
+    evictStopped()
+    scoreCache.getOrElseUpdate((s, dir),
+      triDocScores(s, dir)
+        .join(docs(s, dir).select("doc_id", "lang"), "doc_id")
+        .cache())
+  }
+
   val trigramLm: Q = Q(
     "x66_trigram_lm",
     s"""WITH $triScoreSqlCtes
        |SELECT doc_id, n_tri, mean_ppm FROM score ORDER BY doc_id""".stripMargin
   ) { (s, dir) =>
-    triDocScores(s, dir).orderBy("doc_id")
+    cachedLangScores(s, dir).select("doc_id", "n_tri", "mean_ppm").orderBy("doc_id")
   }
 
   /** CCNet-style head/middle/tail corpus split (Wenzek et al. 2020,
@@ -367,14 +402,24 @@ object TextOps {
     * perplexity per language and keeps the head; here the corpus LM is the
     * stand-in and bucket 1 = head (highest mean ppm = most in-distribution).
     *
-    * Scale shape: the LM model is |V_tri|-sized and broadcast (x66's plan);
-    * the tercile split is ONE ntile window per language partition — at
-    * 100 TB the heavy lifting is the scoring pass, which is the same
-    * two-narrow-pass shape x66 already proved linear, and the window
-    * shuffles only (lang, doc_id, n_tri, mean_ppm) — 28 bytes/doc, never
-    * text. ntile's remainder rule (first buckets get the extra row) is SQL
+    * Scale shape (re-planned r9 — the round-8 verdict's x130 finding): the
+    * LM model is |V_tri|-sized and broadcast (x66's plan); the tercile
+    * split rides [[NtilePlan.histNtile]] — a (lang, mean_ppm) value
+    * HISTOGRAM plus row-local bucket arithmetic — instead of the previous
+    * `ntile(3) OVER (PARTITION BY lang …)` window, which capped
+    * parallelism at #languages and sent a real corpus's dominant
+    * language (~half the data) through ONE sorting task. Now the only
+    * doc-row exchanges are hash-partitioned on (lang, score) — no
+    * partition-count ceiling; the per-language work that remains is a
+    * window over the score DOMAIN (distinct ppm values), and only tie
+    * groups on the ≤ 2 boundary values per language ever sort doc rows.
+    * The scored frame is memoized ([[cachedLangScores]]) so its two
+    * consumers inside this plan — and x66 — pay the trigram lineage once.
+    * ntile's remainder rule (first buckets get the extra row) is SQL
     * standard on both engines; the (mean_ppm DESC, doc_id) order is total,
-    * so bucket assignment is deterministic.
+    * so bucket assignment is deterministic — the oracle keeps the direct
+    * window formulation, so every correctness round re-proves the re-plan
+    * lossless (NtileSpec asserts it in-engine too).
     */
   val ccnetBuckets: Q = Q(
     "x130_ccnet_buckets",
@@ -388,10 +433,10 @@ object TextOps {
        |       min(mean_ppm) AS min_ppm, max(mean_ppm) AS max_ppm
        |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
   ) { (s, dir) =>
-    val w = Window.partitionBy("lang").orderBy(col("mean_ppm").desc, col("doc_id"))
-    triDocScores(s, dir)
-      .join(docs(s, dir).select("doc_id", "lang"), "doc_id")
-      .withColumn("bucket", ntile(3).over(w).cast("long"))
+    // DESC score order as an ASC key: negate the (exact integer) score
+    val scored = cachedLangScores(s, dir).withColumn("_negppm", -col("mean_ppm"))
+    NtilePlan.histNtile(scored, "lang", "_negppm", "doc_id", 3)
+      .withColumn("bucket", col("bucket").cast("long"))
       .groupBy("lang", "bucket")
       .agg(
         count(lit(1)).as("n_docs"),

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** The r9 re-plans of the per-language/stratum exact-rank window family
+  * (the round-8 verdict's `weak` set): NtilePlan.histNtile must be
+  * BIT-EQUAL to Spark's own `ntile(n) OVER (PARTITION BY p ORDER BY k,
+  * id)` on every input shape — including the adversarial ones the
+  * histogram split has to get exactly right (tie groups spanning bucket
+  * boundaries, partitions smaller than n, single-value partitions) — and
+  * the x30 TopKPairAgg re-plan must equal its old row_number
+  * formulation. The DuckDB oracles keep the direct-window SQL, so the
+  * driver's correctness gate re-proves all three every round; this spec
+  * is the in-engine proof over inputs nastier than the corpus.
+  */
+class NtileSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-ntile-test")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** (part, key, id) rows → per-row buckets from both plans, compared. */
+  private def check(rows: Seq[(String, Long, Long)], n: Int, label: String): Unit = {
+    import spark.implicits._
+    val df = rows.toDF("p", "k", "id")
+    val expected = df.withColumn("bucket",
+        ntile(n).over(Window.partitionBy("p").orderBy(col("k"), col("id"))).cast("long"))
+      .select("p", "k", "id", "bucket").as[(String, Long, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2, r._3))
+    val got = graft.ops.NtilePlan.histNtile(df, "p", "k", "id", n)
+      .select(col("p"), col("k"), col("id"), col("bucket").cast("long"))
+      .as[(String, Long, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2, r._3))
+    assert(got.toSeq == expected.toSeq, s"$label (n=$n)")
+  }
+
+  test("histNtile == ntile on a deterministic pseudo-random mix of shapes") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 5; n <- Seq(3, 10)) {
+      // small key domain forces heavy ties; skewed part sizes
+      val rows = (0 until 400).map { i =>
+        val p = if (rnd.nextInt(10) < 7) "hot" else s"p${rnd.nextInt(3)}"
+        (p, rnd.nextInt(8).toLong, i.toLong)
+      }
+      check(rows, n, s"random trial $trial")
+    }
+  }
+
+  test("histNtile == ntile when one tie group spans every bucket boundary") {
+    // all 100 rows share ONE key value: the single histogram cell
+    // straddles all n-1 boundaries and the id tiebreak decides everything
+    val rows = (0 until 100).map(i => ("p", 7L, i.toLong))
+    check(rows, 3, "single-value partition")
+    check(rows, 10, "single-value partition")
+  }
+
+  test("histNtile == ntile when partitions have fewer rows than buckets") {
+    // q = 0 path: every row is its own bucket, formula must not div-by-0
+    val rows = Seq(("a", 1L, 1L), ("a", 1L, 2L), ("b", 5L, 3L))
+    check(rows, 10, "n < buckets")
+    // and the exact-boundary case: rows == buckets
+    check((0 until 10).map(i => ("c", (i % 2).toLong, i.toLong)), 10, "n == buckets")
+  }
+
+  test("histNtile == ntile on a 90%-one-partition skew with boundary ties") {
+    val rnd = new scala.util.Random(7)
+    val hot = (0 until 900).map(i => ("en", rnd.nextInt(5).toLong, i.toLong))
+    val cold = (900 until 1000).map(i => (s"l${i % 4}", rnd.nextInt(5).toLong, i.toLong))
+    check(hot ++ cold, 3, "skewed-language corpus")
+    check(hot ++ cold, 10, "skewed-language corpus")
+  }
+
+  test("x30 TopKPairAgg plan equals the row_number window formulation") {
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = graft.ops.Tables(spark, sfDir, "documents")
+    val nUnique = size(array_distinct(split(col("text"), " "))).cast("long")
+    val wspec = Window.partitionBy("source", "lang")
+      .orderBy(col("n_unique").desc, col("doc_id"))
+    val windowPlan = docs
+      .select(col("source"), col("lang"), col("doc_id"), nUnique.as("n_unique"))
+      .withColumn("rn", row_number().over(wspec).cast("long"))
+      .where(col("rn") <= 5)
+      .select("source", "lang", "rn", "doc_id", "n_unique")
+      .orderBy("source", "lang", "rn")
+    val aggPlan = SparkEntry.queries("x30_stratified_topk")(spark, sfDir)
+    assert(aggPlan.collect().toSeq == windowPlan.collect().toSeq)
+  }
+
+  test("re-planned x58/x130 physical plans carry no rank window over doc rows") {
+    val sfDir = "/root/testdata/sf0.001"
+    for (q <- Seq("x58_len_deciles", "x130_ccnet_buckets", "x30_stratified_topk")) {
+      val plan = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("ntile("), s"$q still plans an ntile window")
+      if (q == "x30_stratified_topk")
+        assert(!plan.contains("row_number("), s"$q still plans a rank window")
+    }
+  }
+}
