@@ -57,6 +57,13 @@ object ScaleData {
     * the hot shingles stay hot across copies instead of splitting K ways.
     */
   val SkewHotPhrase = " alpha beta gamma delta epsilon zeta eta theta"
+  /** Skew mode concentrates ~90% of documents on this language (9 of every
+    * [[SkewHotMod]] doc_ids) and ~50% on this source — the real-corpus
+    * shape where a per-language/stratum window serializes most of the data
+    * through one task (the r8 verdict's x130/x58/x30 finding).
+    */
+  val SkewHotLang = "en"
+  val SkewHotSource = "src1"
 
   /** Body of the scaler, callable with a caller-owned session (SkewSpec
     * builds its fixture through this — main() owns its own session).
@@ -159,10 +166,22 @@ object ScaleData {
         case ("documents", df) =>
           // every other doc carries the fixed phrase → its interior word
           // 3-grams have df ≈ half the corpus (post-rotation, so the df
-          // concentrates instead of splitting across copies)
-          "documents" -> df.withColumn("text",
-            when(col("doc_id") % 2 === 0 && col("text").isNotNull,
-              concat(col("text"), lit(SkewHotPhrase))).otherwise(col("text")))
+          // concentrates instead of splitting across copies); r9 adds the
+          // partition-key concentrations a real crawl has — one language
+          // at ~90% of the corpus and one source at ~50% — the fixture
+          // behind the per-language window-family re-plan (x130/x58: a
+          // per-lang rank window would sort 90% of doc rows in ONE task
+          // here) and the per-stratum top-k (x30)
+          "documents" -> df
+            .withColumn("text",
+              when(col("doc_id") % 2 === 0 && col("text").isNotNull,
+                concat(col("text"), lit(SkewHotPhrase))).otherwise(col("text")))
+            .withColumn("lang",
+              when(col("doc_id") % SkewHotMod =!= 0, lit(SkewHotLang))
+                .otherwise(col("lang")))
+            .withColumn("source",
+              when(col("doc_id") % 2 === 0, lit(SkewHotSource))
+                .otherwise(col("source")))
         case other => other
       }
 

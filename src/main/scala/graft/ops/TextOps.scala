@@ -378,6 +378,13 @@ object TextOps {
     scoreCache.clear()
   }
 
+  /** Diagnostic accessor for [[cachedLangScores]] (NtileDiag's
+    * window-vs-histogram pair shares the memo so the comparison isolates
+    * the split stage, not the trigram scoring both plans need).
+    */
+  private[graft] def diagLangScores(s: SparkSession, dir: String): DataFrame =
+    cachedLangScores(s, dir)
+
   private[ops] def cachedLangScores(s: SparkSession, dir: String): DataFrame = {
     evictStopped()
     scoreCache.getOrElseUpdate((s, dir),

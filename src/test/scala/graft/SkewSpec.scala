@@ -96,6 +96,42 @@ class SkewSpec extends AnyFunSuite with BeforeAndAfterAll with SqlConfHelper {
     val li = Tables(spark, skewDir, "lineitem")
     val hotSupp = li.where(col("l_suppkey") === 1L).count().toDouble / li.count()
     assert(hotSupp > 0.08 && hotSupp < 0.15, s"hot supplier share $hotSupp not ~10%")
+    // r9: the partition-key concentrations behind the window-family
+    // re-plan — one language ~90%, one source ~50%
+    val docs = Tables(spark, skewDir, "documents")
+    val n = docs.count().toDouble
+    val hotLang = docs.where(col("lang") === graft.ScaleData.SkewHotLang).count() / n
+    assert(hotLang > 0.85 && hotLang < 0.95, s"hot language share $hotLang not ~90%")
+    val hotSrc = docs.where(col("source") === graft.ScaleData.SkewHotSource).count() / n
+    assert(hotSrc > 0.45 && hotSrc < 0.6, s"hot source share $hotSrc not ~50%")
+  }
+
+  test("re-planned x58/x30 match their window formulations on the 90%-one-language corpus") {
+    // the r8 verdict's 'done' bar for the re-plan: same answers on a
+    // fixture where the dominant partition holds ~90% of doc rows (the
+    // shape that made the window plans a single-hot-task defect)
+    val docs = Tables(spark, skewDir, "documents")
+    val wDec = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+    val decWindow = docs.select(col("lang"), col("n_chars"), col("doc_id"))
+      .withColumn("decile", ntile(10).over(wDec).cast("long"))
+      .groupBy("lang", "decile")
+      .agg(count(lit(1)).as("n"), min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
+      .orderBy("lang", "decile")
+    val decHist = SparkEntry.queries("x58_len_deciles")(spark, skewDir)
+    assert(decHist.collect().toSeq == decWindow.collect().toSeq)
+
+    val nUnique = size(array_distinct(split(col("text"), " "))).cast("long")
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy("source", "lang").orderBy(col("n_unique").desc, col("doc_id"))
+    val topWindow = docs
+      .select(col("source"), col("lang"), col("doc_id"), nUnique.as("n_unique"))
+      .withColumn("rn", row_number().over(wTop).cast("long"))
+      .where(col("rn") <= 5)
+      .select("source", "lang", "rn", "doc_id", "n_unique")
+      .orderBy("source", "lang", "rn")
+    val topAgg = SparkEntry.queries("x30_stratified_topk")(spark, skewDir)
+    assert(topAgg.collect().toSeq == topWindow.collect().toSeq)
   }
 
   test("salting spreads the hot key: max per-task shuffle records drop >=4x on the skewed corpus") {
