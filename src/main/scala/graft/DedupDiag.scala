@@ -82,6 +82,17 @@ object DedupDiag {
     val (x124Rows, tX124) = timed(
       SparkEntry.queries("x124_cdc_chunks")(spark, sfDir).count())
 
+    // x129 stage attribution (round 9, r8 verdict item 7): the Gonzalez
+    // traversal's cost is K driver-paced corpus passes — split the seed
+    // argmax, the 7 greedy round argmaxes (the sequential-by-algorithm
+    // part), and the distributed Voronoi assignment, so an sf bump that
+    // slows x129 names the stage (pass cost vs round count vs aggregate)
+    val kcClock = new ops.SimilarityOps.StageClock
+    val kcFrame = ops.SimilarityOps.kcenterBuild(spark, sfDir, kcClock)
+    val (x129Rows, tKcAssign) = timed(kcFrame.count())
+    val tKcSeed = kcClock.times.getOrElse("seed_argmax", 0.0)
+    val tKcRounds = kcClock.times.getOrElse("round_argmax", 0.0)
+
     // cluster-graph structure: LS/SS round count is the x31 cost driver
     val ((labels, rounds), tCluster) = timed {
       val (l, r) = ops.DedupOps.largeStarSmallStar(ops.DedupOps.diagEdges(spark, sfDir))
@@ -99,6 +110,7 @@ object DedupDiag {
       s""""prefix_rows":$prefixRows,"prefix_cand_pairs":$candRows,"x107_rows":$x107Rows,""" +
       s""""containment_verify_pairs":$contPairs,"x127_rows":$x127Rows,""" +
       s""""cdc_cuts":$nCuts,"cdc_chunks":$nChunks,"x124_rows":$x124Rows,""" +
+      s""""x129_rows":$x129Rows,"sec_x129_seed":$tKcSeed,"sec_x129_rounds":$tKcRounds,"sec_x129_assign":$tKcAssign,""" +
       s""""sec_scan":$tDocs,"sec_shingle":$tShingle,"sec_bands":$tBands,"sec_pairs":$tPairs,"sec_cluster":$tCluster,""" +
       s""""sec_prefix_windows":$tPrefix,"sec_prefix_join":$tCand,"sec_x107_verify":$tX107,""" +
       s""""sec_containment_cand":$tContCand,"sec_x127":$tX127,""" +
