@@ -317,9 +317,10 @@ object PlanAudit {
     "x131_source_affinity" -> Seq("HashAggregate",
       "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
       "(?s)\\A(?!.*NestedLoop).*"),
-    // JL audit: fixed query batch broadcast against a linear corpus scan
-    // (the x06 BNLJ shape), projections row-local dot_f32 folds
-    "x132_jl_distortion" -> Seq("dot_f32",
+    // JL audit (r9 sample-side contract): the comparison side is a bounded
+    // hash sample via TakeOrdered — constant ≤400×4000 pair budget at any
+    // corpus size; projections row-local dot_f32 folds after selection
+    "x132_jl_distortion" -> Seq("dot_f32", "TakeOrderedAndProject",
       "BroadcastNestedLoopJoin|BroadcastHashJoin", "HashAggregate"),
     // k-anonymity: pure two-level aggregate — no join, no window
     "x133_k_anonymity" -> Seq("(?s)\\A(?!.*Join).*",

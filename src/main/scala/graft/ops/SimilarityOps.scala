@@ -1290,13 +1290,19 @@ object SimilarityOps {
     * built from one Scala loop), and the ratio integerizes via
     * floor(r·1e6 + 0.5) before bucketing — zero float comparisons.
     *
-    * Scale shape: projections are row-local (16 dots per vector, computed
-    * ONCE per side before the join); the pair loop is the x06 broadcast
-    * shape — fixed ≤400-query batch against a linear corpus scan; the
-    * histogram is a ≤dozens-group aggregate. 100 TB story: this is the
-    * audit you run on a corpus SAMPLE before switching the ANN pipeline to
-    * the projected space, and every stage is either row-local or
-    * fixed-batch-bounded.
+    * Scale shape (r9, the r8 verdict's item 6 — the sample-side contract
+    * made explicit): projections are row-local (16 dots per vector); the
+    * comparison side is a DETERMINISTIC HASH SAMPLE — the ≤4000 corpus
+    * vectors with the smallest (md5(vec_id), vec_id) — selected by a
+    * bounded TakeOrdered, so the pair loop is a fixed ≤400-query batch ×
+    * ≤4000-sample broadcast join: ≤1.6M pairs at ANY corpus size, where
+    * the previous full-corpus loop was 400 × corpus (~49 s of the sf10
+    * suite, linear forever). A distortion audit is a statistical estimate
+    * by nature; 4000 hash-picked vectors bound its confidence interval
+    * identically at every scale, and at the driver's correctness scales
+    * (≤4000 vectors) the sample IS the full corpus, so the oracle still
+    * audits every pair there. The histogram stays a ≤dozens-group
+    * aggregate.
     */
   val jlDistortion: Q = {
     val rows = 16
@@ -1319,11 +1325,12 @@ object SimilarityOps {
          |p AS (SELECT vec_id, v, nv, ${(0 until rows).map(r => s"${sqlProj(r)} AS p$r")
                   .mkString(", ")} FROM e),
          |q AS (SELECT * FROM p WHERE vec_id % 50 = 0 AND vec_id < 20000),
+         |samp AS (SELECT * FROM p ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4000),
          |pairs AS (
          |  SELECT CAST(floor((${(0 until rows).map(r => s"(q.p$r - c.p$r) * (q.p$r - c.p$r)")
                     .mkString(" + ")})
          |         * 1000000.0 / (q.nv - 2*list_dot_product(q.v, c.v) + c.nv) + 0.5) AS BIGINT) AS ratio_ppm
-         |  FROM q, p c
+         |  FROM q, samp c
          |  WHERE q.vec_id <> c.vec_id
          |    AND q.nv - 2*list_dot_product(q.v, c.v) + c.nv > 0)
          |SELECT ratio_ppm // 100000 AS bucket, count(*) AS n,
@@ -1336,15 +1343,22 @@ object SimilarityOps {
         df.select(Seq(col("vec_id"), col("embedding"), col("nv")) ++
           (0 until rows).map(r =>
             (dot(col("embedding"), typedLit(s16(r))) / 4.0).as(s"p$r")): _*)
-      val p = proj(e)
-      val q = p.where(col("vec_id") % 50 === 0 && col("vec_id") < 20000)
+      // project AFTER the batch filter / sample selection: the 16 dots run
+      // over ≤400 + ≤4000 rows, not the corpus — the corpus pays only the
+      // narrow (vec_id, embedding) scan feeding the TakeOrdered coin
+      val q = proj(e.where(col("vec_id") % 50 === 0 && col("vec_id") < 20000))
         .select(Seq(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nv").as("qnv")) ++
           (0 until rows).map(r => col(s"p$r").as(s"q$r")): _*)
+      // comparison side: bounded hash sample (TakeOrderedAndProject — never
+      // a global sort), spread back out so the pair loop is not serialized
+      // by the limit's single output partition (the x05/x06 policy)
+      val samp = proj(Tables.computeParallel(
+        e.orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(4000)))
       val projD2 = (0 until rows)
         .map(r => (col(s"q$r") - col(s"p$r")) * (col(s"q$r") - col(s"p$r")))
         .reduce(_ + _)
       val fullD2 = col("qnv") - lit(2) * dot(col("qv"), col("embedding")) + col("nv")
-      broadcast(q).join(p, col("q_id") =!= col("vec_id"))
+      broadcast(q).join(samp, col("q_id") =!= col("vec_id"))
         .where(fullD2 > 0)
         .select(floor(projD2 * 1000000.0 / fullD2 + 0.5).cast("long").as("ratio_ppm"))
         .groupBy(expr("ratio_ppm div 100000").as("bucket"))
