@@ -324,7 +324,28 @@ object PlanAudit {
       "BroadcastNestedLoopJoin|BroadcastHashJoin", "HashAggregate"),
     // k-anonymity: pure two-level aggregate — no join, no window
     "x133_k_anonymity" -> Seq("(?s)\\A(?!.*Join).*",
-      "(?s)\\A(?!.*Window).*", "HashAggregate"))
+      "(?s)\\A(?!.*Window).*", "HashAggregate"),
+    // l-diversity: (class, value) then class roll-up — two-level hash
+    // aggregate, no join, no window (x133's shape with a value level)
+    "x134_l_diversity" -> Seq("(?s)\\A(?!.*Join).*",
+      "(?s)\\A(?!.*Window).*", "HashAggregate"),
+    // robust dim quantiles ride the t21 spillable histogram plan: the
+    // (dim, micro) histogram aggregate, no built-in percentile buffer
+    "x135_dim_quantiles" -> Seq("Keys \\[2\\]: \\[dim#\\d+L, micro#\\d+L?\\]",
+      "(?s)\\A(?!.*percentile).*", "WindowExec|Window"),
+    // shard plan: the |languages| shard-count dim BROADCASTS; assignment
+    // is row-local; no window anywhere
+    "x136_shard_plan" -> Seq("BroadcastExchange", "BroadcastHashJoin",
+      "(?s)\\A(?!.*Window).*", "HashAggregate"),
+    // cluster-safe split rides the MEMOIZED labels (InMemory scan); every
+    // join is an equi join, never a nested loop
+    "x137_cluster_split" -> Seq("(?i)inmemory",
+      "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
+      "(?s)\\A(?!.*NestedLoop).*"),
+    // label dispersion: the moments identity — posexplode feeding
+    // map-side-combined aggregates, label-cardinality joins, NO pair join
+    "x138_label_dispersion" -> Seq("Generate", "HashAggregate",
+      "(?s)\\A(?!.*CartesianProduct).*", "(?s)\\A(?!.*Window).*"))
 
   /** Execute one audited query and evaluate its plan patterns — shared by
     * the CLI main and PlanShapeSpec (so plan-shape regressions fail CI, not

@@ -569,7 +569,60 @@ object BehaviorOps {
       .orderBy("event_type", "hr")
   }
 
+  /** l-diversity audit (Machanavajjhala et al. ICDE 2006) — the attack
+    * x133's k-anonymity cannot see: a class can contain ≥ k distinct users
+    * yet still leak if the SENSITIVE value inside it is (near-)uniform
+    * (homogeneity attack — knowing someone is in the class reveals their
+    * value without identifying their row). Quasi-identifier = (event_type,
+    * hour); sensitive attribute = the event payload's `k` field (the JSON
+    * path the release would expose). Reports per class: distinct sensitive
+    * values (distinct l-diversity), the top value's share in exact ppm
+    * (the homogeneity measure behind recursive (c,l)-diversity — ppm
+    * instead of entropy because entropy's log has no cross-engine exact
+    * form), and the l < 3 risk flag.
+    *
+    * Scale shape: one (class, value) hash aggregate — the exchange carries
+    * one row per DISTINCT (type, hour, value) triple, never per event,
+    * because partial aggregation combines map-side — then a class-level
+    * roll-up over #types × 24 × |value domain| rows. Both levels are
+    * Tungsten hash aggregates; the output is class-cardinality-sized at
+    * any corpus size.
+    */
+  val lDiversity: Q = Q(
+    "x134_l_diversity",
+    """WITH vc AS (
+      |  SELECT event_type, hour(ts) AS hr,
+      |         CAST(json_extract(props, '$.k') AS BIGINT) AS sval,
+      |         count(*) AS c
+      |  FROM events GROUP BY 1, 2, 3)
+      |SELECT event_type, CAST(hr AS BIGINT) AS hr,
+      |       CAST(sum(c) AS BIGINT) AS n_events,
+      |       CAST(count(*) AS BIGINT) AS l_distinct,
+      |       CAST(CAST(max(c) AS HUGEINT) * 1000000 // sum(c) AS BIGINT) AS top_share_ppm,
+      |       CAST(CASE WHEN count(*) < 3 THEN 1 ELSE 0 END AS BIGINT) AS risky
+      |FROM vc GROUP BY event_type, hr
+      |ORDER BY event_type, hr""".stripMargin
+  ) { (s, dir) =>
+    events(s, dir)
+      .select(col("event_type"), hour(col("ts")).as("hr"),
+        get_json_object(col("props"), "$.k").cast("long").as("sval"))
+      .groupBy("event_type", "hr", "sval")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("event_type", "hr")
+      .agg(sum(col("c")).as("n_events"), count(lit(1)).as("l_distinct"),
+        // widen before the ×1e6 (the x125 lesson: int64 wraps past ~9.2e12
+        // events per class-value; HUGEINT not DECIMAL on the DuckDB side —
+        // its DECIMAL // rounds before flooring)
+        expr("cast(cast(max(c) as decimal(38,0)) * 1000000 div sum(c) as bigint)")
+          .as("top_share_ppm"))
+      .select(col("event_type"), col("hr").cast("long").as("hr"), col("n_events"),
+        col("l_distinct"),
+        col("top_share_ppm"),
+        when(col("l_distinct") < 3, 1L).otherwise(0L).as("risky"))
+      .orderBy("event_type", "hr")
+  }
+
   val all: Seq[Q] = Seq(funnel, retention, transitions, incrementalAgg, scd2History,
     mergeApply, gapFill, cumulativeUniques, saxSimilarity, decayScore, interpolate,
-    kAnonymity)
+    kAnonymity, lDiversity)
 }

@@ -1802,9 +1802,81 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Cluster-safe train/val/test split ASSIGNMENT — the fix for what x55
+    * audits. x55 shows that a per-document hash split leaks: near-dup
+    * pairs straddle the boundary, so eval measures memorization. The safe
+    * rule (the Pile/C4 discipline): hash the DUPLICATE-CLUSTER
+    * representative, not the document — every x31 component travels
+    * wholesale to one split (singletons hash their own id). Output is the
+    * per-split composition (docs, groups) plus the cross-split candidate-
+    * pair count, which is ZERO BY CONSTRUCTION (every LSH candidate
+    * pair's endpoints share a component, hence a coin) — and because the
+    * ORACLE recomputes components from scratch via the recursive CTE and
+    * applies the same rule, a zero in that column is also an end-to-end
+    * proof that the engine's LS/SS labels agree with true connectivity.
+    *
+    * Split coin: first 4 md5 hex chars of the group id (the x28/x55
+    * idiom) — < 52429 train (~80%), < 58982 val (~10%), else test.
+    *
+    * Scale shape: rides the MEMOIZED labels (candidate-scale); the
+    * assignment is one doc⨝labels equi join (labels ≪ corpus) + a
+    * row-local coin; the leakage audit joins the candidate pair list
+    * (candidate-scale) to the 2-column assignment twice. Output is 3
+    * rows.
+    */
+  val clusterSafeSplit: Q = Q(
+    "x137_cluster_split",
+    s"""WITH RECURSIVE pairs AS ($lshPairsSql),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS node FROM edges),
+       |reach(node, lbl) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT e.b AS node, r.lbl FROM reach r JOIN edges e ON e.a = r.node),
+       |labels AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node),
+       |asg AS (SELECT d.doc_id, coalesce(l.lbl, d.doc_id) AS grp
+       |        FROM documents d LEFT JOIN labels l ON d.doc_id = l.node),
+       |parts AS (SELECT doc_id, grp,
+       |    CASE WHEN CAST('0x' || substr(md5(CAST(grp AS VARCHAR)),1,4) AS INTEGER) < 52429 THEN 'train'
+       |         WHEN CAST('0x' || substr(md5(CAST(grp AS VARCHAR)),1,4) AS INTEGER) < 58982 THEN 'val'
+       |         ELSE 'test' END AS part FROM asg),
+       |leak AS (SELECT pa.part AS part, count(*) AS leaked
+       |         FROM pairs p JOIN parts pa ON p.doc_a = pa.doc_id
+       |                      JOIN parts pb ON p.doc_b = pb.doc_id
+       |         WHERE pa.part <> pb.part GROUP BY 1)
+       |SELECT p.part AS part, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(count(DISTINCT grp) AS BIGINT) AS n_groups,
+       |       CAST(coalesce(min(leaked), 0) AS BIGINT) AS leaked_pairs
+       |FROM parts p LEFT JOIN leak ON p.part = leak.part
+       |GROUP BY p.part ORDER BY part""".stripMargin
+  ) { (s, dir) =>
+    val lbls = clusterLabels(s, dir)
+      .select(col("node").as("doc_id"), col("lbl"))
+    val coin = conv(substring(md5(col("grp").cast("string")), 1, 4), 16, 10).cast("int")
+    val parts = docs(s, dir).select("doc_id")
+      .join(lbls, Seq("doc_id"), "left")
+      .withColumn("grp", coalesce(col("lbl"), col("doc_id")))
+      .withColumn("part",
+        when(coin < 52429, "train").when(coin < 58982, "val").otherwise("test"))
+    val pairs = lshCandidatePairs(s, dir)
+    val leak = pairs
+      .join(parts.select(col("doc_id").as("doc_a"), col("part").as("part_a")), "doc_a")
+      .join(parts.select(col("doc_id").as("doc_b"), col("part").as("part_b")), "doc_b")
+      .where(col("part_a") =!= col("part_b"))
+      .groupBy(col("part_a").as("part")).agg(count(lit(1)).as("leaked"))
+    parts.groupBy("part")
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("grp")).as("n_groups"))
+      .join(leak, Seq("part"), "left")
+      .select(col("part"), col("n_docs"), col("n_groups"),
+        coalesce(col("leaked"), lit(0L)).as("leaked_pairs"))
+      .orderBy("part")
+  }
+
   val all: Seq[Q] =
     Seq(exactDedup, minhashLsh, simhash, ngramJaccard, dupClusters, pagerank, splitLeakage,
       canonicalPick, curationPipeline, triangleCount, incrementalDedup, lshVerify,
       spanDedup, simhashBands, fuzzyPrefixJoin, prefixAllpairs, sortedNeighborhood,
-      labelProp, minhashError, tombstonePropagate, nearDupContamination, containmentJoin)
+      labelProp, minhashError, tombstonePropagate, nearDupContamination, containmentJoin,
+      clusterSafeSplit)
 }

@@ -245,5 +245,60 @@ object LayoutOps {
       .orderBy("layout")
   }
 
-  val all: Seq[Q] = Seq(zorderLayout, keySkew, saltedJoin, shardRebalance, zoneSkipping)
+  /** Output-shard manifest planner: assign every document of every
+    * language to one of ceil(T_lang / 262144) ~256k-token output shards
+    * by a content hash, and audit each shard's fill against the target —
+    * the write-side plan of a corpus build (tokenizer shards, packed
+    * training files, DataSourceV2 write partitions). The deliberate
+    * contrast with x29: greedy packing emits perfectly filled bins but is
+    * SEQUENTIAL per stream by identity (one task per source); hash
+    * sharding is fully parallel — assignment is row-local after a
+    * |languages|-row broadcast — and pays for it with binomial fill
+    * variance, which is exactly what `fill_ppm` measures (the planner's
+    * evidence for choosing shard count ≫ writer count so the variance
+    * averages out across tasks).
+    *
+    * Determinism: shard = first-8-hex-of-md5(doc_id) mod n_shards (the
+    * x28 coin idiom widened to 32 bits); n_shards = ⌈T/262144⌉ in pure
+    * integer arithmetic; fill ppm widened before the ×1e6 (the x125
+    * overflow lesson, HUGEINT on the DuckDB side).
+    *
+    * Scale shape: one per-language token aggregate (broadcast back as the
+    * shard-count dimension), a row-local coin, and one (lang, shard) hash
+    * aggregate — no window, no join wider than the |languages| dim.
+    */
+  val shardPlan: Q = Q(
+    "x136_shard_plan",
+    """WITH d AS (SELECT lang, doc_id, len(string_split(text, ' ')) AS tok
+      |           FROM documents WHERE text IS NOT NULL),
+      |t AS (SELECT lang, sum(tok) AS total FROM d GROUP BY lang),
+      |ns AS (SELECT lang, greatest(1, (total + 262143) // 262144) AS n_shards FROM t),
+      |a AS (SELECT d.lang, d.tok,
+      |        CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+      |          % ns.n_shards AS shard
+      |      FROM d JOIN ns ON d.lang = ns.lang)
+      |SELECT lang, CAST(shard AS BIGINT) AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(tok) AS BIGINT) AS shard_tokens,
+      |       CAST(CAST(sum(tok) AS HUGEINT) * 1000000 // 262144 AS BIGINT) AS fill_ppm
+      |FROM a GROUP BY lang, shard ORDER BY lang, shard""".stripMargin
+  ) { (s, dir) =>
+    val d = docs(s, dir).where(col("text").isNotNull)
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
+    val ns = d.groupBy("lang").agg(sum(col("tok")).as("total"))
+      .select(col("lang").as("ns_lang"),
+        greatest(lit(1L), expr("(total + 262143) div 262144")).as("n_shards"))
+    d.join(broadcast(ns), col("lang") === col("ns_lang"))
+      .withColumn("shard",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+          % col("n_shards"))
+      .groupBy("lang", "shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("shard_tokens"),
+        expr("cast(cast(sum(tok) as decimal(38,0)) * 1000000 div 262144 as bigint)")
+          .as("fill_ppm"))
+      .orderBy("lang", "shard")
+  }
+
+  val all: Seq[Q] = Seq(zorderLayout, keySkew, saltedJoin, shardRebalance, zoneSkipping,
+    shardPlan)
 }

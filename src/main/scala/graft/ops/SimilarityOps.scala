@@ -1369,8 +1369,109 @@ object SimilarityOps {
     }
   }
 
+  /** Per-dimension ROBUST feature statistics — exact median/IQR of every
+    * embedding dimension (the RobustScaler fit next to x128's mean/var
+    * moments: quantile whitening is what you use when a corpus drop has
+    * heavy-tailed or clipped dimensions that make variance lie). Values
+    * integerize to micro units (floor(v·1e6 + 0.5), the x87 contract)
+    * before any aggregation, so the quantile machinery runs on exact
+    * int64 keys.
+    *
+    * Scale shape: rides [[RelOps.exactQuantiles]] — the t21/t29 spillable
+    * histogram-quantile plan (one Tungsten hash aggregate on (dim, micro)
+    * whose key space is bounded by 64 × the value domain, never the
+    * corpus; domain-sized cumulative window; order-statistic lookup) —
+    * NOT the built-in `percentile`, whose non-spillable per-group
+    * OpenHashMap buffer is exactly what the r8 2 GB proof OOMed on.
+    * Interpolation exactness: the quantile positions 0.25/0.5/0.75 of
+    * (n−1) are dyadic and the cell values are integers ≤ 2²¹, so the
+    * interpolated doubles are EXACT (no ulp seam) — Spark's
+    * lo·(hi−pos)+hi·(pos−lo) and DuckDB's quantile_cont lerp produce the
+    * same bit pattern, and the 6-dp round is decoration.
+    */
+  val dimQuantiles: Q = Q(
+    "x135_dim_quantiles",
+    """WITH x AS (SELECT d.i - 1 AS dim,
+      |    CAST(floor(CAST(e.embedding[d.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS micro
+      |  FROM embeddings e, LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS i) d)
+      |SELECT CAST(dim AS BIGINT) AS dim,
+      |       round(quantile_cont(micro, 0.25), 6) AS p25,
+      |       round(quantile_cont(micro, 0.5), 6) AS med,
+      |       round(quantile_cont(micro, 0.75), 6) AS p75,
+      |       round(quantile_cont(micro, 0.75) - quantile_cont(micro, 0.25), 6) AS iqr
+      |FROM x GROUP BY dim ORDER BY dim""".stripMargin
+  ) { (s, dir) =>
+    val x = embs(s, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim").cast("long").as("dim"),
+        floor(col("v").cast("double") * 1000000 + 0.5).cast("long").as("micro"))
+    RelOps.exactQuantiles(x, "dim", "micro",
+        Seq("p25" -> 0.25, "med" -> 0.5, "p75" -> 0.75))
+      .select(col("dim"),
+        round(col("p25"), 6).as("p25"),
+        round(col("med"), 6).as("med"),
+        round(col("p75"), 6).as("p75"),
+        round(col("p75") - col("p25"), 6).as("iqr"))
+      .orderBy("dim")
+  }
+
+  /** Per-label embedding dispersion — the EXACT mean pairwise squared L2
+    * distance inside every label cluster, computed WITHOUT enumerating a
+    * single pair via the moments identity
+    * Σ_{i<j}‖xᵢ−xⱼ‖² = n·Σ‖xᵢ‖² − ‖Σxᵢ‖².
+    * This is the cluster-tightness/diversity audit behind semantic-dedup
+    * tuning (a label whose dispersion collapses is a near-duplicate
+    * cluster x57 should be pruning; one whose dispersion matches the
+    * corpus is not a cluster at all) — and the identity is the whole
+    * point at scale: the naive formulation is an O(n²) self-join per
+    * label, this is TWO map-side-combined aggregates whose exchanges
+    * carry |labels| and |labels|×64 rows at ANY corpus size.
+    *
+    * Exactness: components integerize to micro units (x87), Σppm² and
+    * the squared per-dim sums ride decimal(38,0)/HUGEINT (a billion-
+    * vector label squares past int64 — the x85 overflow class); floats
+    * enter only in the final scalar chain, written in the identical
+    * association order on both engines. n < 2 labels report −1 (no
+    * pairs).
+    */
+  val labelDispersion: Q = Q(
+    "x138_label_dispersion",
+    """WITH e AS (SELECT label, i, CAST(floor((embedding::DOUBLE[])[i] * 1000000 + 0.5) AS BIGINT) AS ppm
+      |           FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) idx),
+      |s2 AS (SELECT label, sum(CAST(ppm AS HUGEINT) * ppm) AS s2 FROM e GROUP BY label),
+      |ds AS (SELECT label, i, sum(ppm) AS sd FROM e GROUP BY label, i),
+      |s1 AS (SELECT label, sum(CAST(sd AS HUGEINT) * sd) AS s1sq FROM ds GROUP BY label),
+      |n AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label)
+      |SELECT CAST(n.label AS BIGINT) AS label, CAST(n.n AS BIGINT) AS n,
+      |       round(CASE WHEN n.n < 2 THEN -1.0
+      |         ELSE 2.0 * (CAST(n.n AS DOUBLE) * CAST(s2.s2 AS DOUBLE) - CAST(s1.s1sq AS DOUBLE))
+      |              / (CAST(n.n AS DOUBLE) * CAST(n.n - 1 AS DOUBLE)) / 1000000000000.0 END, 6)
+      |         AS mean_pair_d2
+      |FROM n JOIN s2 ON n.label = s2.label JOIN s1 ON n.label = s1.label
+      |ORDER BY label""".stripMargin
+  ) { (s, dir) =>
+    val e = embs(s, dir).select(
+      col("label"), posexplode(col("embedding")).as(Seq("p", "comp")))
+      .select(col("label"), (col("p") + 1).as("i"),
+        floor(col("comp").cast("double") * 1000000 + 0.5).cast("long").as("ppm"))
+    val s2 = e.groupBy("label")
+      .agg(sum(col("ppm").cast("decimal(38,0)") * col("ppm")).as("s2"))
+    val s1 = e.groupBy("label", "i").agg(sum(col("ppm")).as("sd"))
+      .groupBy("label")
+      .agg(sum(col("sd").cast("decimal(38,0)") * col("sd")).as("s1sq"))
+    val n = embs(s, dir).groupBy("label").agg(count(lit(1)).as("n"))
+    n.join(s2, "label").join(s1, "label")
+      .select(col("label").cast("long").as("label"), col("n"),
+        round(when(col("n") < 2, -1.0).otherwise(
+          lit(2.0) * (col("n").cast("double") * col("s2").cast("double")
+              - col("s1sq").cast("double"))
+            / (col("n").cast("double") * (col("n") - 1).cast("double"))
+            / lit(1000000000000.0)), 6).as("mean_pair_d2"))
+      .orderBy("label")
+  }
+
   val all: Seq[Q] = Seq(cosineNearDup, cosineTopK, annLsh, annMultiprobe, annIvf,
     annMultitable, labelCentroids, kmeansIter, semanticDedup, quantizedTopK,
     labelAffinity, annRecall, pqAnn, ivfpqAnn, bitextMargin, annRankEval,
-    embeddingMoments, kcenterCoreset, jlDistortion)
+    embeddingMoments, kcenterCoreset, jlDistortion, dimQuantiles, labelDispersion)
 }
