@@ -345,7 +345,13 @@ object PlanAudit {
     // label dispersion: the moments identity — posexplode feeding
     // map-side-combined aggregates, label-cardinality joins, NO pair join
     "x138_label_dispersion" -> Seq("Generate", "HashAggregate",
-      "(?s)\\A(?!.*CartesianProduct).*", "(?s)\\A(?!.*Window).*"))
+      "(?s)\\A(?!.*CartesianProduct).*", "(?s)\\A(?!.*Window).*"),
+    // source minhash: rides the memoized shingle index (InMemory); the
+    // exact-audit self-join is an EQUI join on sh; the |sources|² sketch
+    // compare is a broadcast of constant-width signature rows
+    "x139_source_minhash" -> Seq("(?i)inmemory",
+      "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", "BroadcastExchange",
+      "(?s)\\A(?!.*CartesianProduct).*"))
 
   /** Execute one audited query and evaluate its plan patterns — shared by
     * the CLI main and PlanShapeSpec (so plan-shape regressions fail CI, not

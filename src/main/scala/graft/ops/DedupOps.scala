@@ -1873,10 +1873,96 @@ object DedupOps {
       .orderBy("part")
   }
 
+  /** Source-level MinHash similarity matrix with its own error audit —
+    * the sketch member of the source-affinity trio (x36 = verbatim digest
+    * overlap, x131 = feature-hashed centroid cosine, x139 = set-resemblance
+    * ESTIMATE from mergeable union sketches). The load-bearing property is
+    * Broder's: min over a union is the min of mins, so a SOURCE's
+    * 12-component signature comes out of the same bounded hash aggregate a
+    * document's does — per-source state is 12 longs regardless of corpus
+    * size, signatures are mergeable across shards/days (the incremental-
+    * ingest story x80 tells for pairs), and the |sources|² comparison is
+    * a ~190-row broadcast theta join of constant-width rows. That sketch
+    * path is the 100 TB production plan.
+    *
+    * The EXACT source-pair Jaccard rides along as the error audit (the
+    * x113 discipline at source granularity): a shingle-keyed self-join of
+    * the per-source distinct shingle sets — per-shingle fan-out bounded by
+    * #sources², the x36 shape — whose cost is the reason the sketch path
+    * exists; shipping both in one result makes the oracle itself measure
+    * the estimator's error (err_ppm), per pair, every round. Reuses the
+    * memoized x107 shingle index and the x02 Carter-Wegman family —
+    * identical constants inlined into both engines.
+    */
+  val sourceMinhash: Q = {
+    val aggSql = (0 to 11).map(j =>
+      s"min((${minhashA(j)} * h + ${minhashB(j)}) % $MinhashP) AS mh$j").mkString(", ")
+    val agreeSql = (0 to 11).map(j =>
+      s"(CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END)").mkString(" + ")
+    Q(
+      "x139_source_minhash",
+      s"""WITH ssh AS (SELECT DISTINCT source, sh FROM (
+         |    SELECT source, substr(md5(raw), 1, 16) AS sh FROM (
+         |      SELECT source,
+         |        unnest(list_transform(generate_series(1, greatest(len(string_split(text,' '))-2, 0)),
+         |               i -> concat_ws(' ', string_split(text,' ')[i], string_split(text,' ')[i+1], string_split(text,' ')[i+2]))) AS raw
+         |      FROM documents))),
+         |h AS (SELECT source, CAST('0x' || substr(sh, 1, 15) AS BIGINT) % $MinhashP AS h FROM ssh),
+         |sig AS (SELECT source, $aggSql FROM h GROUP BY source),
+         |cnt AS (SELECT source, count(*) AS n FROM ssh GROUP BY source),
+         |inter AS (SELECT a.source AS sa, b.source AS sb, count(*) AS i
+         |          FROM ssh a JOIN ssh b ON a.sh = b.sh AND a.source < b.source
+         |          GROUP BY 1, 2),
+         |est AS (SELECT a.source AS sa, b.source AS sb, $agreeSql AS agree
+         |        FROM sig a JOIN sig b ON a.source < b.source)
+         |SELECT e.sa AS source_a, e.sb AS source_b,
+         |       CAST(e.agree * 1000000 // 12 AS BIGINT) AS est_ppm,
+         |       CAST(CAST(coalesce(i.i, 0) AS HUGEINT) * 1000000 // (ca.n + cb.n - coalesce(i.i, 0)) AS BIGINT) AS exact_ppm,
+         |       CAST(e.agree * 1000000 // 12
+         |            - CAST(coalesce(i.i, 0) AS HUGEINT) * 1000000 // (ca.n + cb.n - coalesce(i.i, 0)) AS BIGINT) AS err_ppm
+         |FROM est e
+         |LEFT JOIN inter i ON e.sa = i.sa AND e.sb = i.sb
+         |JOIN cnt ca ON e.sa = ca.source JOIN cnt cb ON e.sb = cb.source
+         |ORDER BY source_a, source_b""".stripMargin
+    ) { (s, dir) =>
+      val ssh = cachedShingles(s, dir)
+        .join(docs(s, dir).select("doc_id", "source"), "doc_id")
+        .select("source", "sh").distinct()
+      val h = expr(s"cast(conv(substring(sh, 1, 15), 16, 10) as bigint) % $MinhashP")
+      val minCols = (0 to 11).map(j =>
+        min((lit(minhashA(j)) * col("h") + lit(minhashB(j))) % MinhashP).as(s"mh$j"))
+      val sig = ssh.withColumn("h", h).groupBy("source")
+        .agg(minCols.head, minCols.tail: _*)
+      val cnt = ssh.groupBy("source").agg(count(lit(1)).as("n"))
+      val inter = ssh.as("a")
+        .join(ssh.as("b"), col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+        .agg(count(lit(1)).as("i"))
+      val agree = (0 to 11).map(j =>
+        when(col(s"a.mh$j") === col(s"b.mh$j"), 1).otherwise(0)).reduce(_ + _)
+      val est = sig.as("a")
+        .join(broadcast(sig.as("b")), col("a.source") < col("b.source"))
+        .select(col("a.source").as("sa"), col("b.source").as("sb"), agree.as("agree"))
+      est
+        .join(inter, Seq("sa", "sb"), "left")
+        .join(broadcast(cnt.select(col("source").as("sa"), col("n").as("na"))), "sa")
+        .join(broadcast(cnt.select(col("source").as("sb"), col("n").as("nb"))), "sb")
+        .select(col("sa").as("source_a"), col("sb").as("source_b"),
+          expr("agree * 1000000 div 12").as("est_ppm"),
+          // intersection counts widen before the x1e6 (the x125 lesson;
+          // HUGEINT on the DuckDB side -- its DECIMAL // rounds)
+          expr("cast(cast(coalesce(i, 0) as decimal(38,0)) * 1000000 div (na + nb - coalesce(i, 0)) as bigint)")
+            .as("exact_ppm"),
+          expr("agree * 1000000 div 12 - cast(cast(coalesce(i, 0) as decimal(38,0)) * 1000000 div (na + nb - coalesce(i, 0)) as bigint)")
+            .as("err_ppm"))
+        .orderBy("source_a", "source_b")
+    }
+  }
+
   val all: Seq[Q] =
     Seq(exactDedup, minhashLsh, simhash, ngramJaccard, dupClusters, pagerank, splitLeakage,
       canonicalPick, curationPipeline, triangleCount, incrementalDedup, lshVerify,
       spanDedup, simhashBands, fuzzyPrefixJoin, prefixAllpairs, sortedNeighborhood,
       labelProp, minhashError, tombstonePropagate, nearDupContamination, containmentJoin,
-      clusterSafeSplit)
+      clusterSafeSplit, sourceMinhash)
 }

@@ -1736,6 +1736,44 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(coin(clusters(a)) == coin(clusters(b)), s"pair ($a,$b) crosses splits")
   }
 
+  test("x139 source minhash equals a collect-side union-sketch re-derivation") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("x139_source_minhash")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // re-derive: per-source distinct word-3-gram digest sets from scratch
+    val docs = graft.ops.Tables(spark, sfDir, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), Option(r.getString(1)).getOrElse("")))
+    def shingles(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      (0 until math.max(w.length - 2, 0)).map { i =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"${w(i)} ${w(i + 1)} ${w(i + 2)}".getBytes("UTF-8"))
+        md.take(8).map("%02x".format(_)).mkString
+      }.toSet
+    }
+    val bySource = docs.groupBy(_._1).view
+      .mapValues(_.map(d => shingles(d._2)).reduce(_ ++ _)).toMap
+    val P = 2147483647L
+    def mh(set: Set[String]): Array[Long] = {
+      val hs = set.toArray.map(sh => java.lang.Long.parseLong(sh.take(15), 16) % P)
+      (0 to 11).toArray.map { j =>
+        val a = (2654435761L * (j + 1)) % P; val b = (40503L * (j + 7) + 97) % P
+        hs.map(h => (a * h + b) % P).min
+      }
+    }
+    val sigs = bySource.view.mapValues(mh).toMap
+    for (sa <- bySource.keys; sb <- bySource.keys if sa < sb) {
+      val agree = (0 to 11).count(j => sigs(sa)(j) == sigs(sb)(j)).toLong
+      val i = (bySource(sa) & bySource(sb)).size.toLong
+      val u = bySource(sa).size + bySource(sb).size - i
+      val est = agree * 1000000L / 12
+      val exact = i * 1000000L / u
+      assert(out((sa, sb)) == ((est, exact, est - exact)), s"pair ($sa,$sb)")
+    }
+  }
+
   test("x138 label dispersion equals brute-force mean pairwise distance on micro vectors") {
     import org.apache.spark.sql.functions._
     val out = SparkEntry.queries("x138_label_dispersion")(spark, sfDir).collect()
