@@ -351,7 +351,16 @@ object PlanAudit {
     // compare is a broadcast of constant-width signature rows
     "x139_source_minhash" -> Seq("(?i)inmemory",
       "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", "BroadcastExchange",
-      "(?s)\\A(?!.*CartesianProduct).*"))
+      "(?s)\\A(?!.*CartesianProduct).*"),
+    // embedding outliers: the 64-row fence table BROADCASTS back into a
+    // row-local probe; quantile fit is the t21 histogram (no percentile)
+    "x140_embedding_outliers" -> Seq("BroadcastExchange", "BroadcastHashJoin",
+      "(?s)\\A(?!.*percentile).*", "HashAggregate"),
+    // vocab curve: everything after the token-count aggregate is
+    // vocabulary/constant-sized — TakeOrdered head, broadcast cross of
+    // the 4-row size dim, NO corpus probe pass
+    "x141_vocab_curve" -> Seq("TakeOrderedAndProject", "BroadcastExchange",
+      "HashAggregate"))
 
   /** Execute one audited query and evaluate its plan patterns — shared by
     * the CLI main and PlanShapeSpec (so plan-shape regressions fail CI, not

@@ -859,8 +859,56 @@ object CorpusStatsOps {
       .orderBy("src_a", "src_b")
   }
 
+  /** Vocabulary-sizing curve: corpus OOV mass at candidate vocab sizes
+    * {250, 500, 1000, 2000} in one shot — the decision table x73 (a
+    * single fixed size) feeds into: "how much of the token stream does
+    * each vocab budget shatter into unknowns?" The key scale property:
+    * the curve needs NO per-document work and NO corpus probe pass at
+    * all — total token mass and each top-V prefix sum come entirely out
+    * of the VOCABULARY-sized count table (x66's key-space argument), so
+    * the only corpus-scale stage is the one token-count aggregate.
+    * The ranked head is a bounded TakeOrdered(2000) (never a global
+    * vocab sort — the x73/x95 discipline); its 2000-row rank window and
+    * the 4×2000 size cross join are constant work at any corpus size.
+    */
+  val vocabCurve: Q = Q(
+    "x141_vocab_curve",
+    """WITH cnt AS (SELECT token, count(*) AS c
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |  GROUP BY token),
+      |tot AS (SELECT sum(c) AS total FROM cnt),
+      |rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, token) AS r
+      |       FROM (SELECT * FROM cnt ORDER BY c DESC, token LIMIT 2000)),
+      |sizes AS (SELECT unnest([250, 500, 1000, 2000]) AS v),
+      |pre AS (SELECT v, sum(CASE WHEN r <= v THEN c ELSE 0 END) AS s
+      |        FROM sizes CROSS JOIN rk GROUP BY v)
+      |SELECT CAST(v AS BIGINT) AS vocab_size, CAST(total AS BIGINT) AS n_tokens,
+      |       CAST(total - s AS BIGINT) AS n_oov,
+      |       CAST(CAST(total - s AS HUGEINT) * 1000000 // total AS BIGINT) AS oov_ppm
+      |FROM pre, tot ORDER BY vocab_size""".stripMargin
+  ) { (s, dir) =>
+    val cnt = docs(s, dir).select(explode(ws).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(sum(col("c")).as("total"))
+    // bounded TakeOrdered head; the rank window runs over 2000 rows
+    val head = cnt.orderBy(col("c").desc, col("token")).limit(2000)
+      .withColumn("r", row_number().over(Window.orderBy(col("c").desc, col("token"))))
+    val sizes = s.range(1).select(
+      explode(array(lit(250L), lit(500L), lit(1000L), lit(2000L))).as("v"))
+    sizes.crossJoin(broadcast(head))
+      .groupBy("v")
+      .agg(sum(when(col("r") <= col("v"), col("c")).otherwise(0L)).as("s"))
+      .crossJoin(broadcast(tot))
+      .select(col("v").as("vocab_size"), col("total").as("n_tokens"),
+        (col("total") - col("s")).as("n_oov"),
+        // widen before the x1e6 (the x125 lesson; HUGEINT on DuckDB)
+        expr("cast(cast(total - s as decimal(38,0)) * 1000000 div total as bigint)")
+          .as("oov_ppm"))
+      .orderBy("vocab_size")
+  }
+
   val all: Seq[Q] = Seq(tfidfTopTerms, bigramLift, sourceOverlap, mixtureSample,
     typeToken, lenQuartiles, invertedIndex, madOutliers, stopwordIndex, lenDeciles,
     oovRate, langGini, skipgramCooc, vocabGrowth, bm25Rank, heavyHitters, sourcePrior,
-    dataCard, sourceAffinity)
+    dataCard, sourceAffinity, vocabCurve)
 }

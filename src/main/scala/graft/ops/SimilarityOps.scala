@@ -1415,6 +1415,55 @@ object SimilarityOps {
       .orderBy("dim")
   }
 
+  /** Broken-embedding detector — Tukey-fence outlier profile per VECTOR:
+    * count each vector's dimensions falling outside the corpus's
+    * per-dimension [p25 − 1.5·IQR, p75 + 1.5·IQR] whiskers (x135's robust
+    * fit, applied), and report the corpus as a histogram over that count.
+    * A healthy embedding drop concentrates at n_out ∈ {0, 1}; a tail at
+    * high n_out is the signature of NaN-adjacent encoder output, wrong
+    * normalization, or a corrupted shard — the audit run before x57/x94
+    * trust the vectors. The fit-then-transform shape is deliberate: the
+    * quantile pass is the t21 spillable histogram plan (x135), the fence
+    * table is 64 rows BROADCAST back, the probe is row-local, and the
+    * result is a ≤65-row histogram — two linear passes, no window over
+    * data rows, no join wider than the 64-row dim table.
+    *
+    * Exactness: fences are dyadic-exact doubles (x135's argument: dyadic
+    * quantile positions over integer micro cells; 1.5·IQR and the ± stay
+    * exact well under 2⁵³), micro values are exact ints — so the outside-
+    * fence comparison is deterministic on both engines, no epsilon.
+    */
+  val embeddingOutliers: Q = Q(
+    "x140_embedding_outliers",
+    """WITH x AS (SELECT e.vec_id, d.i - 1 AS dim,
+      |    CAST(floor(CAST(e.embedding[d.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS micro
+      |  FROM embeddings e, LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS i) d),
+      |q AS (SELECT dim, quantile_cont(micro, 0.25) AS p25, quantile_cont(micro, 0.75) AS p75
+      |      FROM x GROUP BY dim),
+      |f AS (SELECT x.vec_id,
+      |        sum(CASE WHEN x.micro < q.p25 - 1.5 * (q.p75 - q.p25)
+      |                   OR x.micro > q.p75 + 1.5 * (q.p75 - q.p25)
+      |                 THEN 1 ELSE 0 END) AS n_out
+      |      FROM x JOIN q ON x.dim = q.dim GROUP BY x.vec_id)
+      |SELECT CAST(n_out AS BIGINT) AS n_out, CAST(count(*) AS BIGINT) AS n_vecs,
+      |       CAST(min(vec_id) AS BIGINT) AS sample_vec
+      |FROM f GROUP BY n_out ORDER BY n_out""".stripMargin
+  ) { (s, dir) =>
+    val x = embs(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        floor(col("v").cast("double") * 1000000 + 0.5).cast("long").as("micro"))
+    val q = RelOps.exactQuantiles(x, "dim", "micro", Seq("p25" -> 0.25, "p75" -> 0.75))
+    val lo = col("p25") - lit(1.5) * (col("p75") - col("p25"))
+    val hi = col("p75") + lit(1.5) * (col("p75") - col("p25"))
+    x.join(broadcast(q), "dim")
+      .groupBy("vec_id")
+      .agg(sum(when(col("micro") < lo || col("micro") > hi, 1).otherwise(0)).as("n_out"))
+      .groupBy("n_out")
+      .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("sample_vec"))
+      .orderBy("n_out")
+  }
+
   /** Per-label embedding dispersion — the EXACT mean pairwise squared L2
     * distance inside every label cluster, computed WITHOUT enumerating a
     * single pair via the moments identity
@@ -1473,5 +1522,6 @@ object SimilarityOps {
   val all: Seq[Q] = Seq(cosineNearDup, cosineTopK, annLsh, annMultiprobe, annIvf,
     annMultitable, labelCentroids, kmeansIter, semanticDedup, quantizedTopK,
     labelAffinity, annRecall, pqAnn, ivfpqAnn, bitextMargin, annRankEval,
-    embeddingMoments, kcenterCoreset, jlDistortion, dimQuantiles, labelDispersion)
+    embeddingMoments, kcenterCoreset, jlDistortion, dimQuantiles, labelDispersion,
+    embeddingOutliers)
 }

@@ -1774,6 +1774,54 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("x140 embedding outliers equal a collect-side Tukey-fence re-derivation") {
+    val out = SparkEntry.queries("x140_embedding_outliers")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val vecs = graft.ops.Tables(spark, sfDir, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(v => math.floor(v.toDouble * 1000000 + 0.5).toLong).toArray))
+    def q(sorted: Array[Long], p: Double): Double = {
+      val pos = p * (sorted.length - 1)
+      val lo = sorted(pos.toInt).toDouble
+      val hi = sorted(math.ceil(pos).toInt).toDouble
+      lo * (math.ceil(pos) - pos) + hi * (pos - pos.toInt)
+    }
+    val fences = (0 until 64).map { d =>
+      val s = vecs.map(_._2(d)).sorted
+      val (p25, p75) = (q(s, 0.25), q(s, 0.75))
+      (p25 - 1.5 * (p75 - p25), p75 + 1.5 * (p75 - p25))
+    }
+    val counts = vecs.map { case (id, v) =>
+      id -> (0 until 64).count(d => v(d) < fences(d)._1 || v(d) > fences(d)._2).toLong
+    }
+    val hist = counts.groupBy(_._2).map { case (k, vs) =>
+      k -> (vs.length.toLong, vs.map(_._1).min)
+    }
+    assert(out == hist)
+    assert(out.values.map(_._1).sum == vecs.length.toLong)
+  }
+
+  test("x141 vocab curve equals a collect-side top-V prefix-sum re-derivation") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("x141_vocab_curve")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val counts = graft.ops.Tables(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val total = counts.map(_._2).sum
+    val ranked = counts.sortBy { case (t, c) => (-c, t) }
+    for (v <- Seq(250L, 500L, 1000L, 2000L)) {
+      val s = ranked.take(v.toInt).map(_._2).sum
+      assert(out(v) == ((total, total - s, (total - s) * 1000000L / total)), s"V=$v")
+    }
+    // the curve is monotone non-increasing in vocab size
+    val oovs = Seq(250L, 500L, 1000L, 2000L).map(v => out(v)._2)
+    assert(oovs == oovs.sorted.reverse)
+  }
+
   test("x138 label dispersion equals brute-force mean pairwise distance on micro vectors") {
     import org.apache.spark.sql.functions._
     val out = SparkEntry.queries("x138_label_dispersion")(spark, sfDir).collect()
