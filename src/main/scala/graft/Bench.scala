@@ -118,11 +118,14 @@ object Bench {
       ops.PipelineOps.clearMemo()
       ops.TextOps.clearMemo()
       val loadStart = loadavg
-      var payer = "" // which dedup-family query absorbed the lineage cost
+      // which queries absorbed a shared-memo lineage cost: one entry per
+      // memo FAMILY (dedup / pipeline / text) so e.g. x130's trigram-score
+      // fill is attributed even though x02 already claimed the dedup memo
+      var payers = List.empty[String]
       var taskStats = Map.empty[String, (Int, Long, Long)]
       val timings = named.map { case (name, fn) =>
-        val memoWasEmpty =
-          ops.DedupOps.memoSize + ops.PipelineOps.memoSize + ops.TextOps.memoSize == 0
+        val memoBefore =
+          Seq(ops.DedupOps.memoSize, ops.PipelineOps.memoSize, ops.TextOps.memoSize)
         if (wantTaskStats) drainTaskStats() // discard the previous query's tail
         val t0 = System.nanoTime()
         val ok = try { materialize(fn(spark, sfDir)); true }
@@ -147,12 +150,14 @@ object Bench {
             }
             false
           }
-        if (memoWasEmpty &&
-            ops.DedupOps.memoSize + ops.TextOps.memoSize > 0) payer = name
+        val memoAfter =
+          Seq(ops.DedupOps.memoSize, ops.PipelineOps.memoSize, ops.TextOps.memoSize)
+        if (memoBefore.zip(memoAfter).exists { case (b, a) => b == 0 && a > 0 })
+          payers ::= name
         if (wantTaskStats) taskStats += (name -> drainTaskStats())
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity)
       }
-      (timings, payer, loadStart, loadavg, taskStats)
+      (timings, payers.reverse.distinct.mkString("+"), loadStart, loadavg, taskStats)
     }
     val passes = (1 to runs).map(_ => pass())
     val results = passes.map(_._1)

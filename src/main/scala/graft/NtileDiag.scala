@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** One-shot before/after harness for the r9 window-family re-plan
@@ -84,28 +83,14 @@ object NtileDiag {
     }
     val docs = ops.Tables(spark, sfDir, "documents")
 
-    // x58: per-language length deciles -------------------------------------
-    val wDec = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
-    val decWindow = docs.select(col("lang"), col("n_chars"), col("doc_id"))
-      .withColumn("decile", ntile(10).over(wDec).cast("long"))
-      .groupBy("lang", "decile")
-      .agg(count(lit(1)).as("n"), min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
-      .orderBy("lang", "decile")
-    val (r58w, t58w, m58w) = timed(decWindow.collect())
+    // x58: per-language length deciles (reference window plan shared with
+    // NtileSpec/SkewSpec via NtilePlan so the twins cannot drift) --------
+    val (r58w, t58w, m58w) = timed(ops.NtilePlan.refLenDecilesWindow(docs).collect())
     val (r58h, t58h, m58h) = timed(SparkEntry.queries("x58_len_deciles")(spark, sfDir).collect())
     require(r58w.toSeq == r58h.toSeq, "x58 window vs histogram results differ")
 
     // x30: per-(source, lang) top-5 ----------------------------------------
-    val nUnique = size(array_distinct(split(col("text"), " "))).cast("long")
-    val wTop = Window.partitionBy("source", "lang")
-      .orderBy(col("n_unique").desc, col("doc_id"))
-    val topWindow = docs
-      .select(col("source"), col("lang"), col("doc_id"), nUnique.as("n_unique"))
-      .withColumn("rn", row_number().over(wTop).cast("long"))
-      .where(col("rn") <= 5)
-      .select("source", "lang", "rn", "doc_id", "n_unique")
-      .orderBy("source", "lang", "rn")
-    val (r30w, t30w, m30w) = timed(topWindow.collect())
+    val (r30w, t30w, m30w) = timed(ops.NtilePlan.refStratifiedTopKWindow(docs).collect())
     val (r30a, t30a, m30a) = timed(SparkEntry.queries("x30_stratified_topk")(spark, sfDir).collect())
     require(r30w.toSeq == r30a.toSeq, "x30 window vs top-k-agg results differ")
 
@@ -114,18 +99,14 @@ object NtileDiag {
     // pays the trigram lineage — the pair isolates the split itself
     val scored = ops.TextOps.diagLangScores(spark, sfDir)
     scored.count()
-    val wTer = Window.partitionBy("lang").orderBy(col("mean_ppm").desc, col("doc_id"))
-    val terWindow = scored
-      .withColumn("bucket", ntile(3).over(wTer).cast("long"))
-      .groupBy("lang", "bucket")
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tri")).as("tri_mass"),
-        min(col("mean_ppm")).as("min_ppm"), max(col("mean_ppm")).as("max_ppm"))
-      .orderBy("lang", "bucket")
-    val (r130w, t130w, m130w) = timed(terWindow.collect())
+    val (r130w, t130w, m130w) = timed(ops.NtilePlan.refCcnetWindow(scored).collect())
     val (r130h, t130h, m130h) = timed(SparkEntry.queries("x130_ccnet_buckets")(spark, sfDir).collect())
     require(r130w.toSeq == r130h.toSeq, "x130 window vs histogram results differ")
 
     val nDocs = docs.count()
+    // stop BEFORE the headline println (Bench's ordering): nothing may
+    // reach stdout after the line a driver parses as the last one
+    scala.util.Try(spark.stop())
     def fmt(d: Double): String = f"$d%.4f"
     // the headline is the literal last stdout line (Bench's contract)
     println(
@@ -137,6 +118,5 @@ object NtileDiag {
       s""""max_task_rows_x30_window":$m30w,"max_task_rows_x30_topk":$m30a,""" +
       s""""max_task_rows_x130_window":$m130w,"max_task_rows_x130_hist":$m130h,""" +
       s""""equal":true}""")
-    spark.stop()
   }
 }

@@ -342,13 +342,15 @@ object CorpusStatsOps {
     * Re-planned r9 (the round-8 verdict's x58 finding): the direct
     * per-language ntile window capped parallelism at #languages — one
     * task sorts the dominant language's whole doc-row slice at corpus
-    * scale. Now [[NtilePlan.histNtile]]: a (lang, n_chars) value
-    * histogram (lengths are a bounded domain — the histogram is tiny at
-    * ANY corpus size), a domain-sized cumulative window, row-local
-    * bucket arithmetic, and an exact doc-row sort ONLY inside tie groups
-    * on the ≤ 9 decile-boundary lengths per language. The oracle keeps
-    * the direct window formulation — each correctness round re-proves
-    * the re-plan bit-equal.
+    * scale. Now [[NtilePlan.histNtileBucketStats]] — and because this
+    * query's output depends only on the KEY (count, min, max of n_chars
+    * per bucket), the whole answer comes out of the (lang, n_chars)
+    * HISTOGRAM CELLS by index arithmetic: ONE corpus-sized aggregate,
+    * then domain-sized work only — no join back to doc rows, no doc-row
+    * sort even at bucket boundaries (x130, whose tri_mass needs the
+    * doc-level boundary split, rides the row-level [[NtilePlan.histNtile]]
+    * instead). The oracle keeps the direct window formulation — each
+    * correctness round re-proves the re-plan bit-equal.
     */
   val lenDeciles: Q = Q(
     "x58_len_deciles",
@@ -359,13 +361,10 @@ object CorpusStatsOps {
       |      FROM documents)
       |GROUP BY lang, decile ORDER BY lang, decile""".stripMargin
   ) { (s, dir) =>
-    val rows = docs(s, dir).select(col("lang"), col("n_chars"), col("doc_id"))
-    NtilePlan.histNtile(rows, "lang", "n_chars", "doc_id", 10)
-      .withColumn("decile", col("bucket").cast("long"))
-      .groupBy("lang", "decile")
-      .agg(count(lit(1)).as("n"),
-        min(col("n_chars")).as("lo"),
-        max(col("n_chars")).as("hi"))
+    val rows = docs(s, dir).select(col("lang"), col("n_chars"))
+    NtilePlan.histNtileBucketStats(rows, "lang", "n_chars", 10)
+      .select(col("lang"), col("bucket").cast("long").as("decile"),
+        col("_n").as("n"), col("n_chars_lo").as("lo"), col("n_chars_hi").as("hi"))
       .orderBy("lang", "decile")
   }
 

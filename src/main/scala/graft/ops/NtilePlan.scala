@@ -84,8 +84,16 @@ object NtilePlan {
       .select(partCol, keyCol, "_c", "_cum", "_q", "_r", "_bs", "_be")
     // cell map joins back on (part, key): Catalyst broadcasts it while it
     // is small; at corpus scale it is a high-cardinality equi join — no
-    // hot partition either way
-    val joined = rows.join(cells, Seq(partCol, keyCol))
+    // hot partition either way. NULL-SAFE on both keys: a plain equi join
+    // would silently DROP null-keyed rows where the window formulation
+    // keeps them (Spark's ntile orders nulls first under ASC, exactly
+    // what the histogram window above does too, so in-engine equality
+    // holds for nulls — only the cross-engine ORACLE seam needs non-null
+    // keys, DuckDB defaulting to NULLS LAST)
+    val cellsR = cells.withColumnRenamed(partCol, "_cp").withColumnRenamed(keyCol, "_ck")
+    val joined = rows.join(cellsR,
+        rows(partCol) <=> cellsR("_cp") && rows(keyCol) <=> cellsR("_ck"))
+      .drop("_cp", "_ck")
     val whole = joined.where(col("_bs") === col("_be"))
       .withColumn("bucket", col("_bs"))
     // ≤ n−1 straddling cells per partition; the window's partition key
@@ -98,5 +106,83 @@ object NtilePlan {
       .drop("_rn")
     whole.unionByName(straddle)
       .drop("_c", "_cum", "_q", "_r", "_bs", "_be")
+  }
+
+  /** Bucket-level ntile STATISTICS straight from the histogram cells — for
+    * consumers whose output depends only on the KEY (count per bucket,
+    * min/max key), not on doc identity: the per-bucket contribution of a
+    * cell is pure index arithmetic (the overlap of the cell's index range
+    * [cum−c+1, cum] with the bucket's [end(b−1)+1, end(b)]), so NO second
+    * corpus pass, NO join back to data rows, and NO doc-row sort even at
+    * boundaries. One corpus-sized histogram aggregate; everything after is
+    * domain-sized (cells explode over ≤ their bucket span — bounded by
+    * n−1 extra rows per partition total). x58 rides this; x130 cannot
+    * (tri_mass needs the doc-level split inside boundary tie groups) and
+    * uses [[histNtile]].
+    *
+    * Returns (partCol, bucket, _n [count], keyCol+"_lo", keyCol+"_hi").
+    */
+  private[graft] def histNtileBucketStats(rows: DataFrame, partCol: String,
+      keyCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"ntile needs n >= 1, got $n")
+    val hist = rows.groupBy(partCol, keyCol).agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(partCol).orderBy(keyCol)
+    val cum = hist
+      .withColumn("_cum", sum("_c").over(w))
+      .withColumn("_n", sum("_c").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("_q", expr(s"_n div $n"))
+      .withColumn("_r", expr(s"_n % $n"))
+    def bucketOf(i: String): String =
+      s"""CASE WHEN $i <= _r * (_q + 1) THEN ($i + _q) DIV (_q + 1)
+         |     ELSE _r + ($i - _r * (_q + 1) + _q - 1) DIV _q END""".stripMargin
+    // 1-based END index of bucket b under the same fill order
+    def endOf(b: String): String = s"($b) * _q + least($b, _r)"
+    cum
+      .withColumn("_bs", expr(bucketOf("_cum - _c + 1")))
+      .withColumn("_be", expr(bucketOf("_cum")))
+      .withColumn("bucket", explode(expr("sequence(_bs, _be)")))
+      // overlap of the cell's index range with the bucket's index range
+      .withColumn("_cnt",
+        expr(s"least(_cum, ${endOf("bucket")}) - greatest(_cum - _c + 1, ${endOf("bucket - 1")} + 1) + 1"))
+      .groupBy(partCol, "bucket")
+      .agg(sum(col("_cnt")).as("_n"),
+        min(col(keyCol)).as(s"${keyCol}_lo"),
+        max(col(keyCol)).as(s"${keyCol}_hi"))
+  }
+
+  /** The DIRECT window formulations the r9 re-plan replaced — kept as the
+    * single reference implementation shared by NtileDiag (before/after
+    * timing), NtileSpec and SkewSpec (equality proofs), so the three
+    * cannot drift from each other or from the DuckDB oracle SQL.
+    */
+  private[graft] def refLenDecilesWindow(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+    docs.select(col("lang"), col("n_chars"), col("doc_id"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy("lang", "decile")
+      .agg(count(lit(1)).as("n"), min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
+      .orderBy("lang", "decile")
+  }
+
+  private[graft] def refStratifiedTopKWindow(docs: DataFrame): DataFrame = {
+    val nUnique = size(array_distinct(split(col("text"), " "))).cast("long")
+    val w = Window.partitionBy("source", "lang")
+      .orderBy(col("n_unique").desc, col("doc_id"))
+    docs.select(col("source"), col("lang"), col("doc_id"), nUnique.as("n_unique"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 5)
+      .select("source", "lang", "rn", "doc_id", "n_unique")
+      .orderBy("source", "lang", "rn")
+  }
+
+  private[graft] def refCcnetWindow(scored: DataFrame): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("mean_ppm").desc, col("doc_id"))
+    scored
+      .withColumn("bucket", ntile(3).over(w).cast("long"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tri")).as("tri_mass"),
+        min(col("mean_ppm")).as("min_ppm"), max(col("mean_ppm")).as("max_ppm"))
+      .orderBy("lang", "bucket")
   }
 }

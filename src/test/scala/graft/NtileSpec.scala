@@ -80,20 +80,58 @@ class NtileSpec extends AnyFunSuite with BeforeAndAfterAll {
     check(hot ++ cold, 10, "skewed-language corpus")
   }
 
+  test("histNtileBucketStats == the window aggregation on adversarial shapes") {
+    import spark.implicits._
+    // the cells-only path (x58's plan): bucket count/min-key/max-key must
+    // equal the direct ntile window's aggregation, including tie groups
+    // spanning several boundaries and partitions smaller than n
+    val rnd = new scala.util.Random(11)
+    val shapes = Seq(
+      (0 until 500).map(i => ("hot", rnd.nextInt(6).toLong, i.toLong)) ++
+        (0 until 30).map(i => ("cold", rnd.nextInt(3).toLong, (1000 + i).toLong)),
+      (0 until 80).map(i => ("p", 5L, i.toLong)), // one tie cell spans all boundaries
+      Seq(("tiny", 1L, 1L), ("tiny", 2L, 2L)))    // fewer rows than buckets
+    for (rows <- shapes; n <- Seq(3, 10)) {
+      val df = rows.toDF("p", "k", "id")
+      val expected = df.withColumn("bucket",
+          ntile(n).over(Window.partitionBy("p").orderBy(col("k"), col("id"))).cast("long"))
+        .groupBy("p", "bucket")
+        .agg(count(lit(1)).as("n"), min(col("k")).as("lo"), max(col("k")).as("hi"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      val got = graft.ops.NtilePlan.histNtileBucketStats(df, "p", "k", n)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      assert(got == expected, s"n=$n, shape of ${rows.length} rows")
+    }
+  }
+
+  test("histNtile keeps null keys (Spark ntile semantics: nulls first under ASC)") {
+    import spark.implicits._
+    // a plain equi-join back to cells would silently DROP null-keyed rows;
+    // the null-safe join must keep them in the same buckets Spark's own
+    // window assigns (in-engine equality — the cross-engine oracle seam
+    // is documented as requiring non-null keys, DuckDB sorting NULLS LAST)
+    val rows: Seq[(String, Option[Long], Long)] =
+      (0 until 40).map(i => ("p", if (i % 5 == 0) None else Some((i % 4).toLong), i.toLong))
+    val df = rows.toDF("p", "k", "id")
+    val expected = df.withColumn("bucket",
+        ntile(4).over(Window.partitionBy("p").orderBy(col("k"), col("id"))).cast("long"))
+      .collect().map(r => (r.getLong(2), r.getLong(3))).sortBy(_._1)
+    val got = graft.ops.NtilePlan.histNtile(df, "p", "k", "id", 4)
+      .select(col("id"), col("bucket").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(got.toSeq == expected.toSeq)
+    assert(got.length == 40, "null-keyed rows were dropped")
+  }
+
   test("x30 TopKPairAgg plan equals the row_number window formulation") {
     val sfDir = "/root/testdata/sf0.001"
     val docs = graft.ops.Tables(spark, sfDir, "documents")
-    val nUnique = size(array_distinct(split(col("text"), " "))).cast("long")
-    val wspec = Window.partitionBy("source", "lang")
-      .orderBy(col("n_unique").desc, col("doc_id"))
-    val windowPlan = docs
-      .select(col("source"), col("lang"), col("doc_id"), nUnique.as("n_unique"))
-      .withColumn("rn", row_number().over(wspec).cast("long"))
-      .where(col("rn") <= 5)
-      .select("source", "lang", "rn", "doc_id", "n_unique")
-      .orderBy("source", "lang", "rn")
+    // reference window plan shared with NtileDiag/SkewSpec (NtilePlan)
     val aggPlan = SparkEntry.queries("x30_stratified_topk")(spark, sfDir)
-    assert(aggPlan.collect().toSeq == windowPlan.collect().toSeq)
+    assert(aggPlan.collect().toSeq ==
+      graft.ops.NtilePlan.refStratifiedTopKWindow(docs).collect().toSeq)
   }
 
   test("re-planned x58/x130 physical plans carry no rank window over doc rows") {

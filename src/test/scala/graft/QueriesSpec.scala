@@ -1786,7 +1786,11 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       val pos = p * (sorted.length - 1)
       val lo = sorted(pos.toInt).toDouble
       val hi = sorted(math.ceil(pos).toInt).toDouble
-      lo * (math.ceil(pos) - pos) + hi * (pos - pos.toInt)
+      // integral position: BOTH lerp weights are 0 — return the cell value
+      // (the production exactQuantiles' explicit loI === hiI branch);
+      // lerp-only would yield 0 whenever (n-1) divides by 4
+      if (pos == math.floor(pos)) lo
+      else lo * (math.ceil(pos) - pos) + hi * (pos - pos.toInt)
     }
     val fences = (0 until 64).map { d =>
       val s = vecs.map(_._2(d)).sorted

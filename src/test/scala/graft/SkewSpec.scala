@@ -110,28 +110,15 @@ class SkewSpec extends AnyFunSuite with BeforeAndAfterAll with SqlConfHelper {
     // the r8 verdict's 'done' bar for the re-plan: same answers on a
     // fixture where the dominant partition holds ~90% of doc rows (the
     // shape that made the window plans a single-hot-task defect)
+    // reference window plans shared with NtileDiag/NtileSpec (NtilePlan)
+    // so the twins cannot drift from the oracle SQL
     val docs = Tables(spark, skewDir, "documents")
-    val wDec = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
-    val decWindow = docs.select(col("lang"), col("n_chars"), col("doc_id"))
-      .withColumn("decile", ntile(10).over(wDec).cast("long"))
-      .groupBy("lang", "decile")
-      .agg(count(lit(1)).as("n"), min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
-      .orderBy("lang", "decile")
     val decHist = SparkEntry.queries("x58_len_deciles")(spark, skewDir)
-    assert(decHist.collect().toSeq == decWindow.collect().toSeq)
-
-    val nUnique = size(array_distinct(split(col("text"), " "))).cast("long")
-    val wTop = org.apache.spark.sql.expressions.Window
-      .partitionBy("source", "lang").orderBy(col("n_unique").desc, col("doc_id"))
-    val topWindow = docs
-      .select(col("source"), col("lang"), col("doc_id"), nUnique.as("n_unique"))
-      .withColumn("rn", row_number().over(wTop).cast("long"))
-      .where(col("rn") <= 5)
-      .select("source", "lang", "rn", "doc_id", "n_unique")
-      .orderBy("source", "lang", "rn")
+    assert(decHist.collect().toSeq ==
+      graft.ops.NtilePlan.refLenDecilesWindow(docs).collect().toSeq)
     val topAgg = SparkEntry.queries("x30_stratified_topk")(spark, skewDir)
-    assert(topAgg.collect().toSeq == topWindow.collect().toSeq)
+    assert(topAgg.collect().toSeq ==
+      graft.ops.NtilePlan.refStratifiedTopKWindow(docs).collect().toSeq)
   }
 
   test("salting spreads the hot key: max per-task shuffle records drop >=4x on the skewed corpus") {
