@@ -151,6 +151,62 @@ object NtilePlan {
         max(col(keyCol)).as(s"${keyCol}_hi"))
   }
 
+  /** Bucket-level ntile statistics PLUS one doc-payload sum — for
+    * consumers (x130) whose only doc-dependent aggregate is a SUM over an
+    * attribute: whole cells contribute (count, payload sum, key) straight
+    * from the histogram's own partials, so the corpus pays ONE aggregate
+    * plus one row-local broadcast probe — the straddle cell map is at most
+    * (n−1) rows per partition value (truly tiny at any scale, always
+    * broadcastable), and only the rows of straddling tie groups shuffle
+    * into the id-ordered boundary split. Compared to [[histNtile]] +
+    * re-aggregation this removes the corpus-sized cell join AND the
+    * corpus-sized final groupBy.
+    *
+    * Returns (partCol, bucket, _n [count], _sum [payload], keyCol+"_lo",
+    * keyCol+"_hi").
+    */
+  private[graft] def histNtileSumStats(rows: DataFrame, partCol: String,
+      keyCol: String, idCol: String, payloadCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"ntile needs n >= 1, got $n")
+    val hist = rows.groupBy(partCol, keyCol)
+      .agg(count(lit(1)).as("_c"), sum(payloadCol).as("_t"))
+    val w = Window.partitionBy(partCol).orderBy(keyCol)
+    val cum = hist
+      .withColumn("_cum", sum("_c").over(w))
+      .withColumn("_n", sum("_c").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("_q", expr(s"_n div $n"))
+      .withColumn("_r", expr(s"_n % $n"))
+    def bucketOf(i: String): String =
+      s"""CASE WHEN $i <= _r * (_q + 1) THEN ($i + _q) DIV (_q + 1)
+         |     ELSE _r + ($i - _r * (_q + 1) + _q - 1) DIV _q END""".stripMargin
+    val cells = cum
+      .withColumn("_bs", expr(bucketOf("_cum - _c + 1")))
+      .withColumn("_be", expr(bucketOf("_cum")))
+    val whole = cells.where(col("_bs") === col("_be"))
+      .select(col(partCol), col(keyCol), col("_bs").as("bucket"),
+        col("_c").as("_wn"), col("_t").as("_wsum"))
+    // straddle cells: ≤ n−1 per partition value — broadcast them into a
+    // row-local probe of the data rows; only matching tie-group rows
+    // shuffle into the id-ordered split window
+    val straddleCells = cells.where(col("_bs") =!= col("_be"))
+      .select(col(partCol).as("_sp"), col(keyCol).as("_sk"),
+        col("_c"), col("_cum"), col("_q"), col("_r"))
+    val straddleW = Window.partitionBy(partCol, keyCol).orderBy(idCol)
+    val straddle = rows.join(broadcast(straddleCells),
+        rows(partCol) <=> straddleCells("_sp") && rows(keyCol) <=> straddleCells("_sk"))
+      .withColumn("_rn", row_number().over(straddleW))
+      .withColumn("bucket", expr(bucketOf("_cum - _c + _rn")))
+      .groupBy(partCol, keyCol, "bucket")
+      .agg(count(lit(1)).as("_wn"), sum(payloadCol).as("_wsum"))
+      .select(col(partCol), col(keyCol), col("bucket"), col("_wn"), col("_wsum"))
+    whole.unionByName(straddle)
+      .groupBy(partCol, "bucket")
+      .agg(sum(col("_wn")).as("_n"), sum(col("_wsum")).as("_sum"),
+        min(col(keyCol)).as(s"${keyCol}_lo"),
+        max(col(keyCol)).as(s"${keyCol}_hi"))
+  }
+
   /** The DIRECT window formulations the r9 re-plan replaced — kept as the
     * single reference implementation shared by NtileDiag (before/after
     * timing), NtileSpec and SkewSpec (equality proofs), so the three

@@ -440,16 +440,19 @@ object TextOps {
        |       min(mean_ppm) AS min_ppm, max(mean_ppm) AS max_ppm
        |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
   ) { (s, dir) =>
-    // DESC score order as an ASC key: negate the (exact integer) score
+    // DESC score order as an ASC key: negate the (exact integer) score.
+    // tri_mass is the ONLY doc-dependent aggregate (n_docs is index
+    // arithmetic, min/max ppm are the boundary keys), so the sum-stats
+    // path applies: whole cells contribute from histogram partials and
+    // only boundary tie groups ever revisit doc rows (via a broadcast
+    // probe of the ≤2-per-language straddle cell map over the MEMOIZED
+    // score frame)
     val scored = cachedLangScores(s, dir).withColumn("_negppm", -col("mean_ppm"))
-    NtilePlan.histNtile(scored, "lang", "_negppm", "doc_id", 3)
-      .withColumn("bucket", col("bucket").cast("long"))
-      .groupBy("lang", "bucket")
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("n_tri")).as("tri_mass"),
-        min(col("mean_ppm")).as("min_ppm"),
-        max(col("mean_ppm")).as("max_ppm"))
+      .select("lang", "_negppm", "doc_id", "n_tri")
+    NtilePlan.histNtileSumStats(scored, "lang", "_negppm", "doc_id", "n_tri", 3)
+      .select(col("lang"), col("bucket").cast("long").as("bucket"),
+        col("_n").as("n_docs"), col("_sum").as("tri_mass"),
+        (-col("_negppm_hi")).as("min_ppm"), (-col("_negppm_lo")).as("max_ppm"))
       .orderBy("lang", "bucket")
   }
 

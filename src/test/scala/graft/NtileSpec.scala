@@ -106,6 +106,32 @@ class NtileSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("histNtileSumStats == the window aggregation with a payload sum") {
+    import spark.implicits._
+    // x130's plan: count/min/max are cell arithmetic, the payload SUM is
+    // the one aggregate that forces boundary tie groups back to data rows
+    val rnd = new scala.util.Random(23)
+    val shapes = Seq(
+      (0 until 600).map(i => ("hot", rnd.nextInt(5).toLong, i.toLong, rnd.nextInt(100).toLong)) ++
+        (0 until 40).map(i => ("cold", rnd.nextInt(2).toLong, (2000 + i).toLong, rnd.nextInt(100).toLong)),
+      (0 until 90).map(i => ("p", 7L, i.toLong, (i * 3 % 17).toLong)), // one tie cell, all boundaries
+      Seq(("tiny", 1L, 1L, 5L), ("tiny", 1L, 2L, 9L)))
+    for (rows <- shapes; n <- Seq(3, 10)) {
+      val df = rows.toDF("p", "k", "id", "pay")
+      val expected = df.withColumn("bucket",
+          ntile(n).over(Window.partitionBy("p").orderBy(col("k"), col("id"))).cast("long"))
+        .groupBy("p", "bucket")
+        .agg(count(lit(1)).as("n"), sum(col("pay")).as("s"),
+          min(col("k")).as("lo"), max(col("k")).as("hi"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      val got = graft.ops.NtilePlan.histNtileSumStats(df, "p", "k", "id", "pay", n)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      assert(got == expected, s"n=$n, shape of ${rows.length} rows")
+    }
+  }
+
   test("histNtile keeps null keys (Spark ntile semantics: nulls first under ASC)") {
     import spark.implicits._
     // a plain equi-join back to cells would silently DROP null-keyed rows;
