@@ -123,8 +123,11 @@ object PlanAudit {
     // token stream — the corpus side never shuffles on the token key
     "x73_oov_rate" -> Seq("TakeOrderedAndProject", "BroadcastHashJoin"),
     // SAX: breakpoints and the reference word are broadcast 1-row dims;
-    // the word build is a bounded 6-element collect, never corpus state
-    "x79_sax_similarity" -> Seq("BroadcastExchange", "BroadcastNestedLoopJoin"),
+    // the word build is a bounded 6-element collect, never corpus state;
+    // the global quartiles ride the spillable histogram (no built-in
+    // percentile buffer over the user-cardinality seg_sum domain — r10)
+    "x79_sax_similarity" -> Seq("BroadcastExchange", "BroadcastNestedLoopJoin",
+      "(?s)\\A(?!.*percentile\\().*"),
     // incremental dedup: delta probes the index via an EQUI join on
     // (band, sig) — never a nested loop over the corpus
     "x80_incremental_dedup" -> Seq(
@@ -137,13 +140,21 @@ object PlanAudit {
     // the 2 GB sf1 proof) must never reappear in this plan
     "t29_winsorized_revenue" -> Seq("BroadcastHashJoin", "BroadcastExchange",
       "(?s)\\A(?!.*ObjectHashAggregate).*"),
-    // exact percentiles: p90-over-PRICES runs the histogram plan (window
-    // over the value domain); only the ~50-value quantity median keeps the
-    // built-in (it lowers to percentile(l_quantity, 0.5)) — a
-    // `percentile(l_extendedprice` means the corpus-domain aggregate
-    // regressed to the non-spillable buffer
+    // exact percentiles: BOTH columns run the histogram plan (window over
+    // the value domain) since r10 — any `percentile(` in the plan means
+    // the non-spillable built-in buffer regressed (PlanSweep also bans it
+    // suite-wide; this pin keeps the per-query failure message precise)
     "t21_percentiles" -> Seq("WindowExec|Window",
-      "(?s)\\A(?!.*percentile\\(l_extendedprice).*"),
+      "(?s)\\A(?!.*percentile\\().*"),
+    // r10 migrations off the built-in exact-percentile aggregate: the GK
+    // sketch (percentile_approx) is the ONLY percentile-named aggregate
+    // f11 may contain — `percentile(` (exact) must not reappear
+    "f11_approx_percentile" -> Seq("percentile_approx",
+      "(?s)\\A(?!.*percentile\\().*", "WindowExec|Window"),
+    "x39_len_quartiles" -> Seq("(?s)\\A(?!.*percentile\\().*",
+      "WindowExec|Window"),
+    "x54_mad_outliers" -> Seq("(?s)\\A(?!.*percentile\\().*",
+      "WindowExec|Window", "BroadcastHashJoin"),
     // drift monitor: ONE conditional-aggregation scan — no join anywhere
     "x82_drift_monitor" -> Seq("(?s)\\A(?!.*Join).*", "HashAggregate"),
     // interpolation: windows over the broadcast-built grid, no self-join

@@ -4,8 +4,11 @@ import org.apache.spark.sql.SparkSession
 
 /** Global anti-pattern sweep over the ENTIRE declared batch surface —
   * the complement of [[PlanAudit]]'s per-query positive checks: plan
-  * every query and enforce the one invariant that holds with an EMPTY
-  * allowlist — **no CartesianProductExec anywhere**. (Spark plans a
+  * every query and enforce the two invariants that hold with an EMPTY
+  * allowlist — **no CartesianProductExec anywhere** and **no built-in
+  * exact `percentile`/`median` aggregate anywhere** (its per-group boxed
+  * map buffer neither spills nor shrinks; `RelOps.exactQuantiles` is the
+  * bit-identical spillable replacement). (Spark plans a
   * CartesianProduct only for a non-broadcastable cross join — the shape
   * that detonates at 100 TB. BroadcastNestedLoopJoin hits are printed as
   * information, not failures: every one in this surface is a deliberate
@@ -39,6 +42,7 @@ object PlanSweep {
     spark.sparkContext.setLogLevel("ERROR")
 
     var cartesians = List.empty[String]
+    var percentiles = List.empty[String]
     var errors = List.empty[String]
     var bnlj = 0
     var bcastGen = List.empty[String]
@@ -48,6 +52,24 @@ object PlanSweep {
         val plan = executed.toString
         if (plan.contains("CartesianProduct")) cartesians ::= name
         if (plan.contains("BroadcastNestedLoopJoin")) bnlj += 1
+        // second suite-wide ban (r9 verdict item 2, the cartesian's twin):
+        // the built-in EXACT percentile/median aggregate buffers every
+        // distinct value of a group in a boxed OpenHashMap that neither
+        // spills nor shrinks — it OOMed the round-8 2 GB sf1 proof, and
+        // every declared quantile now rides RelOps.exactQuantiles (a
+        // spillable histogram, spec-proved bit-identical). Checked by
+        // CLASS (PercentileBase), not plan-string grep, so it also catches
+        // a Median/percentile_cont that analysis rewrote, wherever it
+        // hides (subqueries included); ApproximatePercentile — bounded
+        // mergeable sketch state — is legal and does not extend
+        // PercentileBase.
+        val hasExactPercentile = executed
+          .collectWithSubqueries { case n => n }
+          .exists(_.expressions.exists(_.exists {
+            case _: org.apache.spark.sql.catalyst.expressions.aggregate.PercentileBase => true
+            case _ => false
+          }))
+        if (hasExactPercentile) percentiles ::= name
         // corpus-sized-broadcast heuristic: a BroadcastExchange whose
         // build subtree EXPLODES corpus rows (Generate) usually means
         // Catalyst's post-aggregate size estimate under-guessed an
@@ -69,12 +91,14 @@ object PlanSweep {
       }
     }
     println(s"[sweep] planned ${SparkEntry.queries.size - streaming.size} queries: " +
-      s"${cartesians.size} cartesian, ${errors.size} errors, " +
+      s"${cartesians.size} cartesian, ${percentiles.size} exact-percentile, " +
+      s"${errors.size} errors, " +
       s"$bnlj informational BNLJ (deliberate tiny-side broadcasts)")
     bcastGen.reverse.foreach(n => println(s"[sweep] BROADCAST-over-Generate in $n (verify build side is bounded)"))
     cartesians.foreach(n => println(s"[sweep] CARTESIAN in $n"))
+    percentiles.foreach(n => println(s"[sweep] EXACT-PERCENTILE aggregate in $n (non-spillable buffer — use RelOps.exactQuantiles)"))
     errors.foreach(n => println(s"[sweep] ERROR planning $n"))
     spark.stop()
-    if (cartesians.nonEmpty || errors.nonEmpty) sys.exit(1)
+    if (cartesians.nonEmpty || percentiles.nonEmpty || errors.nonEmpty) sys.exit(1)
   }
 }

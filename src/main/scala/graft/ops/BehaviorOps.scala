@@ -389,10 +389,16 @@ object BehaviorOps {
         s.range(0, 6).select(col("id").as("seg"))))
     val segs = grid.join(segRaw, Seq("user_id", "seg"), "left")
       .withColumn("seg_sum", coalesce(col("seg_sum"), lit(0L)))
-    val bp = segs.agg(
-      percentile(col("seg_sum"), lit(0.25)).as("q1"),
-      percentile(col("seg_sum"), lit(0.5)).as("q2"),
-      percentile(col("seg_sum"), lit(0.75)).as("q3"))
+    // GLOBAL quartiles over per-(user, segment) sums — a user-cardinality
+    // value domain, the worst case for the built-in `percentile`'s
+    // non-spillable boxed-map buffer (r9 verdict finding #1). The
+    // exactQuantiles histogram plan is bit-identical and every stage
+    // spills; the single global group means its domain-sized cumulative
+    // window runs in one task, but a SORT task spills to disk where the
+    // aggregate buffer could only OOM.
+    val bp = RelOps.exactQuantiles(
+      segs.select(lit(1).as("_g"), col("seg_sum")), "_g", "seg_sum",
+      Seq("q1" -> 0.25, "q2" -> 0.5, "q3" -> 0.75)).drop("_g")
     val sym = segs.crossJoin(broadcast(bp))
       .select(col("user_id"), col("seg"),
         when(col("seg_sum") < col("q1"), "a")

@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   * multiply/divide chains integerized with floor(x+0.5) (x34/x35, whose
   * products pass int64 at web-corpus counts — both engines run the same
   * ops in the same order, so results stay bit-identical at any scale).
-  * The one quantile family (x39) reuses the t21-proven `percentile` ↔
-  * `quantile_cont` parity.
+  * The quantile families (x39/x54) ride `RelOps.exactQuantiles` — the
+  * spillable histogram plan, bit-identical to `quantile_cont` (the
+  * built-in `percentile`/`median` aggregate is banned suite-wide).
   *
   * Scale notes (100 TB):
   *  - x34/x38 shuffle (source, word) / (word) count pairs — vocabulary-
@@ -210,8 +211,13 @@ object CorpusStatsOps {
   }
 
   /** Length distribution per language: exact quartiles of n_chars (the
-    * gate thresholds behind length filtering). Reuses the t21-proven
-    * `percentile` ↔ `quantile_cont` engine parity.
+    * gate thresholds behind length filtering). Rides
+    * [[RelOps.exactQuantiles]] (r10): the domain is doc-length-bounded, so
+    * the built-in `percentile` was not a scale-killer here, but it is the
+    * same non-spillable buffer class the 2 GB proof OOMed on and the
+    * histogram plan is bit-identical — migrating made the suite-wide
+    * PlanSweep ban possible. The count joins back on the (tiny) language
+    * key; both legs prune to the 2-column (lang, n_chars) scan.
     */
   val lenQuartiles: Q = Q(
     "x39_len_quartiles",
@@ -221,13 +227,14 @@ object CorpusStatsOps {
       |       CAST(count(*) AS BIGINT) AS n
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
   ) { (s, dir) =>
+    val qn = RelOps.exactQuantiles(docs(s, dir).select("lang", "n_chars"),
+      "lang", "n_chars", Seq("q1" -> 0.25, "med" -> 0.5, "q3" -> 0.75))
     docs(s, dir)
-      .groupBy("lang")
-      .agg(
-        round(percentile(col("n_chars"), lit(0.25)), 6).as("q1"),
-        round(median(col("n_chars")), 6).as("med"),
-        round(percentile(col("n_chars"), lit(0.75)), 6).as("q3"),
-        count(lit(1)).as("n"))
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .join(qn, "lang")
+      .select(col("lang"),
+        round(col("q1"), 6).as("q1"), round(col("med"), 6).as("med"),
+        round(col("q3"), 6).as("q3"), col("n"))
       .orderBy("lang")
   }
 
@@ -266,9 +273,11 @@ object CorpusStatsOps {
   /** Robust length-outlier gate: per-source median + MAD (median absolute
     * deviation) of n_chars, and the count of documents beyond 3 MADs — the
     * outlier filter that, unlike mean/stddev, a few giant documents cannot
-    * drag. Two aggregate passes (median, then deviation median) with the
-    * tiny per-source stats broadcast back; reuses the t21-proven
-    * `percentile`/`median` engine parity.
+    * drag. Two quantile passes (median, then deviation median) with the
+    * tiny per-source stats broadcast back; both ride
+    * [[RelOps.exactQuantiles]] (r10 — same rationale as x39: bit-identical
+    * to the built-in `median`, and no query may keep the non-spillable
+    * buffer class once PlanSweep bans it suite-wide).
     */
   val madOutliers: Q = Q(
     "x54_mad_outliers",
@@ -282,10 +291,11 @@ object CorpusStatsOps {
       |FROM d JOIN m ON d.source = m.source JOIN s ON d.source = s.source
       |GROUP BY d.source ORDER BY d.source""".stripMargin
   ) { (s, dir) =>
-    val m = docs(s, dir).groupBy("source").agg(median(col("n_chars")).as("med"))
+    val m = RelOps.exactQuantiles(docs(s, dir).select("source", "n_chars"),
+      "source", "n_chars", Seq("med" -> 0.5))
     val d = docs(s, dir).join(broadcast(m), "source")
       .select(col("source"), abs(col("n_chars") - col("med")).as("dev"))
-    val mad = d.groupBy("source").agg(median(col("dev")).as("mad"))
+    val mad = RelOps.exactQuantiles(d, "source", "dev", Seq("mad" -> 0.5))
     d.join(broadcast(m), "source")
       .join(broadcast(mad), "source")
       .groupBy("source")

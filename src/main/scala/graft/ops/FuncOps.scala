@@ -277,15 +277,23 @@ object FuncOps {
   /** Raw approx-percentile output — the spec-bounded surface: QueriesSpec
     * pins the estimate between the exact p40/p60 per group.
     */
-  private[graft] def approxPercentileRaw(s: SparkSession, dir: String): DataFrame =
+  private[graft] def approxPercentileRaw(s: SparkSession, dir: String): DataFrame = {
+    // exact legs ride RelOps.exactQuantiles (r10): `events.value` is an
+    // unbounded-cardinality double domain — exactly the shape whose
+    // built-in `percentile` boxed-map buffer OOMed the round-8 2 GB sf1
+    // proof (the t21/l_extendedprice class). The GK sketch keeps the
+    // built-in approx aggregate: bounded mergeable state by construction.
+    val ex = RelOps.exactQuantiles(
+      events(s, dir).select("event_type", "value"), "event_type", "value",
+      Seq("exact_p40" -> 0.4, "exact_med" -> 0.5, "exact_p60" -> 0.6))
     events(s, dir)
       .groupBy("event_type")
-      .agg(
-        percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_med"),
-        percentile(col("value"), lit(0.4)).as("exact_p40"),
-        median(col("value")).as("exact_med"),
-        percentile(col("value"), lit(0.6)).as("exact_p60"))
+      .agg(percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_med"))
+      .join(ex, "event_type")
+      .select(col("event_type"), col("approx_med"),
+        col("exact_p40"), col("exact_med"), col("exact_p60"))
       .orderBy("event_type")
+  }
 
   /** Approximate percentile (GK-style sketch, `approx_percentile`): sketch
     * internals are engine-specific (Spark GK vs DuckDB t-digest), so the

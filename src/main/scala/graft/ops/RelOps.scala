@@ -519,10 +519,13 @@ object RelOps {
       .orderBy("y")
   }
 
-  /** Exact percentiles: Spark `median`/`percentile` are the exact
-    * interpolated quantiles (NOT percentile_approx), matching DuckDB's
-    * median/quantile_cont; both engines use linear interpolation on the
-    * same two neighbors, so 6-dp rounding agrees.
+  /** Exact percentiles: percentile_cont semantics matching DuckDB's
+    * median/quantile_cont — both engines interpolate linearly between the
+    * same two order statistics, so 6-dp rounding agrees. Engine side rides
+    * [[exactQuantiles]] (the spillable histogram plan) for BOTH columns;
+    * the built-in `median`/`percentile` aggregate is banned suite-wide
+    * (PlanSweep) because its per-group boxed map buffer neither spills
+    * nor shrinks (it OOMed the round-8 2 GB sf1 proof).
     */
   val percentiles: Q = Q(
     "t21_percentiles",
@@ -532,13 +535,16 @@ object RelOps {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   ) { (s, dir) =>
     val li = Tables(s, dir, "lineitem")
-    // med_qty keeps the built-in `median`: l_quantity's value domain is ~50
-    // integers, so its buffer is bounded. p90 over PRICES has a corpus-
-    // cardinality domain — that one goes through the histogram formulation
-    // (see exactQuantiles: the built-in's boxed map buffer OOMed the 2 GB
-    // heap proof at sf1).
-    val med = li.groupBy("l_returnflag")
-      .agg(round(median(col("l_quantity")), 6).as("med_qty"))
+    // BOTH quantiles ride the histogram formulation (r10): med_qty's ~50
+    // value domain made the built-in `median` buffer bounded, but keeping
+    // ANY use of the non-spillable aggregate class alive meant the
+    // suite-wide PlanSweep guard could not exist — and exactQuantiles is
+    // spec-proved bit-identical, so the migration is free. For a ~50-value
+    // domain the histogram is 50 rows per group: strictly cheaper than the
+    // per-task boxed map it replaces.
+    val med = exactQuantiles(li.select(col("l_returnflag"), col("l_quantity")),
+      "l_returnflag", "l_quantity", Seq("med" -> 0.5))
+      .select(col("l_returnflag"), round(col("med"), 6).as("med_qty"))
     val p90 = exactQuantiles(li.select(col("l_returnflag"), col("l_extendedprice")),
       "l_returnflag", "l_extendedprice", Seq("p90" -> 0.9))
       .select(col("l_returnflag"), round(col("p90"), 6).as("p90_price"))
