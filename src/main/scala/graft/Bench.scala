@@ -69,22 +69,36 @@ object Bench {
     // listener collects task durations; the bus delivers asynchronously
     // after the blocking collect, so the drain waits for quiescence.
     val wantTaskStats = sys.env.contains("SPARK_GRAFT_BENCH_TASKSTATS")
-    val taskDurs = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    // (duration ms, shuffle-read records) per task: the records number is
+    // the NtileDiag plan-width probe folded into the suite report (r9
+    // verdict item 7) — the widest single task's shuffle-read rows is the
+    // metric that caught the window family, and recording it per full-suite
+    // run makes a future fixed-fraction-single-task plan visible without a
+    // bespoke diag
+    val taskDurs = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
     def registerTaskListener(s: SparkSession): Unit =
       s.sparkContext.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {
           override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-            if (t.taskInfo != null) taskDurs.add(t.taskInfo.duration)
+            if (t.taskInfo != null) {
+              val rows = if (t.taskMetrics != null && t.taskMetrics.shuffleReadMetrics != null)
+                t.taskMetrics.shuffleReadMetrics.recordsRead else 0L
+              taskDurs.add((t.taskInfo.duration, rows)); ()
+            }
         })
     if (wantTaskStats) registerTaskListener(spark)
-    def drainTaskStats(): (Int, Long, Long) = {
+    case class TaskStats(n: Int, maxMs: Long, medMs: Long, maxRows: Long)
+    def drainTaskStats(): TaskStats = {
       var prev = -1; var cur = taskDurs.size(); var spins = 0
       while (cur != prev && spins < 25) { Thread.sleep(20); prev = cur; cur = taskDurs.size(); spins += 1 }
-      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
       var v = taskDurs.poll()
-      while (v != null) { buf += v.longValue(); v = taskDurs.poll() }
-      if (buf.isEmpty) (0, 0L, 0L)
-      else { val s = buf.sorted; (s.length, s.last, s(s.length / 2)) }
+      while (v != null) { buf += v; v = taskDurs.poll() }
+      if (buf.isEmpty) TaskStats(0, 0L, 0L, 0L)
+      else {
+        val s = buf.map(_._1).sorted
+        TaskStats(s.length, s.last, s(s.length / 2), buf.map(_._2).max)
+      }
     }
     // optional subset (comma-separated names) for scale-exponent runs at
     // big SFs — the per-query map in the output shows exactly what ran
@@ -108,8 +122,8 @@ object Bench {
     // the per-pass load rides INTO the JSON artifact so a future reader can
     // see neighbor-load distortion per pass without consulting prose
     // (VERDICT r6 item 2 — bench_full_sf1's x88 read 18.2 s under ~25 load)
-    def pass(): (Seq[(String, Double)], String, Double, Double,
-                 Map[String, (Int, Long, Long)]) = {
+    def pass(): (Seq[(String, Double)], List[String], Double, Double,
+                 Map[String, TaskStats]) = {
       // fresh cross-query memo per pass: x02/x31/x47/x55 share a cached LSH
       // pair lineage — legitimate within a pass (one lineage, four
       // queries), but a best-of over passes must never time a cache read
@@ -122,7 +136,7 @@ object Bench {
       // memo FAMILY (dedup / pipeline / text) so e.g. x130's trigram-score
       // fill is attributed even though x02 already claimed the dedup memo
       var payers = List.empty[String]
-      var taskStats = Map.empty[String, (Int, Long, Long)]
+      var taskStats = Map.empty[String, TaskStats]
       val timings = named.map { case (name, fn) =>
         val memoBefore =
           Seq(ops.DedupOps.memoSize, ops.PipelineOps.memoSize, ops.TextOps.memoSize)
@@ -157,7 +171,7 @@ object Bench {
         if (wantTaskStats) taskStats += (name -> drainTaskStats())
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity)
       }
-      (timings, payers.reverse.distinct.mkString("+"), loadStart, loadavg, taskStats)
+      (timings, payers.reverse.distinct, loadStart, loadavg, taskStats)
     }
     val passes = (1 to runs).map(_ => pass())
     val results = passes.map(_._1)
@@ -175,21 +189,35 @@ object Bench {
     val qs = qJson(results)
     val errJson = errs.reverse.distinct.map(e => "\"" + e + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val payers = passes.map(p => "\"" + p._2 + "\"").mkString("[", ",", "]")
+    // memo payers as a JSON ARRAY per pass (ADVICE r9 item 3: the
+    // '+'-joined composite broke name-keyed consumers); per-pass records
+    // below also keep `memo_payer` = first payer for old tooling
+    def payersArr(ps: List[String]): String =
+      ps.map(p => "\"" + p + "\"").mkString("[", ",", "]")
+    val payers = passes.map(p => payersArr(p._2)).mkString("[", ",", "]")
     val loads = passes.map(p => s"[${fmt(p._3)},${fmt(p._4)}]").mkString("[", ",", "]")
     // task-skew per query from the pass that WON the best-of-min (the
     // reported timing and the reported straggler profile describe the same
-    // execution); ratio = max/med task ms, the straggler-impact number
-    val skewJson: Option[String] = if (!wantTaskStats) None else Some {
-      val perQuery = results.flatMap { case (name, best) =>
+    // execution); ratio = max/med task ms, the straggler-impact number;
+    // max_rows = the widest single task's shuffle-read records (the
+    // NtileDiag plan-width metric, made continuous — r9 verdict item 7)
+    val wonStats: Seq[(String, TaskStats)] = if (!wantTaskStats) Nil else
+      results.flatMap { case (name, best) =>
         passes.find(p => p._1.exists { case (n, v) => n == name && v == best })
-          .flatMap(_._5.get(name))
-          .map { case (n, mx, md) =>
-            val ratio = if (md > 0) mx.toDouble / md else -1.0
-            "\"" + name + s"""":{"tasks":$n,"max_ms":$mx,"med_ms":$md,"ratio":${fmt(ratio)}}""" }
+          .flatMap(_._5.get(name)).map(name -> _)
       }
-      perQuery.mkString("{", ",", "}")
+    val skewJson: Option[String] = if (!wantTaskStats) None else Some {
+      wonStats.map { case (name, st) =>
+        val ratio = if (st.medMs > 0) st.maxMs.toDouble / st.medMs else -1.0
+        "\"" + name +
+          s"""":{"tasks":${st.n},"max_ms":${st.maxMs},"med_ms":${st.medMs},""" +
+          s""""ratio":${fmt(ratio)},"max_rows":${st.maxRows}}"""
+      }.mkString("{", ",", "}")
     }
+    // suite-wide widest task (shuffle-read records) — one number a reader
+    // can diff across rounds without opening the per-query map
+    val maxTaskRows: Option[Long] =
+      if (wonStats.isEmpty) None else Some(wonStats.map(_._2.maxRows).max)
     // ok:false + nonzero exit when anything errored: a consumer keying on
     // either signal must never read a failed run as a clean record
     val ok = errs.isEmpty
@@ -207,12 +235,13 @@ object Bench {
       .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now())
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       s"bench_runs/bench_${stamp}_$sfName.json")
-    val skewField = skewJson.map(j => s""","task_skew":$j""").getOrElse("")
+    val skewField = skewJson.map(j => s""","task_skew":$j""").getOrElse("") +
+      maxTaskRows.map(m => s""","max_task_rows":$m""").getOrElse("")
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","ok":$ok,"runs":$runs,"agg":"min","queries":$qs,"errors":$errJson,"loadavg_per_pass":$loads,"memo_payers":$payers,"sf":"$sfDir","artifact":"$out"$skewField}"""
     val perPass = passes.zipWithIndex
-      .map { case ((rs, payer, l0, l1, _), i) =>
-        s"""{"pass":${i + 1},"memo_payer":"$payer","loadavg":[${fmt(l0)},${fmt(l1)}],"queries":${qJson(rs)}}""" }
+      .map { case ((rs, ps, l0, l1, _), i) =>
+        s"""{"pass":${i + 1},"memo_payer":"${ps.headOption.getOrElse("")}","memo_payers":${payersArr(ps)},"loadavg":[${fmt(l0)},${fmt(l1)}],"queries":${qJson(rs)}}""" }
       .mkString("[", ",", "]")
     val outPath = java.nio.file.Paths.get(out)
     if (outPath.getParent != null) java.nio.file.Files.createDirectories(outPath.getParent)
@@ -227,13 +256,22 @@ object Bench {
     // record under the distinct SPARK_GRAFT_BENCH_OUT name.
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_last.json"), line + "\n")
+    // STDOUT gets a COMPACT headline, not the full line: the driver
+    // byte-caps the captured stdout tail at 2,000 chars, and a 201-query
+    // per-query map is ~6 KB — the captured tail started mid-JSON and
+    // could never parse (BENCH_r07..r09 parsed:null; r9 verdict item 2
+    // diagnosed the cap). Everything per-query lives in the timestamped
+    // artifact and bench_last.json; this line carries only the scalars a
+    // last-line JSON parse needs and stays far under the cap.
+    val compact =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","ok":$ok,"runs":$runs,"agg":"min","n_queries":${results.size},"errors":${errs.reverse.distinct.size}${maxTaskRows.map(m => s""","max_task_rows":$m""").getOrElse("")},"sf":"$sfDir","artifact":"$out"}"""
     // the headline is the LAST thing on stdout — after spark.stop(), so no
     // shutdown logging can land between it and the end of the tail the
     // driver captures (BENCH_r06's parsed:null). stop() is best-effort:
     // a shutdown-hook race must not eat the headline.
     try spark.stop()
     catch { case e: Throwable => System.err.println(s"[bench] stop: $e") }
-    println(line)
+    println(compact)
     if (!ok) sys.exit(1)
   }
 }

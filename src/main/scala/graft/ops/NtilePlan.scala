@@ -221,6 +221,43 @@ object NtilePlan {
       .orderBy("lang", "decile")
   }
 
+  /** x30's production plan — the bounded-top-k twin of
+    * [[refStratifiedTopKWindow]], factored HERE (r10) so the engine query,
+    * NtileDiag, and the NtileSpec/SkewSpec equality fixtures all run the
+    * ONE implementation (the same no-drift discipline as the window refs).
+    *
+    * Null text is a legal corpus shape (x136 filters it explicitly;
+    * ScaleData can emit it), and under Spark 4's ANSI default
+    * `size(split(NULL))` is NULL — which the replaced row_number window
+    * ranked NULLS LAST (Spark's DESC default, matching DuckDB's
+    * default_null_order) but the UDAF's primitive Long lane would THROW
+    * on. Nulls therefore ride a rank-last sentinel through the aggregate
+    * (Long.MinValue — strictly below any real distinct-word count, which
+    * is ≥ 0) and decode back to NULL on output, so a null-text document
+    * in a <5-row stratum is still picked, ranked, and reported exactly
+    * as the window/oracle rank it (ADVICE r9 item 1; NtileSpec pins the
+    * equality on a null-text fixture).
+    */
+  private[graft] def stratifiedTopKAgg(docs: DataFrame): DataFrame = {
+    val nUnique = size(array_distinct(split(col("text"), " "))).cast("long")
+    val topk = udaf(new graft.functions.TopKPairAgg(5),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+    docs
+      .select(col("source"), col("lang"), col("doc_id"),
+        coalesce(nUnique, lit(Long.MinValue)).as("n_unique"))
+      .groupBy("source", "lang")
+      .agg(topk(col("n_unique"), col("doc_id")).as("picked"))
+      .select(col("source"), col("lang"),
+        posexplode(col("picked")).as(Seq("pos", "pair")))
+      .select(col("source"), col("lang"), (col("pos") + 1).cast("long").as("rn"),
+        col("pair._2").as("doc_id"),
+        when(col("pair._1") === lit(Long.MinValue), lit(null).cast("long"))
+          .otherwise(col("pair._1")).as("n_unique"))
+      .orderBy("source", "lang", "rn")
+  }
+
   private[graft] def refStratifiedTopKWindow(docs: DataFrame): DataFrame = {
     val nUnique = size(array_distinct(split(col("text"), " "))).cast("long")
     val w = Window.partitionBy("source", "lang")

@@ -214,20 +214,10 @@ object PipelineOps {
       |  FROM documents)
       |WHERE rn <= 5 ORDER BY source, lang, rn""".stripMargin
   ) { (s, dir) =>
-    val nUnique = size(array_distinct(split(col("text"), " "))).cast("long")
-    val topk = udaf(new graft.functions.TopKPairAgg(5),
-      org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.scalaLong,
-        org.apache.spark.sql.Encoders.scalaLong))
-    docs(s, dir)
-      .select(col("source"), col("lang"), col("doc_id"), nUnique.as("n_unique"))
-      .groupBy("source", "lang")
-      .agg(topk(col("n_unique"), col("doc_id")).as("picked"))
-      .select(col("source"), col("lang"),
-        posexplode(col("picked")).as(Seq("pos", "pair")))
-      .select(col("source"), col("lang"), (col("pos") + 1).cast("long").as("rn"),
-        col("pair._2").as("doc_id"), col("pair._1").as("n_unique"))
-      .orderBy("source", "lang", "rn")
+    // implementation lives in NtilePlan.stratifiedTopKAgg next to its
+    // reference-window twin (incl. the null-text rank-last sentinel that
+    // matches the window's NULLS LAST — ADVICE r9 item 1)
+    NtilePlan.stratifiedTopKAgg(docs(s, dir))
   }
 
   /** Referential-integrity audit across the relational tables — the

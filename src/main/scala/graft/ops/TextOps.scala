@@ -441,6 +441,15 @@ object TextOps {
        |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
   ) { (s, dir) =>
     // DESC score order as an ASC key: negate the (exact integer) score.
+    // NON-NULL CONTRACT (ADVICE r9 item 2): mean_ppm is non-null by
+    // construction — a doc reaches the score frame only through the
+    // trigram inner join (n_tri ≥ 1), so the floor(sum/count) is never
+    // null — and the negation DEPENDS on that:
+    // the old window was DESC NULLS LAST, while a negated-ASC null would
+    // sort NULLS FIRST and silently shift every bucket. If a future
+    // scoring change can produce null mean_ppm, it must also re-plan
+    // this call (histNtile's scaladoc carries the same non-null-key
+    // caveat for the cross-engine seam).
     // tri_mass is the ONLY doc-dependent aggregate (n_docs is index
     // arithmetic, min/max ppm are the boundary keys), so the sum-stats
     // path applies: whole cells contribute from histogram partials and

@@ -151,6 +151,27 @@ class NtileSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.length == 40, "null-keyed rows were dropped")
   }
 
+  test("x30 agg plan equals the window on null-text rows (rank-last sentinel)") {
+    import spark.implicits._
+    // ADVICE r9 item 1: null text makes n_unique NULL under ANSI, which
+    // the old window ranked NULLS LAST but a primitive-Long UDAF lane
+    // would throw on. Strata smaller than 5 force null-text docs INTO the
+    // picked set (so the sentinel's rank AND its decode-to-null are both
+    // exercised); the larger stratum proves nulls never displace real docs.
+    val rows: Seq[(String, String, Long, String)] = Seq(
+      ("s1", "en", 1L, "a b c d"), ("s1", "en", 2L, null),
+      ("s1", "en", 3L, "a a"), ("s1", "en", 4L, null),
+      ("s2", "de", 5L, null), // all-null stratum
+      ("s2", "en", 6L, "x y"), ("s2", "en", 7L, "x")) ++
+      (10L until 22L).map(i => ("s3", "fr", i, ("w" + i + " ") * (i % 7).toInt + "w"))
+    val df = rows.toDF("source", "lang", "doc_id", "text")
+    val got = graft.ops.NtilePlan.stratifiedTopKAgg(df).collect().toSeq
+    val want = graft.ops.NtilePlan.refStratifiedTopKWindow(df).collect().toSeq
+    assert(got == want)
+    assert(got.exists(_.isNullAt(4)), "expected a picked null-text doc with null n_unique")
+    assert(!got.exists(r => !r.isNullAt(4) && r.getLong(4) < 0), "sentinel leaked into output")
+  }
+
   test("x30 TopKPairAgg plan equals the row_number window formulation") {
     val sfDir = "/root/testdata/sf0.001"
     val docs = graft.ops.Tables(spark, sfDir, "documents")

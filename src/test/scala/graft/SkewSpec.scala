@@ -119,6 +119,16 @@ class SkewSpec extends AnyFunSuite with BeforeAndAfterAll with SqlConfHelper {
     val topAgg = SparkEntry.queries("x30_stratified_topk")(spark, skewDir)
     assert(topAgg.collect().toSeq ==
       graft.ops.NtilePlan.refStratifiedTopKWindow(docs).collect().toSeq)
+    // ADVICE r9 item 1: the same equality with null-text rows injected
+    // into the hot stratum — the UDAF's rank-last sentinel must agree
+    // with the window's NULLS LAST under 90%-one-language skew too
+    val withNulls = docs.select("source", "lang", "doc_id", "text")
+      .unionByName(docs.limit(3)
+        .select(col("source"), col("lang"),
+          (col("doc_id") + 10_000_000L).as("doc_id"),
+          lit(null).cast("string").as("text")))
+    assert(graft.ops.NtilePlan.stratifiedTopKAgg(withNulls).collect().toSeq ==
+      graft.ops.NtilePlan.refStratifiedTopKWindow(withNulls).collect().toSeq)
   }
 
   test("salting spreads the hot key: max per-task shuffle records drop >=4x on the skewed corpus") {
