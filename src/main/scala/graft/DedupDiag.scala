@@ -93,6 +93,16 @@ object DedupDiag {
     val tKcSeed = kcClock.times.getOrElse("seed_argmax", 0.0)
     val tKcRounds = kcClock.times.getOrElse("round_argmax", 0.0)
 
+    // x139 stage attribution (round 10, r9 verdict item 5): the sketch
+    // path (12-long per-source aggregate over the shingle multiset) vs
+    // the exact-audit path (sampled md5-coin DISTINCT set — whose row
+    // count ALSO reports how hard the r10 sample-side contract is
+    // biting: at gate scales S=1 and the set is the full universe)
+    val (srcSigRows, tX139Sketch) = timed(ops.DedupOps.diagSourceSig(spark, sfDir).count())
+    val (auditSetRows, tX139AuditSet) = timed(ops.DedupOps.diagSourceAuditSet(spark, sfDir).count())
+    val (x139Rows, tX139) = timed(
+      SparkEntry.queries("x139_source_minhash")(spark, sfDir).count())
+
     // cluster-graph structure: LS/SS round count is the x31 cost driver
     val ((labels, rounds), tCluster) = timed {
       val (l, r) = ops.DedupOps.largeStarSmallStar(ops.DedupOps.diagEdges(spark, sfDir))
@@ -111,6 +121,8 @@ object DedupDiag {
       s""""containment_verify_pairs":$contPairs,"x127_rows":$x127Rows,""" +
       s""""cdc_cuts":$nCuts,"cdc_chunks":$nChunks,"x124_rows":$x124Rows,""" +
       s""""x129_rows":$x129Rows,"sec_x129_seed":$tKcSeed,"sec_x129_rounds":$tKcRounds,"sec_x129_assign":$tKcAssign,""" +
+      s""""x139_sources":$srcSigRows,"x139_audit_set_rows":$auditSetRows,"x139_rows":$x139Rows,""" +
+      s""""sec_x139_sketch":$tX139Sketch,"sec_x139_audit_set":$tX139AuditSet,"sec_x139":$tX139,""" +
       s""""sec_scan":$tDocs,"sec_shingle":$tShingle,"sec_bands":$tBands,"sec_pairs":$tPairs,"sec_cluster":$tCluster,""" +
       s""""sec_prefix_windows":$tPrefix,"sec_prefix_join":$tCand,"sec_x107_verify":$tX107,""" +
       s""""sec_containment_cand":$tContCand,"sec_x127":$tX127,""" +

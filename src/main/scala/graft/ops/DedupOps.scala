@@ -1873,6 +1873,45 @@ object DedupOps {
       .orderBy("part")
   }
 
+  /** Documents per unit of x139's audit-sample modulus: S = max(1,
+    * n_docs div AuditDocBudget). The gate corpora (500–5,000 docs) get
+    * S = 1 — sample = population, full-universe oracle equality — while
+    * sf1/sf10 (50k/500k docs) audit a 1/2 / 1/25 hash-stratum. Chosen so
+    * every driver-verified scale keeps the exact proof and every bench
+    * decade bounds the audit's exchange near the budget. */
+  private[graft] val AuditDocBudget = 20000L
+
+  /** x139's (source, sh) shingle MULTISET — the sketch consumes this
+    * directly (min over a multiset = min over its set), so the corpus-
+    * sized DISTINCT exists only on the sampled audit path. */
+  private def sourceShingles(s: SparkSession, dir: String): DataFrame =
+    cachedShingles(s, dir)
+      .join(docs(s, dir).select("doc_id", "source"), "doc_id")
+      .select("source", "sh")
+
+  /** x139 sketch path, factored for DedupDiag stage attribution (r9
+    * verdict item 5): one bounded hash aggregate — 12 longs per source on
+    * every map task, mergeable across shards. */
+  private[graft] def diagSourceSig(s: SparkSession, dir: String): DataFrame = {
+    val h = expr(s"cast(conv(substring(sh, 1, 15), 16, 10) as bigint) % $MinhashP")
+    val minCols = (0 to 11).map(j =>
+      min((lit(minhashA(j)) * col("h") + lit(minhashB(j))) % MinhashP).as(s"mh$j"))
+    sourceShingles(s, dir).withColumn("h", h).groupBy("source")
+      .agg(minCols.head, minCols.tail: _*)
+  }
+
+  /** x139 audit path: the sampled DISTINCT (source, sh) set — the
+    * md5-coin stratum of the scaladoc's sample-side contract. The coin
+    * re-hashes sh (md5 of the md5-prefix string), independent of the
+    * minhash family's h, and the modulus S broadcasts as a 1-row dim. */
+  private[graft] def diagSourceAuditSet(s: SparkSession, dir: String): DataFrame = {
+    val sFrame = docs(s, dir)
+      .agg(greatest(lit(1L), expr(s"count(1) div $AuditDocBudget")).as("_s"))
+    sourceShingles(s, dir).crossJoin(broadcast(sFrame))
+      .where(expr("cast(conv(substring(md5(sh), 1, 15), 16, 10) as bigint) % _s = 0"))
+      .select("source", "sh").distinct()
+  }
+
   /** Source-level MinHash similarity matrix with its own error audit —
     * the sketch member of the source-affinity trio (x36 = verbatim digest
     * overlap, x131 = feature-hashed centroid cosine, x139 = set-resemblance
@@ -1893,6 +1932,25 @@ object DedupOps {
     * the estimator's error (err_ppm), per pair, every round. Reuses the
     * memoized x107 shingle index and the x02 Carter-Wegman family —
     * identical constants inlined into both engines.
+    *
+    * SAMPLE-SIDE AUDIT CONTRACT (r10, the x132 pattern — r9 verdict item
+    * 4): the audit legs (distinct build, per-source counts, intersection
+    * self-join) read only a deterministic md5-coin stratum of the shingle
+    * universe, `md5coin(sh) % S == 0` with `S = max(1, n_docs div
+    * [[AuditDocBudget]])` — computable identically in both engines (the
+    * corpus row count is the one scalar input). At the correctness-gate
+    * scales S = 1, so the sample IS the population and the oracle
+    * equality stays a full-universe proof; at 100× the audit's exchanges
+    * shrink by ~S while exact_ppm becomes the exact Jaccard OF THE
+    * SAMPLED UNIVERSE — an unbiased estimate of the full resemblance
+    * (hash-uniform universe sampling), which is precisely what an
+    * estimator-error audit needs. The coin hashes md5(sh) — a SECOND
+    * md5, independent of the minhash family's input h = int(sh[0:15]) —
+    * so the stratum is uncorrelated with the sketch's minima. The sketch
+    * path itself now consumes the raw (source, sh) MULTISET (min is
+    * duplicate-insensitive), dropping the corpus-sized DISTINCT it never
+    * needed: per-source partial state is 12 longs on every map task at
+    * any scale. DedupDiag times the two paths separately (r9 item 5).
     */
   val sourceMinhash: Q = {
     val aggSql = (0 to 11).map(j =>
@@ -1901,14 +1959,17 @@ object DedupOps {
       s"(CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END)").mkString(" + ")
     Q(
       "x139_source_minhash",
-      s"""WITH ssh AS (SELECT DISTINCT source, sh FROM (
+      s"""WITH sshm AS (
          |    SELECT source, substr(md5(raw), 1, 16) AS sh FROM (
          |      SELECT source,
          |        unnest(list_transform(generate_series(1, greatest(len(string_split(text,' '))-2, 0)),
          |               i -> concat_ws(' ', string_split(text,' ')[i], string_split(text,' ')[i+1], string_split(text,' ')[i+2]))) AS raw
-         |      FROM documents))),
-         |h AS (SELECT source, CAST('0x' || substr(sh, 1, 15) AS BIGINT) % $MinhashP AS h FROM ssh),
+         |      FROM documents)),
+         |h AS (SELECT source, CAST('0x' || substr(sh, 1, 15) AS BIGINT) % $MinhashP AS h FROM sshm),
          |sig AS (SELECT source, $aggSql FROM h GROUP BY source),
+         |smp AS (SELECT greatest(1, count(*) // $AuditDocBudget) AS s FROM documents),
+         |ssh AS (SELECT DISTINCT source, sh FROM sshm, smp
+         |        WHERE CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) % s = 0),
          |cnt AS (SELECT source, count(*) AS n FROM ssh GROUP BY source),
          |inter AS (SELECT a.source AS sa, b.source AS sb, count(*) AS i
          |          FROM ssh a JOIN ssh b ON a.sh = b.sh AND a.source < b.source
@@ -1925,14 +1986,8 @@ object DedupOps {
          |JOIN cnt ca ON e.sa = ca.source JOIN cnt cb ON e.sb = cb.source
          |ORDER BY source_a, source_b""".stripMargin
     ) { (s, dir) =>
-      val ssh = cachedShingles(s, dir)
-        .join(docs(s, dir).select("doc_id", "source"), "doc_id")
-        .select("source", "sh").distinct()
-      val h = expr(s"cast(conv(substring(sh, 1, 15), 16, 10) as bigint) % $MinhashP")
-      val minCols = (0 to 11).map(j =>
-        min((lit(minhashA(j)) * col("h") + lit(minhashB(j))) % MinhashP).as(s"mh$j"))
-      val sig = ssh.withColumn("h", h).groupBy("source")
-        .agg(minCols.head, minCols.tail: _*)
+      val sig = diagSourceSig(s, dir)
+      val ssh = diagSourceAuditSet(s, dir)
       val cnt = ssh.groupBy("source").agg(count(lit(1)).as("n"))
       val inter = ssh.as("a")
         .join(ssh.as("b"), col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
