@@ -371,7 +371,36 @@ object PlanAudit {
     // vocabulary/constant-sized — TakeOrdered head, broadcast cross of
     // the 4-row size dim, NO corpus probe pass
     "x141_vocab_curve" -> Seq("TakeOrderedAndProject", "BroadcastExchange",
-      "HashAggregate"))
+      "HashAggregate"),
+    // HLL union: rides the memoized shingle index (InMemory); registers
+    // come from plain hash aggregates — no window over any corpus-sized
+    // stream anywhere in the plan
+    "x142_hll_union" -> Seq("(?i)inmemory", "HashAggregate",
+      "(?s)\\A(?!.*Window).*"),
+    // RRF fusion: the query batch broadcasts into BOTH legs — the corpus
+    // never shuffles on a similarity key; per-leg/fused top-k are q_id-
+    // partitioned windows over candidate-scale rows
+    "x143_rrf_fusion" -> Seq("BroadcastExchange",
+      "BroadcastNestedLoopJoin|BroadcastHashJoin", "WindowExec|Window"),
+    // centroid confusion: centroids + totals broadcast; assignment is the
+    // x22/x57 broadcast + partial-agg shape, never a cartesian of vectors
+    "x144_centroid_confusion" -> Seq("BroadcastExchange",
+      "BroadcastNestedLoopJoin|BroadcastHashJoin", "HashAggregate",
+      "(?s)\\A(?!.*CartesianProduct).*"),
+    // batch novelty: rides the memoized shingle index; digest-keyed hash
+    // aggregates + ONE digest equi join — no window over doc/shingle rows
+    "x145_batch_novelty" -> Seq("(?i)inmemory", "HashAggregate",
+      "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
+      "(?s)\\A(?!.*Window).*"),
+    // packing waste: row-local literal fan-out + ONE hash aggregate — no
+    // join, no window, codegen end to end
+    "x146_packing_waste" -> Seq("(?s)\\A(?!.*Join).*", "Generate",
+      "HashAggregate", "codegen id"),
+    // covariance audit: the whole corpus collapses through the mergeable
+    // VecOuterAgg state (ObjectHashAggregate); everything after is
+    // constant-sized (2,016-row pair map broadcast, rank window over it)
+    "x147_cov_offdiag" -> Seq("(?i)vecouteragg", "ObjectHashAggregate",
+      "BroadcastExchange|BroadcastNestedLoopJoin", "WindowExec|Window"))
 
   /** Execute one audited query and evaluate its plan patterns — shared by
     * the CLI main and PlanShapeSpec (so plan-shape regressions fail CI, not

@@ -2014,10 +2014,168 @@ object DedupOps {
     }
   }
 
+  /** Mergeable per-source HLL registers + union audit — the
+    * distinct-COUNTING analogue of x139's Broder union property: each
+    * source carries 32 max-registers (Flajolet/Fusy/Gandouet/Meunier,
+    * "HyperLogLog", AofA 2007) over its shingle-digest set, and the
+    * corpus-wide ALL row is produced by MERGING the per-source registers
+    * with max — never by re-scanning shingles — which is exactly how
+    * 1000 executors (or 1000 daily shards) combine their sketches.
+    * Where x139 estimates pairwise source Jaccard from min-signatures,
+    * this estimates per-source and corpus distinct-shingle cardinality
+    * from the same digest lineage. No extra hash is paid: bucket = hex
+    * chars 14-15 of the shingle digest mod 32, ρ = leading-zero bits of
+    * the 52-bit hex 1-13 prefix + 1, derived with string ops only (no
+    * log2/bit_length, so both engines agree bit-for-bit). The estimator
+    * is the raw harmonic mean with α₃₂·m² = 0.697·1024, and Σ 2^(−M_b)
+    * is carried as the exact INTEGER Σ 2^(53−M_b) (32 terms ≤ 2^53 each,
+    * < 2^59 total), so the only float ops are one literal multiply and
+    * one divide in fixed order. Small-range linear counting is
+    * deliberately NOT applied (ln is banned under §7.5); `zero_buckets`
+    * is emitted so a consumer can — at corpus scale every bucket is hit.
+    * The exact count(DISTINCT) legs are the AUDIT price (digest-keyed
+    * exchange); production readers take the 32-register sketches alone.
+    *
+    * Scale shape: registers come from ONE (source, bucket) max-aggregate
+    * over the memoized shingle lineage — partial aggregation collapses
+    * every map task to ≤ 32 rows per source and the exchange carries
+    * register rows, never shingles. The ALL row is a 32-row roll-up.
+    */
+  val hllUnion: Q = Q(
+    "x142_hll_union",
+    """WITH sshm AS (
+      |    SELECT source, sh FROM (
+      |      SELECT DISTINCT doc_id, source, substr(md5(raw), 1, 16) AS sh FROM (
+      |        SELECT doc_id, source,
+      |          unnest(list_transform(generate_series(1, greatest(len(string_split(text,' '))-2, 0)),
+      |                 i -> concat_ws(' ', string_split(text,' ')[i], string_split(text,' ')[i+1], string_split(text,' ')[i+2]))) AS raw
+      |        FROM documents))),
+      |r AS (SELECT source,
+      |        CAST('0x' || substr(sh, 14, 2) AS INTEGER) % 32 AS b,
+      |        substr(sh, 1, 13) AS ws
+      |      FROM sshm),
+      |rho AS (SELECT source, b,
+      |          CASE WHEN length(regexp_extract(ws, '^0*')) = 13 THEN 53
+      |               ELSE 4 * length(regexp_extract(ws, '^0*'))
+      |                    + (CASE substr(ws, length(regexp_extract(ws, '^0*')) + 1, 1)
+      |                         WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+      |                         WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+      |                         WHEN '7' THEN 1 ELSE 0 END) + 1 END AS rho
+      |        FROM r),
+      |reg AS (SELECT source, b, max(rho) AS mreg FROM rho GROUP BY source, b),
+      |regall AS (SELECT 'ALL' AS source, b, max(mreg) AS mreg FROM reg GROUP BY b),
+      |sums AS (SELECT source,
+      |           sum(CAST(1 AS BIGINT) << (53 - mreg))
+      |             + (32 - count(*)) * (CAST(1 AS BIGINT) << 53) AS intsum,
+      |           CAST(32 - count(*) AS BIGINT) AS zero_buckets
+      |         FROM (SELECT * FROM reg UNION ALL SELECT * FROM regall)
+      |         GROUP BY source),
+      |ex AS (SELECT source, count(*) AS n_shingles, count(DISTINCT sh) AS n_distinct
+      |       FROM sshm GROUP BY source
+      |       UNION ALL
+      |       SELECT 'ALL', count(*), count(DISTINCT sh) FROM sshm)
+      |SELECT s.source, CAST(e.n_shingles AS BIGINT) AS n_shingles,
+      |       CAST(e.n_distinct AS BIGINT) AS n_distinct, s.zero_buckets,
+      |       round(713.728::DOUBLE * 9007199254740992.0::DOUBLE / CAST(s.intsum AS DOUBLE), 2) AS hll_est,
+      |       round((713.728::DOUBLE * 9007199254740992.0::DOUBLE / CAST(s.intsum AS DOUBLE) - e.n_distinct)
+      |             * 1000000.0::DOUBLE / e.n_distinct, 2) AS err_ppm
+      |FROM sums s JOIN ex e ON s.source = e.source
+      |ORDER BY s.source""".stripMargin
+  ) { (s, dir) =>
+    val ssh = sourceShingles(s, dir)
+    val rho = ssh.select(col("source"),
+        expr("cast(conv(substring(sh, 14, 2), 16, 10) as int) % 32").as("b"),
+        substring(col("sh"), 1, 13).as("ws"))
+      .select(col("source"), col("b"),
+        expr("""CASE WHEN length(regexp_extract(ws, '^0*', 0)) = 13 THEN 53
+               |     ELSE 4 * length(regexp_extract(ws, '^0*', 0))
+               |          + (CASE substring(ws, length(regexp_extract(ws, '^0*', 0)) + 1, 1)
+               |               WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+               |               WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+               |               WHEN '7' THEN 1 ELSE 0 END) + 1 END""".stripMargin).as("rho"))
+    val reg = rho.groupBy("source", "b").agg(max("rho").as("mreg"))
+    // union-by-max: the corpus sketch is a MERGE of the per-source sketches
+    val regAll = reg.groupBy("b").agg(max("mreg").as("mreg"))
+      .select(lit("ALL").as("source"), col("b"), col("mreg"))
+    val sums = reg.unionByName(regAll)
+      .groupBy("source")
+      .agg(
+        (sum(expr("shiftleft(cast(1 as bigint), cast(53 - mreg as int))"))
+          + (lit(32L) - count(lit(1))) * expr("shiftleft(cast(1 as bigint), 53)"))
+          .as("intsum"),
+        (lit(32L) - count(lit(1))).as("zero_buckets"))
+    val ex = ssh.groupBy("source")
+      .agg(count(lit(1)).as("n_shingles"), countDistinct(col("sh")).as("n_distinct"))
+      .unionByName(ssh
+        .agg(count(lit(1)).as("n_shingles"), countDistinct(col("sh")).as("n_distinct"))
+        .select(lit("ALL").as("source"), col("n_shingles"), col("n_distinct")))
+    val raw = lit(713.728) * lit(9007199254740992.0) / col("intsum").cast("double")
+    sums.join(ex, "source")
+      .select(col("source"), col("n_shingles"), col("n_distinct"), col("zero_buckets"),
+        round(raw, 2).as("hll_est"),
+        round((raw - col("n_distinct")) * lit(1000000.0) / col("n_distinct"), 2)
+          .as("err_ppm"))
+      .orderBy("source")
+  }
+
+  /** Crawl-batch novelty curve: split the corpus into 10 ingestion batches
+    * (deterministic doc_id ranges — the stand-in for crawl snapshots) and
+    * measure, per batch, how much of its shingle mass was NEVER seen in an
+    * earlier batch. This is the curve a continuously-crawled corpus is
+    * judged by (diminishing novelty ⇒ the next crawl buys fewer new
+    * tokens — the data-constrained-scaling question), and the batch-delta
+    * analogue of x80's incremental dedup: x80 asks "which NEW docs
+    * duplicate the index", this asks "how much of each batch's CONTENT is
+    * index-new". A shingle instance here is a distinct (doc, shingle)
+    * presence from the shared [[cachedShingles]] index; it counts as
+    * novel iff its shingle's first batch is this batch.
+    *
+    * Scale shape: rides the memoized shingle index; then two digest-keyed
+    * hash aggregates ((sh, batch) counts; per-sh min batch) and one
+    * digest equi-join between them — every exchange carries 16-hex
+    * digests + small ints, never text, and the output is 10 rows. The
+    * novelty ppm widens before the ×1e6 (x125 contract).
+    */
+  val batchNovelty: Q = Q(
+    "x145_batch_novelty",
+    s"""WITH sh AS ($shingleSql),
+       |n AS (SELECT count(*) AS n_corpus FROM documents),
+       |sb AS (SELECT sh.sh, least(9, sh.doc_id * 10 // n.n_corpus) AS batch FROM sh, n),
+       |cb AS (SELECT sh, batch, count(*) AS c FROM sb GROUP BY sh, batch),
+       |fb AS (SELECT sh, min(batch) AS first_batch FROM cb GROUP BY sh)
+       |SELECT CAST(cb.batch AS BIGINT) AS batch,
+       |       CAST(sum(c) AS BIGINT) AS n_inst,
+       |       CAST(sum(CASE WHEN cb.batch = fb.first_batch THEN c ELSE 0 END) AS BIGINT) AS n_novel,
+       |       CAST(CAST(sum(CASE WHEN cb.batch = fb.first_batch THEN c ELSE 0 END) AS HUGEINT)
+       |            * 1000000 // sum(c) AS BIGINT) AS novelty_ppm,
+       |       CAST(sum(CASE WHEN cb.batch = fb.first_batch THEN 1 ELSE 0 END) AS BIGINT) AS n_new_shingles
+       |FROM cb JOIN fb ON cb.sh = fb.sh
+       |GROUP BY cb.batch ORDER BY batch""".stripMargin
+  ) { (s, dir) =>
+    val nDocs = docs(s, dir).agg(count(lit(1)).as("n_corpus"))
+    val sb = cachedShingles(s, dir)
+      .crossJoin(broadcast(nDocs))
+      .select(col("sh"), least(lit(9L), expr("doc_id * 10 div n_corpus")).as("batch"))
+    val cb = sb.groupBy("sh", "batch").agg(count(lit(1)).as("c"))
+    val fb = cb.groupBy("sh").agg(min(col("batch")).as("first_batch"))
+    cb.join(fb, "sh")
+      .groupBy("batch")
+      .agg(
+        sum(col("c")).as("n_inst"),
+        sum(when(col("batch") === col("first_batch"), col("c")).otherwise(0L)).as("n_novel"),
+        sum(when(col("batch") === col("first_batch"), 1L).otherwise(0L)).as("n_new_shingles"))
+      .select(col("batch"), col("n_inst"), col("n_novel"),
+        // widen BEFORE the ×1e6 (HUGEINT on the oracle side — x125 contract)
+        expr("cast(cast(n_novel as decimal(38,0)) * 1000000 div n_inst as bigint)")
+          .as("novelty_ppm"),
+        col("n_new_shingles"))
+      .orderBy("batch")
+  }
+
   val all: Seq[Q] =
     Seq(exactDedup, minhashLsh, simhash, ngramJaccard, dupClusters, pagerank, splitLeakage,
       canonicalPick, curationPipeline, triangleCount, incrementalDedup, lshVerify,
       spanDedup, simhashBands, fuzzyPrefixJoin, prefixAllpairs, sortedNeighborhood,
       labelProp, minhashError, tombstonePropagate, nearDupContamination, containmentJoin,
-      clusterSafeSplit, sourceMinhash)
+      clusterSafeSplit, sourceMinhash, hllUnion, batchNovelty)
 }

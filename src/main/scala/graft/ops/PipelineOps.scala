@@ -951,8 +951,71 @@ object PipelineOps {
       .orderBy("source")
   }
 
+  /** Context-length fit audit: for candidate sequence lengths L ∈
+    * {64, 256, 1024}, what the two standard document→sequence policies
+    * cost in tokens — (a) one-doc-one-sequence TRUNCATION at L loses
+    * `max(0, t−L)` tokens per doc; (b) doc-per-sequence PADDING burns
+    * `ceil(t/L)·L − t` slots per doc. The table this emits (per language
+    * × L: docs, tokens, sequences, lost mass, pad mass, both as exact
+    * ppm) is the decision input for picking a training context length
+    * BEFORE running the packer (x29 packs greedily at a fixed L; x136
+    * shards the packed output) — at 100 TB you want this audit from one
+    * scan, not from trial packing runs.
+    *
+    * Scale shape: the ×3 candidate-length fan-out is a row-local literal
+    * explode (Generate), everything else is ONE hash aggregate over
+    * (lang, L) — no join, no window, partial aggregation collapses each
+    * map task to ≤ |langs|×3 rows. Sums widen to decimal(38,0)/HUGEINT
+    * before the ×1e6 ppm multiply (the x125 overflow contract). Null-text
+    * docs are excluded on both engines (the x136 contract: a null doc has
+    * no token count under ANSI `size(split(NULL))`).
+    */
+  val packingWaste: Q = Q(
+    "x146_packing_waste",
+    """WITH d AS (SELECT lang, len(string_split(text, ' ')) AS t
+      |           FROM documents WHERE text IS NOT NULL),
+      |f AS (SELECT lang, l, t,
+      |             greatest(t - l, 0) AS lost,
+      |             ((t + l - 1) // l) * l AS slots
+      |      FROM d, (SELECT unnest([64, 256, 1024]) AS l) ls)
+      |SELECT lang, CAST(l AS BIGINT) AS ctx_len,
+      |       count(*) AS n_docs,
+      |       CAST(sum(t) AS BIGINT) AS n_tokens,
+      |       CAST(sum(slots // l) AS BIGINT) AS n_seqs,
+      |       CAST(sum(lost) AS BIGINT) AS trunc_lost,
+      |       CAST(CAST(sum(lost) AS HUGEINT) * 1000000 // sum(t) AS BIGINT) AS trunc_ppm,
+      |       CAST(sum(slots - t) AS BIGINT) AS pad_tokens,
+      |       CAST(CAST(sum(slots - t) AS HUGEINT) * 1000000 // sum(slots) AS BIGINT) AS pad_ppm
+      |FROM f GROUP BY lang, l ORDER BY lang, ctx_len""".stripMargin
+  ) { (s, dir) =>
+    val d = docs(s, dir).where(col("text").isNotNull)
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("t"))
+    d.select(col("lang"), col("t"),
+        explode(array(lit(64L), lit(256L), lit(1024L))).as("l"))
+      .select(col("lang"), col("l"), col("t"),
+        greatest(col("t") - col("l"), lit(0L)).as("lost"),
+        (expr("(t + l - 1) div l") * col("l")).as("slots"))
+      .groupBy(col("lang"), col("l").as("ctx_len"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("t")).as("n_tokens"),
+        sum(expr("slots div l")).as("n_seqs"),
+        sum(col("lost")).as("trunc_lost"),
+        sum(col("slots") - col("t")).as("pad_tokens"),
+        sum(col("slots")).as("slots"))
+      .select(col("lang"), col("ctx_len"), col("n_docs"), col("n_tokens"),
+        col("n_seqs"), col("trunc_lost"),
+        // widen BEFORE the ×1e6 (x125 contract; HUGEINT on the oracle side)
+        expr("cast(cast(trunc_lost as decimal(38,0)) * 1000000 div n_tokens as bigint)")
+          .as("trunc_ppm"),
+        col("pad_tokens"),
+        expr("cast(cast(pad_tokens as decimal(38,0)) * 1000000 div slots as bigint)")
+          .as("pad_ppm"))
+      .orderBy("lang", "ctx_len")
+  }
+
   val all: Seq[Q] = Seq(chunkDedup, repetitionScore, contamination, hashSample,
     seqPacking, stratifiedTopK, refIntegrity, temperatureMix, ragChunking,
     driftMonitor, bloomNovelty, quotaSample, budgetSelect, epochPlan, dsirResample,
-    cdcChunks, passageDedup)
+    cdcChunks, passageDedup, packingWaste)
 }

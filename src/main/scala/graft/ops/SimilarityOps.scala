@@ -1519,9 +1519,297 @@ object SimilarityOps {
       .orderBy("label")
   }
 
+  /** Nearest-centroid classifier eval: assign every vector to its nearest
+    * per-label MEAN centroid (Rocchio classification) and score the
+    * assignment against the true labels — per-class confusion counts,
+    * precision/recall/F1, global accuracy, and Cohen's κ (Cohen 1960:
+    * (p_o − p_e)/(1 − p_e) with p_e from the confusion marginals). This is
+    * the label-quality audit a training pipeline runs on embedding+label
+    * corpora: κ near 0 means the labels carry no geometric signal.
+    *
+    * Cross-engine exactness: centroid components are integerized ppm means
+    * — floor(Σppm/n + 0.5) where the division is ONE correctly-rounded
+    * IEEE op in the same order on both engines (the x34 discipline) — and
+    * the classifier metric is the exact INTEGER squared distance
+    * Σ(ppm−c_ppm)², so argmin (label tiebreak) is bit-identical. The only
+    * doubles in the output are κ's fixed-order ratio.
+    *
+    * Scale shape: centroids come from ONE (label, dim) aggregate
+    * (|labels|×64 rows, broadcast back); assignment is the x22/x57
+    * crossJoin-against-broadcast + min_by partial aggregate — the corpus
+    * never shuffles on a similarity key and the exchange carries one row
+    * per vector; everything downstream of the confusion aggregate is
+    * |labels|-sized.
+    */
+  val centroidConfusion: Q = Q(
+    "x144_centroid_confusion",
+    """WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+      |e AS (SELECT vec_id, label, i,
+      |        CAST(floor((embedding::DOUBLE[])[i] * 1000000 + 0.5) AS BIGINT) AS ppm
+      |      FROM embeddings, idx),
+      |cent AS (SELECT label AS c_label, i,
+      |           CAST(floor(CAST(sum(ppm) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS c_ppm
+      |         FROM e GROUP BY label, i),
+      |d AS (SELECT e.vec_id, e.label, c.c_label,
+      |        sum((e.ppm - c.c_ppm) * (e.ppm - c.c_ppm)) AS d2
+      |      FROM e JOIN cent c ON e.i = c.i
+      |      GROUP BY e.vec_id, e.label, c.c_label),
+      |pr AS (SELECT vec_id, label, c_label AS pred FROM (
+      |        SELECT vec_id, label, c_label,
+      |               row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rk
+      |        FROM d) WHERE rk = 1),
+      |conf AS (SELECT label, pred, count(*) AS n FROM pr GROUP BY label, pred),
+      |cls AS (SELECT DISTINCT label FROM embeddings),
+      |pc AS (SELECT cls.label AS label,
+      |         CAST(COALESCE(t.n_true, 0) AS BIGINT) AS n_true,
+      |         CAST(COALESCE(p.n_pred, 0) AS BIGINT) AS n_pred,
+      |         CAST(COALESCE(dg.tp, 0) AS BIGINT) AS tp
+      |       FROM cls
+      |       LEFT JOIN (SELECT label, sum(n) AS n_true FROM conf GROUP BY label) t
+      |         ON t.label = cls.label
+      |       LEFT JOIN (SELECT pred, sum(n) AS n_pred FROM conf GROUP BY pred) p
+      |         ON p.pred = cls.label
+      |       LEFT JOIN (SELECT label, n AS tp FROM conf WHERE label = pred) dg
+      |         ON dg.label = cls.label),
+      |met AS (SELECT label, n_true, n_pred, tp,
+      |          CAST(CASE WHEN n_pred = 0 THEN -1
+      |               ELSE CAST(tp AS HUGEINT) * 1000000 // n_pred END AS BIGINT) AS precision_ppm,
+      |          CAST(CASE WHEN n_true = 0 THEN -1
+      |               ELSE CAST(tp AS HUGEINT) * 1000000 // n_true END AS BIGINT) AS recall_ppm
+      |        FROM pc),
+      |tot AS (SELECT sum(n_true) AS n_total, sum(tp) AS diag,
+      |               sum(CAST(n_true AS HUGEINT) * n_pred) AS pe_num FROM pc)
+      |SELECT CAST(met.label AS BIGINT) AS label, n_true, n_pred, tp,
+      |       precision_ppm, recall_ppm,
+      |       CAST(CASE WHEN precision_ppm > 0 AND recall_ppm > 0
+      |            THEN 2 * precision_ppm * recall_ppm // (precision_ppm + recall_ppm)
+      |            ELSE 0 END AS BIGINT) AS f1_ppm,
+      |       CAST(CAST(diag AS HUGEINT) * 1000000 // n_total AS BIGINT) AS acc_ppm,
+      |       round((CAST(diag AS DOUBLE) / n_total
+      |              - CAST(pe_num AS DOUBLE) / n_total / n_total)
+      |             / (1.0 - CAST(pe_num AS DOUBLE) / n_total / n_total), 6) AS kappa
+      |FROM met, tot ORDER BY label""".stripMargin
+  ) { (s, dir) =>
+    val ppmArr = transform(col("embedding"), v =>
+      floor(v.cast("double") * 1000000 + 0.5).cast("long"))
+    // |labels|×64 centroid aggregate → per-label ordered component arrays
+    val cent = embs(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("p", "v")))
+      .groupBy(col("label").as("c_label"), (col("p") + 1).as("i"))
+      .agg(sum(floor(col("v").cast("double") * 1000000 + 0.5).cast("long")).as("sd"),
+        count(lit(1)).as("cnt"))
+      .select(col("c_label"), col("i"),
+        floor(col("sd").cast("double") / col("cnt") + 0.5).cast("long").as("c_ppm"))
+      .groupBy("c_label")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("c_ppm")))),
+        x => x.getField("c_ppm")).as("cv"))
+    // assignment: broadcast centroids, row-local exact integer d², min_by
+    val pr = embs(s, dir).select(col("vec_id"), col("label"), ppmArr.as("pv"))
+      .crossJoin(broadcast(cent))
+      .withColumn("d2", aggregate(
+        zip_with(col("pv"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+      .groupBy("vec_id")
+      .agg(first(col("label")).as("label"),
+        min_by(col("c_label"), struct(col("d2"), col("c_label"))).as("pred"))
+    val conf = pr.groupBy("label", "pred").agg(count(lit(1)).as("n"))
+    val pc = embs(s, dir).select(col("label")).distinct()
+      .join(conf.groupBy("label").agg(sum("n").as("nt")), Seq("label"), "left")
+      .join(conf.groupBy(col("pred").as("label")).agg(sum("n").as("np")), Seq("label"), "left")
+      .join(conf.where(col("label") === col("pred")).select(col("label"), col("n").as("tpn")),
+        Seq("label"), "left")
+      .select(col("label"), coalesce(col("nt"), lit(0L)).as("n_true"),
+        coalesce(col("np"), lit(0L)).as("n_pred"), coalesce(col("tpn"), lit(0L)).as("tp"))
+    val tot = pc.agg(sum("n_true").as("n_total"), sum("tp").as("diag"),
+      sum(col("n_true").cast("decimal(38,0)") * col("n_pred")).as("pe_num"))
+    pc.crossJoin(broadcast(tot))
+      .select(col("label").cast("long").as("label"), col("n_true"), col("n_pred"), col("tp"),
+        expr("""CASE WHEN n_pred = 0 THEN cast(-1 as bigint)
+               |ELSE cast(cast(tp as decimal(38,0)) * 1000000 div n_pred as bigint) END"""
+          .stripMargin).as("precision_ppm"),
+        expr("""CASE WHEN n_true = 0 THEN cast(-1 as bigint)
+               |ELSE cast(cast(tp as decimal(38,0)) * 1000000 div n_true as bigint) END"""
+          .stripMargin).as("recall_ppm"))
+      .withColumn("f1_ppm",
+        expr("""CASE WHEN precision_ppm > 0 AND recall_ppm > 0
+               |THEN (2 * precision_ppm * recall_ppm) div (precision_ppm + recall_ppm)
+               |ELSE cast(0 as bigint) END""".stripMargin))
+      .crossJoin(broadcast(tot))
+      .withColumn("acc_ppm",
+        expr("cast(cast(diag as decimal(38,0)) * 1000000 div n_total as bigint)"))
+      .withColumn("kappa",
+        round((col("diag").cast("double") / col("n_total")
+            - col("pe_num").cast("double") / col("n_total") / col("n_total"))
+          / (lit(1.0) - col("pe_num").cast("double") / col("n_total") / col("n_total")), 6))
+      .select("label", "n_true", "n_pred", "tp", "precision_ppm", "recall_ppm",
+        "f1_ppm", "acc_ppm", "kappa")
+      .orderBy("label")
+  }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR 2009) of a
+    * LEXICAL and a DENSE doc-to-doc retrieval leg — the standard hybrid
+    * the RAG stack runs over a curated corpus: for each query doc
+    * (id % 50 = 0, id < 20000 — x06's bounded query batch), leg 1 ranks
+    * neighbors by distinct-token overlap (the inverted-index signal),
+    * leg 2 by embedding cosine (x06's exact ranking), and the fusion
+    * score is Σ 1/(60 + rank) over the legs where the candidate appears
+    * (k = 60, the published constant). Top-5 fused per query, with each
+    * leg's rank carried (−1 = absent from that leg's top-20).
+    *
+    * Cross-engine exactness: ranks are integers with deterministic
+    * tiebreaks; 1/(60+r) is one correctly-rounded double op and the
+    * two-term sum runs in fixed order — bit-identical, so the fused
+    * rank cut needs no epsilon. Scale shape: the query batch broadcasts
+    * into BOTH legs (the corpus never shuffles on a similarity key: the
+    * token join is corpus-tokens ⨝ broadcast-query-tokens, the cosine
+    * leg is x06's broadcast scan); per-leg and fused top-k windows
+    * partition by q_id over candidate-scale rows only.
+    */
+  val rrfFusion: Q = Q(
+    "x143_rrf_fusion",
+    s"""WITH n AS ($normedSql),
+       |q AS (SELECT vec_id AS q_id, v, nrm FROM n WHERE vec_id % 50 = 0 AND vec_id < 20000),
+       |cosr AS (SELECT q_id, n_id, rc FROM (
+       |  SELECT q.q_id, c.vec_id AS n_id,
+       |         row_number() OVER (PARTITION BY q.q_id
+       |           ORDER BY round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) DESC, c.vec_id) AS rc
+       |  FROM q JOIN n c ON c.vec_id <> q.q_id) WHERE rc <= 20),
+       |tok AS (SELECT DISTINCT doc_id, w FROM (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
+       |qt AS (SELECT doc_id AS q_id, w FROM tok WHERE doc_id % 50 = 0 AND doc_id < 20000),
+       |ov AS (SELECT qt.q_id, t.doc_id AS n_id, count(*) AS o
+       |       FROM qt JOIN tok t ON qt.w = t.w AND t.doc_id <> qt.q_id
+       |       GROUP BY qt.q_id, t.doc_id),
+       |lexr AS (SELECT q_id, n_id, rl FROM (
+       |  SELECT q_id, n_id,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY o DESC, n_id) AS rl
+       |  FROM ov) WHERE rl <= 20),
+       |f AS (SELECT COALESCE(c.q_id, l.q_id) AS q_id, COALESCE(c.n_id, l.n_id) AS n_id,
+       |        COALESCE(1.0::DOUBLE / (60 + c.rc), 0.0) + COALESCE(1.0::DOUBLE / (60 + l.rl), 0.0) AS score,
+       |        COALESCE(c.rc, -1) AS rc, COALESCE(l.rl, -1) AS rl
+       |      FROM cosr c FULL OUTER JOIN lexr l ON c.q_id = l.q_id AND c.n_id = l.n_id)
+       |SELECT q_id, rk, n_id, round(score, 6) AS rrf,
+       |       CAST(rc AS BIGINT) AS rank_cos, CAST(rl AS BIGINT) AS rank_lex
+       |FROM (SELECT q_id, n_id, score, rc, rl,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rk
+       |      FROM f)
+       |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+  ) { (s, dir) =>
+    val n = normed(s, dir)
+    val q = n.where(col("vec_id") % 50 === 0 && col("vec_id") < 20000)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("qn"))
+    val cos = round(dot(col("qv"), col("embedding")) / (col("qn") * col("nrm")), 6)
+    val wc = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    val cosr = n.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), cos.as("cos"))
+      .withColumn("rc", row_number().over(wc))
+      .where(col("rc") <= 20).select("q_id", "n_id", "rc")
+    val tok = Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w")).distinct()
+    val qt = tok.where(col("doc_id") % 50 === 0 && col("doc_id") < 20000)
+      .select(col("doc_id").as("q_id"), col("w"))
+    val wl = Window.partitionBy("q_id").orderBy(col("o").desc, col("n_id"))
+    val lexr = tok.join(broadcast(qt), tok("w") === qt("w") && col("doc_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("doc_id").as("n_id"))
+      .agg(count(lit(1)).as("o"))
+      .withColumn("rl", row_number().over(wl))
+      .where(col("rl") <= 20).select("q_id", "n_id", "rl")
+    val score = coalesce(lit(1.0) / (lit(60) + col("rc")), lit(0.0)) +
+      coalesce(lit(1.0) / (lit(60) + col("rl")), lit(0.0))
+    val wf = Window.partitionBy("q_id").orderBy(col("score").desc, col("n_id"))
+    cosr.join(lexr, Seq("q_id", "n_id"), "full_outer")
+      .select(col("q_id"), col("n_id"), score.as("score"),
+        coalesce(col("rc"), lit(-1)).as("rc"), coalesce(col("rl"), lit(-1)).as("rl"))
+      .withColumn("rk", row_number().over(wf))
+      .where(col("rk") <= 5)
+      .select(col("q_id"), col("rk"), col("n_id"), round(col("score"), 6).as("rrf"),
+        col("rc").cast("long").as("rank_cos"), col("rl").cast("long").as("rank_lex"))
+      .orderBy("q_id", "rk")
+  }
+
+  /** Embedding covariance/whitening audit: the 20 most correlated
+    * off-diagonal dimension pairs, from ONE pass. x128 reports the
+    * per-dim first/second moments (the covariance DIAGONAL); a whitened
+    * or decorrelated embedding space should also have near-zero
+    * OFF-diagonal mass, and heavy |corr| pairs mean the effective
+    * dimensionality is lower than 64 (a PQ/IVF recall hazard — subspace
+    * quantizers assume decorrelated blocks). The full second-moment
+    * matrix Σ m·mᵀ rides [[graft.functions.VecOuterAgg]] — a mergeable
+    * 2,145-long state (n, 64 component sums, 2,080 upper-triangle
+    * product sums in exact milli-integer arithmetic), so the corpus is
+    * read once and the exchange carries ONE constant-size state per map
+    * task; everything downstream (pair explode, corr arithmetic, the
+    * rank window) runs over 2,016 constant rows. corr(i,j) =
+    * (n·P_ij − S_i·S_j) / √(n·P_ii − S_i²) / √(n·P_jj − S_j²), exact
+    * integers widened to decimal(38,0)/HUGEINT, ONE fixed-order double
+    * chain at the end — bit-identical cross-engine, so the top-20 cut
+    * needs no epsilon. The DuckDB twin recomputes the same sums by
+    * unnesting pairs (the audit-scale shape; the Spark side never
+    * generates per-row pair fan-out).
+    */
+  val covOffdiag: Q = Q(
+    "x147_cov_offdiag",
+    """WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+      |m AS (SELECT vec_id, i,
+      |        CAST(floor((embedding::DOUBLE[])[i] * 1000 + 0.5) AS BIGINT) AS mv
+      |      FROM embeddings, idx),
+      |n AS (SELECT count(*) AS n FROM embeddings),
+      |s AS (SELECT i, sum(mv) AS si FROM m GROUP BY i),
+      |p AS (SELECT a.i AS i, b.i AS j, sum(a.mv * b.mv) AS pij
+      |      FROM m a JOIN m b ON a.vec_id = b.vec_id AND a.i < b.i
+      |      GROUP BY a.i, b.i),
+      |v AS (SELECT i, sum(mv * mv) AS pii FROM m GROUP BY i),
+      |c AS (SELECT p.i, p.j,
+      |        CASE WHEN n.n * va.pii - sa.si * sa.si <= 0
+      |               OR n.n * vb.pii - sb.si * sb.si <= 0 THEN 0.0
+      |             ELSE CAST(n.n * p.pij - sa.si * sb.si AS DOUBLE)
+      |                  / sqrt(CAST(n.n * va.pii - sa.si * sa.si AS DOUBLE))
+      |                  / sqrt(CAST(n.n * vb.pii - sb.si * sb.si AS DOUBLE)) END AS corr_raw
+      |      FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j
+      |             JOIN v va ON va.i = p.i JOIN v vb ON vb.i = p.j, n)
+      |SELECT rk, CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+      |       round(corr_raw, 6) AS corr
+      |FROM (SELECT i, j, corr_raw,
+      |        row_number() OVER (ORDER BY abs(corr_raw) DESC, i, j) AS rk FROM c)
+      |WHERE rk <= 20 ORDER BY rk""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val outer = udaf(new graft.functions.VecOuterAgg(64),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
+    val st = embs(s, dir).agg(outer(col("embedding")).as("st"))
+    // constant 2,016-row (pair → state offsets) map; k(i,j) mirrors the
+    // aggregator's upper-triangle layout
+    def kOf(a: Int, b: Int) = (a - 1) * 65 - (a - 1) * a / 2 + (b - a + 1)
+    val pairMap = (1 to 64).flatMap { i =>
+      (i + 1 to 64).map(j => (kOf(i, j), i, j, kOf(i, i), kOf(j, j)))
+    }.toDF("k", "i", "j", "kii", "kjj")
+    val cells = st.crossJoin(broadcast(pairMap)).select(
+      col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+      element_at(col("st"), lit(1)).as("n"),
+      element_at(col("st"), col("i").cast("int") + 1).as("si"),
+      element_at(col("st"), col("j").cast("int") + 1).as("sj"),
+      element_at(col("st"), col("k") + 65).as("pij"),
+      element_at(col("st"), col("kii") + 65).as("pii"),
+      element_at(col("st"), col("kjj") + 65).as("pjj"))
+    val num = col("n").cast("decimal(38,0)") * col("pij") -
+      col("si").cast("decimal(38,0)") * col("sj")
+    val vi = col("n").cast("decimal(38,0)") * col("pii") -
+      col("si").cast("decimal(38,0)") * col("si")
+    val vj = col("n").cast("decimal(38,0)") * col("pjj") -
+      col("sj").cast("decimal(38,0)") * col("sj")
+    val corr = when((vi <= 0).or(vj <= 0), lit(0.0))
+      .otherwise(num.cast("double") / sqrt(vi.cast("double")) / sqrt(vj.cast("double")))
+    cells.select(col("i"), col("j"), corr.as("corr_raw"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(abs(col("corr_raw")).desc, col("i"), col("j"))))
+      .where(col("rk") <= 20)
+      .select(col("rk"), col("i"), col("j"), round(col("corr_raw"), 6).as("corr"))
+      .orderBy("rk")
+  }
+
   val all: Seq[Q] = Seq(cosineNearDup, cosineTopK, annLsh, annMultiprobe, annIvf,
     annMultitable, labelCentroids, kmeansIter, semanticDedup, quantizedTopK,
     labelAffinity, annRecall, pqAnn, ivfpqAnn, bitextMargin, annRankEval,
     embeddingMoments, kcenterCoreset, jlDistortion, dimQuantiles, labelDispersion,
-    embeddingOutliers)
+    embeddingOutliers, rrfFusion, centroidConfusion, covOffdiag)
 }

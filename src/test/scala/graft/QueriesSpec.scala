@@ -1850,4 +1850,213 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       } else assert(out(lbl)._2 == -1.0)
     }
   }
+
+  private def md5lower(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Per-doc DISTINCT word-3-gram digest set (DedupOps' shingled shape). */
+  private def docShingleSets(): Seq[(Long, String, Set[String])] =
+    graft.ops.Tables(spark, sfDir, "documents")
+      .select("doc_id", "source", "text").collect()
+      .filter(!_.isNullAt(2))
+      .map { r =>
+        val w = r.getString(2).split(" ", -1)
+        val sh = if (w.length < 3) Set.empty[String]
+          else (0 to w.length - 3).map(i =>
+            md5lower(s"${w(i)} ${w(i + 1)} ${w(i + 2)}").take(16)).toSet
+        (r.getLong(0), r.getString(1), sh)
+      }.toSeq
+
+  test("x142 hll registers re-derive collect-side and the ALL row is the max-merge of the sources") {
+    val out = SparkEntry.queries("x142_hll_union")(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)), r.getDouble(4), r.getDouble(5))).toMap
+    val pairs = docShingleSets().flatMap { case (_, src, sh) => sh.map(src -> _) }
+    def rho(sh: String): Int = {
+      val ws = sh.take(13)
+      val z = ws.takeWhile(_ == '0').length
+      if (z == 13) 53
+      else {
+        val d = Integer.parseInt(ws(z).toString, 16)
+        val lz = if (d >= 8) 0 else if (d >= 4) 1 else if (d >= 2) 2 else 3
+        4 * z + lz + 1
+      }
+    }
+    def bucket(sh: String): Int = Integer.parseInt(sh.substring(13, 15), 16) % 32
+    val perSrc = pairs.groupBy(_._1).map { case (src, ps) =>
+      src -> ps.map(_._2).distinct.map(sh => bucket(sh) -> rho(sh))
+        .groupBy(_._1).map { case (b, rs) => b -> rs.map(_._2).max }
+    }
+    val merged = perSrc.values.flatten.groupBy(_._1).map { case (b, ms) => b -> ms.map(_._2).max }
+    def est(reg: Map[Int, Int]): (Long, Double) = {
+      val intsum = reg.values.map(m => 1L << (53 - m)).sum + (32L - reg.size) * (1L << 53)
+      (32L - reg.size, 713.728 * 9007199254740992.0 / intsum.toDouble)
+    }
+    def r2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for ((src, reg) <- perSrc + ("ALL" -> merged)) {
+      val ps = if (src == "ALL") pairs.map(_._2) else pairs.filter(_._1 == src).map(_._2)
+      val (zb, e) = est(reg)
+      val (counts, hll, _) = out(src)
+      assert(counts == ((ps.size.toLong, ps.distinct.size.toLong, zb)), s"src $src")
+      assert(math.abs(hll - r2(e)) < 1e-9, s"src $src est: $hll vs $e")
+    }
+    assert(out.keySet.size == perSrc.size + 1)
+  }
+
+  test("x143 rrf fusion equals a collect-side two-leg brute-force re-derivation") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("x143_rrf_fusion")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(4), r.getLong(5)), r.getDouble(3))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = graft.ops.Tables(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cosr(q: Long, c: Long): Double = {
+      def dot(a: Array[Float], b: Array[Float]) =
+        (0 until a.length).foldLeft(0.0)((s, i) => s + a(i).toDouble * b(i).toDouble)
+      val (a, b) = (vecs(q), vecs(c))
+      r6(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+    }
+    val toks = graft.ops.Tables(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .filter(!_.isNullAt(1))
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSet).toMap
+    val qids = vecs.keys.filter(q => q % 50 == 0 && q < 20000).toSeq.sorted
+    for (q <- qids) {
+      val cl = vecs.keys.filter(_ != q).toSeq
+        .map(c => (c, cosr(q, c))).sortBy { case (c, s) => (-s, c) }
+        .take(20).zipWithIndex.map { case ((c, _), i) => c -> (i + 1) }.toMap
+      val ll = toks.filter { case (d, ws) => d != q && (ws & toks(q)).nonEmpty }
+        .map { case (d, ws) => (d, (ws & toks(q)).size) }.toSeq
+        .sortBy { case (d, o) => (-o, d) }
+        .take(20).zipWithIndex.map { case ((d, _), i) => d -> (i + 1) }.toMap
+      val fused = (cl.keySet ++ ll.keySet).toSeq
+        .map { d =>
+          val sc = cl.get(d).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+            ll.get(d).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+          (d, sc, cl.getOrElse(d, -1).toLong, ll.getOrElse(d, -1).toLong)
+        }
+        .sortBy { case (d, sc, _, _) => (-sc, d) }.take(5)
+      for (((d, sc, rc, rl), i) <- fused.zipWithIndex) {
+        val (ids, rrf) = out((q, i + 1))
+        assert(ids == ((d, rc, rl)), s"q=$q rk=${i + 1}")
+        assert(math.abs(rrf - r6(sc)) < 1e-9, s"q=$q rk=${i + 1} score")
+      }
+    }
+    assert(out.size == qids.size * 5)
+  }
+
+  test("x144 centroid confusion equals a collect-side integer-distance re-derivation") {
+    val out = SparkEntry.queries("x144_centroid_confusion")(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7)), r.getDouble(8))).toMap
+    val vecs = graft.ops.Tables(spark, sfDir, "embeddings")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong,
+        r.getSeq[Float](2).map(v => math.floor(v.toDouble * 1000000 + 0.5).toLong).toArray))
+    val cents = vecs.groupBy(_._2).map { case (l, ms) =>
+      l -> (0 until 64).map(d =>
+        math.floor(ms.map(_._3(d)).sum.toDouble / ms.length + 0.5).toLong).toArray
+    }
+    val preds = vecs.map { case (_, l, pv) =>
+      val p = cents.toSeq.map { case (cl, cv) =>
+        (cl, (0 until 64).map(d => (pv(d) - cv(d)) * (pv(d) - cv(d))).sum)
+      }.minBy { case (cl, d2) => (d2, cl) }._1
+      (l, p)
+    }
+    val labels = cents.keys.toSeq.sorted
+    val nTrue = preds.groupBy(_._1).map { case (l, ps) => l -> ps.length.toLong }
+    val nPred = preds.groupBy(_._2).map { case (l, ps) => l -> ps.length.toLong }
+    val tp = preds.filter(p => p._1 == p._2).groupBy(_._1).map { case (l, ps) => l -> ps.length.toLong }
+    val nTot = preds.length.toLong
+    val diag = tp.values.sum
+    val peNum = labels.map(l =>
+      BigInt(nTrue.getOrElse(l, 0L)) * BigInt(nPred.getOrElse(l, 0L))).sum
+    val kappa = {
+      val po = diag.toDouble / nTot
+      val pe = peNum.toDouble / nTot / nTot
+      BigDecimal((po - pe) / (1.0 - pe)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    for (l <- labels) {
+      val (nt, np, t) = (nTrue.getOrElse(l, 0L), nPred.getOrElse(l, 0L), tp.getOrElse(l, 0L))
+      val prec = if (np == 0) -1L else t * 1000000L / np
+      val rec  = if (nt == 0) -1L else t * 1000000L / nt
+      val f1   = if (prec > 0 && rec > 0) 2 * prec * rec / (prec + rec) else 0L
+      val (ints, k) = out(l)
+      assert(ints == ((nt, np, t, prec, rec, f1, diag * 1000000L / nTot)), s"label $l")
+      assert(math.abs(k - kappa) < 1e-9, s"label $l kappa")
+    }
+    assert(out.size == labels.size)
+  }
+
+  test("x145 batch novelty equals a collect-side first-seen re-derivation") {
+    val out = SparkEntry.queries("x145_batch_novelty")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val sets = docShingleSets()
+    val n = graft.ops.Tables(spark, sfDir, "documents").count()
+    val inst = sets.flatMap { case (id, _, sh) =>
+      sh.map(_ -> math.min(9L, id * 10 / n))
+    }
+    val first = inst.groupBy(_._1).map { case (sh, bs) => sh -> bs.map(_._2).min }
+    val byBatch = inst.groupBy(_._2)
+    for ((b, is) <- byBatch) {
+      val novel = is.count { case (sh, bb) => first(sh) == bb }.toLong
+      val newSh = is.map(_._1).distinct.count(sh => first(sh) == b).toLong
+      assert(out(b) == ((is.size.toLong, novel, novel * 1000000L / is.size, newSh)), s"batch $b")
+    }
+    assert(out.keySet == byBatch.keySet)
+    // novelty is 100% in batch 0 by construction
+    assert(out(0L)._3 == 1000000L)
+  }
+
+  test("x146 packing waste equals a collect-side per-doc policy re-derivation") {
+    val out = SparkEntry.queries("x146_packing_waste")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getLong(7), r.getLong(8))).toMap
+    val rows = graft.ops.Tables(spark, sfDir, "documents")
+      .select("lang", "text").collect()
+      .filter(!_.isNullAt(1))
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).length.toLong))
+    val langs = rows.map(_._1).distinct
+    for (lang <- langs; l <- Seq(64L, 256L, 1024L)) {
+      val ts = rows.filter(_._1 == lang).map(_._2)
+      val lost = ts.map(t => math.max(0L, t - l)).sum
+      val seqs = ts.map(t => (t + l - 1) / l).sum
+      val slots = seqs * l
+      assert(out((lang, l)) == ((ts.length.toLong, ts.sum, seqs, lost,
+        lost * 1000000L / ts.sum, slots - ts.sum,
+        (slots - ts.sum) * 1000000L / slots)), s"($lang, $l)")
+    }
+    assert(out.size == langs.length * 3)
+  }
+
+  test("x147 covariance audit equals a collect-side exact-moment re-derivation") {
+    val out = SparkEntry.queries("x147_cov_offdiag")(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)), r.getDouble(3)))
+    assert(out.map(_._1).toSeq == (1 to 20))
+    val vecs = graft.ops.Tables(spark, sfDir, "embeddings")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(v => math.floor(v.toDouble * 1000 + 0.5).toLong).toArray)
+    val n = BigInt(vecs.length)
+    val s = (0 until 64).map(d => BigInt(vecs.map(_(d)).sum))
+    def p(i: Int, j: Int) = BigInt(vecs.map(v => v(i) * v(j)).sum)
+    def corr(i: Int, j: Int): Double = {
+      val num = n * p(i, j) - s(i) * s(j)
+      val vi  = n * p(i, i) - s(i) * s(i)
+      val vj  = n * p(j, j) - s(j) * s(j)
+      if (vi <= 0 || vj <= 0) 0.0
+      else num.toDouble / math.sqrt(vi.toDouble) / math.sqrt(vj.toDouble)
+    }
+    val ranked = (for (i <- 0 until 64; j <- i + 1 until 64) yield
+      ((i + 1).toLong, (j + 1).toLong, corr(i, j)))
+      .sortBy { case (i, j, c) => (-math.abs(c), i, j) }.take(20)
+    for ((exp, got) <- ranked.zip(out)) {
+      assert(got._2._1 == ((exp._1, exp._2)), s"rank ${got._1}")
+      assert(math.abs(got._2._2 - exp._3) < 2e-6, s"rank ${got._1} corr")
+    }
+  }
 }
