@@ -400,7 +400,22 @@ object PlanAudit {
     // VecOuterAgg state (ObjectHashAggregate); everything after is
     // constant-sized (2,016-row pair map broadcast, rank window over it)
     "x147_cov_offdiag" -> Seq("(?i)vecouteragg", "ObjectHashAggregate",
-      "BroadcastExchange|BroadcastNestedLoopJoin", "WindowExec|Window"))
+      "BroadcastExchange|BroadcastNestedLoopJoin", "WindowExec|Window"),
+    // token drift: vocabulary-sized aggregates only, totals broadcast,
+    // top-10 head is a bounded TakeOrdered — never a global vocab sort,
+    // and no window over any vocab/corpus-sized stream (the rank window
+    // runs over the 10-row head)
+    "x148_token_drift" -> Seq("HashAggregate", "BroadcastExchange",
+      "TakeOrderedAndProject"),
+    // KS length distance: ONE (lang, n_chars) histogram aggregate; the
+    // cumulative/argmax windows ride the bounded |langs|x|domain| grid
+    "x149_ks_length" -> Seq("HashAggregate", "WindowExec|Window",
+      "BroadcastExchange"),
+    // classifier AUC: x105's broadcast-model scoring, then a bounded-
+    // domain score histogram + cumulative window; no exact-percentile
+    // buffer anywhere
+    "x150_classifier_auc" -> Seq("BroadcastHashJoin", "BroadcastExchange",
+      "WindowExec|Window", "(?s)\\A(?!.*percentile\\().*"))
 
   /** Execute one audited query and evaluate its plan patterns — shared by
     * the CLI main and PlanShapeSpec (so plan-shape regressions fail CI, not

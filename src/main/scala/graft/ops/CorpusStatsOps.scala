@@ -916,8 +916,148 @@ object CorpusStatsOps {
       .orderBy("vocab_size")
   }
 
+  /** Token-distribution drift between corpus halves: TOTAL VARIATION
+    * distance ½·Σ|p₀(w) − p₁(w)| between the first and second doc_id
+    * half's unigram distributions, plus the top-10 tokens driving it —
+    * the text-level counterpart of x82's event-window drift and the
+    * check a continuously-ingested corpus runs before assuming "the new
+    * crawl looks like the old one" (a tokenizer/classifier fit on half 0
+    * meets half 1's distribution at exactly this distance). TVD over
+    * chi-square/KL because it is RATIONAL: with integer counts,
+    * |c₀/T₀ − c₁/T₁| = |c₀T₁ − c₁T₀|/(T₀T₁), so the whole statistic is
+    * exact widened-integer arithmetic — no transcendental, no float
+    * accumulation (§7.5).
+    *
+    * Scale shape: ONE vocabulary-sized conditional-count aggregate (the
+    * x34 class — never a corpus-row exchange), totals broadcast back,
+    * per-token gap row-local, Σ|gap| one more vocabulary aggregate, and
+    * the top-10 head is a bounded TakeOrdered (the x141 discipline: no
+    * global vocab sort). Gaps widen to decimal(38,0)/HUGEINT before any
+    * multiply — c·T passes int64 at ~3e9 tokens.
+    */
+  val tokenDrift: Q = Q(
+    "x148_token_drift",
+    """WITH n AS (SELECT count(*) AS n_corpus FROM documents),
+      |tok AS (SELECT CASE WHEN doc_id * 2 < n.n_corpus THEN 0 ELSE 1 END AS h, w
+      |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), n),
+      |c AS (SELECT w, sum(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS c0,
+      |             sum(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS c1 FROM tok GROUP BY w),
+      |t AS (SELECT CAST(sum(c0) AS BIGINT) AS t0, CAST(sum(c1) AS BIGINT) AS t1 FROM c),
+      |g AS (SELECT w, c0, c1,
+      |        abs(CAST(c0 AS HUGEINT) * t1 - CAST(c1 AS HUGEINT) * t0) AS gap
+      |      FROM c, t),
+      |sg AS (SELECT sum(gap) AS sg FROM g),
+      |tvd AS (SELECT CAST(sg * 1000000 // (2 * CAST(t0 AS HUGEINT) * t1) AS BIGINT) AS tvd_ppm
+      |        FROM sg, t)
+      |SELECT rk, w AS token, CAST(c0 AS BIGINT) AS c0, CAST(c1 AS BIGINT) AS c1,
+      |       CAST(gap * 1000000 // (CAST(t0 AS HUGEINT) * t1) AS BIGINT) AS gap_ppm,
+      |       t0, t1, tvd_ppm
+      |FROM (SELECT w, c0, c1, gap,
+      |        row_number() OVER (ORDER BY gap DESC, w) AS rk FROM g), t, tvd
+      |WHERE rk <= 10 ORDER BY rk""".stripMargin
+  ) { (s, dir) =>
+    val n = docs(s, dir).agg(count(lit(1)).as("n_corpus"))
+    val tok = docs(s, dir).select(col("doc_id"), explode(ws).as("w"))
+      .crossJoin(broadcast(n))
+      .select(when(col("doc_id") * 2 < col("n_corpus"), 0).otherwise(1).as("h"), col("w"))
+    val c = tok.groupBy("w").agg(
+      sum(when(col("h") === 0, 1L).otherwise(0L)).as("c0"),
+      sum(when(col("h") === 1, 1L).otherwise(0L)).as("c1"))
+    val t = c.agg(sum("c0").as("t0"), sum("c1").as("t1"))
+    val g = c.crossJoin(broadcast(t))
+      .withColumn("gap",
+        abs(col("c0").cast("decimal(38,0)") * col("t1")
+          - col("c1").cast("decimal(38,0)") * col("t0")))
+    val tvd = g.agg(sum(col("gap")).as("sg")).crossJoin(broadcast(t))
+      .select(expr("cast(sg * 1000000 div (2 * cast(t0 as decimal(38,0)) * t1) as bigint)")
+        .as("tvd_ppm"))
+    // bounded head: TakeOrdered(10), never a global vocabulary sort
+    g.orderBy(col("gap").desc, col("w")).limit(10)
+      .withColumn("rk", row_number().over(Window.orderBy(col("gap").desc, col("w"))))
+      .crossJoin(broadcast(tvd))
+      .select(col("rk"), col("w").as("token"), col("c0"), col("c1"),
+        expr("cast(gap * 1000000 div (cast(t0 as decimal(38,0)) * t1) as bigint)")
+          .as("gap_ppm"),
+        col("t0"), col("t1"), col("tvd_ppm"))
+      .orderBy("rk")
+  }
+
+  /** Kolmogorov–Smirnov distance of every language's document-LENGTH
+    * distribution against the rest of the corpus — the distribution-level
+    * sibling of x39's per-language quartiles: KS = sup|F_lang − F_rest|
+    * answers "is this language's length profile structurally different"
+    * (a quality-filter calibrated on the majority language silently
+    * misfires exactly when this is large). Integer-exact: with the
+    * (lang, n_chars) count histogram, D at value v is
+    * |F_l(v)·n_rest − F_rest(v)·n_l| / (n_l·n_rest) — widened-integer
+    * cross-multiplication, so sup and argmax (smallest value tiebreak)
+    * are bit-deterministic; ks_ppm integerizes via HUGEINT //.
+    *
+    * Scale shape: ONE (lang, n_chars) corpus aggregate (the x58/t21
+    * histogram class — the value domain is doc-length-bounded, never
+    * corpus-cardinality), a |langs|×|domain| grid via broadcast, and
+    * cumulative/rank windows over that bounded grid only. Null-length
+    * rows (null-text docs in hostile fixtures) are excluded on both
+    * engines — the x136/x146 contract.
+    */
+  val ksLength: Q = Q(
+    "x149_ks_length",
+    """WITH d AS (SELECT lang, n_chars AS v FROM documents WHERE n_chars IS NOT NULL),
+      |lv AS (SELECT lang, v, count(*) AS c FROM d GROUP BY lang, v),
+      |vs AS (SELECT v, CAST(sum(c) AS BIGINT) AS cg FROM lv GROUP BY v),
+      |langs AS (SELECT lang, CAST(sum(c) AS BIGINT) AS nl FROM lv GROUP BY lang),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+      |grid AS (SELECT l.lang, v.v, l.nl, coalesce(x.c, 0) AS c, v.cg
+      |         FROM langs l CROSS JOIN vs v
+      |         LEFT JOIN lv x ON x.lang = l.lang AND x.v = v.v),
+      |cum AS (SELECT lang, v, nl,
+      |          sum(c) OVER (PARTITION BY lang ORDER BY v) AS fl,
+      |          sum(cg) OVER (PARTITION BY lang ORDER BY v) AS fg
+      |        FROM grid),
+      |dd AS (SELECT lang, v, nl, n,
+      |         abs(CAST(fl AS HUGEINT) * (n - nl) - CAST(fg - fl AS HUGEINT) * nl) AS d2
+      |       FROM cum, nn),
+      |sel AS (SELECT lang, v, nl, n, d2,
+      |          row_number() OVER (PARTITION BY lang ORDER BY d2 DESC, v) AS rk
+      |        FROM dd)
+      |SELECT lang, CAST(nl AS BIGINT) AS n_docs,
+      |       CAST(CASE WHEN n = nl THEN 0
+      |            ELSE d2 * 1000000 // (CAST(nl AS HUGEINT) * (n - nl)) END AS BIGINT) AS ks_ppm,
+      |       CAST(v AS BIGINT) AS at_value
+      |FROM sel WHERE rk = 1 ORDER BY lang""".stripMargin
+  ) { (s, dir) =>
+    val d = docs(s, dir).where(col("n_chars").isNotNull)
+      .select(col("lang"), col("n_chars").as("v"))
+    val lv = d.groupBy("lang", "v").agg(count(lit(1)).as("c"))
+    val vs = lv.groupBy("v").agg(sum("c").as("cg"))
+    val langs = lv.groupBy("lang").agg(sum("c").as("nl"))
+    val nn = d.agg(count(lit(1)).as("n"))
+    val grid = broadcast(langs).crossJoin(vs)
+      .join(lv, Seq("lang", "v"), "left")
+      .select(col("lang"), col("v"), col("nl"), coalesce(col("c"), lit(0L)).as("c"),
+        col("cg"))
+    val wCum = Window.partitionBy("lang").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid
+      .withColumn("fl", sum(col("c")).over(wCum))
+      .withColumn("fg", sum(col("cg")).over(wCum))
+      .crossJoin(broadcast(nn))
+    val dd = cum.select(col("lang"), col("v"), col("nl"), col("n"),
+      abs(col("fl").cast("decimal(38,0)") * (col("n") - col("nl"))
+        - (col("fg") - col("fl")).cast("decimal(38,0)") * col("nl")).as("d2"))
+    val wSel = Window.partitionBy("lang").orderBy(col("d2").desc, col("v"))
+    dd.withColumn("rk", row_number().over(wSel))
+      .where(col("rk") === 1)
+      .select(col("lang"), col("nl").as("n_docs"),
+        expr("""cast(CASE WHEN n = nl THEN 0
+               |ELSE d2 * 1000000 div (cast(nl as decimal(38,0)) * (n - nl)) END as bigint)"""
+          .stripMargin).as("ks_ppm"),
+        col("v").as("at_value"))
+      .orderBy("lang")
+  }
+
   val all: Seq[Q] = Seq(tfidfTopTerms, bigramLift, sourceOverlap, mixtureSample,
     typeToken, lenQuartiles, invertedIndex, madOutliers, stopwordIndex, lenDeciles,
     oovRate, langGini, skipgramCooc, vocabGrowth, bm25Rank, heavyHitters, sourcePrior,
-    dataCard, sourceAffinity, vocabCurve)
+    dataCard, sourceAffinity, vocabCurve, tokenDrift, ksLength)
 }

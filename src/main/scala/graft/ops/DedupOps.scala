@@ -2082,8 +2082,15 @@ object DedupOps {
       |FROM sums s JOIN ex e ON s.source = e.source
       |ORDER BY s.source""".stripMargin
   ) { (s, dir) =>
-    val ssh = sourceShingles(s, dir)
-    val rho = ssh.select(col("source"),
+    // ONE corpus-scale exchange: collapse the (source, sh) multiset to
+    // distinct pairs + instance counts. Registers, per-source exact legs
+    // and the ALL exact leg all derive from this frame — its groupBy
+    // exchange is byte-identical across the three consumers, so Catalyst's
+    // ReuseExchange materializes it once (the memoized shingle index one
+    // level below is shared with x02/x107/x139 as usual).
+    val base = sourceShingles(s, dir).groupBy("source", "sh")
+      .agg(count(lit(1)).as("c"))
+    val rho = base.select(col("source"),
         expr("cast(conv(substring(sh, 14, 2), 16, 10) as int) % 32").as("b"),
         substring(col("sh"), 1, 13).as("ws"))
       .select(col("source"), col("b"),
@@ -2104,10 +2111,10 @@ object DedupOps {
           + (lit(32L) - count(lit(1))) * expr("shiftleft(cast(1 as bigint), 53)"))
           .as("intsum"),
         (lit(32L) - count(lit(1))).as("zero_buckets"))
-    val ex = ssh.groupBy("source")
-      .agg(count(lit(1)).as("n_shingles"), countDistinct(col("sh")).as("n_distinct"))
-      .unionByName(ssh
-        .agg(count(lit(1)).as("n_shingles"), countDistinct(col("sh")).as("n_distinct"))
+    val ex = base.groupBy("source")
+      .agg(sum(col("c")).as("n_shingles"), count(lit(1)).as("n_distinct"))
+      .unionByName(base
+        .agg(sum(col("c")).as("n_shingles"), countDistinct(col("sh")).as("n_distinct"))
         .select(lit("ALL").as("source"), col("n_shingles"), col("n_distinct")))
     val raw = lit(713.728) * lit(9007199254740992.0) / col("intsum").cast("double")
     sums.join(ex, "source")

@@ -1017,7 +1017,94 @@ object TextOps {
     }
   }
 
+  /** Ranking quality of the x105 hashed classifier as exact AUC — the
+    * threshold-free eval x114's calibration bins cannot give (calibration
+    * says "are the probabilities honest", AUC says "does the score ORDER
+    * positives above negatives at all"). AUC = the Mann–Whitney U
+    * statistic: with per-doc scores grouped into a value histogram,
+    * U = Σ_pos avg-rank − n₊(n₊+1)/2 where tied groups take the average
+    * rank — carried ×2 so everything stays integer (2·avg-rank of a tied
+    * group = 2·cum_before + n + 1), then auc_ppm = 2U·10⁶ // (2·n₊·n₋)
+    * via HUGEINT/decimal widening. The score is the LENGTH-NORMALIZED
+    * per-token mean milli-lift `sw_milli div n_tokens` (DuckDB's integer
+    * `//` truncates toward zero exactly like Spark's `div`, verified on
+    * negatives) — normalization matters twice: it is the better
+    * classifier score AND it bounds the histogram domain by the WEIGHT
+    * range (a few thousand values) instead of doc-length×weight, so the
+    * cumulative window rides a bounded domain (the t21/x58 argument).
+    *
+    * Scale shape: x105's scoring pass (vocabulary-sized model broadcast
+    * into the token stream), one per-doc aggregate, then a bounded-domain
+    * score histogram + cumulative window + three constant aggregates.
+    * Output is ONE row at any corpus size.
+    */
+  val classifierAuc: Q = Q(
+    "x150_classifier_auc",
+    """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+      |b AS (SELECT doc_id, lang,
+      |        CAST('0x' || substr(md5(w), 1, 4) AS INTEGER) % 256 AS b FROM tok),
+      |allc AS (SELECT b, count(*) AS c_all FROM b GROUP BY b),
+      |enc AS (SELECT b, count(*) AS c_en FROM b WHERE lang = 'en' GROUP BY b),
+      |tot AS (SELECT count(*) AS t_all,
+      |               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_en FROM b),
+      |model AS (SELECT allc.b,
+      |            CAST(floor(CAST(coalesce(c_en, 0) AS DOUBLE) * t_all * 1000
+      |                       / (CAST(c_all AS DOUBLE) * t_en) + 0.5) - 1000 AS BIGINT) AS w
+      |          FROM allc LEFT JOIN enc ON allc.b = enc.b CROSS JOIN tot),
+      |doc AS (SELECT doc_id, any_value(lang) = 'en' AS pos,
+      |               CAST(sum(w) AS BIGINT) // count(*) AS score
+      |        FROM b JOIN model USING (b) GROUP BY doc_id),
+      |sc AS (SELECT score, CAST(count(*) AS BIGINT) AS n,
+      |              CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np
+      |       FROM doc GROUP BY score),
+      |cum AS (SELECT score, n, np, sum(n) OVER (ORDER BY score) AS cum_n FROM sc),
+      |r2 AS (SELECT sum(CAST(np AS HUGEINT) * (2 * (cum_n - n) + n + 1)) AS r2 FROM cum),
+      |tots AS (SELECT CAST(sum(np) AS BIGINT) AS npos,
+      |                CAST(sum(n) - sum(np) AS BIGINT) AS nneg FROM sc)
+      |SELECT CAST(npos + nneg AS BIGINT) AS n_docs, npos AS n_pos, nneg AS n_neg,
+      |       CAST(CASE WHEN npos = 0 OR nneg = 0 THEN -1
+      |            ELSE (r2 - CAST(npos AS HUGEINT) * (npos + 1)) * 1000000
+      |                 // (2 * CAST(npos AS HUGEINT) * nneg) END AS BIGINT) AS auc_ppm
+      |FROM r2, tots""".stripMargin
+  ) { (s, dir) =>
+    val tok = docs(s, dir).select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("w"))
+    val b = tok.select(col("doc_id"), col("lang"),
+      (conv(substring(md5(col("w")), 1, 4), 16, 10).cast("long") % 256).as("b"))
+    val allc = b.groupBy("b").agg(count(lit(1)).as("c_all"))
+    val enc  = b.where(col("lang") === "en").groupBy(col("b").as("eb"))
+      .agg(count(lit(1)).as("c_en"))
+    val tot = b.agg(count(lit(1)).as("t_all"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_en"))
+    val model = allc.join(enc, col("b") === col("eb"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("b"), expr(
+        """cast(floor(cast(coalesce(c_en, 0) as double) * t_all * 1000
+          |           / (cast(c_all as double) * t_en) + 0.5) - 1000 as bigint)""".stripMargin)
+        .as("w"))
+    val doc = b.join(broadcast(model), "b")
+      .groupBy("doc_id")
+      .agg((first(col("lang")) === "en").as("pos"),
+        expr("sum(w) div count(*)").as("score"))
+    val sc = doc.groupBy("score").agg(count(lit(1)).as("n"),
+      sum(when(col("pos"), 1L).otherwise(0L)).as("np"))
+    val wCum = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = sc.withColumn("cum_n", sum(col("n")).over(wCum))
+    val r2 = cum.agg(sum(col("np").cast("decimal(38,0)")
+      * (lit(2) * (col("cum_n") - col("n")) + col("n") + 1)).as("r2"))
+    val tots = sc.agg(sum("np").as("npos"), (sum("n") - sum("np")).as("nneg"))
+    r2.crossJoin(broadcast(tots))
+      .select((col("npos") + col("nneg")).as("n_docs"),
+        col("npos").as("n_pos"), col("nneg").as("n_neg"),
+        expr("""cast(CASE WHEN npos = 0 OR nneg = 0 THEN -1
+               |ELSE (r2 - cast(npos as decimal(38,0)) * (npos + 1)) * 1000000
+               |     div (2 * cast(npos as decimal(38,0)) * nneg) END as bigint)"""
+          .stripMargin).as("auc_ppm"))
+  }
+
   val all: Seq[Q] = Seq(langId, qualityScore, tokenCount, fingerprint, corpusClean,
     positionalIndex, trigramLm, nfcClean, piiRedact, bpePairs, bpeMerge, hashClassifier,
-    bpeEncode, calibration, gateAttribution, bpeFertility, gopherRules, ccnetBuckets)
+    bpeEncode, calibration, gateAttribution, bpeFertility, gopherRules, ccnetBuckets,
+    classifierAuc)
 }

@@ -2034,6 +2034,86 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.size == langs.length * 3)
   }
 
+  test("x148 token drift equals a collect-side TVD re-derivation") {
+    val out = SparkEntry.queries("x148_token_drift")(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(out.map(_._1).toSeq == (1 to 10))
+    val rows = graft.ops.Tables(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .filter(!_.isNullAt(1)).map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val n = graft.ops.Tables(spark, sfDir, "documents").count()
+    val counts = rows.flatMap { case (id, ws) =>
+      val h = if (id * 2 < n) 0 else 1
+      ws.map(w => (w, h))
+    }.groupBy(_._1).map { case (w, hs) =>
+      (w, hs.count(_._2 == 0).toLong, hs.count(_._2 == 1).toLong)
+    }.toSeq
+    val (t0, t1) = (counts.map(_._2).sum, counts.map(_._3).sum)
+    val gaps = counts.map { case (w, c0, c1) =>
+      (w, c0, c1, (BigInt(c0) * t1 - BigInt(c1) * t0).abs)
+    }
+    val tvd = (gaps.map(_._4).sum * 1000000 / (2 * BigInt(t0) * BigInt(t1))).toLong
+    val head = gaps.sortBy { case (w, _, _, g) => (-g, w) }.take(10)
+    for (((w, c0, c1, g), i) <- head.zipWithIndex) {
+      val gp = (g * 1000000 / (BigInt(t0) * BigInt(t1))).toLong
+      assert(out(i)._2 == ((w, c0, c1, gp, t0, t1, tvd)), s"rank ${i + 1}")
+    }
+  }
+
+  test("x149 ks length equals a collect-side two-sample ECDF sup re-derivation") {
+    val out = SparkEntry.queries("x149_ks_length")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val rows = graft.ops.Tables(spark, sfDir, "documents")
+      .select("lang", "n_chars").collect()
+      .filter(!_.isNullAt(1)).map(r => (r.getString(0), r.getLong(1)))
+    val n = rows.length.toLong
+    val vsAll = rows.map(_._2).distinct.sorted
+    for (lang <- rows.map(_._1).distinct) {
+      val mine = rows.filter(_._1 == lang).map(_._2)
+      val nl = mine.length.toLong
+      val cands = vsAll.map { v =>
+        val fl = mine.count(_ <= v).toLong
+        val fg = rows.count(_._2 <= v).toLong
+        (v, (BigInt(fl) * (n - nl) - BigInt(fg - fl) * nl).abs)
+      }
+      val (bestV, bestD) = cands.maxBy { case (v, d2) => (d2, -v) }
+      val ks = if (n == nl) 0L else (bestD * 1000000 / (BigInt(nl) * (n - nl))).toLong
+      assert(out(lang) == ((nl, ks, bestV)), s"lang $lang")
+    }
+  }
+
+  test("x150 classifier auc equals a collect-side Mann-Whitney re-derivation") {
+    val out = SparkEntry.queries("x150_classifier_auc")(spark, sfDir).collect()
+    assert(out.length == 1)
+    val got = (out(0).getLong(0), out(0).getLong(1), out(0).getLong(2), out(0).getLong(3))
+    // re-derive per-doc scores from the x105 model definition
+    import org.apache.spark.sql.functions._
+    val scored = SparkEntry.queries("x105_hash_classifier")(spark, sfDir)
+      .select(col("doc_id"), (col("lang") === "en").as("pos"),
+        expr("sw_milli div n_tokens").as("score")).collect()
+      .map(r => (r.getBoolean(1), r.getLong(2)))
+    val npos = scored.count(_._1).toLong
+    val nneg = scored.length - npos
+    // average-rank Mann-Whitney over the sorted scores
+    val sorted = scored.sortBy(_._2)
+    var idx = 0
+    var r2 = BigInt(0)
+    while (idx < sorted.length) {
+      var j = idx
+      while (j < sorted.length && sorted(j)._2 == sorted(idx)._2) j += 1
+      val np = sorted.slice(idx, j).count(_._1)
+      r2 += BigInt(np) * (2L * idx + (j - idx) + 1)
+      idx = j
+    }
+    val u2 = r2 - BigInt(npos) * (npos + 1)
+    val auc = if (npos == 0 || nneg == 0) -1L
+      else (u2 * 1000000 / (2 * BigInt(npos) * nneg)).toLong
+    assert(got == ((scored.length.toLong, npos, nneg, auc)))
+    // sanity: the en-vs-rest classifier must rank better than chance
+    assert(got._4 > 500000L)
+  }
+
   test("x147 covariance audit equals a collect-side exact-moment re-derivation") {
     val out = SparkEntry.queries("x147_cov_offdiag")(spark, sfDir).collect()
       .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)), r.getDouble(3)))
