@@ -2082,35 +2082,8 @@ object DedupOps {
       |FROM sums s JOIN ex e ON s.source = e.source
       |ORDER BY s.source""".stripMargin
   ) { (s, dir) =>
-    // ONE corpus-scale exchange: collapse the (source, sh) multiset to
-    // distinct pairs + instance counts. Registers, per-source exact legs
-    // and the ALL exact leg all derive from this frame — its groupBy
-    // exchange is byte-identical across the three consumers, so Catalyst's
-    // ReuseExchange materializes it once (the memoized shingle index one
-    // level below is shared with x02/x107/x139 as usual).
-    val base = sourceShingles(s, dir).groupBy("source", "sh")
-      .agg(count(lit(1)).as("c"))
-    val rho = base.select(col("source"),
-        expr("cast(conv(substring(sh, 14, 2), 16, 10) as int) % 32").as("b"),
-        substring(col("sh"), 1, 13).as("ws"))
-      .select(col("source"), col("b"),
-        expr("""CASE WHEN length(regexp_extract(ws, '^0*', 0)) = 13 THEN 53
-               |     ELSE 4 * length(regexp_extract(ws, '^0*', 0))
-               |          + (CASE substring(ws, length(regexp_extract(ws, '^0*', 0)) + 1, 1)
-               |               WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
-               |               WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
-               |               WHEN '7' THEN 1 ELSE 0 END) + 1 END""".stripMargin).as("rho"))
-    val reg = rho.groupBy("source", "b").agg(max("rho").as("mreg"))
-    // union-by-max: the corpus sketch is a MERGE of the per-source sketches
-    val regAll = reg.groupBy("b").agg(max("mreg").as("mreg"))
-      .select(lit("ALL").as("source"), col("b"), col("mreg"))
-    val sums = reg.unionByName(regAll)
-      .groupBy("source")
-      .agg(
-        (sum(expr("shiftleft(cast(1 as bigint), cast(53 - mreg as int))"))
-          + (lit(32L) - count(lit(1))) * expr("shiftleft(cast(1 as bigint), 53)"))
-          .as("intsum"),
-        (lit(32L) - count(lit(1))).as("zero_buckets"))
+    val sums = hllRegisterSums(s, dir)
+    val base = hllBase(s, dir)
     val ex = base.groupBy("source")
       .agg(sum(col("c")).as("n_shingles"), count(lit(1)).as("n_distinct"))
       .unionByName(base
@@ -2124,6 +2097,47 @@ object DedupOps {
           .as("err_ppm"))
       .orderBy("source")
   }
+
+  /** x142's ONE corpus-scale exchange: the (source, sh) multiset collapsed
+    * to distinct pairs + instance counts. Registers, per-source exact legs
+    * and the ALL exact leg all derive from this frame — its groupBy
+    * exchange is byte-identical across the consumers, so Catalyst's
+    * ReuseExchange materializes it once (the memoized shingle index one
+    * level below is shared with x02/x107/x139 as usual).
+    */
+  private def hllBase(s: SparkSession, dir: String): DataFrame =
+    sourceShingles(s, dir).groupBy("source", "sh").agg(count(lit(1)).as("c"))
+
+  /** x142's SKETCH path, factored for DedupDiag stage attribution (the
+    * x139 precedent): per-source 32 max-registers → harmonic integer sums,
+    * including the union-by-max ALL row. 21 rows out at the test corpus,
+    * ≤ |sources|+1 anywhere.
+    */
+  private[graft] def hllRegisterSums(s: SparkSession, dir: String): DataFrame = {
+    val rho = hllBase(s, dir).select(col("source"),
+        expr("cast(conv(substring(sh, 14, 2), 16, 10) as int) % 32").as("b"),
+        substring(col("sh"), 1, 13).as("ws"))
+      .select(col("source"), col("b"),
+        expr("""CASE WHEN length(regexp_extract(ws, '^0*', 0)) = 13 THEN 53
+               |     ELSE 4 * length(regexp_extract(ws, '^0*', 0))
+               |          + (CASE substring(ws, length(regexp_extract(ws, '^0*', 0)) + 1, 1)
+               |               WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+               |               WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+               |               WHEN '7' THEN 1 ELSE 0 END) + 1 END""".stripMargin).as("rho"))
+    val reg = rho.groupBy("source", "b").agg(max("rho").as("mreg"))
+    // union-by-max: the corpus sketch is a MERGE of the per-source sketches
+    val regAll = reg.groupBy("b").agg(max("mreg").as("mreg"))
+      .select(lit("ALL").as("source"), col("b"), col("mreg"))
+    reg.unionByName(regAll)
+      .groupBy("source")
+      .agg(
+        (sum(expr("shiftleft(cast(1 as bigint), cast(53 - mreg as int))"))
+          + (lit(32L) - count(lit(1))) * expr("shiftleft(cast(1 as bigint), 53)"))
+          .as("intsum"),
+        (lit(32L) - count(lit(1))).as("zero_buckets"))
+  }
+
+  private[graft] def diagHllBase(s: SparkSession, dir: String): DataFrame = hllBase(s, dir)
 
   /** Crawl-batch novelty curve: split the corpus into 10 ingestion batches
     * (deterministic doc_id ranges — the stand-in for crawl snapshots) and
