@@ -103,12 +103,11 @@ object DedupDiag {
     val (x139Rows, tX139) = timed(
       SparkEntry.queries("x139_source_minhash")(spark, sfDir).count())
 
-    // x142 stage attribution (round 10, same discipline): the register
-    // SKETCH path (constant-width per-source state) vs the whole query —
-    // the delta is the exact count(DISTINCT) audit legs, x142's declared
-    // corpus-scale price; hll_base_rows counts the shared (source, sh)
-    // frame the ReuseExchange argument rests on
-    val (hllBaseRows, tHllBase) = timed(ops.DedupOps.diagHllBase(spark, sfDir).count())
+    // x142 stage attribution (round 10, same discipline; r11: the exact
+    // count(DISTINCT) legs are stratum-bounded onto x139's audit set —
+    // timed above as sec_x139_audit_set — so the remaining full-scan
+    // exact leg is the plain instance-count sum, timed here)
+    val (hllBaseRows, tHllBase) = timed(ops.DedupOps.diagHllExactN(spark, sfDir).count())
     val (hllRegRows, tX142Sketch) = timed(ops.DedupOps.hllRegisterSums(spark, sfDir).count())
     val (x142Rows, tX142) = timed(
       SparkEntry.queries("x142_hll_union")(spark, sfDir).count())
@@ -133,8 +132,8 @@ object DedupDiag {
       s""""x129_rows":$x129Rows,"sec_x129_seed":$tKcSeed,"sec_x129_rounds":$tKcRounds,"sec_x129_assign":$tKcAssign,""" +
       s""""x139_sources":$srcSigRows,"x139_audit_set_rows":$auditSetRows,"x139_rows":$x139Rows,""" +
       s""""sec_x139_sketch":$tX139Sketch,"sec_x139_audit_set":$tX139AuditSet,"sec_x139":$tX139,""" +
-      s""""hll_base_rows":$hllBaseRows,"hll_register_rows":$hllRegRows,"x142_rows":$x142Rows,""" +
-      s""""sec_x142_base":$tHllBase,"sec_x142_sketch":$tX142Sketch,"sec_x142":$tX142,""" +
+      s""""hll_exact_n_rows":$hllBaseRows,"hll_register_rows":$hllRegRows,"x142_rows":$x142Rows,""" +
+      s""""sec_x142_exact_n":$tHllBase,"sec_x142_sketch":$tX142Sketch,"sec_x142":$tX142,""" +
       s""""sec_scan":$tDocs,"sec_shingle":$tShingle,"sec_bands":$tBands,"sec_pairs":$tPairs,"sec_cluster":$tCluster,""" +
       s""""sec_prefix_windows":$tPrefix,"sec_prefix_join":$tCand,"sec_x107_verify":$tX107,""" +
       s""""sec_containment_cand":$tContCand,"sec_x127":$tX127,""" +

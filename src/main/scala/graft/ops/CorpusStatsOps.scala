@@ -231,7 +231,11 @@ object CorpusStatsOps {
       "lang", "n_chars", Seq("q1" -> 0.25, "med" -> 0.5, "q3" -> 0.75))
     docs(s, dir)
       .groupBy("lang").agg(count(lit(1)).as("n"))
-      .join(qn, "lang")
+      // LEFT join (r10 advice): exactQuantiles drops a group whose values
+      // are all NULL (it filters nulls pre-histogram), but the oracle's
+      // plain GROUP BY keeps that lang with NULL quartiles + its count —
+      // the count aggregate is the row-set anchor, quartiles decorate it.
+      .join(qn, Seq("lang"), "left")
       .select(col("lang"),
         round(col("q1"), 6).as("q1"), round(col("med"), 6).as("med"),
         round(col("q3"), 6).as("q3"), col("n"))
@@ -291,13 +295,18 @@ object CorpusStatsOps {
       |FROM d JOIN m ON d.source = m.source JOIN s ON d.source = s.source
       |GROUP BY d.source ORDER BY d.source""".stripMargin
   ) { (s, dir) =>
+    // LEFT joins throughout (r10 advice): a source whose n_chars are all
+    // NULL is absent from exactQuantiles' frames; the oracle keeps it with
+    // NULL med/mad, 0 outliers, and its row count. docs is the row-set
+    // anchor — med/mad/dev decorate it and propagate NULL naturally
+    // (NULL dev > 3*NULL mad is NULL, so the outlier CASE yields 0).
     val m = RelOps.exactQuantiles(docs(s, dir).select("source", "n_chars"),
       "source", "n_chars", Seq("med" -> 0.5))
-    val d = docs(s, dir).join(broadcast(m), "source")
+    val d = docs(s, dir).join(broadcast(m), Seq("source"), "left")
       .select(col("source"), abs(col("n_chars") - col("med")).as("dev"))
     val mad = RelOps.exactQuantiles(d, "source", "dev", Seq("mad" -> 0.5))
-    d.join(broadcast(m), "source")
-      .join(broadcast(mad), "source")
+    d.join(broadcast(m), Seq("source"), "left")
+      .join(broadcast(mad), Seq("source"), "left")
       .groupBy("source")
       .agg(
         round(min(col("med")), 6).as("med"),

@@ -2033,17 +2033,34 @@ object DedupOps {
     * one divide in fixed order. Small-range linear counting is
     * deliberately NOT applied (ln is banned under §7.5); `zero_buckets`
     * is emitted so a consumer can — at corpus scale every bucket is hit.
-    * The exact count(DISTINCT) legs are the AUDIT price (digest-keyed
-    * exchange); production readers take the 32-register sketches alone.
     *
-    * Scale shape: registers come from ONE (source, bucket) max-aggregate
-    * over the memoized shingle lineage — partial aggregation collapses
-    * every map task to ≤ 32 rows per source and the exchange carries
-    * register rows, never shingles. The ALL row is a 32-row roll-up.
+    * SAMPLE-SIDE AUDIT CONTRACT (r11, the x139/x132 pattern — r10 verdict
+    * item 2): the exact count(DISTINCT) audit legs read only x139's
+    * deterministic md5-coin shingle stratum (`md5coin(sh) % S == 0`,
+    * S = max(1, n_docs div [[AuditDocBudget]]) — the SAME
+    * [[diagSourceAuditSet]] frame, so in-suite the two audits share one
+    * exchange) and report `n_distinct` as the Horvitz–Thompson scale-up
+    * `S × |stratum|`. The coin is a function of the shingle itself, so
+    * each DISTINCT shingle is in or out with probability 1/S — the
+    * scale-up is an unbiased estimate of the true distinct count, which
+    * is exactly what an estimator-error audit compares against. At every
+    * correctness-gate scale S = 1: the stratum IS the population,
+    * `n_distinct` is exact, and the oracle hash is unchanged from r10.
+    * `n_shingles` (instance count, no DISTINCT) stays exact at all
+    * scales — it is a plain per-source sum, partial-aggregated to one
+    * row per source per map task.
+    *
+    * Scale shape (r11): registers come from ONE (source, bucket)
+    * max-aggregate DIRECTLY over the memoized shingle multiset (max is
+    * duplicate-insensitive, the same reason x139's sketch skips the
+    * DISTINCT) — partial aggregation collapses every map task to ≤ 32
+    * rows per source and the exchange carries register rows, never
+    * shingles; the corpus-sized DISTINCT now exists only on the sampled
+    * audit path. The ALL row is a 32-row roll-up.
     */
   val hllUnion: Q = Q(
     "x142_hll_union",
-    """WITH sshm AS (
+    s"""WITH sshm AS (
       |    SELECT source, sh FROM (
       |      SELECT DISTINCT doc_id, source, substr(md5(raw), 1, 16) AS sh FROM (
       |        SELECT doc_id, source,
@@ -2070,10 +2087,15 @@ object DedupOps {
       |           CAST(32 - count(*) AS BIGINT) AS zero_buckets
       |         FROM (SELECT * FROM reg UNION ALL SELECT * FROM regall)
       |         GROUP BY source),
-      |ex AS (SELECT source, count(*) AS n_shingles, count(DISTINCT sh) AS n_distinct
-      |       FROM sshm GROUP BY source
-      |       UNION ALL
-      |       SELECT 'ALL', count(*), count(DISTINCT sh) FROM sshm)
+      |smp AS (SELECT greatest(1, count(*) // $AuditDocBudget) AS s FROM documents),
+      |strat AS (SELECT DISTINCT source, sh FROM sshm, smp
+      |          WHERE CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) % s = 0),
+      |exn AS (SELECT source, count(*) AS n_shingles FROM sshm GROUP BY source
+      |        UNION ALL SELECT 'ALL', count(*) FROM sshm),
+      |exd AS (SELECT source, count(*) AS sd FROM strat GROUP BY source
+      |        UNION ALL SELECT 'ALL', count(DISTINCT sh) FROM strat),
+      |ex AS (SELECT n.source, n.n_shingles, d.sd * (SELECT s FROM smp) AS n_distinct
+      |       FROM exn n LEFT JOIN exd d ON n.source = d.source)
       |SELECT s.source, CAST(e.n_shingles AS BIGINT) AS n_shingles,
       |       CAST(e.n_distinct AS BIGINT) AS n_distinct, s.zero_buckets,
       |       round(713.728::DOUBLE * 9007199254740992.0::DOUBLE / CAST(s.intsum AS DOUBLE), 2) AS hll_est,
@@ -2083,12 +2105,22 @@ object DedupOps {
       |ORDER BY s.source""".stripMargin
   ) { (s, dir) =>
     val sums = hllRegisterSums(s, dir)
-    val base = hllBase(s, dir)
-    val ex = base.groupBy("source")
-      .agg(sum(col("c")).as("n_shingles"), count(lit(1)).as("n_distinct"))
-      .unionByName(base
-        .agg(sum(col("c")).as("n_shingles"), countDistinct(col("sh")).as("n_distinct"))
-        .select(lit("ALL").as("source"), col("n_shingles"), col("n_distinct")))
+    val ss = sourceShingles(s, dir)
+    // exact instance counts: no DISTINCT, partial-aggregated — cheap at any scale
+    val exn = ss.groupBy("source").agg(count(lit(1)).as("n_shingles"))
+      .unionByName(ss.agg(count(lit(1)).as("n_shingles"))
+        .select(lit("ALL").as("source"), col("n_shingles")))
+    // sampled audit: x139's md5-coin stratum (shared frame → shared
+    // exchange in-suite), Horvitz–Thompson scaled by S (1-row broadcast)
+    val sFrame = docs(s, dir)
+      .agg(greatest(lit(1L), expr(s"count(1) div $AuditDocBudget")).as("_s"))
+    val audit = diagSourceAuditSet(s, dir)
+    val exd = audit.groupBy("source").agg(count(lit(1)).as("sd"))
+      .unionByName(audit.agg(countDistinct(col("sh")).as("sd"))
+        .select(lit("ALL").as("source"), col("sd")))
+      .crossJoin(broadcast(sFrame))
+      .select(col("source"), (col("sd") * col("_s")).as("n_distinct"))
+    val ex = exn.join(exd, Seq("source"), "left")
     val raw = lit(713.728) * lit(9007199254740992.0) / col("intsum").cast("double")
     sums.join(ex, "source")
       .select(col("source"), col("n_shingles"), col("n_distinct"), col("zero_buckets"),
@@ -2098,23 +2130,16 @@ object DedupOps {
       .orderBy("source")
   }
 
-  /** x142's ONE corpus-scale exchange: the (source, sh) multiset collapsed
-    * to distinct pairs + instance counts. Registers, per-source exact legs
-    * and the ALL exact leg all derive from this frame — its groupBy
-    * exchange is byte-identical across the consumers, so Catalyst's
-    * ReuseExchange materializes it once (the memoized shingle index one
-    * level below is shared with x02/x107/x139 as usual).
-    */
-  private def hllBase(s: SparkSession, dir: String): DataFrame =
-    sourceShingles(s, dir).groupBy("source", "sh").agg(count(lit(1)).as("c"))
-
   /** x142's SKETCH path, factored for DedupDiag stage attribution (the
     * x139 precedent): per-source 32 max-registers → harmonic integer sums,
     * including the union-by-max ALL row. 21 rows out at the test corpus,
-    * ≤ |sources|+1 anywhere.
+    * ≤ |sources|+1 anywhere. r11: rides the (source, sh) MULTISET directly
+    * (max over a multiset = max over its set — the x139 sketch argument),
+    * so the production path pays NO corpus-sized DISTINCT exchange: every
+    * map task partial-aggregates to ≤ 32 register rows per source.
     */
   private[graft] def hllRegisterSums(s: SparkSession, dir: String): DataFrame = {
-    val rho = hllBase(s, dir).select(col("source"),
+    val rho = sourceShingles(s, dir).select(col("source"),
         expr("cast(conv(substring(sh, 14, 2), 16, 10) as int) % 32").as("b"),
         substring(col("sh"), 1, 13).as("ws"))
       .select(col("source"), col("b"),
@@ -2137,7 +2162,12 @@ object DedupOps {
         (lit(32L) - count(lit(1))).as("zero_buckets"))
   }
 
-  private[graft] def diagHllBase(s: SparkSession, dir: String): DataFrame = hllBase(s, dir)
+  /** x142's exact-instance-count leg (the only remaining full-scan exact
+    * leg after the r11 stratum bound — a plain per-source sum, no
+    * DISTINCT), factored for DedupDiag stage attribution. The sampled
+    * distinct leg is x139's [[diagSourceAuditSet]], timed there. */
+  private[graft] def diagHllExactN(s: SparkSession, dir: String): DataFrame =
+    sourceShingles(s, dir).groupBy("source").agg(count(lit(1)).as("n_shingles"))
 
   /** Crawl-batch novelty curve: split the corpus into 10 ingestion batches
     * (deterministic doc_id ranges — the stand-in for crawl snapshots) and

@@ -1622,8 +1622,9 @@ object SimilarityOps {
         coalesce(col("np"), lit(0L)).as("n_pred"), coalesce(col("tpn"), lit(0L)).as("tp"))
     val tot = pc.agg(sum("n_true").as("n_total"), sum("tp").as("diag"),
       sum(col("n_true").cast("decimal(38,0)") * col("n_pred")).as("pe_num"))
-    pc.crossJoin(broadcast(tot))
-      .select(col("label").cast("long").as("label"), col("n_true"), col("n_pred"), col("tp"),
+    // one tot join only (r10 verdict cleanup): the per-label columns need
+    // nothing corpus-wide until acc/kappa, so tot broadcasts in once below
+    pc.select(col("label").cast("long").as("label"), col("n_true"), col("n_pred"), col("tp"),
         expr("""CASE WHEN n_pred = 0 THEN cast(-1 as bigint)
                |ELSE cast(cast(tp as decimal(38,0)) * 1000000 div n_pred as bigint) END"""
           .stripMargin).as("precision_ppm"),

@@ -134,4 +134,28 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll with SqlConfHelpe
           plan.linesIterator.take(50).mkString("\n"))
     }
   }
+
+  test("PlanSweep flags a global window over an un-collapsed stream, accepts bounded ones") {
+    // third suite-wide ban (r10 verdict item 6): a WindowExec with an empty
+    // partition spec buffers its input in ONE task — legal only above a
+    // node that already collapsed the stream (limit or aggregate).
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.ops.Tables(spark, sfDir, "documents")
+    val bad = docs.withColumn("r", row_number().over(Window.orderBy(col("doc_id"))))
+    assert(PlanSweep.unboundedGlobalWindows(bad.queryExecution.sparkPlan).nonEmpty,
+      "corpus-scale global window not flagged")
+    val viaLimit = docs.limit(10)
+      .withColumn("r", row_number().over(Window.orderBy(col("doc_id"))))
+    assert(PlanSweep.unboundedGlobalWindows(viaLimit.queryExecution.sparkPlan).isEmpty,
+      "limit-bounded global window falsely flagged")
+    val viaAgg = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .withColumn("r", row_number().over(Window.orderBy(col("lang"))))
+    assert(PlanSweep.unboundedGlobalWindows(viaAgg.queryExecution.sparkPlan).isEmpty,
+      "aggregate-bounded (histogram-lineage) global window falsely flagged")
+    // partitioned windows are out of scope for this ban regardless of child
+    val partitioned = docs.withColumn("r",
+      row_number().over(Window.partitionBy("lang").orderBy(col("doc_id"))))
+    assert(PlanSweep.unboundedGlobalWindows(partitioned.queryExecution.sparkPlan).isEmpty)
+  }
 }

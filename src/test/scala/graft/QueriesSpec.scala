@@ -2139,4 +2139,46 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(math.abs(got._2._2 - exp._3) < 2e-6, s"rank ${got._1} corr")
     }
   }
+
+  test("x39/x54 keep a group whose n_chars are all NULL (r10 advice: quantiles decorate, counts anchor)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // exactQuantiles filters nulls pre-histogram, so an all-null group is
+    // absent from its frame; the oracle's plain GROUP BY keeps the group
+    // with NULL quartiles/med/mad, 0 outliers, and its row count. The
+    // r11 left-joins make the engine match on this hostile fixture.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-nullgrp")
+    try {
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      val hostile = Seq(
+        (900001L, "alpha beta", "zz", "nullsrc", None: Option[Long]),
+        (900002L, "gamma delta", "zz", "nullsrc", None: Option[Long]))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      base.select("doc_id", "text", "lang", "source", "n_chars")
+        .unionByName(hostile)
+        .write.parquet(s"$tmp/documents.parquet")
+      val q39 = SparkEntry.queries("x39_len_quartiles")(spark, tmp.toString)
+        .where(col("lang") === "zz").collect()
+      assert(q39.length == 1, "all-null lang dropped from x39")
+      assert(q39(0).getLong(q39(0).fieldIndex("n")) == 2L)
+      for (c <- Seq("q1", "med", "q3"))
+        assert(q39(0).isNullAt(q39(0).fieldIndex(c)), s"x39 $c not NULL")
+      val q54 = SparkEntry.queries("x54_mad_outliers")(spark, tmp.toString)
+        .where(col("source") === "nullsrc").collect()
+      assert(q54.length == 1, "all-null source dropped from x54")
+      assert(q54(0).getLong(q54(0).fieldIndex("n")) == 2L)
+      assert(q54(0).getLong(q54(0).fieldIndex("n_outliers")) == 0L)
+      for (c <- Seq("med", "mad"))
+        assert(q54(0).isNullAt(q54(0).fieldIndex(c)), s"x54 $c not NULL")
+      // the canonical corpus rows are untouched by the join change
+      val before = SparkEntry.queries("x39_len_quartiles")(spark, sfDir).collect().toSeq
+      val after = SparkEntry.queries("x39_len_quartiles")(spark, tmp.toString)
+        .where(col("lang") =!= "zz").collect().toSeq
+      assert(before == after)
+    } finally {
+      scala.util.Try(java.nio.file.Files.walk(tmp)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p)))
+    }
+  }
 }
