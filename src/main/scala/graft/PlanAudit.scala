@@ -415,7 +415,24 @@ object PlanAudit {
     // domain score histogram + cumulative window; no exact-percentile
     // buffer anywhere
     "x150_classifier_auc" -> Seq("BroadcastHashJoin", "BroadcastExchange",
-      "WindowExec|Window", "(?s)\\A(?!.*percentile\\().*"))
+      "WindowExec|Window", "(?s)\\A(?!.*percentile\\().*"),
+    // Simpson diversity: the Σc² fold is ROW-LOCAL (sorted-run lengths of
+    // the token array) — the plan must stay a pure scan+project: no join,
+    // no aggregate, no window anywhere; the only exchange is the final
+    // sort's range partitioning
+    "x151_simpson_diversity" -> Seq("(?s)\\A(?!.*Join).*",
+      "(?s)\\A(?!.*HashAggregate).*", "(?s)\\A(?!.*WindowExec).*"),
+    // winnowing: selection is row-local, pairs come from the df-capped
+    // per-fingerprint id list (x02/x91 discipline) — NO fingerprint
+    // self-join may ever appear; collect_list rides ObjectHashAggregate
+    "x152_winnowing" -> Seq("(?s)\\A(?!.*Join).*", "ObjectHashAggregate",
+      "Generate"),
+    // chi-square balance: one (lang, source) aggregate, marginals crossed
+    // via broadcast (BroadcastNestedLoopJoin, never CartesianProduct),
+    // top-10 head is a bounded TakeOrdered
+    "x153_chi2_balance" -> Seq("HashAggregate",
+      "BroadcastNestedLoopJoin|BroadcastExchange", "TakeOrderedAndProject",
+      "(?s)\\A(?!.*CartesianProduct).*"))
 
   /** Execute one audited query and evaluate its plan patterns — shared by
     * the CLI main and PlanShapeSpec (so plan-shape regressions fail CI, not

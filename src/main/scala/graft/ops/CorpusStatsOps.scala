@@ -1065,8 +1065,78 @@ object CorpusStatsOps {
       .orderBy("lang")
   }
 
+  /** Pearson CHI-SQUARE independence audit of the lang × source
+    * contingency grid — "is language mix independent of source", the
+    * corpus-balance question behind every mixture decision (x37/x76
+    * assume per-source language composition is stable; this measures how
+    * far the corpus actually is from independence, and WHICH cells drive
+    * it). Exact rational arithmetic: with cell count O, row total r,
+    * column total c, grand total N, the cell contribution
+    * (O−E)²/E = (O·N − r·c)² / (N·r·c) — widened-integer
+    * cross-multiplication (the x148 TVD trick applied to χ²), floor-ppm
+    * per cell on BOTH engines so the sum is bit-deterministic. Zero
+    * cells of the full grid contribute E (they are evidence too), so the
+    * grid is the complete |L|×|S| cross, not just observed pairs.
+    *
+    * Scale shape: ONE (lang, source) corpus aggregate (a few-hundred-row
+    * grid at any corpus size), the two marginal aggregates derived from
+    * grids of the same size, and the |L|×|S| cross assembled via
+    * broadcast — no corpus-row exchange anywhere past the first
+    * aggregate. Top-10 head is a bounded TakeOrdered. Null lang/source
+    * rows are excluded on both engines (the x136/x146 contract).
+    */
+  val chi2Balance: Q = Q(
+    "x153_chi2_balance",
+    """WITH d AS (SELECT lang, source FROM documents
+      |           WHERE lang IS NOT NULL AND source IS NOT NULL),
+      |o AS (SELECT lang, source, count(*) AS o FROM d GROUP BY 1, 2),
+      |r AS (SELECT lang, count(*) AS rn FROM d GROUP BY 1),
+      |c AS (SELECT source, count(*) AS cn FROM d GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM d),
+      |g AS (SELECT r.lang, c.source, rn, cn, coalesce(o.o, 0) AS o,
+      |        CAST((CAST(coalesce(o.o, 0) AS HUGEINT) * n - CAST(rn AS HUGEINT) * cn)
+      |             * (CAST(coalesce(o.o, 0) AS HUGEINT) * n - CAST(rn AS HUGEINT) * cn)
+      |             * 1000000 // (CAST(n AS HUGEINT) * rn * cn) AS BIGINT) AS contrib_ppm,
+      |        CAST(CAST(rn AS HUGEINT) * cn * 1000 // n AS BIGINT) AS e_milli
+      |      FROM r CROSS JOIN c LEFT JOIN o ON o.lang = r.lang AND o.source = c.source, n),
+      |t AS (SELECT CAST(sum(contrib_ppm) AS BIGINT) AS chi2_ppm,
+      |             CAST((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1) AS BIGINT) AS dof
+      |      FROM g)
+      |SELECT rk, lang, source, CAST(o AS BIGINT) AS o, e_milli, contrib_ppm, chi2_ppm, dof
+      |FROM (SELECT *, row_number() OVER (ORDER BY contrib_ppm DESC, lang, source) AS rk
+      |      FROM g), t
+      |WHERE rk <= 10 ORDER BY rk""".stripMargin
+  ) { (s, dir) =>
+    val d = docs(s, dir)
+      .where(col("lang").isNotNull && col("source").isNotNull)
+      .select("lang", "source")
+    val o = d.groupBy("lang", "source").agg(count(lit(1)).as("o"))
+    val r = d.groupBy("lang").agg(count(lit(1)).as("rn"))
+    val c = d.groupBy("source").agg(count(lit(1)).as("cn"))
+    val n = d.agg(count(lit(1)).as("n"))
+    val g = r.crossJoin(broadcast(c))
+      .join(o, Seq("lang", "source"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(n))
+      .withColumn("contrib_ppm",
+        expr("""cast((cast(o as decimal(38,0)) * n - cast(rn as decimal(38,0)) * cn)
+               |* (cast(o as decimal(38,0)) * n - cast(rn as decimal(38,0)) * cn)
+               |* 1000000 div (cast(n as decimal(38,0)) * rn * cn) as bigint)""".stripMargin))
+      .withColumn("e_milli",
+        expr("cast(cast(rn as decimal(38,0)) * cn * 1000 div n as bigint)"))
+    val t = g.agg(sum("contrib_ppm").as("chi2_ppm"),
+      ((countDistinct("lang") - 1) * (countDistinct("source") - 1)).as("dof"))
+    g.orderBy(col("contrib_ppm").desc, col("lang"), col("source")).limit(10)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("contrib_ppm").desc, col("lang"), col("source"))))
+      .crossJoin(broadcast(t))
+      .select(col("rk"), col("lang"), col("source"), col("o"), col("e_milli"),
+        col("contrib_ppm"), col("chi2_ppm"), col("dof"))
+      .orderBy("rk")
+  }
+
   val all: Seq[Q] = Seq(tfidfTopTerms, bigramLift, sourceOverlap, mixtureSample,
     typeToken, lenQuartiles, invertedIndex, madOutliers, stopwordIndex, lenDeciles,
     oovRate, langGini, skipgramCooc, vocabGrowth, bm25Rank, heavyHitters, sourcePrior,
-    dataCard, sourceAffinity, vocabCurve, tokenDrift, ksLength)
+    dataCard, sourceAffinity, vocabCurve, tokenDrift, ksLength, chi2Balance)
 }

@@ -2223,10 +2223,84 @@ object DedupOps {
       .orderBy("batch")
   }
 
+  /** WINNOWING fingerprint overlap (Schleimer, Wilkerson & Aiken,
+    * SIGMOD'03 — the MOSS plagiarism-detector selection rule): hash every
+    * k-gram (k=4 words), slide a w=5 window over the hash sequence, and
+    * in each window select the MINIMUM hash, breaking ties by the
+    * RIGHTMOST position — the paper's guarantee is that any shared run of
+    * ≥ k+w−1 = 8 words between two documents yields at least one shared
+    * selected fingerprint, while only ~2/(w+1) of all grams are kept.
+    * Pairs sharing ≥ 2 winnowed fingerprints are reported with their
+    * overlap count. Differs from x11 (bottom-k global fingerprints — a
+    * whole-doc sketch) and x88 (ALL spans): winnowing is the
+    * position-local selection that keeps guaranteed substring-match
+    * coverage at a fraction of x88's index size.
+    *
+    * Scale shape: selection is entirely ROW-LOCAL (one pass over the
+    * gram-hash array with a w-bounded argmin per position — O(L·w) per
+    * row, zero exchange); the only shuffles are the fingerprint
+    * aggregate and the bounded pair aggregate. Pair generation rides the
+    * x02/x91 discipline: collect the ≤ 64 doc ids per fingerprint
+    * (df-capped — a fingerprint in > 64 docs is boilerplate, dropped and
+    * declared) and emit C(df,2) pairs row-local, never a fingerprint
+    * self-join. Docs shorter than k+w−1 = 8 words carry no full window
+    * and are skipped on both engines (the guarantee threshold t is also
+    * the minimum match length — shorter docs cannot satisfy it).
+    */
+  val winnowing: Q = Q(
+    "x152_winnowing",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |           WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 8),
+      |h AS (SELECT doc_id, list_transform(generate_series(1, len(w) - 3),
+      |        i -> substr(md5(array_to_string(list_slice(w, i, i + 3), ' ')), 1, 16)) AS hs
+      |      FROM d),
+      |sel AS (SELECT doc_id, hs,
+      |          list_distinct(list_transform(generate_series(1, len(hs) - 4),
+      |            j -> j + 5 - list_position(list_reverse(list_slice(hs, j, j + 4)),
+      |                                       list_min(list_slice(hs, j, j + 4))))) AS ps
+      |        FROM h),
+      |fp AS (SELECT DISTINCT doc_id, hs[CAST(p AS BIGINT)] AS fph
+      |       FROM sel, LATERAL (SELECT unnest(ps) AS p) u),
+      |grp AS (SELECT fph FROM fp GROUP BY fph HAVING count(*) BETWEEN 2 AND 64)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+      |FROM fp a JOIN fp b ON a.fph = b.fph AND a.doc_id < b.doc_id
+      |     JOIN grp ON grp.fph = a.fph
+      |GROUP BY 1, 2 HAVING count(*) >= 2
+      |ORDER BY n_shared DESC, doc_a, doc_b""".stripMargin
+  ) { (s, dir) =>
+    val w = split(col("text"), " ")
+    val grams = docs(s, dir)
+      .where(col("text").isNotNull && size(w) >= 8)
+      .select(col("doc_id"), w.as("w"))
+      .withColumn("hs", transform(sequence(lit(1), size(col("w")) - 3),
+        i => substring(md5(array_join(slice(col("w"), i, lit(4)), " ")), 1, 16)))
+    // row-local winnow: per window start j (1-based), the rightmost
+    // position of the window minimum; distinct positions → distinct hashes
+    val fps = grams
+      .withColumn("ps", array_distinct(transform(sequence(lit(1), size(col("hs")) - 4),
+        j => j + lit(5) - array_position(reverse(slice(col("hs"), j, lit(5))),
+          array_min(slice(col("hs"), j, lit(5)))))))
+      .select(col("doc_id"),
+        explode(array_distinct(transform(col("ps"),
+          p => element_at(col("hs"), p.cast("int"))))).as("fph"))
+    fps.groupBy("fph")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .where(size(col("ds")).between(2, 64))
+      // C(df,2) pairs emitted row-local from the ≤64-wide sorted id list
+      .select(explode(flatten(transform(sequence(lit(1), size(col("ds")) - 1), i =>
+        transform(sequence(i + 1, size(col("ds"))), j =>
+          struct(element_at(col("ds"), i.cast("int")).as("doc_a"),
+            element_at(col("ds"), j.cast("int")).as("doc_b")))))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= 2)
+      .orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
+  }
+
   val all: Seq[Q] =
     Seq(exactDedup, minhashLsh, simhash, ngramJaccard, dupClusters, pagerank, splitLeakage,
       canonicalPick, curationPipeline, triangleCount, incrementalDedup, lshVerify,
       spanDedup, simhashBands, fuzzyPrefixJoin, prefixAllpairs, sortedNeighborhood,
       labelProp, minhashError, tombstonePropagate, nearDupContamination, containmentJoin,
-      clusterSafeSplit, sourceMinhash, hllUnion, batchNovelty)
+      clusterSafeSplit, sourceMinhash, hllUnion, batchNovelty, winnowing)
 }

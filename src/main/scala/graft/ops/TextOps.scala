@@ -1103,8 +1103,68 @@ object TextOps {
           .stripMargin).as("auc_ppm"))
   }
 
+  /** Per-document SIMPSON lexical diversity (1 − Σpᵢ², Herfindahl
+    * complement over the doc's own token distribution) — the
+    * length-robust junk gate x38's corpus-level type-token ratio cannot
+    * give: TTR decays with length even for healthy text (Heaps), while
+    * Simpson is a proper diversity index with a per-doc value, so a
+    * "same 3 tokens repeated 500 times" spam doc scores near 0 at any
+    * length. Chosen over Shannon entropy because it is RATIONAL: with
+    * per-token counts cᵢ and n = Σcᵢ, simpson_ppm = (n² − Σcᵢ²)·10⁶ //
+    * n² is exact widened-integer arithmetic on both engines — no
+    * transcendental, no float (§7.5).
+    *
+    * Scale shape: ZERO exchanges before the final sort. Σcᵢ² is computed
+    * ROW-LOCALLY — sort the doc's token array, find run boundaries, sum
+    * squared run lengths (O(L log L) per row) — where the oracle pays a
+    * corpus-cardinality (doc, word) aggregate for the same number. At
+    * 100 TB this is a pruned 3-column scan + embarrassingly parallel map;
+    * the only aggregate anywhere is the oracle's.
+    */
+  val simpsonDiversity: Q = Q(
+    "x151_simpson_diversity",
+    """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+      |           FROM documents WHERE text IS NOT NULL),
+      |c AS (SELECT doc_id, word, count(*) AS c
+      |      FROM (SELECT doc_id, unnest(w) AS word FROM d) t GROUP BY doc_id, word),
+      |s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |             CAST(sum(c * c) AS BIGINT) AS sumsq FROM c GROUP BY doc_id)
+      |SELECT d.doc_id, d.lang, n_tokens, sumsq,
+      |       CAST((CAST(n_tokens AS HUGEINT) * n_tokens - sumsq) * 1000000
+      |            // (CAST(n_tokens AS HUGEINT) * n_tokens) AS BIGINT) AS simpson_ppm,
+      |       CASE WHEN (CAST(n_tokens AS HUGEINT) * n_tokens - sumsq) * 1000000
+      |                 // (CAST(n_tokens AS HUGEINT) * n_tokens) < 900000
+      |            THEN 1 ELSE 0 END AS low_diversity
+      |FROM d JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val srt = array_sort(split(col("text"), " "))
+    docs(s, dir).where(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"), srt.as("s"))
+      .withColumn("n", size(col("s")))
+      // run boundaries of the sorted token array (0-based positions where
+      // a new token starts); run lengths are consecutive-boundary gaps;
+      // Σ len² is the Simpson numerator — all row-local
+      .withColumn("b",
+        concat(
+          filter(sequence(lit(0), col("n") - 1), i =>
+            (i === 0) || (element_at(col("s"), i + 1) =!= element_at(col("s"), i))),
+          array(col("n"))))
+      .withColumn("sumsq",
+        aggregate(sequence(lit(0), size(col("b")) - 2), lit(0L), (acc, j) =>
+          acc + (element_at(col("b"), j + 2) - element_at(col("b"), j + 1)).cast("long")
+              * (element_at(col("b"), j + 2) - element_at(col("b"), j + 1)).cast("long")))
+      .select(col("doc_id"), col("lang"), col("n").cast("long").as("n_tokens"),
+        col("sumsq"),
+        expr("""cast((cast(n_tokens as decimal(38,0)) * n_tokens - sumsq) * 1000000
+               |div (cast(n_tokens as decimal(38,0)) * n_tokens) as bigint)""".stripMargin)
+          .as("simpson_ppm"))
+      .withColumn("low_diversity",
+        when(col("simpson_ppm") < 900000, 1).otherwise(0).cast("int"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(langId, qualityScore, tokenCount, fingerprint, corpusClean,
     positionalIndex, trigramLm, nfcClean, piiRedact, bpePairs, bpeMerge, hashClassifier,
     bpeEncode, calibration, gateAttribution, bpeFertility, gopherRules, ccnetBuckets,
-    classifierAuc)
+    classifierAuc, simpsonDiversity)
 }

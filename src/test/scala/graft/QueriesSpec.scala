@@ -2181,4 +2181,80 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
         .forEach(p => java.nio.file.Files.deleteIfExists(p)))
     }
   }
+
+  test("x151 simpson diversity equals a collect-side per-doc re-derivation") {
+    val out = SparkEntry.queries("x151_simpson_diversity")(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5))))
+    val rows = graft.ops.Tables(spark, sfDir, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .filter(!_.isNullAt(2))
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getString(2).split(" ", -1)))
+    assert(out.length == rows.length)
+    val byId = out.toMap
+    for ((id, lang, ws) <- rows) {
+      val n = ws.length.toLong
+      val sumsq = ws.groupBy(identity).values.map(g => g.length.toLong * g.length).sum
+      val ppm = ((BigInt(n) * n - sumsq) * 1000000 / (BigInt(n) * n)).toLong
+      val flag = if (ppm < 900000) 1 else 0
+      assert(byId(id) == ((lang, n, sumsq, ppm, flag)), s"doc $id")
+    }
+  }
+
+  test("x152 winnowing equals a collect-side Schleimer selection re-derivation") {
+    val out = SparkEntry.queries("x152_winnowing")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val rows = graft.ops.Tables(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .filter(!_.isNullAt(1)).map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+      .filter(_._2.length >= 8)
+    val fps = rows.flatMap { case (id, w) =>
+      val hs = (0 to w.length - 4).map(i => md5hex(w.slice(i, i + 4).mkString(" ")))
+      val sel = (0 to hs.length - 5).map { j =>
+        val win = hs.slice(j, j + 5)
+        j + win.lastIndexOf(win.min) // rightmost tie-break (Schleimer §5)
+      }.distinct
+      sel.map(p => (id, hs(p))).distinct
+    }
+    val byFp = fps.groupBy(_._2)
+      .filter { case (_, ds) => ds.length >= 2 && ds.length <= 64 }
+    val pairs = byFp.values.flatMap { ds =>
+      val ids = ds.map(_._1).sorted
+      for (i <- ids.indices; j <- i + 1 until ids.length) yield (ids(i), ids(j))
+    }.groupBy(identity).map { case (p, g) => (p._1, p._2, g.size.toLong) }
+      .filter(_._3 >= 2).toSeq
+      .sortBy { case (a, b, c) => (-c, a, b) }
+    assert(out.toSeq == pairs)
+    // the corpus's exact-duplicate docs must surface as winnowing pairs
+    assert(out.nonEmpty)
+  }
+
+  test("x153 chi2 balance equals a collect-side exact re-derivation") {
+    val out = SparkEntry.queries("x153_chi2_balance")(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> ((r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))))
+    assert(out.map(_._1).toSeq == (1 to 10))
+    val rows = graft.ops.Tables(spark, sfDir, "documents")
+      .select("lang", "source").collect()
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .map(r => (r.getString(0), r.getString(1)))
+    val n = BigInt(rows.length)
+    val o = rows.groupBy(identity).map { case (k, g) => k -> BigInt(g.length) }
+    val rTot = rows.groupBy(_._1).map { case (k, g) => k -> BigInt(g.length) }
+    val cTot = rows.groupBy(_._2).map { case (k, g) => k -> BigInt(g.length) }
+    val cells = for (l <- rTot.keys.toSeq; src <- cTot.keys.toSeq) yield {
+      val obs = o.getOrElse((l, src), BigInt(0))
+      val d = obs * n - rTot(l) * cTot(src)
+      val contrib = (d * d * 1000000 / (n * rTot(l) * cTot(src))).toLong
+      val eMilli = (rTot(l) * cTot(src) * 1000 / n).toLong
+      (l, src, obs.toLong, eMilli, contrib)
+    }
+    val chi2 = cells.map(_._5).sum
+    val dof = (rTot.size - 1).toLong * (cTot.size - 1)
+    val head = cells.sortBy { case (l, src, _, _, c) => (-c, l, src) }.take(10)
+    for (((l, src, obs, em, c), i) <- head.zipWithIndex)
+      assert(out(i)._2 == ((l, src, obs, em, c, chi2, dof)), s"rank ${i + 1}")
+  }
 }
