@@ -432,7 +432,15 @@ object PlanAudit {
     // top-10 head is a bounded TakeOrdered
     "x153_chi2_balance" -> Seq("HashAggregate",
       "BroadcastNestedLoopJoin|BroadcastExchange", "TakeOrderedAndProject",
-      "(?s)\\A(?!.*CartesianProduct).*"))
+      "(?s)\\A(?!.*CartesianProduct).*"),
+    // rank concordance: ONE corpus aggregate feeds the CACHED cells
+    // (InMemory), every window over the domain grid is PARTITIONED
+    "x154_rank_concordance" -> Seq("(?i)inmemory", "WindowExec|Window",
+      "BroadcastExchange", "(?s)\\A(?!.*CartesianProduct).*"),
+    // burstiness: (doc, token) aggregate then vocab aggregate; the top-20
+    // head must be a bounded TakeOrdered, never a global vocab sort
+    "x155_burstiness" -> Seq("HashAggregate", "TakeOrderedAndProject",
+      "BroadcastExchange"))
 
   /** Execute one audited query and evaluate its plan patterns — shared by
     * the CLI main and PlanShapeSpec (so plan-shape regressions fail CI, not

@@ -1135,8 +1135,58 @@ object CorpusStatsOps {
       .orderBy("rk")
   }
 
+  /** Token BURSTINESS — the variance-to-mean ratio (Fano factor) of each
+    * token's per-document count, Church & Gale's (1995) classic
+    * content-word discriminator: function words scatter ~Poisson
+    * (VMR ≈ 1), topical words BURST (a doc that mentions them once
+    * mentions them many times, VMR ≫ 1) — the signal behind stopword
+    * discovery and keyword weighting that raw frequency (x99) cannot
+    * give, because frequency and burstiness are orthogonal. Exact
+    * rational: with per-doc counts c (zeros included algebraically),
+    * S1 = Σc, S2 = Σc², N docs: VMR = ((N·S2 − S1²)/N²) / (S1/N)
+    * = (N·S2 − S1²)/(N·S1) — floor-ppm via widened-integer
+    * cross-multiplication, no float.
+    *
+    * Scale shape: the (doc, token) count aggregate (the x34-class
+    * exchange — corpus-token-scaled, the declared cost of any per-doc
+    * distributional stat), then ONE vocabulary-sized aggregate; the
+    * absent-doc zeros never materialize (they enter only through N).
+    * Top-20 head is a bounded TakeOrdered; df ≥ 5 is the noise floor
+    * (a 1-doc token is trivially "bursty").
+    */
+  val burstiness: Q = Q(
+    "x155_burstiness",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |             FROM documents WHERE text IS NOT NULL),
+      |c AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+      |n AS (SELECT count(*) AS n FROM documents WHERE text IS NOT NULL),
+      |st AS (SELECT w, CAST(count(*) AS BIGINT) AS df, CAST(sum(c) AS BIGINT) AS s1,
+      |              CAST(sum(c * c) AS BIGINT) AS s2 FROM c GROUP BY w)
+      |SELECT w AS token, df, s1 AS n_occ,
+      |       CAST((CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1) * 1000000
+      |            // (CAST(n AS HUGEINT) * s1) AS BIGINT) AS vmr_ppm,
+      |       CAST(CAST(s1 AS HUGEINT) * 1000000 // n AS BIGINT) AS mean_micro
+      |FROM st, n WHERE df >= 5
+      |ORDER BY vmr_ppm DESC, token LIMIT 20""".stripMargin
+  ) { (s, dir) =>
+    val c = docs(s, dir).where(col("text").isNotNull)
+      .select(col("doc_id"), explode(ws).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val n = docs(s, dir).where(col("text").isNotNull).agg(count(lit(1)).as("n"))
+    c.groupBy("w")
+      .agg(count(lit(1)).as("df"), sum("c").as("s1"), sum(col("c") * col("c")).as("s2"))
+      .where(col("df") >= 5)
+      .crossJoin(broadcast(n))
+      .select(col("w").as("token"), col("df"), col("s1").as("n_occ"),
+        expr("""cast((cast(n as decimal(38,0)) * s2 - cast(s1 as decimal(38,0)) * s1)
+               |* 1000000 div (cast(n as decimal(38,0)) * s1) as bigint)""".stripMargin)
+          .as("vmr_ppm"),
+        expr("cast(cast(s1 as decimal(38,0)) * 1000000 div n as bigint)").as("mean_micro"))
+      .orderBy(col("vmr_ppm").desc, col("token")).limit(20)
+  }
+
   val all: Seq[Q] = Seq(tfidfTopTerms, bigramLift, sourceOverlap, mixtureSample,
     typeToken, lenQuartiles, invertedIndex, madOutliers, stopwordIndex, lenDeciles,
     oovRate, langGini, skipgramCooc, vocabGrowth, bm25Rank, heavyHitters, sourcePrior,
-    dataCard, sourceAffinity, vocabCurve, tokenDrift, ksLength, chi2Balance)
+    dataCard, sourceAffinity, vocabCurve, tokenDrift, ksLength, chi2Balance, burstiness)
 }

@@ -1163,8 +1163,109 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** RANK CONCORDANCE between the x09 stopword-ratio quality signal and
+    * document LENGTH — "is the quality gate secretly a length proxy?",
+    * the filter-audit every pretraining pipeline should run before
+    * trusting a quality score (a gate that rank-tracks length deletes
+    * short documents, not bad ones). Exact Kendall-family statistics
+    * computed WITHOUT enumerating pairs: Goodman–Kruskal gamma
+    * (C−D)/(C+D) (the ties-robust measure, JASA 1954) and Kendall τ_a
+    * (C−D)/(n(n−1)/2), both in floor-ppm — rational, so cross-engine
+    * exact (truncating integer division parity verified on negatives by
+    * x150).
+    *
+    * Scale shape: ONE corpus aggregate to the (stop_milli, n_chars)
+    * contingency CELLS — both domains are value-bounded (milli ratio
+    * ≤ 1001 values; doc-length domain), so everything after is
+    * corpus-size-independent: the full domain grid is assembled from
+    * the CACHED cells (InMemory — one corpus pass total), concordant /
+    * discordant pair masses come from a 2-D cumulative built with two
+    * PARTITIONED windows over the grid (C = Σ n·F(a−1,b−1) via
+    * F−CB and a lag; D = Σ n·(rowtot−F_up)) — the pair-free identity
+    * that makes exact rank statistics feasible at 100 TB where any
+    * O(n log n) per-pair approach is not. Output is ONE row; the
+    * C+D+T_a+T_b−T_ab = n(n−1)/2 identity is spec-asserted.
+    */
+  val rankConcordance: Q = Q(
+    "x154_rank_concordance",
+    """WITH d AS (SELECT CAST(len(list_filter(string_split(text, ' '),
+      |             w -> w IN ('the', 'and', 'of', 'to', 'a'))) * 1000
+      |             // len(string_split(text, ' ')) AS BIGINT) AS a,
+      |           n_chars AS b
+      |           FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+      |cells AS (SELECT a, b, count(*) AS n FROM d GROUP BY 1, 2),
+      |da AS (SELECT DISTINCT a FROM cells), db AS (SELECT DISTINCT b FROM cells),
+      |grid AS (SELECT da.a, db.b, coalesce(c.n, 0) AS n
+      |         FROM da CROSS JOIN db LEFT JOIN cells c ON c.a = da.a AND c.b = db.b),
+      |w1 AS (SELECT a, b, n, sum(n) OVER (PARTITION BY a ORDER BY b) AS cb FROM grid),
+      |w2 AS (SELECT a, b, n, cb, sum(cb) OVER (PARTITION BY b ORDER BY a) AS f FROM w1),
+      |w3 AS (SELECT a, b, n, f - cb AS fup FROM w2),
+      |w4 AS (SELECT a, b, n, fup,
+      |         coalesce(lag(fup) OVER (PARTITION BY a ORDER BY b), 0) AS l,
+      |         max(fup) OVER (PARTITION BY a) AS rowtot FROM w3),
+      |agg AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+      |               CAST(sum(n * l) AS BIGINT) AS c_pairs,
+      |               CAST(sum(n * (rowtot - fup)) AS BIGINT) AS d_pairs,
+      |               CAST(sum(CAST(n AS HUGEINT) * (n - 1) // 2) AS BIGINT) AS ties_both
+      |        FROM w4),
+      |ta AS (SELECT CAST(sum(CAST(na AS HUGEINT) * (na - 1) // 2) AS BIGINT) AS ties_a
+      |       FROM (SELECT a, sum(n) AS na FROM cells GROUP BY a)),
+      |tb AS (SELECT CAST(sum(CAST(nb AS HUGEINT) * (nb - 1) // 2) AS BIGINT) AS ties_b
+      |       FROM (SELECT b, sum(n) AS nb FROM cells GROUP BY b))
+      |SELECT n_docs, c_pairs, d_pairs, ties_a, ties_b, ties_both,
+      |  CAST(CASE WHEN c_pairs + d_pairs = 0 THEN 0
+      |       ELSE (CAST(c_pairs AS HUGEINT) - d_pairs) * 1000000
+      |            // (CAST(c_pairs AS HUGEINT) + d_pairs) END AS BIGINT) AS gamma_ppm,
+      |  CAST(CASE WHEN n_docs < 2 THEN 0
+      |       ELSE (CAST(c_pairs AS HUGEINT) - d_pairs) * 1000000
+      |            // (CAST(n_docs AS HUGEINT) * (n_docs - 1) // 2) END AS BIGINT) AS tau_a_ppm
+      |FROM agg, ta, tb""".stripMargin
+  ) { (s, dir) =>
+    val wsp = split(col("text"), " ")
+    val cells = docs(s, dir)
+      .where(col("text").isNotNull && col("n_chars").isNotNull)
+      .select(hits("en").as("stop_n"), size(wsp).as("n_words"), col("n_chars").as("b"))
+      .select(expr("cast(stop_n * 1000 div n_words as bigint)").as("a"), col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+      .cache() // domain-bounded (≤ |milli| × |length|) — ONE corpus pass feeds it
+    val da = cells.select("a").distinct()
+    val db = cells.select("b").distinct()
+    val grid = da.crossJoin(broadcast(db))
+      .join(cells, Seq("a", "b"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val wCb = Window.partitionBy("a").orderBy("b")
+    val wF  = Window.partitionBy("b").orderBy("a")
+    val wA  = Window.partitionBy("a")
+    val w4 = grid
+      .withColumn("cb", sum("n").over(wCb))
+      .withColumn("f", sum("cb").over(wF))
+      .withColumn("fup", col("f") - col("cb"))
+      .withColumn("l", coalesce(lag("fup", 1).over(wCb), lit(0L)))
+      .withColumn("rowtot", max("fup").over(wA))
+    val agg = w4.agg(
+      sum("n").as("n_docs"),
+      sum(col("n") * col("l")).as("c_pairs"),
+      sum(col("n") * (col("rowtot") - col("fup"))).as("d_pairs"),
+      sum(expr("cast(n as decimal(38,0)) * (n - 1) div 2")).cast("long").as("ties_both"))
+    val ta = cells.groupBy("a").agg(sum("n").as("na"))
+      .agg(sum(expr("cast(na as decimal(38,0)) * (na - 1) div 2")).cast("long").as("ties_a"))
+    val tb = cells.groupBy("b").agg(sum("n").as("nb"))
+      .agg(sum(expr("cast(nb as decimal(38,0)) * (nb - 1) div 2")).cast("long").as("ties_b"))
+    agg.crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+      .select(col("n_docs"), col("c_pairs"), col("d_pairs"),
+        col("ties_a"), col("ties_b"), col("ties_both"),
+        expr("""cast(CASE WHEN c_pairs + d_pairs = 0 THEN 0
+               |ELSE (cast(c_pairs as decimal(38,0)) - d_pairs) * 1000000
+               |     div (cast(c_pairs as decimal(38,0)) + d_pairs) END as bigint)"""
+          .stripMargin).as("gamma_ppm"),
+        expr("""cast(CASE WHEN n_docs < 2 THEN 0
+               |ELSE (cast(c_pairs as decimal(38,0)) - d_pairs) * 1000000
+               |     div (cast(n_docs as decimal(38,0)) * (n_docs - 1) div 2) END as bigint)"""
+          .stripMargin).as("tau_a_ppm"))
+  }
+
   val all: Seq[Q] = Seq(langId, qualityScore, tokenCount, fingerprint, corpusClean,
     positionalIndex, trigramLm, nfcClean, piiRedact, bpePairs, bpeMerge, hashClassifier,
     bpeEncode, calibration, gateAttribution, bpeFertility, gopherRules, ccnetBuckets,
-    classifierAuc, simpsonDiversity)
+    classifierAuc, simpsonDiversity, rankConcordance)
 }

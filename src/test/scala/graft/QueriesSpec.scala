@@ -2257,4 +2257,55 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     for (((l, src, obs, em, c), i) <- head.zipWithIndex)
       assert(out(i)._2 == ((l, src, obs, em, c, chi2, dof)), s"rank ${i + 1}")
   }
+
+  test("x154 rank concordance equals a collect-side brute-force pair count") {
+    val out = SparkEntry.queries("x154_rank_concordance")(spark, sfDir).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    val got = (0 to 7).map(r.getLong).toVector
+    val stop = Set("the", "and", "of", "to", "a")
+    val rows = graft.ops.Tables(spark, sfDir, "documents")
+      .select("text", "n_chars").collect()
+      .filter(x => !x.isNullAt(0) && !x.isNullAt(1))
+      .map { x =>
+        val ws = x.getString(0).split(" ", -1)
+        (ws.count(stop).toLong * 1000 / ws.length, x.getLong(1))
+      }
+    val n = rows.length.toLong
+    var c = 0L; var d = 0L; var ta = 0L; var tb = 0L; var tab = 0L
+    for (i <- rows.indices; j <- i + 1 until rows.length) {
+      val s = (rows(i)._1 - rows(j)._1).sign * (rows(i)._2 - rows(j)._2).sign
+      if (s > 0) c += 1 else if (s < 0) d += 1
+      if (rows(i)._1 == rows(j)._1) ta += 1
+      if (rows(i)._2 == rows(j)._2) tb += 1
+      if (rows(i) == rows(j)) tab += 1
+    }
+    // C + D + T_a + T_b − T_ab must partition the n(n−1)/2 pairs
+    assert(c + d + ta + tb - tab == n * (n - 1) / 2)
+    val gamma = if (c + d == 0) 0L else (BigInt(c - d) * 1000000 / BigInt(c + d)).toLong
+    val tau = if (n < 2) 0L else (BigInt(c - d) * 1000000 / (BigInt(n) * (n - 1) / 2)).toLong
+    assert(got == Vector(n, c, d, ta, tb, tab, gamma, tau))
+  }
+
+  test("x155 burstiness equals a collect-side Fano-factor re-derivation") {
+    val out = SparkEntry.queries("x155_burstiness")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val rows = graft.ops.Tables(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .filter(!_.isNullAt(1)).map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val n = rows.length.toLong
+    val perDoc = rows.flatMap { case (id, ws) =>
+      ws.groupBy(identity).map { case (w, g) => (w, g.length.toLong) }
+    }
+    val stats = perDoc.groupBy(_._1).map { case (w, cs) =>
+      val s1 = cs.map(_._2).sum
+      val s2 = cs.map(x => x._2 * x._2).sum
+      (w, cs.length.toLong, s1, s2)
+    }.filter(_._2 >= 5)
+    val exp = stats.map { case (w, df, s1, s2) =>
+      val vmr = ((BigInt(n) * s2 - BigInt(s1) * s1) * 1000000 / (BigInt(n) * s1)).toLong
+      (w, df, s1, vmr, (BigInt(s1) * 1000000 / n).toLong)
+    }.toSeq.sortBy { case (w, _, _, v, _) => (-v, w) }.take(20)
+    assert(out.toSeq == exp)
+  }
 }
