@@ -440,7 +440,12 @@ object PlanAudit {
     // burstiness: (doc, token) aggregate then vocab aggregate; the top-20
     // head must be a bounded TakeOrdered, never a global vocab sort
     "x155_burstiness" -> Seq("HashAggregate", "TakeOrderedAndProject",
-      "BroadcastExchange"))
+      "BroadcastExchange"),
+    // cluster density: pure rider on the memoized pair + label caches —
+    // the expensive lineage must come from InMemory, never be re-derived
+    "x156_cluster_density" -> Seq("(?i)inmemory", "HashAggregate"),
+    // threshold sweep: same rider contract, plus the 5-way tau explode
+    "x157_threshold_sweep" -> Seq("(?i)inmemory", "Generate", "HashAggregate"))
 
   /** Execute one audited query and evaluate its plan patterns — shared by
     * the CLI main and PlanShapeSpec (so plan-shape regressions fail CI, not

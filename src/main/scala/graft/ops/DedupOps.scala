@@ -2297,10 +2297,130 @@ object DedupOps {
       .orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
   }
 
+  /** Per-cluster candidate-EDGE DENSITY — the transitivity-dilution audit
+    * x31's connected components needs before anyone deletes by cluster:
+    * closure merges through chains, so a cluster can be a CLIQUE of true
+    * duplicates (density 1 — delete all but one) or a HAIRBALL chained
+    * through weak links (density → 2/m — deleting to one representative
+    * destroys non-duplicate documents). density_ppm = e·10⁶ // C(m,2)
+    * with e = LSH candidate pairs inside the cluster, plus the exact
+    * tree/chain indicator e = m−1 (a closure-merged cluster is a tree
+    * exactly when no band ever co-bucketed the far ends).
+    *
+    * Scale shape: pure RIDER — both inputs are the memoized candidate
+    * lineages (pairs cache + converged labels cache; candidate-scale,
+    * never corpus-scale), so the marginal cost is two candidate-sized
+    * aggregates and one tiny join. Every pair is intra-cluster by
+    * construction (an edge merged its endpoints), so e comes from
+    * labeling doc_a alone.
+    */
+  val clusterDensity: Q = Q(
+    "x156_cluster_density",
+    s"""WITH RECURSIVE pairs AS ($lshPairsSql),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS node FROM edges),
+       |reach(node, lbl) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT e.b AS node, r.lbl FROM reach r JOIN edges e ON e.a = r.node),
+       |labels AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node),
+       |m AS (SELECT lbl, count(*) AS m FROM labels GROUP BY lbl),
+       |e AS (SELECT l.lbl, count(*) AS e FROM pairs p JOIN labels l ON l.node = p.doc_a
+       |      GROUP BY l.lbl)
+       |SELECT CAST(m.lbl AS BIGINT) AS cluster, CAST(m.m AS BIGINT) AS m,
+       |       CAST(e.e AS BIGINT) AS n_edges,
+       |       CAST(e.e * 1000000 // (m.m * (m.m - 1) // 2) AS BIGINT) AS density_ppm,
+       |       CAST(CASE WHEN e.e = m.m - 1 THEN 1 ELSE 0 END AS INTEGER) AS is_tree
+       |FROM m JOIN e ON e.lbl = m.lbl ORDER BY cluster""".stripMargin
+  ) { (s, dir) =>
+    val labels = clusterLabels(s, dir)
+    val pairs  = lshCandidatePairs(s, dir)
+    val m = labels.groupBy("lbl").agg(count(lit(1)).as("m"))
+    val e = pairs.join(labels.select(col("node").as("doc_a"), col("lbl")), "doc_a")
+      .groupBy("lbl").agg(count(lit(1)).as("e"))
+    m.join(e, "lbl")
+      .select(col("lbl").cast("long").as("cluster"), col("m"),
+        col("e").as("n_edges"),
+        expr("cast(e * 1000000 div (m * (m - 1) div 2) as bigint)").as("density_ppm"),
+        when(col("e") === col("m") - 1, 1).otherwise(0).cast("int").as("is_tree"))
+      .orderBy("cluster")
+  }
+
+  /** Dedup THRESHOLD-YIELD sweep — pairs and touched documents at five
+    * Jaccard cutoffs in one pass, the sensitivity curve an operator reads
+    * before picking τ (a yield cliff between 0.5 and 0.6 means the
+    * corpus's near-dup mass sits right at the decision boundary and the
+    * choice is load-bearing; a flat curve means any τ works). Rides
+    * x86's exact-verification lineage (memoized candidate pairs +
+    * candidate-only shingle sets — candidate-scale, never corpus-scale);
+    * the sweep itself is a 5-way conditional re-aggregation of the same
+    * verified pair frame, NOT five recomputations.
+    */
+  val thresholdSweep: Q = Q(
+    "x157_threshold_sweep",
+    s"""WITH sh AS ($shingleSql),
+       |pairs AS ($lshPairsSql),
+       |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS i
+       |          FROM pairs p JOIN sh a ON a.doc_id = p.doc_a
+       |                       JOIN sh b ON b.doc_id = p.doc_b AND b.sh = a.sh
+       |          GROUP BY 1, 2),
+       |j AS (SELECT p.doc_a, p.doc_b,
+       |        CAST(coalesce(i.i, 0) * 1000000 // (sa.n + sb.n - coalesce(i.i, 0)) AS BIGINT) AS jac
+       |      FROM pairs p
+       |      JOIN sz sa ON sa.doc_id = p.doc_a
+       |      JOIN sz sb ON sb.doc_id = p.doc_b
+       |      LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b),
+       |taus AS (SELECT unnest([500000, 600000, 700000, 800000, 900000]) AS tau_ppm),
+       |hits AS (SELECT t.tau_ppm, j.doc_a, j.doc_b FROM j JOIN taus t ON j.jac >= t.tau_ppm)
+       |SELECT t.tau_ppm AS tau_ppm,
+       |       CAST(coalesce(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+       |       CAST(coalesce(d.n_docs, 0) AS BIGINT) AS n_docs
+       |FROM taus t
+       |LEFT JOIN (SELECT tau_ppm, count(*) AS n_pairs FROM hits GROUP BY 1) p
+       |       ON p.tau_ppm = t.tau_ppm
+       |LEFT JOIN (SELECT tau_ppm, count(DISTINCT d) AS n_docs
+       |           FROM (SELECT tau_ppm, doc_a AS d FROM hits
+       |                 UNION ALL SELECT tau_ppm, doc_b AS d FROM hits) u GROUP BY 1) d
+       |       ON d.tau_ppm = t.tau_ppm
+       |ORDER BY t.tau_ppm""".stripMargin
+  ) { (s, dir) =>
+    val pairs = lshCandidatePairs(s, dir)
+    val sh    = candidateShingles(s, dir)
+    val sz    = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.as("a"), col("a.doc_id") === col("doc_a"))
+      .join(sh.as("b"), col("b.doc_id") === col("doc_b") && col("b.sh") === col("a.sh"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("i"))
+    val j = pairs
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        expr("cast(coalesce(i, 0) * 1000000 div (na + nb - coalesce(i, 0)) as bigint)")
+          .as("jac"))
+    val taus = Seq(500000, 600000, 700000, 800000, 900000)
+    val hits = j.withColumn("tau_ppm", explode(array(taus.map(lit): _*)))
+      .where(col("jac") >= col("tau_ppm"))
+    val p = hits.groupBy("tau_ppm").agg(count(lit(1)).as("n_pairs"))
+    val d = hits.select(col("tau_ppm"), explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .groupBy("tau_ppm").agg(countDistinct(col("d")).as("n_docs"))
+    val tdf = hits.sparkSession.range(0, taus.length)
+      .select(element_at(array(taus.map(lit): _*), col("id").cast("int") + 1).as("tau_ppm"))
+    tdf.join(p, Seq("tau_ppm"), "left").join(d, Seq("tau_ppm"), "left")
+      .select(col("tau_ppm"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy("tau_ppm")
+  }
+
   val all: Seq[Q] =
     Seq(exactDedup, minhashLsh, simhash, ngramJaccard, dupClusters, pagerank, splitLeakage,
       canonicalPick, curationPipeline, triangleCount, incrementalDedup, lshVerify,
       spanDedup, simhashBands, fuzzyPrefixJoin, prefixAllpairs, sortedNeighborhood,
       labelProp, minhashError, tombstonePropagate, nearDupContamination, containmentJoin,
-      clusterSafeSplit, sourceMinhash, hllUnion, batchNovelty, winnowing)
+      clusterSafeSplit, sourceMinhash, hllUnion, batchNovelty, winnowing,
+      clusterDensity, thresholdSweep)
 }

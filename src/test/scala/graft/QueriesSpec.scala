@@ -2308,4 +2308,40 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.toSeq.sortBy { case (w, _, _, v, _) => (-v, w) }.take(20)
     assert(out.toSeq == exp)
   }
+
+  test("x156 cluster density equals a re-derivation from x31 clusters and x02 pairs") {
+    val out = SparkEntry.queries("x156_cluster_density")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))))
+    val clusters = SparkEntry.queries("x31_dup_clusters")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap // doc -> cluster
+    val pairs = SparkEntry.queries("x02_minhash_lsh")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.nonEmpty)
+    val m = clusters.groupBy(_._2).map { case (c, g) => c -> g.size.toLong }
+    val e = pairs.groupBy(p => clusters(p._1)).map { case (c, g) => c -> g.size.toLong }
+    // every pair is intra-cluster (an edge merged its endpoints)
+    pairs.foreach { case (a, b) => assert(clusters(a) == clusters(b)) }
+    assert(out.map(_._1).toSeq == e.keys.toSeq.sorted)
+    for ((c, (mm, ee, dens, tree)) <- out) {
+      assert(mm == m(c) && ee == e(c), s"cluster $c")
+      assert(dens == ee * 1000000L / (mm * (mm - 1) / 2), s"cluster $c density")
+      assert(tree == (if (ee == mm - 1) 1 else 0), s"cluster $c tree flag")
+    }
+  }
+
+  test("x157 threshold sweep equals a re-derivation from x86 verified pairs") {
+    val out = SparkEntry.queries("x157_threshold_sweep")(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val verified = SparkEntry.queries("x86_lsh_verify")(spark, sfDir).collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_a")), r.getLong(r.fieldIndex("doc_b")),
+        r.getLong(r.fieldIndex("jaccard_ppm"))))
+    for (tau <- Seq(500000, 600000, 700000, 800000, 900000)) {
+      val hits = verified.filter(_._3 >= tau)
+      val docs = hits.flatMap(h => Seq(h._1, h._2)).distinct
+      assert(out(tau) == ((hits.length.toLong, docs.length.toLong)), s"tau $tau")
+    }
+    // yield must be monotone non-increasing in tau
+    val ys = Seq(500000, 600000, 700000, 800000, 900000).map(out(_)._1)
+    assert(ys == ys.sorted.reverse)
+  }
 }
