@@ -445,7 +445,11 @@ object PlanAudit {
     // the expensive lineage must come from InMemory, never be re-derived
     "x156_cluster_density" -> Seq("(?i)inmemory", "HashAggregate"),
     // threshold sweep: same rider contract, plus the 5-way tau explode
-    "x157_threshold_sweep" -> Seq("(?i)inmemory", "Generate", "HashAggregate"))
+    "x157_threshold_sweep" -> Seq("(?i)inmemory", "Generate", "HashAggregate"),
+    // embedding drift: the x128 shape — posexplode into a 64-group
+    // conditional aggregate, count broadcast, bounded TakeOrdered head
+    "x158_embedding_drift" -> Seq("Generate", "HashAggregate",
+      "BroadcastExchange", "TakeOrderedAndProject"))
 
   /** Execute one audited query and evaluate its plan patterns — shared by
     * the CLI main and PlanShapeSpec (so plan-shape regressions fail CI, not

@@ -1808,9 +1808,79 @@ object SimilarityOps {
       .orderBy("rk")
   }
 
+  /** EMBEDDING-SPACE DRIFT between the corpus's first and second halves —
+    * the per-dimension MEAN SHIFT that x147's covariance audit does not
+    * measure (covariance drifts catch shape changes; a new crawl batch
+    * whose encoder or content moved shifts the MEAN first). For each
+    * dimension d: gap = μ₀(d) − μ₁(d) over the vec_id halves, emitted in
+    * exact nano units via the x148 cross-multiplication —
+    * (s₀·n₁ − s₁·n₀)·1000 // (n₀·n₁) on micro-quantized components
+    * (x128's floor(v·10⁶ + 0.5) canonicalization, so both engines share
+    * one integerization point) — plus Σ gap² as the squared-L2 drift a
+    * monitoring threshold watches. s·n products pass int64 at ~10¹²
+    * vectors; everything is widened to decimal(38,0)/HUGEINT first.
+    *
+    * Scale shape: x128's shape exactly — one row-local posexplode into a
+    * 64-group conditional aggregate (map-side combined; the exchange
+    * carries 64 rows per partition at any corpus size), the half split
+    * decided against one broadcast count. Top-10 head is a bounded
+    * TakeOrdered; the Σ gap² total is a second 64-row aggregate.
+    */
+  val embeddingDrift: Q = Q(
+    "x158_embedding_drift",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT count(*) AS n_corpus FROM e),
+      |x AS (SELECT CASE WHEN vec_id * 2 < n.n_corpus THEN 0 ELSE 1 END AS h,
+      |             i AS dim, CAST(floor(v[i] * 1000000 + 0.5) AS BIGINT) AS mu
+      |      FROM e, n, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) s),
+      |g AS (SELECT dim,
+      |        sum(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS n0,
+      |        sum(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS n1,
+      |        sum(CASE WHEN h = 0 THEN mu ELSE 0 END) AS s0,
+      |        sum(CASE WHEN h = 1 THEN mu ELSE 0 END) AS s1 FROM x GROUP BY dim),
+      |d AS (SELECT dim, n0, n1, s0, s1,
+      |        CAST((CAST(s0 AS HUGEINT) * n1 - CAST(s1 AS HUGEINT) * n0) * 1000
+      |             // (CAST(n0 AS HUGEINT) * n1) AS BIGINT) AS gap_nano
+      |      FROM g),
+      |t AS (SELECT CAST(sum(CAST(gap_nano AS HUGEINT) * gap_nano) AS BIGINT) AS l2sq_total
+      |      FROM d)
+      |SELECT rk, CAST(dim AS BIGINT) AS dim, CAST(n0 AS BIGINT) AS n0,
+      |       CAST(n1 AS BIGINT) AS n1, CAST(s0 AS BIGINT) AS s0,
+      |       CAST(s1 AS BIGINT) AS s1, gap_nano, l2sq_total
+      |FROM (SELECT *, row_number() OVER (ORDER BY abs(gap_nano) DESC, dim) AS rk FROM d), t
+      |WHERE rk <= 10 ORDER BY rk""".stripMargin
+  ) { (s, dir) =>
+    val n = embs(s, dir).agg(count(lit(1)).as("n_corpus"))
+    val g = embs(s, dir)
+      .crossJoin(broadcast(n))
+      .select(when(col("vec_id") * 2 < col("n_corpus"), 0).otherwise(1).as("h"),
+        posexplode(col("embedding")).as(Seq("p", "comp")))
+      .select(col("h"), (col("p") + 1).cast("long").as("dim"),
+        floor(col("comp").cast("double") * 1000000 + 0.5).cast("long").as("mu"))
+      .groupBy("dim")
+      .agg(
+        sum(when(col("h") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("h") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("h") === 0, col("mu")).otherwise(0L)).as("s0"),
+        sum(when(col("h") === 1, col("mu")).otherwise(0L)).as("s1"))
+    val d = g.withColumn("gap_nano",
+      expr("""cast((cast(s0 as decimal(38,0)) * n1 - cast(s1 as decimal(38,0)) * n0)
+             |* 1000 div (cast(n0 as decimal(38,0)) * n1) as bigint)""".stripMargin))
+    val t = d.agg(
+      sum(col("gap_nano").cast("decimal(38,0)") * col("gap_nano")).cast("long")
+        .as("l2sq_total"))
+    d.orderBy(abs(col("gap_nano")).desc, col("dim")).limit(10)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(abs(col("gap_nano")).desc, col("dim"))))
+      .crossJoin(broadcast(t))
+      .select(col("rk"), col("dim"), col("n0"), col("n1"), col("s0"), col("s1"),
+        col("gap_nano"), col("l2sq_total"))
+      .orderBy("rk")
+  }
+
   val all: Seq[Q] = Seq(cosineNearDup, cosineTopK, annLsh, annMultiprobe, annIvf,
     annMultitable, labelCentroids, kmeansIter, semanticDedup, quantizedTopK,
     labelAffinity, annRecall, pqAnn, ivfpqAnn, bitextMargin, annRankEval,
     embeddingMoments, kcenterCoreset, jlDistortion, dimQuantiles, labelDispersion,
-    embeddingOutliers, rrfFusion, centroidConfusion, covOffdiag)
+    embeddingOutliers, rrfFusion, centroidConfusion, covOffdiag, embeddingDrift)
 }

@@ -2344,4 +2344,28 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ys = Seq(500000, 600000, 700000, 800000, 900000).map(out(_)._1)
     assert(ys == ys.sorted.reverse)
   }
+
+  test("x158 embedding drift equals a collect-side mean-shift re-derivation") {
+    val out = SparkEntry.queries("x158_embedding_drift")(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7))))
+    assert(out.map(_._1).toSeq == (1 to 10))
+    val vecs = graft.ops.Tables(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)
+        .map(v => math.floor(v.toDouble * 1000000 + 0.5).toLong).toArray))
+    val n = vecs.length.toLong
+    val dims = vecs.head._2.length
+    val byDim = (0 until dims).map { d =>
+      val h0 = vecs.filter(_._1 * 2 < n).map(_._2(d))
+      val h1 = vecs.filter(_._1 * 2 >= n).map(_._2(d))
+      val gap = ((BigInt(h0.sum) * h1.length - BigInt(h1.sum) * h0.length) * 1000 /
+        (BigInt(h0.length) * h1.length)).toLong
+      ((d + 1).toLong, h0.length.toLong, h1.length.toLong, h0.sum, h1.sum, gap)
+    }
+    val l2sq = byDim.map(x => BigInt(x._6) * x._6).sum.toLong
+    val head = byDim.sortBy { case (d, _, _, _, _, g) => (-g.abs, d) }.take(10)
+    for (((d, n0, n1, s0, s1, g), i) <- head.zipWithIndex)
+      assert(out(i)._2 == ((d, n0, n1, s0, s1, g, l2sq)), s"rank ${i + 1}")
+  }
 }
