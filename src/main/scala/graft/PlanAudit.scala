@@ -449,7 +449,12 @@ object PlanAudit {
     // embedding drift: the x128 shape — posexplode into a 64-group
     // conditional aggregate, count broadcast, bounded TakeOrdered head
     "x158_embedding_drift" -> Seq("Generate", "HashAggregate",
-      "BroadcastExchange", "TakeOrderedAndProject"))
+      "BroadcastExchange", "TakeOrderedAndProject"),
+    // weighted median: the histogram discipline with weights — one
+    // (source, n_chars) aggregate, PARTITIONED cumulative windows, and
+    // never the banned exact-percentile buffer
+    "x159_weighted_median" -> Seq("HashAggregate", "WindowExec|Window",
+      "(?s)\\A(?!.*percentile\\().*"))
 
   /** Execute one audited query and evaluate its plan patterns — shared by
     * the CLI main and PlanShapeSpec (so plan-shape regressions fail CI, not

@@ -1185,8 +1185,62 @@ object CorpusStatsOps {
       .orderBy(col("vmr_ppm").desc, col("token")).limit(20)
   }
 
+  /** TOKEN-WEIGHTED length quantiles per source — the budget-planning
+    * cut x39's unweighted quartiles cannot answer: "below what document
+    * length does half (and 90%) of this source's TOKEN MASS sit?" A
+    * token budget is spent in tokens, not documents, and with length
+    * distributions skewed the doc-median and the token-mass median
+    * diverge badly (many short docs ↔ few long docs carrying the mass).
+    * Lower weighted quantile, exact: the smallest length v whose
+    * cumulative token weight reaches q of the source total —
+    * `2·cumw ≥ totw` (median) / `10·cumw ≥ 9·totw` (p90), pure integer
+    * comparisons, no interpolation, no float.
+    *
+    * Scale shape: the x58/t21 histogram discipline with WEIGHTS — ONE
+    * (source, n_chars) aggregate summing token counts (domain-bounded:
+    * sources × doc-length values, never corpus cardinality), a
+    * partitioned cumulative window over that grid, and a min-filter per
+    * quantile. This is the weighted generalization the exactQuantiles
+    * migration made routine: swap count(*) for sum(weight) and the same
+    * spillable plan answers weighted order statistics at any corpus
+    * size. Null text/n_chars rows excluded on both engines (x136/x146
+    * contract).
+    */
+  val weightedMedian: Q = Q(
+    "x159_weighted_median",
+    """WITH d AS (SELECT source, n_chars,
+      |             CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+      |           FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+      |h AS (SELECT source, n_chars, CAST(sum(w) AS BIGINT) AS w
+      |      FROM d GROUP BY 1, 2),
+      |c AS (SELECT source, n_chars, w,
+      |        CAST(sum(w) OVER (PARTITION BY source ORDER BY n_chars) AS BIGINT) AS cumw,
+      |        CAST(sum(w) OVER (PARTITION BY source) AS BIGINT) AS totw
+      |      FROM h)
+      |SELECT source, CAST(min(totw) AS BIGINT) AS n_tokens,
+      |       CAST(min(CASE WHEN 2 * cumw >= totw THEN n_chars END) AS BIGINT) AS wmed_len,
+      |       CAST(min(CASE WHEN 10 * cumw >= 9 * totw THEN n_chars END) AS BIGINT) AS wp90_len
+      |FROM c GROUP BY source ORDER BY source""".stripMargin
+  ) { (s, dir) =>
+    val h = docs(s, dir)
+      .where(col("text").isNotNull && col("n_chars").isNotNull)
+      .select(col("source"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("w"))
+      .groupBy("source", "n_chars").agg(sum("w").as("w"))
+    val wCum = Window.partitionBy("source").orderBy("n_chars")
+    val wTot = Window.partitionBy("source")
+    h.withColumn("cumw", sum("w").over(wCum))
+      .withColumn("totw", sum("w").over(wTot))
+      .groupBy("source")
+      .agg(min("totw").as("n_tokens"),
+        min(when(col("cumw") * 2 >= col("totw"), col("n_chars"))).as("wmed_len"),
+        min(when(col("cumw") * 10 >= col("totw") * 9, col("n_chars"))).as("wp90_len"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(tfidfTopTerms, bigramLift, sourceOverlap, mixtureSample,
     typeToken, lenQuartiles, invertedIndex, madOutliers, stopwordIndex, lenDeciles,
     oovRate, langGini, skipgramCooc, vocabGrowth, bm25Rank, heavyHitters, sourcePrior,
-    dataCard, sourceAffinity, vocabCurve, tokenDrift, ksLength, chi2Balance, burstiness)
+    dataCard, sourceAffinity, vocabCurve, tokenDrift, ksLength, chi2Balance, burstiness,
+    weightedMedian)
 }

@@ -2368,4 +2368,29 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     for (((d, n0, n1, s0, s1, g), i) <- head.zipWithIndex)
       assert(out(i)._2 == ((d, n0, n1, s0, s1, g, l2sq)), s"rank ${i + 1}")
   }
+
+  test("x159 weighted median equals a collect-side cumulative-mass re-derivation") {
+    val out = SparkEntry.queries("x159_weighted_median")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val rows = graft.ops.Tables(spark, sfDir, "documents")
+      .select("source", "n_chars", "text").collect()
+      .filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2).split(" ", -1).length.toLong))
+    assert(out.keySet == rows.map(_._1).toSet)
+    for ((src, grp) <- rows.groupBy(_._1)) {
+      val byLen = grp.groupBy(_._2).view.mapValues(_.map(_._3).sum).toSeq.sortBy(_._1)
+      val tot = byLen.map(_._2).sum
+      var cum = 0L; var med = -1L; var p90 = -1L
+      for ((len, w) <- byLen) {
+        cum += w
+        if (med < 0 && 2 * cum >= tot) med = len
+        if (p90 < 0 && 10 * cum >= 9 * tot) p90 = len
+      }
+      assert(out(src) == ((tot, med, p90)), s"source $src")
+      // the weighted median can never sit below the doc-count median's
+      // floor value for a mass-per-doc that grows with length — sanity
+      // only: both quantiles must be actual lengths of this source
+      assert(grp.exists(_._2 == med) && grp.exists(_._2 == p90))
+    }
+  }
 }
