@@ -1203,14 +1203,16 @@ object CorpusStatsOps {
     * quantile. This is the weighted generalization the exactQuantiles
     * migration made routine: swap count(*) for sum(weight) and the same
     * spillable plan answers weighted order statistics at any corpus
-    * size. Null text/n_chars rows excluded on both engines (x136/x146
-    * contract).
+    * size. Null text/n_chars/source rows excluded on both engines
+    * (x136/x146 contract; null sources would otherwise land at opposite
+    * ends of the final ORDER BY — Spark NULLS FIRST vs DuckDB NULLS LAST).
     */
   val weightedMedian: Q = Q(
     "x159_weighted_median",
     """WITH d AS (SELECT source, n_chars,
       |             CAST(len(string_split(text, ' ')) AS BIGINT) AS w
-      |           FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+      |           FROM documents
+      |           WHERE text IS NOT NULL AND n_chars IS NOT NULL AND source IS NOT NULL),
       |h AS (SELECT source, n_chars, CAST(sum(w) AS BIGINT) AS w
       |      FROM d GROUP BY 1, 2),
       |c AS (SELECT source, n_chars, w,
@@ -1223,7 +1225,7 @@ object CorpusStatsOps {
       |FROM c GROUP BY source ORDER BY source""".stripMargin
   ) { (s, dir) =>
     val h = docs(s, dir)
-      .where(col("text").isNotNull && col("n_chars").isNotNull)
+      .where(col("text").isNotNull && col("n_chars").isNotNull && col("source").isNotNull)
       .select(col("source"), col("n_chars"),
         size(split(col("text"), " ")).cast("long").as("w"))
       .groupBy("source", "n_chars").agg(sum("w").as("w"))

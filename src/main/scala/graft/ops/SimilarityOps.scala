@@ -1839,8 +1839,9 @@ object SimilarityOps {
       |        sum(CASE WHEN h = 0 THEN mu ELSE 0 END) AS s0,
       |        sum(CASE WHEN h = 1 THEN mu ELSE 0 END) AS s1 FROM x GROUP BY dim),
       |d AS (SELECT dim, n0, n1, s0, s1,
-      |        CAST((CAST(s0 AS HUGEINT) * n1 - CAST(s1 AS HUGEINT) * n0) * 1000
-      |             // (CAST(n0 AS HUGEINT) * n1) AS BIGINT) AS gap_nano
+      |        CAST(CASE WHEN n0 = 0 OR n1 = 0 THEN 0
+      |             ELSE (CAST(s0 AS HUGEINT) * n1 - CAST(s1 AS HUGEINT) * n0) * 1000
+      |                  // (CAST(n0 AS HUGEINT) * n1) END AS BIGINT) AS gap_nano
       |      FROM g),
       |t AS (SELECT CAST(sum(CAST(gap_nano AS HUGEINT) * gap_nano) AS BIGINT) AS l2sq_total
       |      FROM d)
@@ -1863,9 +1864,13 @@ object SimilarityOps {
         sum(when(col("h") === 1, 1L).otherwise(0L)).as("n1"),
         sum(when(col("h") === 0, col("mu")).otherwise(0L)).as("s0"),
         sum(when(col("h") === 1, col("mu")).otherwise(0L)).as("s1"))
+    // degenerate half-split guard: n0·n1 = 0 would raise in DuckDB but yield
+    // NULL under Spark's non-ANSI div — force the SAME 0 on both engines
     val d = g.withColumn("gap_nano",
-      expr("""cast((cast(s0 as decimal(38,0)) * n1 - cast(s1 as decimal(38,0)) * n0)
-             |* 1000 div (cast(n0 as decimal(38,0)) * n1) as bigint)""".stripMargin))
+      expr("""cast(CASE WHEN n0 = 0 OR n1 = 0 THEN 0
+             |ELSE (cast(s0 as decimal(38,0)) * n1 - cast(s1 as decimal(38,0)) * n0)
+             |     * 1000 div (cast(n0 as decimal(38,0)) * n1) END as bigint)"""
+        .stripMargin))
     val t = d.agg(
       sum(col("gap_nano").cast("decimal(38,0)") * col("gap_nano")).cast("long")
         .as("l2sq_total"))

@@ -1204,8 +1204,8 @@ object TextOps {
       |         coalesce(lag(fup) OVER (PARTITION BY a ORDER BY b), 0) AS l,
       |         max(fup) OVER (PARTITION BY a) AS rowtot FROM w3),
       |agg AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs,
-      |               CAST(sum(n * l) AS BIGINT) AS c_pairs,
-      |               CAST(sum(n * (rowtot - fup)) AS BIGINT) AS d_pairs,
+      |               CAST(sum(CAST(n AS HUGEINT) * l) AS BIGINT) AS c_pairs,
+      |               CAST(sum(CAST(n AS HUGEINT) * (rowtot - fup)) AS BIGINT) AS d_pairs,
       |               CAST(sum(CAST(n AS HUGEINT) * (n - 1) // 2) AS BIGINT) AS ties_both
       |        FROM w4),
       |ta AS (SELECT CAST(sum(CAST(na AS HUGEINT) * (na - 1) // 2) AS BIGINT) AS ties_a
@@ -1244,8 +1244,10 @@ object TextOps {
       .withColumn("rowtot", max("fup").over(wA))
     val agg = w4.agg(
       sum("n").as("n_docs"),
-      sum(col("n") * col("l")).as("c_pairs"),
-      sum(col("n") * (col("rowtot") - col("fup"))).as("d_pairs"),
+      // widened like the ties columns: the n·l / n·(rowtot−fup) products are
+      // n(n−1)/2-scale and would silently wrap int64 beyond ~4.3e9 docs
+      sum(expr("cast(n as decimal(38,0)) * l")).cast("long").as("c_pairs"),
+      sum(expr("cast(n as decimal(38,0)) * (rowtot - fup)")).cast("long").as("d_pairs"),
       sum(expr("cast(n as decimal(38,0)) * (n - 1) div 2")).cast("long").as("ties_both"))
     val ta = cells.groupBy("a").agg(sum("n").as("na"))
       .agg(sum(expr("cast(na as decimal(38,0)) * (na - 1) div 2")).cast("long").as("ties_a"))
