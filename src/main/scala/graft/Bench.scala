@@ -32,6 +32,15 @@ object Bench {
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       s.sparkContext.setLogLevel("WARN")
+      // Bench-scoped log filter (r11 verdict item 4): several queries
+      // DELIBERATELY run a domain-bounded single-partition window (the
+      // histogram-quantile plans — the frame is dimension-sized, not the
+      // corpus), and WindowExec warns once per such stage, burying the
+      // headline JSON under ~30 repeated lines per run. Verify keeps the
+      // warning — only timing runs silence it.
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.execution.window.WindowExec",
+        org.apache.logging.log4j.Level.ERROR)
       // warmup: shuffle machinery + parquet reader + codegen paths
       s.range(1 << 20).groupBy(col("id") % 7).count().count()
       ops.Tables(s, sfDir, "nation").count()
@@ -131,6 +140,7 @@ object Bench {
       ops.DedupOps.clearMemo()
       ops.PipelineOps.clearMemo()
       ops.TextOps.clearMemo()
+      ops.SimilarityOps.clearMemo()
       val loadStart = loadavg
       // which queries absorbed a shared-memo lineage cost: one entry per
       // memo FAMILY (dedup / pipeline / text) so e.g. x130's trigram-score
@@ -139,7 +149,8 @@ object Bench {
       var taskStats = Map.empty[String, TaskStats]
       val timings = named.map { case (name, fn) =>
         val memoBefore =
-          Seq(ops.DedupOps.memoSize, ops.PipelineOps.memoSize, ops.TextOps.memoSize)
+          Seq(ops.DedupOps.memoSize, ops.PipelineOps.memoSize, ops.TextOps.memoSize,
+            ops.SimilarityOps.memoSize)
         if (wantTaskStats) drainTaskStats() // discard the previous query's tail
         val t0 = System.nanoTime()
         val ok = try { materialize(fn(spark, sfDir)); true }
@@ -158,14 +169,15 @@ object Bench {
             if (spark.sparkContext.isStopped) {
               System.err.println(s"[bench] SparkContext died during $name — rebuilding session")
               ops.DedupOps.clearMemo(); ops.PipelineOps.clearMemo()
-              ops.TextOps.clearMemo()
+              ops.TextOps.clearMemo(); ops.SimilarityOps.clearMemo()
               spark = buildSession()
               if (wantTaskStats) registerTaskListener(spark)
             }
             false
           }
         val memoAfter =
-          Seq(ops.DedupOps.memoSize, ops.PipelineOps.memoSize, ops.TextOps.memoSize)
+          Seq(ops.DedupOps.memoSize, ops.PipelineOps.memoSize, ops.TextOps.memoSize,
+            ops.SimilarityOps.memoSize)
         if (memoBefore.zip(memoAfter).exists { case (b, a) => b == 0 && a > 0 })
           payers ::= name
         if (wantTaskStats) taskStats += (name -> drainTaskStats())

@@ -89,7 +89,7 @@ object BehaviorOps {
       |         lag(event_type) OVER (PARTITION BY user_id, sess_id ORDER BY ts, event_id) AS src
       |       FROM s)
       |SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM tr WHERE src IS NOT NULL
-      |GROUP BY src, dst ORDER BY src, dst""".stripMargin
+      |GROUP BY src, dst ORDER BY src NULLS FIRST, dst NULLS FIRST""".stripMargin
   ) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -123,7 +123,7 @@ object BehaviorOps {
     "x62_incremental_agg",
     """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
       |       round(min(value), 6) AS lo, round(max(value), 6) AS hi
-      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+      |FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin
   ) { (s, dir) =>
     def partial(df: DataFrame) = df.groupBy("event_type")
       .agg(count(lit(1)).as("n"), min(col("value")).as("lo"), max(col("value")).as("hi"))
@@ -199,7 +199,7 @@ object BehaviorOps {
       |            ELSE 'updated' END AS src
       |FROM base b FULL OUTER JOIN chg c ON b.user_id = c.user_id
       |WHERE c.op IS NULL OR c.op <> 'D'
-      |ORDER BY user_id""".stripMargin
+      |ORDER BY user_id NULLS FIRST""".stripMargin
   ) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
     val cutoff = lit("2024-01-25").cast("timestamp")
@@ -354,12 +354,13 @@ object BehaviorOps {
     */
   val saxSimilarity: Q = Q(
     "x79_sax_similarity",
-    """WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS start_day FROM events),
+    """WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS start_day FROM events
+      |            WHERE user_id IS NOT NULL),
       |seg_raw AS (
       |  SELECT user_id, CAST(least(datediff('day', start_day, CAST(ts AS DATE)) // 5, 5) AS BIGINT) AS seg,
       |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS seg_sum
-      |  FROM events, d0 GROUP BY 1, 2),
-      |grid AS (SELECT u.user_id, g.seg FROM (SELECT DISTINCT user_id FROM events) u,
+      |  FROM events, d0 WHERE user_id IS NOT NULL GROUP BY 1, 2),
+      |grid AS (SELECT u.user_id, g.seg FROM (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL) u,
       |         (SELECT unnest(generate_series(0, 5)) AS seg) g),
       |segs AS (SELECT grid.user_id, grid.seg, coalesce(seg_sum, 0) AS seg_sum
       |         FROM grid LEFT JOIN seg_raw ON grid.user_id = seg_raw.user_id AND grid.seg = seg_raw.seg),
@@ -377,7 +378,11 @@ object BehaviorOps {
       |              THEN 1 ELSE 0 END)) AS BIGINT) AS hamming_ref
       |FROM words, ref ORDER BY user_id""".stripMargin
   ) { (s, dir) =>
+    // user IS NOT NULL on both engines: the series is user-keyed, and the
+    // reference-word pick (min user_id) would otherwise land on the NULL
+    // row under Spark's NULLS-FIRST vs DuckDB's NULLS-LAST (hostile sweep)
     val ev = events(s, dir)
+      .where(col("user_id").isNotNull)
       .select(col("user_id"), col("ts").cast("date").as("day"),
         floor(col("value") * 100 + 0.5).cast("long").as("cents"))
     val d0 = ev.agg(min(col("day")).as("start_day"))
@@ -438,7 +443,7 @@ object BehaviorOps {
       |SELECT user_id,
       |       CAST(sum(cents * (CASE WHEN age_w >= 20 THEN 0 ELSE 1000000 >> age_w END)) AS BIGINT) AS decay_score,
       |       CAST(count(*) AS BIGINT) AS n
-      |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin
+      |FROM e GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin
   ) { (s, dir) =>
     val ev = events(s, dir).select(
       col("user_id"), col("ts").cast("date").as("day"),
@@ -564,7 +569,7 @@ object BehaviorOps {
       |       CAST(CASE WHEN count(DISTINCT user_id) < 5 THEN 1 ELSE 0 END AS BIGINT) AS risky
       |FROM (SELECT event_type, hour(ts) AS hr, user_id FROM events)
       |GROUP BY event_type, hr
-      |ORDER BY event_type, hr""".stripMargin
+      |ORDER BY event_type NULLS FIRST, hr NULLS FIRST""".stripMargin
   ) { (s, dir) =>
     events(s, dir)
       .select(col("event_type"), hour(col("ts")).as("hr"), col("user_id"))
@@ -598,7 +603,7 @@ object BehaviorOps {
     "x134_l_diversity",
     """WITH vc AS (
       |  SELECT event_type, hour(ts) AS hr,
-      |         CAST(json_extract(props, '$.k') AS BIGINT) AS sval,
+      |         TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS sval,
       |         count(*) AS c
       |  FROM events GROUP BY 1, 2, 3)
       |SELECT event_type, CAST(hr AS BIGINT) AS hr,
@@ -607,11 +612,11 @@ object BehaviorOps {
       |       CAST(CAST(max(c) AS HUGEINT) * 1000000 // sum(c) AS BIGINT) AS top_share_ppm,
       |       CAST(CASE WHEN count(*) < 3 THEN 1 ELSE 0 END AS BIGINT) AS risky
       |FROM vc GROUP BY event_type, hr
-      |ORDER BY event_type, hr""".stripMargin
+      |ORDER BY event_type NULLS FIRST, hr NULLS FIRST""".stripMargin
   ) { (s, dir) =>
     events(s, dir)
       .select(col("event_type"), hour(col("ts")).as("hr"),
-        get_json_object(col("props"), "$.k").cast("long").as("sval"))
+        expr("try_cast(get_json_object(props, '$.k') as bigint)").as("sval"))
       .groupBy("event_type", "hr", "sval")
       .agg(count(lit(1)).as("c"))
       .groupBy("event_type", "hr")

@@ -60,7 +60,7 @@ object CorpusStatsOps {
       |             row_number() OVER (PARTITION BY source
       |               ORDER BY floor(CAST(tf AS DOUBLE) * 1000000 * n / df + 0.5) DESC, word) AS rk
       |      FROM tf JOIN df USING (word) CROSS JOIN n)
-      |WHERE rk <= 3 ORDER BY source, rk""".stripMargin
+      |WHERE rk <= 3 ORDER BY source NULLS FIRST, rk NULLS FIRST""".stripMargin
   ) { (s, dir) =>
     val w  = docs(s, dir).select(col("doc_id"), col("source"), explode(ws).as("word"))
     val tf = w.groupBy("source", "word").agg(count(lit(1)).as("tf"))
@@ -173,7 +173,7 @@ object CorpusStatsOps {
       |         (CASE lang WHEN 'en' THEN 32768 WHEN 'es' THEN 16384
       |                    WHEN 'zh' THEN 8192 ELSE 4096 END)
       |         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+      |FROM documents GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
   ) { (s, dir) =>
     val thr = when(col("lang") === "en", 32768)
       .when(col("lang") === "es", 16384)
@@ -198,7 +198,7 @@ object CorpusStatsOps {
       |SELECT source, CAST(count(*) AS BIGINT) AS n_words,
       |       CAST(count(DISTINCT word) AS BIGINT) AS n_types,
       |       CAST(count(DISTINCT word) * 1000000 // count(*) AS BIGINT) AS ttr_ppm
-      |FROM w GROUP BY source ORDER BY source""".stripMargin
+      |FROM w GROUP BY source ORDER BY source NULLS FIRST""".stripMargin
   ) { (s, dir) =>
     docs(s, dir)
       .select(col("source"), explode(ws).as("word"))
@@ -225,7 +225,7 @@ object CorpusStatsOps {
       |       round(median(n_chars), 6) AS med,
       |       round(quantile_cont(n_chars, 0.75), 6) AS q3,
       |       CAST(count(*) AS BIGINT) AS n
-      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+      |FROM documents GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
   ) { (s, dir) =>
     val qn = RelOps.exactQuantiles(docs(s, dir).select("lang", "n_chars"),
       "lang", "n_chars", Seq("q1" -> 0.25, "med" -> 0.5, "q3" -> 0.75))
@@ -235,7 +235,10 @@ object CorpusStatsOps {
       // are all NULL (it filters nulls pre-histogram), but the oracle's
       // plain GROUP BY keeps that lang with NULL quartiles + its count —
       // the count aggregate is the row-set anchor, quartiles decorate it.
-      .join(qn, Seq("lang"), "left")
+      // NULL-SAFE key (hostile sweep): the NULL-lang group's quartiles live
+      // in qn under a NULL key — a plain equi-join would orphan them.
+      .join(qn.withColumnRenamed("lang", "lang2"),
+        col("lang") <=> col("lang2"), "left")
       .select(col("lang"),
         round(col("q1"), 6).as("q1"), round(col("med"), 6).as("med"),
         round(col("q3"), 6).as("q3"), col("n"))
@@ -285,9 +288,10 @@ object CorpusStatsOps {
     */
   val madOutliers: Q = Q(
     "x54_mad_outliers",
-    """WITH m AS (SELECT source, median(n_chars) AS med FROM documents GROUP BY source),
+    """WITH docs0 AS (SELECT source, n_chars FROM documents WHERE source IS NOT NULL),
+      |m AS (SELECT source, median(n_chars) AS med FROM docs0 GROUP BY source),
       |d AS (SELECT doc.source, abs(doc.n_chars - m.med) AS dev
-      |      FROM documents doc JOIN m ON doc.source = m.source),
+      |      FROM docs0 doc JOIN m ON doc.source = m.source),
       |s AS (SELECT source, median(dev) AS mad FROM d GROUP BY source)
       |SELECT d.source, round(min(m.med), 6) AS med, round(min(s.mad), 6) AS mad,
       |       CAST(sum(CASE WHEN d.dev > 3 * s.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
@@ -300,9 +304,13 @@ object CorpusStatsOps {
     // NULL med/mad, 0 outliers, and its row count. docs is the row-set
     // anchor — med/mad/dev decorate it and propagate NULL naturally
     // (NULL dev > 3*NULL mad is NULL, so the outlier CASE yields 0).
-    val m = RelOps.exactQuantiles(docs(s, dir).select("source", "n_chars"),
+    // source IS NOT NULL on both engines: the oracle's inner self-join on
+    // source can never keep a NULL-source row, and a robust-stat group for
+    // "no source" is meaningless anyway (hostile sweep).
+    val docs0 = docs(s, dir).where(col("source").isNotNull)
+    val m = RelOps.exactQuantiles(docs0.select("source", "n_chars"),
       "source", "n_chars", Seq("med" -> 0.5))
-    val d = docs(s, dir).join(broadcast(m), Seq("source"), "left")
+    val d = docs0.join(broadcast(m), Seq("source"), "left")
       .select(col("source"), abs(col("n_chars") - col("med")).as("dev"))
     val mad = RelOps.exactQuantiles(d, "source", "dev", Seq("mad" -> 0.5))
     d.join(broadcast(m), Seq("source"), "left")
@@ -377,10 +385,14 @@ object CorpusStatsOps {
       |       CAST(min(n_chars) AS BIGINT) AS lo, CAST(max(n_chars) AS BIGINT) AS hi
       |FROM (SELECT lang, n_chars,
       |             ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS decile
-      |      FROM documents)
-      |GROUP BY lang, decile ORDER BY lang, decile""".stripMargin
+      |      FROM documents WHERE n_chars IS NOT NULL)
+      |GROUP BY lang, decile ORDER BY lang NULLS FIRST, decile""".stripMargin
   ) { (s, dir) =>
-    val rows = docs(s, dir).select(col("lang"), col("n_chars"))
+    // n_chars IS NOT NULL on both engines: an unknown length cannot be
+    // ranked, and the engines would rank it at OPPOSITE ends (Spark window
+    // NULLS FIRST vs DuckDB NULLS LAST) — hostile sweep
+    val rows = docs(s, dir).where(col("n_chars").isNotNull)
+      .select(col("lang"), col("n_chars"))
     NtilePlan.histNtileBucketStats(rows, "lang", "n_chars", 10)
       .select(col("lang"), col("bucket").cast("long").as("decile"),
         col("_n").as("n"), col("n_chars_lo").as("lo"), col("n_chars_hi").as("hi"))
@@ -731,7 +743,7 @@ object CorpusStatsOps {
       |       CAST(sq // n_docs AS BIGINT) AS raw_ppm,
       |       CAST((sq + 20 * gmean) // (n_docs + 20) AS BIGINT) AS prior_ppm,
       |       CAST((sq + 20 * gmean) // (n_docs + 20) - sq // n_docs AS BIGINT) AS shift_ppm
-      |FROM s CROSS JOIN g ORDER BY source""".stripMargin
+      |FROM s CROSS JOIN g ORDER BY source NULLS FIRST""".stripMargin
   ) { (s, dir) =>
     val w = split(col("text"), " ")
     val q = Tables(s, dir, "documents").where(col("text").isNotNull)
@@ -1033,7 +1045,7 @@ object CorpusStatsOps {
       |       CAST(CASE WHEN n = nl THEN 0
       |            ELSE d2 * 1000000 // (CAST(nl AS HUGEINT) * (n - nl)) END AS BIGINT) AS ks_ppm,
       |       CAST(v AS BIGINT) AS at_value
-      |FROM sel WHERE rk = 1 ORDER BY lang""".stripMargin
+      |FROM sel WHERE rk = 1 ORDER BY lang NULLS FIRST""".stripMargin
   ) { (s, dir) =>
     val d = docs(s, dir).where(col("n_chars").isNotNull)
       .select(col("lang"), col("n_chars").as("v"))

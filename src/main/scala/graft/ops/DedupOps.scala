@@ -75,7 +75,7 @@ object DedupOps {
     """SELECT source, count(*) AS n_docs, CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
       |       CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_dupes
       |FROM (SELECT source, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM documents)
-      |GROUP BY source ORDER BY source""".stripMargin
+      |GROUP BY source ORDER BY source NULLS FIRST""".stripMargin
   ) { (s, dir) =>
     val w = Window.partitionBy(col("digest")).orderBy("doc_id")
     // Project the 16-byte digest BEFORE the window exchange so the shuffle
@@ -200,7 +200,7 @@ object DedupOps {
   private val labelsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private[ops] def clusterLabels(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def clusterLabels(s: SparkSession, dir: String): DataFrame = {
     evictStopped()
     // the pair set is already canonical (doc_a < doc_b, distinct) — feed it
     // straight in; symmetrizing first only doubles the rows the loop's

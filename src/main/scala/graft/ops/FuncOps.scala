@@ -75,7 +75,7 @@ object FuncOps {
       |  CAST(sum(CAST(ceil(value) AS BIGINT)) AS BIGINT) AS sum_ceil,
       |  CAST(sum(CASE WHEN CAST(floor(value * 100 + 0.5) AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even_cents,
       |  CAST(sum(CAST(sign(value - 100) AS BIGINT)) AS BIGINT) AS sign_sum
-      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+      |FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin
   ) { (s, dir) =>
     // 6-dp-rounded sqrt summed through decimal → aggregation-order-proof.
     // Integer sums CAST to BIGINT on the oracle side: DuckDB sum(int) is
@@ -99,14 +99,16 @@ object FuncOps {
     */
   val aesRoundtrip: Q = Q(
     "f04_aes_roundtrip",
-    "SELECT event_type, count(*) AS n_ok, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type"
+    "SELECT event_type, count(*) AS n_ok, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST"
   ) { (s, dir) =>
     val key = lit("0123456789abcdef")
     val roundtrip = expr(
       "cast(aes_decrypt(aes_encrypt(cast(props as binary), '0123456789abcdef', 'ECB'), " +
         "'0123456789abcdef', 'ECB') as string)")
     events(s, dir)
-      .select(col("event_type"), (roundtrip === col("props")).as("ok"))
+      // null-safe <=>: a NULL payload round-trips to NULL, which IS the
+      // intact round-trip — plain === would count it as a failure
+      .select(col("event_type"), (roundtrip <=> col("props")).as("ok"))
       .groupBy("event_type")
       .agg(
         sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"),
@@ -131,6 +133,9 @@ object FuncOps {
     */
   private[graft] def approxDistinctRaw(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
+      // count(DISTINCT user_id) semantics: distinct NON-NULL keys — the
+      // count(*)-after-distinct rewrite would otherwise count a null row
+      .where(col("user_id").isNotNull)
       .select("event_type", "user_id").distinct()
       .groupBy("event_type")
       .agg(
@@ -151,7 +156,7 @@ object FuncOps {
     """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
       |       (abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
       |          <= greatest(5.0, 0.05 * count(DISTINCT user_id))) AS approx_ok
-      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+      |FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin
   ) { (s, dir) =>
     approxDistinctRaw(s, dir)
       .select(col("event_type"), col("exact_users"),
@@ -188,7 +193,7 @@ object FuncOps {
     """SELECT event_type,
       |       CAST(greatest(least(CAST(floor(value / 5) AS BIGINT), 19), 0) AS BIGINT) AS bucket,
       |       CAST(count(*) AS BIGINT) AS n
-      |FROM events GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin
+      |FROM events GROUP BY 1, 2 ORDER BY event_type NULLS FIRST, bucket NULLS FIRST""".stripMargin
   ) { (s, dir) =>
     events(s, dir)
       .groupBy(col("event_type"),
@@ -208,13 +213,16 @@ object FuncOps {
     """SELECT event_type, top5[1] AS v1, top5[2] AS v2, top5[3] AS v3,
       |       top5[4] AS v4, top5[5] AS v5
       |FROM (SELECT event_type, list_slice(list_sort(list(value), 'DESC'), 1, 5) AS top5
-      |      FROM events GROUP BY event_type)
-      |ORDER BY event_type""".stripMargin
+      |      FROM events WHERE value IS NOT NULL GROUP BY event_type)
+      |ORDER BY event_type NULLS FIRST""".stripMargin
   ) { (s, dir) =>
     val topk = udaf(new graft.functions.TopKAgg(5), org.apache.spark.sql.Encoders.scalaDouble)
     // scalar columns rather than one array column: the driver's comparator
-    // matches cell-by-cell and chokes on array-valued float cells
+    // matches cell-by-cell and chokes on array-valued float cells.
+    // value IS NOT NULL on BOTH engines: DuckDB's list() keeps NULLs where
+    // collect-style aggregation drops them — rank k would drift by engine.
     events(s, dir)
+      .where(col("value").isNotNull)
       .groupBy("event_type")
       .agg(topk(col("value")).as("top5"))
       .select(col("event_type") +: (1 to 5).map(i =>
@@ -286,11 +294,16 @@ object FuncOps {
     val ex = RelOps.exactQuantiles(
       events(s, dir).select("event_type", "value"), "event_type", "value",
       Seq("exact_p40" -> 0.4, "exact_med" -> 0.5, "exact_p60" -> 0.6))
+    // null-safe LEFT join (x39/x54 bug class): a NULL group key must keep
+    // its row — an inner equi-join would silently drop the null-key group,
+    // and a group whose values are all NULL is absent from ex entirely
     events(s, dir)
       .groupBy("event_type")
-      .agg(percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_med"))
-      .join(ex, "event_type")
-      .select(col("event_type"), col("approx_med"),
+      .agg(percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_med"),
+        count(col("value")).as("n_vals"))
+      .join(ex.withColumnRenamed("event_type", "et2"),
+        col("event_type") <=> col("et2"), "left")
+      .select(col("event_type"), col("approx_med"), col("n_vals"),
         col("exact_p40"), col("exact_med"), col("exact_p60"))
       .orderBy("event_type")
   }
@@ -312,16 +325,21 @@ object FuncOps {
       |       round(quantile_cont(value, 0.4), 6) AS exact_p40,
       |       round(median(value), 6) AS exact_med,
       |       round(quantile_cont(value, 0.6), 6) AS exact_p60,
-      |       (approx_quantile(value, 0.5)
+      |       (count(value) < 10 OR approx_quantile(value, 0.5)
       |          BETWEEN quantile_cont(value, 0.4) AND quantile_cont(value, 0.6)) AS approx_in_band
-      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+      |FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin
   ) { (s, dir) =>
+    // n < 10 escape on BOTH engines: for a tiny group a rank-exact sketch
+    // (GK returns an actual element) can legitimately sit outside the
+    // INTERPOLATED p40..p60 band, so the boolean is only contracted where
+    // the band is meaningful (hostile sweep)
     approxPercentileRaw(s, dir)
       .select(col("event_type"),
         round(col("exact_p40"), 6).as("exact_p40"),
         round(col("exact_med"), 6).as("exact_med"),
         round(col("exact_p60"), 6).as("exact_p60"),
-        (col("approx_med") >= col("exact_p40") && col("approx_med") <= col("exact_p60"))
+        (col("n_vals") < 10 ||
+          (col("approx_med") >= col("exact_p40") && col("approx_med") <= col("exact_p60")))
           .as("approx_in_band"))
       .orderBy("event_type")
   }
@@ -354,7 +372,7 @@ object FuncOps {
       |  SELECT event_type,
       |         CAST(hour(ts) AS BIGINT) AS x,
       |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
-      |  FROM events),
+      |  FROM events WHERE value IS NOT NULL),
       |sums AS (
       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
       |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
@@ -363,13 +381,17 @@ object FuncOps {
       |         CAST(sum(y * y) AS BIGINT) AS syy
       |  FROM pts GROUP BY event_type)
       |SELECT event_type, n,
-      |       round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
-      |       round((CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE)) / n, 6) AS intercept,
-      |       round(CAST(n * sxy - sx * sy AS DOUBLE) / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr_xy,
-      |       round(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE) / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
-      |FROM sums ORDER BY event_type""".stripMargin
+      |       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+      |            ELSE round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS slope,
+      |       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+      |            ELSE round((CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE)) / n, 6) END AS intercept,
+      |       CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+      |            ELSE round(CAST(n * sxy - sx * sy AS DOUBLE) / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6) END AS corr_xy,
+      |       CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+      |            ELSE round(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE) / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6) END AS r2
+      |FROM sums ORDER BY event_type NULLS FIRST""".stripMargin
   ) { (s, dir) =>
-    val pts = events(s, dir).select(
+    val pts = events(s, dir).where(col("value").isNotNull).select(
       col("event_type"),
       hour(col("ts")).cast("long").as("x"),
       floor(col("value") * 100 + 0.5).cast("long").as("y"))
@@ -383,16 +405,25 @@ object FuncOps {
     // scaladoc), cast to double at the same points as the oracle
     def dec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       c.cast("decimal(19,0)")
-    val num = (dec(col("n")) * dec(col("sxy")) - dec(col("sx")) * dec(col("sy"))).cast("double")
-    val dx  = (dec(col("n")) * dec(col("sxx")) - dec(col("sx")) * dec(col("sx"))).cast("double")
-    val dy  = (dec(col("n")) * dec(col("syy")) - dec(col("sy")) * dec(col("sy"))).cast("double")
+    val numD = dec(col("n")) * dec(col("sxy")) - dec(col("sx")) * dec(col("sy"))
+    val dxD  = dec(col("n")) * dec(col("sxx")) - dec(col("sx")) * dec(col("sx"))
+    val dyD  = dec(col("n")) * dec(col("syy")) - dec(col("sy")) * dec(col("sy"))
+    val num = numD.cast("double")
+    val dx  = dxD.cast("double")
+    val dy  = dyD.cast("double")
+    // degenerate-variance guard (exact decimal compare): a group whose x or
+    // y never varies has no defined slope/corr — NULL on both engines
+    // instead of ANSI DIVIDE_BY_ZERO (Spark) vs silent inf/NaN (DuckDB)
     sums.select(
         col("event_type"), col("n"),
-        round(num / dx, 6).as("slope"),
-        round((col("sy").cast("double") - num / dx * col("sx").cast("double")) / col("n"), 6)
+        when(dxD === 0, lit(null)).otherwise(round(num / dx, 6)).as("slope"),
+        when(dxD === 0, lit(null)).otherwise(
+          round((col("sy").cast("double") - num / dx * col("sx").cast("double")) / col("n"), 6))
           .as("intercept"),
-        round(num / sqrt(dx * dy), 6).as("corr_xy"),
-        round(num * num / (dx * dy), 6).as("r2"))
+        when(dxD === 0 || dyD === 0, lit(null)).otherwise(round(num / sqrt(dx * dy), 6))
+          .as("corr_xy"),
+        when(dxD === 0 || dyD === 0, lit(null)).otherwise(round(num * num / (dx * dy), 6))
+          .as("r2"))
       .orderBy("event_type")
   }
 

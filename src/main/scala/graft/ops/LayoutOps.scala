@@ -79,7 +79,7 @@ object LayoutOps {
       |FROM (SELECT user_id,
       |        CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4) AS INTEGER) % 32 AS bucket
       |      FROM events)
-      |GROUP BY bucket ORDER BY bucket""".stripMargin
+      |GROUP BY bucket ORDER BY bucket NULLS FIRST""".stripMargin
   ) { (s, dir) =>
     Tables(s, dir, "events")
       .select(col("user_id"),

@@ -53,7 +53,10 @@ object MultimodalOps {
   private def media(s: SparkSession, dir: String): org.apache.spark.sql.Dataset[MediaRow] = {
     val sp = s
     import sp.implicits._
+    // null text ⇒ no media object (a crawl row without content has nothing
+    // to wrap) — every mm oracle mirrors this with `WHERE text IS NOT NULL`
     Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      .where(col("text").isNotNull)
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val fmt = (id % 3) match { case 0 => "jpg"; case 1 => "png"; case _ => "wav" }
@@ -70,7 +73,7 @@ object MultimodalOps {
     """SELECT fmt, count(*) AS n, CAST(sum(n_bytes) AS BIGINT) AS total_bytes, min(n_bytes) AS min_bytes, max(n_bytes) AS max_bytes
       |FROM (SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'jpg' WHEN 1 THEN 'png' ELSE 'wav' END AS fmt,
       |             strlen(text) + CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 55 WHEN 1 THEN 57 ELSE 44 END AS n_bytes
-      |      FROM documents)
+      |      FROM documents WHERE text IS NOT NULL)
       |GROUP BY fmt ORDER BY fmt""".stripMargin
   ) { (s, dir) =>
     // n_bytes as long on the Spark side too: DuckDB strlen is BIGINT, so
@@ -102,7 +105,7 @@ object MultimodalOps {
       |  ascii(substr(text, 1, 1)) AS b1, ascii(substr(text, 9, 1)) AS b2,
       |  ascii(substr(text, 17, 1)) AS b3, ascii(substr(text, 25, 1)) AS b4,
       |  strlen(text) - strlen(replace(text, 'a', '')) AS n_a
-      |FROM documents ORDER BY doc_id""".stripMargin
+      |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin
   ) { (s, dir) =>
     val sp = s
     import sp.implicits._
@@ -133,8 +136,9 @@ object MultimodalOps {
     "x45_mm_frames",
     """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
       |       md5(substr(text, CAST(64*i+1 AS INT), 64)) AS fdigest
-      |FROM (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
-      |     LATERAL (SELECT unnest(generate_series(0, CAST((strlen(text)-1)//64 AS BIGINT))) AS i) g
+      |FROM (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0 AND text IS NOT NULL),
+      |     LATERAL (SELECT unnest(generate_series(0, CAST(CASE WHEN strlen(text) = 0 THEN -1
+      |              ELSE (strlen(text)-1)//64 END AS BIGINT))) AS i) g
       |WHERE i % 4 = 0 ORDER BY doc_id, frame_idx""".stripMargin
   ) { (s, dir) =>
     val sp = s
@@ -164,10 +168,15 @@ object MultimodalOps {
     * concatenated in order, hashed again) — shared by x46 and x81 so the
     * two oracles can never drift apart.
     */
+  // the series bound must FLOOR-divide: DuckDB's // truncates toward zero,
+  // so an EMPTY body ((0-1)//64 = 0, not -1) would grow a phantom frame the
+  // floorDiv-based decode pipeline correctly never emits (hostile sweep)
+  // coalesce: DuckDB's array_to_string over an EMPTY list is NULL, not ''
   private val fingerprintSql: String =
-    """md5(array_to_string(list_transform(
-      |          list_filter(generate_series(0, CAST((strlen(text)-1)//64 AS BIGINT)), i -> i % 4 = 0),
-      |          i -> md5(substr(text, CAST(64*i+1 AS INT), 64))), ''))""".stripMargin
+    """md5(coalesce(array_to_string(list_transform(
+      |          list_filter(generate_series(0, CAST(CASE WHEN strlen(text) = 0 THEN -1
+      |                        ELSE (strlen(text)-1)//64 END AS BIGINT)), i -> i % 4 = 0),
+      |          i -> md5(substr(text, CAST(64*i+1 AS INT), 64))), ''), ''))""".stripMargin
 
   /** Per-media subsampled-frame fingerprints (doc_id, fmt, fingerprint),
     * computed ROW-LOCALLY in the typed decode pipeline — one copy of the
@@ -208,7 +217,7 @@ object MultimodalOps {
        |       CAST(count(*) - count(DISTINCT fingerprint) AS BIGINT) AS n_dup
        |FROM (SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'jpg' WHEN 1 THEN 'png' ELSE 'wav' END AS fmt,
        |        $fingerprintSql AS fingerprint
-       |      FROM documents)
+       |      FROM documents WHERE text IS NOT NULL)
        |GROUP BY fmt ORDER BY fmt""".stripMargin
   ) { (s, dir) =>
     fingerprints(s, dir)
@@ -238,7 +247,7 @@ object MultimodalOps {
        |  SELECT doc_id,
        |         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'jpg' WHEN 1 THEN 'png' ELSE 'wav' END AS fmt,
        |         $fingerprintSql AS pos_fp
-       |  FROM documents),
+       |  FROM documents WHERE text IS NOT NULL),
        |p AS (SELECT doc_id, fmt, pos_fp,
        |             lead(pos_fp) OVER (PARTITION BY fmt ORDER BY doc_id) AS neg_fp
        |      FROM fp)
@@ -266,7 +275,7 @@ object MultimodalOps {
     */
   val mmAudioEnergy: Q = Q(
     "x96_mm_audio_energy",
-    """WITH wav AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
+    """WITH wav AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2 AND text IS NOT NULL),
       |samp AS (SELECT doc_id, (i + 63) // 64 AS frame,
       |                ascii(substr(text, CAST(2*i-1 AS INT), 1)) +
       |                  256 * ascii(substr(text, CAST(2*i AS INT), 1)) AS raw

@@ -41,7 +41,7 @@ object PipelineOps {
       |SELECT source, count(*) AS n_chunks,
       |       CAST(count(DISTINCT ch) AS BIGINT) AS n_distinct,
       |       CAST(count(*) - count(DISTINCT ch) AS BIGINT) AS n_dup
-      |FROM chunks GROUP BY source ORDER BY source""".stripMargin
+      |FROM chunks GROUP BY source ORDER BY source NULLS FIRST""".stripMargin
   ) { (s, dir) =>
     val w = split(col("text"), " ")
     docs(s, dir)
@@ -140,7 +140,7 @@ object PipelineOps {
     "x28_hash_sample",
     """SELECT source, CAST(count(*) AS BIGINT) AS n_total,
       |       CAST(sum(CASE WHEN CAST('0x' || substr(md5(text),1,4) AS INTEGER) < 6554 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
-      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+      |FROM documents GROUP BY source ORDER BY source NULLS FIRST""".stripMargin
   ) { (s, dir) =>
     docs(s, dir)
       .groupBy("source")
@@ -175,7 +175,7 @@ object PipelineOps {
       |             sum(len(string_split(text,' '))) OVER (PARTITION BY source ORDER BY doc_id
       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       |      FROM documents)
-      |GROUP BY source, bin ORDER BY source, bin""".stripMargin
+      |GROUP BY source, bin ORDER BY source NULLS FIRST, bin NULLS FIRST""".stripMargin
   ) { (s, dir) =>
     val wspec = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -212,7 +212,7 @@ object PipelineOps {
       |         row_number() OVER (PARTITION BY source, lang
       |           ORDER BY len(list_distinct(string_split(text,' '))) DESC, doc_id) AS rn
       |  FROM documents)
-      |WHERE rn <= 5 ORDER BY source, lang, rn""".stripMargin
+      |WHERE rn <= 5 ORDER BY source NULLS FIRST, lang NULLS FIRST, rn NULLS FIRST""".stripMargin
   ) { (s, dir) =>
     // implementation lives in NtilePlan.stratifiedTopKAgg next to its
     // reference-window twin (incl. the null-text rank-last sentinel that
@@ -278,7 +278,7 @@ object PipelineOps {
       |SELECT source, n AS n_docs,
       |       CAST(n * 1000000 // tot_n AS BIGINT) AS w_raw_ppm,
       |       CAST(sq * 1000000 // tot_sq AS BIGINT) AS w_temp_ppm
-      |FROM s, t ORDER BY source""".stripMargin
+      |FROM s, t ORDER BY source NULLS FIRST""".stripMargin
   ) { (s, dir) =>
     val cnt = docs(s, dir).groupBy("source").agg(count(lit(1)).as("n"))
       .withColumn("sq", floor(sqrt(col("n").cast("double")) * 1000 + 0.5).cast("long"))
@@ -353,7 +353,7 @@ object PipelineOps {
       |      FROM (SELECT event_type, ts, user_id,
       |                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
       |      GROUP BY event_type)
-      |ORDER BY event_type""".stripMargin
+      |ORDER BY event_type NULLS FIRST""".stripMargin
   ) { (s, dir) =>
     val cutoff = lit("2024-01-16").cast("timestamp")
     val w1     = col("ts") < cutoff
@@ -585,7 +585,7 @@ object PipelineOps {
       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
       |       CAST(sum(tok) AS BIGINT) AS n_tokens
       |FROM o CROSS JOIN b WHERE cum <= budget
-      |GROUP BY source ORDER BY source""".stripMargin
+      |GROUP BY source ORDER BY source NULLS FIRST""".stripMargin
   ) { (s, dir) =>
     val w = split(col("text"), " ")
     val base = docs(s, dir).where(col("text").isNotNull)
@@ -645,7 +645,7 @@ object PipelineOps {
       |       CAST(budget * w_milli // sw AS BIGINT) AS target_tokens,
       |       CAST(least(4000, (budget * w_milli // sw) * 1000 // n_tokens) AS BIGINT) AS epochs_milli,
       |       CAST(least(4000, (budget * w_milli // sw) * 1000 // n_tokens) * n_tokens // 1000 AS BIGINT) AS alloc_tokens
-      |FROM w CROSS JOIN g ORDER BY source""".stripMargin
+      |FROM w CROSS JOIN g ORDER BY source NULLS FIRST""".stripMargin
   ) { (s, dir) =>
     val t = docs(s, dir).where(col("text").isNotNull)
       .groupBy("source")
@@ -708,7 +708,7 @@ object PipelineOps {
       |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
       |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS kept_ppm,
       |       CAST(sum(sw) AS BIGINT) AS sum_w_milli
-      |FROM kept GROUP BY lang ORDER BY lang""".stripMargin
+      |FROM kept GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
   ) { (s, dir) =>
     val tri = docs(s, dir).select(col("doc_id"), col("lang"),
       explode(graft.functions.CharNgramsFunctions.charNgrams(col("text"), 3)).as("tri"))
@@ -808,7 +808,7 @@ object PipelineOps {
       |       CAST(sum(CASE WHEN s.nd > 1 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS cross_doc_ppm,
       |       CAST(sum(dg.clen) * 100 // count(*) AS BIGINT) AS mean_len_centi
       |FROM dg JOIN shared s ON s.cd = dg.cd
-      |GROUP BY dg.source ORDER BY dg.source""".stripMargin
+      |GROUP BY dg.source ORDER BY dg.source NULLS FIRST""".stripMargin
   ) { (s, dir) =>
     val d = Tables.computeParallel(
       docs(s, dir).where(col("text").isNotNull && length(col("text")) > 0))
@@ -922,7 +922,7 @@ object PipelineOps {
       |       CAST(sum(CASE WHEN rn = 1 THEN wcnt ELSE 0 END) AS BIGINT) AS kept_words,
       |       CAST(CAST(sum(CASE WHEN rn = 1 THEN wcnt ELSE 0 END) AS HUGEINT) * 1000000
       |            // sum(wcnt) AS BIGINT) AS kept_ppm
-      |FROM r GROUP BY source ORDER BY source""".stripMargin
+      |FROM r GROUP BY source ORDER BY source NULLS FIRST""".stripMargin
   ) { (s, dir) =>
     val w = split(col("text"), " ")
     val n = size(w)
@@ -986,7 +986,7 @@ object PipelineOps {
       |       CAST(CAST(sum(lost) AS HUGEINT) * 1000000 // sum(t) AS BIGINT) AS trunc_ppm,
       |       CAST(sum(slots - t) AS BIGINT) AS pad_tokens,
       |       CAST(CAST(sum(slots - t) AS HUGEINT) * 1000000 // sum(slots) AS BIGINT) AS pad_ppm
-      |FROM f GROUP BY lang, l ORDER BY lang, ctx_len""".stripMargin
+      |FROM f GROUP BY lang, l ORDER BY lang NULLS FIRST, ctx_len NULLS FIRST""".stripMargin
   ) { (s, dir) =>
     val d = docs(s, dir).where(col("text").isNotNull)
       .select(col("lang"), size(split(col("text"), " ")).cast("long").as("t"))

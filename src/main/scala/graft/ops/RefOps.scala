@@ -35,7 +35,7 @@ object RefOps {
     "r02_latest_by_key",
     """SELECT user_id, event_id AS last_event_id, ts AS last_ts, event_type AS last_type
       |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events)
-      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+      |WHERE rn = 1 ORDER BY user_id NULLS FIRST""".stripMargin
   ) { (s, dir) =>
     val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
     events(s, dir)
@@ -192,13 +192,15 @@ object RefOps {
     */
   val jsonProps: Q = Q(
     "r09_json_props",
-    """SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, count(*) AS n
-      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+    """SELECT event_type, CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, count(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin
   ) { (s, dir) =>
     events(s, dir)
       .groupBy("event_type")
       .agg(
-        sum(get_json_object(col("props"), "$.k").cast(LongType)).as("sum_k"),
+        // try_cast: a crawl can deliver string-valued props.k — both engines
+        // must skip it as NULL, not raise (ANSI) / error (DuckDB)
+        sum(expr("try_cast(get_json_object(props, '$.k') as bigint)")).as("sum_k"),
         count(lit(1)).as("n"))
       .orderBy("event_type")
   }
@@ -213,7 +215,7 @@ object RefOps {
       |       CAST(sum(CASE WHEN json_valid(mangled) THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
       |       CAST(sum(CASE WHEN json_valid(mangled) THEN 0 ELSE 1 END) AS BIGINT) AS n_invalid
       |FROM (SELECT event_type, CASE WHEN event_id % 7 = 0 THEN 'x' || props ELSE props END AS mangled FROM events)
-      |GROUP BY event_type ORDER BY event_type""".stripMargin
+      |GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin
   ) { (s, dir) =>
     // Leading-garbage corruption: Spark's variant parser accepts a complete
     // JSON value with TRAILING junk (`"k": 87}` parses as the string "k"),

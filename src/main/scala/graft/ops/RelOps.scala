@@ -689,7 +689,11 @@ object RelOps {
       |GROUP BY a.event_type ORDER BY a.event_type""".stripMargin
   ) { (s, dir) =>
     val eps = 1e-6
+    // join semantics of the oracle: a NULL event_type never equi-joins and a
+    // NULL value never satisfies the band predicate — the windowed rewrite
+    // must drop those rows explicitly or it invents a null-key partition
     val cells = Tables(s, dir, "events")
+      .where(col("event_type").isNotNull && col("value").isNotNull)
       .groupBy(col("event_type"), col("value"))
       .agg(count(lit(1)).as("m"))
     // In-frame row count over [v-0.5, v]; Spark computes the lower bound as
@@ -847,7 +851,7 @@ object RelOps {
       |         row_number() OVER (PARTITION BY event_type ORDER BY c DESC, hr) AS rk
       |  FROM (SELECT event_type, hour(ts) AS hr, count(*) AS c
       |        FROM events GROUP BY 1, 2))
-      |WHERE rk = 1 ORDER BY event_type""".stripMargin
+      |WHERE rk = 1 ORDER BY event_type NULLS FIRST""".stripMargin
   ) { (s, dir) =>
     val counts = Tables(s, dir, "events")
       .groupBy(col("event_type"), hour(col("ts")).as("hr"))

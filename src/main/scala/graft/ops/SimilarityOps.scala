@@ -42,14 +42,95 @@ object SimilarityOps {
     */
   private def dot(a: Column, b: Column): Column = graft.functions.GraftFunctions.dotF32(a, b)
 
-  /** vec_id, embedding, L2 norm. */
+  /** Micro-ppm NORMALIZED vector frame (vec_id, v: array<long>) — the
+    * shared training input of the quantization family (x94 flat PQ, x97
+    * IVF-PQ). Each consumer runs SEVERAL actions over it (codebook seed
+    * collects, a Lloyd-mean collect, assignment passes, the final ranking),
+    * and each action would otherwise rescan + renormalize the corpus — so
+    * the frame is memoized per (session, sf dir) and cached, the DedupOps
+    * pair-lineage discipline (r11 verdict item 2). Bench.clearMemo drops it
+    * between timing passes; evictQuantMemo sweeps dead sessions.
+    *
+    * nullif in the divide: subexpression elimination can fuse this
+    * transform into a downstream filter PREDICATE and evaluate it
+    * speculatively on rows normed()'s nrm>0 filter drops — under ANSI that
+    * raised DIVIDE_BY_ZERO on a hostile zero-norm row. NULL-divide is a
+    * no-op for every surviving row.
+    */
+  private val ppmCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[ops] def ppmVectors(s: SparkSession, dir: String): DataFrame = {
+    evictQuantMemo()
+    ppmCache.getOrElseUpdate((s, dir),
+      normed(s, dir).select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") / nullif(col("nrm"), lit(0.0)) * 1000000 + 0.5)
+            .cast("long")).as("v"))
+        .cache())
+  }
+
+  /** x69's int8 SQ code frame, memoized for the same reason: the
+    * quantize-then-rank self-join consumes it on BOTH sides (corpus scan +
+    * broadcast query batch) — one scan + transform instead of two.
+    */
+  private val sqCodesCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[ops] def sqCodes(s: SparkSession, dir: String): DataFrame = {
+    evictQuantMemo()
+    sqCodesCache.getOrElseUpdate((s, dir), {
+      val mn = array_min(col("embedding")).cast("double")
+      val mx = array_max(col("embedding")).cast("double")
+      embs(s, dir).select(
+        col("vec_id"),
+        // mx == mn (constant vector, e.g. all-zero) would divide by zero:
+        // Spark yields NULL codes while DuckDB errors on CAST(NaN) — guard
+        // both sides so degenerate vectors quantize deterministically to 0
+        transform(col("embedding").cast("array<double>"),
+          x => when(mx === mn, lit(0L))
+            .otherwise(floor((x - mn) * 255.0 / (mx - mn) + 0.5).cast("long") - 128))
+          .as("codes"))
+        .cache()
+    })
+  }
+
+  private def evictQuantMemo(): Unit =
+    for (m <- Seq(ppmCache, sqCodesCache))
+      m.keys.filter(_._1.sparkContext.isStopped).foreach(m.remove)
+
+  /** Live memo entries (Bench's memo-payer attribution). */
+  private[graft] def memoSize: Int = ppmCache.size + sqCodesCache.size
+
+  /** Drop the memoized quantization lineages (Bench calls this between
+    * timing passes — same contract as DedupOps.clearMemo).
+    */
+  private[graft] def clearMemo(): Unit = {
+    ppmCache.values.foreach(df => scala.util.Try(df.unpersist()))
+    ppmCache.clear()
+    sqCodesCache.values.foreach(df => scala.util.Try(df.unpersist()))
+    sqCodesCache.clear()
+  }
+
+  /** vec_id, embedding, L2 norm — EXCLUDING null and zero-norm vectors.
+    * Cosine geometry is undefined for them, and the engines fail
+    * DIFFERENTLY if they reach a denominator (Spark ANSI raises
+    * DIVIDE_BY_ZERO, DuckDB float math yields NaN; a null array NPEs the
+    * codegen'd dot on Spark and errors list_dot_product on DuckDB), so the
+    * similarity family's corpus contract drops them at the loader — a
+    * row-local filter both engines apply identically (hostile-fixture
+    * sweep, round 12).
+    */
   private def normed(s: SparkSession, dir: String): DataFrame =
-    embs(s, dir).select(col("vec_id"), col("embedding"),
-      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    embs(s, dir).where(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+      .where(col("nrm") > 0)
 
   private val normedSql =
-    """SELECT vec_id, embedding::DOUBLE[] AS v, sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-      |FROM embeddings""".stripMargin
+    """SELECT * FROM (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v, sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings WHERE embedding IS NOT NULL) nn WHERE nrm > 0""".stripMargin
 
   /** Embedding-cosine near-dup pairs: all pairs above 0.4 cosine. Exact
     * (the oracle-checkable baseline); the LSH variant below is the scale
@@ -387,11 +468,12 @@ object SimilarityOps {
   val labelCentroids: Q = Q(
     "x33_label_centroids",
     """WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
-      |e AS (SELECT label, i, embedding[i] AS v FROM embeddings, idx)
+      |e AS (SELECT label, i, embedding[i] AS v
+      |      FROM embeddings, idx WHERE embedding IS NOT NULL)
       |SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS i,
       |       CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_ppm,
       |       count(*) AS n
-      |FROM e GROUP BY label, i ORDER BY label, i""".stripMargin
+      |FROM e GROUP BY label, i ORDER BY label NULLS FIRST, i""".stripMargin
   ) { (s, dir) =>
     embs(s, dir)
       .select(col("label"), posexplode(col("embedding")).as(Seq("p", "v")))
@@ -525,16 +607,9 @@ object SimilarityOps {
       |  FROM c q JOIN c ON q.vec_id % 50 = 0 AND q.vec_id < 20000 AND c.vec_id <> q.vec_id) t
       |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
   ) { (s, dir) =>
-    val mn = array_min(col("embedding")).cast("double")
-    val mx = array_max(col("embedding")).cast("double")
-    val codes = embs(s, dir).select(
-      col("vec_id"),
-      // mx == mn (constant vector, e.g. all-zero) would divide by zero:
-      // Spark yields NULL codes while DuckDB errors on CAST(NaN) — guard
-      // both sides so degenerate vectors quantize deterministically to 0
-      transform(col("embedding").cast("array<double>"),
-        x => when(mx === mn, lit(0L))
-          .otherwise(floor((x - mn) * 255.0 / (mx - mn) + 0.5).cast("long") - 128)).as("codes"))
+    // memoized code frame (sqCodes): consumed by both sides of the
+    // quantized self-join — one scan + transform instead of two
+    val codes = sqCodes(s, dir)
     // integer dot product of the centered codes: a zip_with/aggregate fold
     // over exact int64 — products are ≤ 128²·64 ≈ 2^20, no overflow risk
     val qdot = aggregate(
@@ -703,9 +778,9 @@ object SimilarityOps {
       |         row_number() OVER (PARTITION BY q_id ORDER BY approx_d, n_id) AS rk
       |  FROM adc) WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
   ) { (s, dir) =>
-    val e = normed(s, dir).select(col("vec_id"),
-      transform(col("embedding"),
-        x => floor(x.cast("double") / col("nrm") * 1000000 + 0.5).cast("long")).as("v"))
+    // memoized ppm frame (ppmVectors): several actions per query re-run
+    // this lineage — codebook collects, assignment passes, the final rank
+    val e = ppmVectors(s, dir)
 
     // Codebooks are k×d MODEL PARAMETERS — collected to the driver and
     // shipped as literals (the planeSigns/bloom pattern), so every
@@ -854,9 +929,9 @@ object SimilarityOps {
        |         row_number() OVER (PARTITION BY q_id ORDER BY approx_d, n_id) AS rk
        |  FROM adc) WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
   ) { (s, dir) =>
-    val e = normed(s, dir).select(col("vec_id"),
-      transform(col("embedding"),
-        x => floor(x.cast("double") / col("nrm") * 1000000 + 0.5).cast("long")).as("v"))
+    // memoized ppm frame (ppmVectors): several actions per query re-run
+    // this lineage — codebook collects, assignment passes, the final rank
+    val e = ppmVectors(s, dir)
 
     // --- coarse quantizer: collected centroids as literals, ascending gid.
     // FIXED count (≤80, inert below sf10 like the query cap): the literal
@@ -1192,7 +1267,8 @@ object SimilarityOps {
     Q(
       "x129_kcenter_coreset",
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-         |  list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS nv FROM embeddings),
+         |  list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS nv
+         |  FROM embeddings WHERE embedding IS NOT NULL),
          |c1 AS (SELECT vec_id, v, round(nv, 6) AS crit FROM e
          |  ORDER BY round(nv, 6) DESC, vec_id LIMIT 1),
          |$stages,
@@ -1232,8 +1308,9 @@ object SimilarityOps {
   private[graft] def kcenterBuild(s: SparkSession, dir: String,
       clock: StageClock): DataFrame = {
     val K = 8
-    val e = embs(s, dir).select(col("vec_id"), col("embedding"),
-      dot(col("embedding"), col("embedding")).as("nv"))
+    val e = embs(s, dir).where(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"),
+        dot(col("embedding"), col("embedding")).as("nv"))
     def d2(cv: Seq[Float]): Column = {
       val c = typedLit(cv)
       round(col("nv") - lit(2) * dot(col("embedding"), c) + dot(c, c), 6)
@@ -1321,7 +1398,8 @@ object SimilarityOps {
     Q(
       "x132_jl_distortion",
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-         |  list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS nv FROM embeddings),
+         |  list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS nv
+         |  FROM embeddings WHERE embedding IS NOT NULL),
          |p AS (SELECT vec_id, v, nv, ${(0 until rows).map(r => s"${sqlProj(r)} AS p$r")
                   .mkString(", ")} FROM e),
          |q AS (SELECT * FROM p WHERE vec_id % 50 = 0 AND vec_id < 20000),
@@ -1337,8 +1415,9 @@ object SimilarityOps {
          |       min(ratio_ppm) AS min_ppm, max(ratio_ppm) AS max_ppm
          |FROM pairs GROUP BY 1 ORDER BY bucket""".stripMargin
     ) { (s, dir) =>
-      val e = embs(s, dir).select(col("vec_id"), col("embedding"),
-        dot(col("embedding"), col("embedding")).as("nv"))
+      val e = embs(s, dir).where(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding"),
+          dot(col("embedding"), col("embedding")).as("nv"))
       def proj(df: DataFrame): DataFrame =
         df.select(Seq(col("vec_id"), col("embedding"), col("nv")) ++
           (0 until rows).map(r =>
@@ -1546,7 +1625,8 @@ object SimilarityOps {
     """WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
       |e AS (SELECT vec_id, label, i,
       |        CAST(floor((embedding::DOUBLE[])[i] * 1000000 + 0.5) AS BIGINT) AS ppm
-      |      FROM embeddings, idx),
+      |      FROM embeddings, idx
+      |      WHERE embedding IS NOT NULL AND label IS NOT NULL),
       |cent AS (SELECT label AS c_label, i,
       |           CAST(floor(CAST(sum(ppm) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS c_ppm
       |         FROM e GROUP BY label, i),
@@ -1559,7 +1639,8 @@ object SimilarityOps {
       |               row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rk
       |        FROM d) WHERE rk = 1),
       |conf AS (SELECT label, pred, count(*) AS n FROM pr GROUP BY label, pred),
-      |cls AS (SELECT DISTINCT label FROM embeddings),
+      |cls AS (SELECT DISTINCT label FROM embeddings
+      |        WHERE embedding IS NOT NULL AND label IS NOT NULL),
       |pc AS (SELECT cls.label AS label,
       |         CAST(COALESCE(t.n_true, 0) AS BIGINT) AS n_true,
       |         CAST(COALESCE(p.n_pred, 0) AS BIGINT) AS n_pred,
@@ -1592,8 +1673,13 @@ object SimilarityOps {
   ) { (s, dir) =>
     val ppmArr = transform(col("embedding"), v =>
       floor(v.cast("double") * 1000000 + 0.5).cast("long"))
+    // eval contract (hostile sweep): only labeled vectors with a present
+    // embedding participate — train, assignment, and the class roster all
+    // read the same filtered universe on both engines
+    val evalSet = embs(s, dir)
+      .where(col("embedding").isNotNull && col("label").isNotNull)
     // |labels|×64 centroid aggregate → per-label ordered component arrays
-    val cent = embs(s, dir)
+    val cent = evalSet
       .select(col("label"), posexplode(col("embedding")).as(Seq("p", "v")))
       .groupBy(col("label").as("c_label"), (col("p") + 1).as("i"))
       .agg(sum(floor(col("v").cast("double") * 1000000 + 0.5).cast("long")).as("sd"),
@@ -1604,7 +1690,7 @@ object SimilarityOps {
       .agg(transform(array_sort(collect_list(struct(col("i"), col("c_ppm")))),
         x => x.getField("c_ppm")).as("cv"))
     // assignment: broadcast centroids, row-local exact integer d², min_by
-    val pr = embs(s, dir).select(col("vec_id"), col("label"), ppmArr.as("pv"))
+    val pr = evalSet.select(col("vec_id"), col("label"), ppmArr.as("pv"))
       .crossJoin(broadcast(cent))
       .withColumn("d2", aggregate(
         zip_with(col("pv"), col("cv"), (a, b) => (a - b) * (a - b)),
@@ -1613,7 +1699,7 @@ object SimilarityOps {
       .agg(first(col("label")).as("label"),
         min_by(col("c_label"), struct(col("d2"), col("c_label"))).as("pred"))
     val conf = pr.groupBy("label", "pred").agg(count(lit(1)).as("n"))
-    val pc = embs(s, dir).select(col("label")).distinct()
+    val pc = evalSet.select(col("label")).distinct()
       .join(conf.groupBy("label").agg(sum("n").as("nt")), Seq("label"), "left")
       .join(conf.groupBy(col("pred").as("label")).agg(sum("n").as("np")), Seq("label"), "left")
       .join(conf.where(col("label") === col("pred")).select(col("label"), col("n").as("tpn")),
@@ -1753,8 +1839,8 @@ object SimilarityOps {
     """WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
       |m AS (SELECT vec_id, i,
       |        CAST(floor((embedding::DOUBLE[])[i] * 1000 + 0.5) AS BIGINT) AS mv
-      |      FROM embeddings, idx),
-      |n AS (SELECT count(*) AS n FROM embeddings),
+      |      FROM embeddings, idx WHERE embedding IS NOT NULL),
+      |n AS (SELECT count(*) AS n FROM embeddings WHERE embedding IS NOT NULL),
       |s AS (SELECT i, sum(mv) AS si FROM m GROUP BY i),
       |p AS (SELECT a.i AS i, b.i AS j, sum(a.mv * b.mv) AS pij
       |      FROM m a JOIN m b ON a.vec_id = b.vec_id AND a.i < b.i
@@ -1777,7 +1863,10 @@ object SimilarityOps {
     import s.implicits._
     val outer = udaf(new graft.functions.VecOuterAgg(64),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
-    val st = embs(s, dir).agg(outer(col("embedding")).as("st"))
+    // a null array would NPE the aggregator's update; moments are over
+    // PRESENT vectors on both engines
+    val st = embs(s, dir).where(col("embedding").isNotNull)
+      .agg(outer(col("embedding")).as("st"))
     // constant 2,016-row (pair → state offsets) map; k(i,j) mirrors the
     // aggregator's upper-triangle layout
     def kOf(a: Int, b: Int) = (a - 1) * 65 - (a - 1) * a / 2 + (b - a + 1)

@@ -27,7 +27,7 @@ object StreamOps {
     "x14_tumbling_window",
     """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start, event_type, count(*) AS n,
       |       CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value
-      |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+      |FROM events GROUP BY 1, 2 ORDER BY win_start NULLS FIRST, event_type NULLS FIRST""".stripMargin
   ) { (s, dir) =>
     // sum_value in integer micro-units: double→decimal CAST ties round
     // half-up in Spark vs half-even in DuckDB; floor(x*1e6+0.5) is the same
@@ -71,7 +71,7 @@ object StreamOps {
       |      FROM (SELECT user_id, ts, event_id,
       |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
       |            FROM events))
-      |GROUP BY user_id, sess_id ORDER BY user_id, sess_start""".stripMargin
+      |GROUP BY user_id, sess_id ORDER BY user_id NULLS FIRST, sess_start NULLS FIRST""".stripMargin
   ) { (s, dir) =>
     events(s, dir)
       .groupBy(session_window(col("ts"), "30 minutes").as("sess"), col("user_id"))
@@ -206,7 +206,7 @@ object StreamOps {
   val streamTumbling: Q = Q(
     "x17_stream_tumbling",
     """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start, event_type, count(*) AS n
-      |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+      |FROM events GROUP BY 1, 2 ORDER BY win_start NULLS FIRST, event_type NULLS FIRST""".stripMargin
   ) { (s, dir) =>
     runStream(s, dir, "x17_sink", "complete") { ev =>
       ev.groupBy(window(col("ts"), "1 hour"), col("event_type")).agg(count(lit(1)).as("n"))
@@ -221,7 +221,7 @@ object StreamOps {
     */
   val streamDedup: Q = Q(
     "x18_stream_dedup",
-    "SELECT DISTINCT user_id FROM events ORDER BY user_id"
+    "SELECT DISTINCT user_id FROM events ORDER BY user_id NULLS FIRST"
   ) { (s, dir) =>
     runStream(s, dir, "x18_sink", "append") { ev =>
       ev.select("user_id").dropDuplicates("user_id")
@@ -240,7 +240,7 @@ object StreamOps {
       |  SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start FROM events)
       |GROUP BY win_start
       |HAVING win_start + 3600 <= (SELECT CAST(floor(epoch(max(ts) - INTERVAL 10 MINUTE)) AS BIGINT) FROM events)
-      |ORDER BY win_start""".stripMargin
+      |ORDER BY win_start NULLS FIRST""".stripMargin
   ) { (s, dir) =>
     runStream(s, dir, "x19_sink", "append") { ev =>
       ev.withWatermark("ts", "10 minutes")
@@ -326,7 +326,7 @@ object StreamOps {
   val streamFunnel: Q = Q(
     "x44_stream_funnel",
     """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
-      |           WHERE event_type = 'view' GROUP BY user_id),
+      |           WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY user_id),
       |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v ON e.user_id = v.user_id
       |      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
       |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c ON e.user_id = c.user_id
@@ -336,8 +336,11 @@ object StreamOps {
       |UNION ALL SELECT 'view>click>purchase' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM p
       |ORDER BY stage""".stripMargin
   ) { (s, dir) =>
+    // a user-keyed funnel needs a user: NULL user_id rows are filtered on
+    // BOTH engines — the oracle's stage joins could never advance a NULL
+    // key anyway (null ≠ null), while the stateful aggregate would
     val perUser = runStream(s, dir, "x44_sink", "complete") { ev =>
-      ev.groupBy("user_id").agg(
+      ev.where(col("user_id").isNotNull).groupBy("user_id").agg(
         min(when(col("event_type") === "view", col("ts"))).as("t1"),
         collect_list(when(col("event_type") === "click", col("ts"))).as("clicks"),
         collect_list(when(col("event_type") === "purchase", col("ts"))).as("purchases"))
@@ -415,7 +418,7 @@ object StreamOps {
       |              FROM events))
       |  GROUP BY user_id, sess_id)
       |WHERE sess_end <= (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) - 600 FROM events)
-      |ORDER BY user_id, sess_start""".stripMargin
+      |ORDER BY user_id NULLS FIRST, sess_start NULLS FIRST""".stripMargin
   ) { (s, dir) =>
     runStream(s, dir, "x52_sink", "append") { ev =>
       ev.withWatermark("ts", "10 minutes")
@@ -455,7 +458,7 @@ object StreamOps {
       |          UNION ALL SELECT user_id, 1 AS um FROM unmatched)
       |SELECT CAST(user_id % 10 AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
       |       CAST(sum(um) AS BIGINT) AS n_unmatched
-      |FROM rows_ GROUP BY bucket ORDER BY bucket""".stripMargin
+      |FROM rows_ GROUP BY bucket ORDER BY bucket NULLS FIRST""".stripMargin
   ) { (s, dir) =>
     runStream(s, dir, "x60_sink", "append") { ev =>
       val v = ev.where(col("event_type") === "view")
@@ -491,7 +494,7 @@ object StreamOps {
   val streamDedupWatermark: Q = Q(
     "x74_stream_dedup_watermark",
     """SELECT user_id, event_type FROM (SELECT DISTINCT user_id, event_type FROM events)
-      |ORDER BY user_id, event_type""".stripMargin
+      |ORDER BY user_id NULLS FIRST, event_type NULLS FIRST""".stripMargin
   ) { (s, dir) =>
     runStream(s, dir, "x74_sink", "append") { ev =>
       ev.withWatermark("ts", "30 minutes")
@@ -515,9 +518,10 @@ object StreamOps {
   val streamTws: Q = Q(
     "x103_stream_tws",
     """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-      |       CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_milli,
+      |       CAST(sum(coalesce(CAST(floor(value * 1000 + 0.5) AS BIGINT), 0)) AS BIGINT) AS sum_milli,
       |       CAST(floor(epoch(max(ts))) AS BIGINT) AS last_epoch
-      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+      |FROM events WHERE user_id IS NOT NULL
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
   ) { (s, dir) =>
     import s.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
@@ -526,9 +530,13 @@ object StreamOps {
     s.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
+      // a profile needs a user key — null user_id rows are unattributable
+      // (and would violate the non-nullable Long encoder); a null value
+      // contributes 0 milli, mirrored by the oracle's coalesce
       runStream(s, dir, "x103_sink", "update") { ev =>
-        ev.select(col("user_id"),
-            floor(col("value") * 1000 + 0.5).cast("long").as("milli"),
+        ev.where(col("user_id").isNotNull)
+          .select(col("user_id"),
+            coalesce(floor(col("value") * 1000 + 0.5).cast("long"), lit(0L)).as("milli"),
             unix_timestamp(col("ts")).as("ep"))
           .as[(Long, Long, Long)]
           .groupByKey(_._1)

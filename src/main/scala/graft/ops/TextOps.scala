@@ -62,7 +62,7 @@ object TextOps {
        |               ${hitsSql("es")} AS es, ${hitsSql("fr")} AS fr,
        |               len(regexp_extract_all(text, '[一-鿿]')) AS zh
        |        FROM documents))
-       |GROUP BY lang, pred ORDER BY lang, pred""".stripMargin
+       |GROUP BY lang, pred ORDER BY lang NULLS FIRST, pred NULLS FIRST""".stripMargin
   ) { (s, dir) =>
     // split once, score all profiles over the same words array
     val scored = docs(s, dir)
@@ -128,7 +128,7 @@ object TextOps {
       |  CAST(sum(len(regexp_extract_all(text, '[^ ]+'))) AS BIGINT) AS ws_tokens,
       |  CAST(sum(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS alpha_tokens,
       |  CAST(sum(len(regexp_extract_all(text, '[a-z]{1,4}|[0-9]{1,3}|[^a-z0-9 ]'))) AS BIGINT) AS bpe_tokens
-      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+      |FROM documents GROUP BY source ORDER BY source NULLS FIRST""".stripMargin
   ) { (s, dir) =>
     docs(s, dir)
       .groupBy("source")
@@ -235,7 +235,7 @@ object TextOps {
        |SELECT b.source AS source, n_docs, n_en, n_quality,
        |       coalesce(n_kept, 0) AS n_kept, coalesce(kept_tokens, 0) AS kept_tokens
        |FROM base_agg b LEFT JOIN kept k ON b.source = k.source
-       |ORDER BY source""".stripMargin
+       |ORDER BY source NULLS FIRST""".stripMargin
   ) { (s, dir) =>
     val flags = cleanFlags(docs(s, dir))
     val baseAgg = flags.groupBy("source").agg(
@@ -438,7 +438,7 @@ object TextOps {
        |SELECT lang, CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
        |       CAST(sum(n_tri) AS BIGINT) AS tri_mass,
        |       min(mean_ppm) AS min_ppm, max(mean_ppm) AS max_ppm
-       |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
+       |FROM b GROUP BY lang, bucket ORDER BY lang NULLS FIRST, bucket NULLS FIRST""".stripMargin
   ) { (s, dir) =>
     // DESC score order as an ASC key: negate the (exact integer) score.
     // NON-NULL CONTRACT (ADVICE r9 item 2): mean_ppm is non-null by
@@ -501,7 +501,7 @@ object TextOps {
        |             len(list_distinct(string_split(text, ' '))) AS uniq_n,
        |             len(list_filter(string_split(text, ' '), w -> length(w) > 15)) AS long_n
        |      FROM documents)
-       |GROUP BY source ORDER BY source""".stripMargin
+       |GROUP BY source ORDER BY source NULLS FIRST""".stripMargin
   ) { (s, dir) =>
     val w = split(col("text"), " ")
     val flags = docs(s, dir).select(
@@ -995,7 +995,7 @@ object TextOps {
          |       CAST(sum(f * toks) AS BIGINT) AS n_tokens,
          |       CAST(sum(f * toks) * 1000 // sum(f) AS BIGINT) AS fertility_milli,
          |       CAST(sum(f * chars) * 1000 // sum(f * toks) AS BIGINT) AS chars_per_token_milli
-         |FROM e GROUP BY lang ORDER BY lang""".stripMargin
+         |FROM e GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
     ) { (s, dir) =>
       val wf = docs(s, dir)
         .select(col("lang"), explode(split(col("text"), " ")).as("w"))

@@ -135,6 +135,51 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll with SqlConfHelpe
     }
   }
 
+  test("every declared memo rider plans against the cache (no silent de-memoization)") {
+    // r11 verdict item 3: queries documented as "pure riders" on a memoized
+    // lineage (the LSH pair/shingle/label caches, the trigram-score cache,
+    // the quantization ppm/SQ-code caches) are cheap ONLY while their plan
+    // actually reads the InMemoryRelation. A refactor that rebuilds the
+    // lineage inline keeps correctness and silently re-pays the most
+    // expensive subtree in the family — this pins every declared rider.
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.execution.LogicalRDD
+    // riders whose plan must read an InMemoryRelation (a .cache()d memo)
+    val cacheRiders = Seq(
+      "x02_minhash_lsh", "x47_pagerank", "x80_incremental_dedup", "x86_lsh_verify",
+      "x88_span_dedup", "x113_minhash_error", "x118_neardup_contamination",
+      "x137_cluster_split", "x139_source_minhash", "x142_hll_union",
+      "x156_cluster_density", "x157_threshold_sweep",
+      // trigram-LM score cache (TextOps)
+      "x130_ccnet_buckets",
+      // quantization lineage (round 12): ppm frame + SQ codes
+      "x94_pq_ann", "x97_ivfpq_ann", "x69_quantized_topk")
+    // riders on the memoized LABELS frame: large-star/small-star truncates
+    // its lineage to a LogicalRDD (not an InMemoryRelation), so the pin is
+    // RDD IDENTITY — the rider's plan must embed the very RDD backing the
+    // memoized frame; an inline rebuild would mint a fresh one
+    val labelRiders = Seq("x31_dup_clusters", "x64_canonical_pick",
+      "x65_curation_pipeline", "x117_tombstone_propagate")
+    val missing = (cacheRiders ++ labelRiders).filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty, s"rider list names unknown queries: $missing")
+    val deMemoized = cacheRiders.filter { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      !df.queryExecution.optimizedPlan.exists(_.isInstanceOf[InMemoryRelation])
+    }
+    assert(deMemoized.isEmpty,
+      s"riders no longer plan against their memoized cache: ${deMemoized.mkString(", ")}")
+    val memoLblRdds = graft.ops.DedupOps.clusterLabels(spark, sfDir)
+      .queryExecution.analyzed.collect { case l: LogicalRDD => l.rdd.id }.toSet
+    assert(memoLblRdds.nonEmpty, "memoized labels frame lost its truncated backing RDD")
+    val deLabeled = labelRiders.filter { name =>
+      val rdds = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.analyzed.collect { case l: LogicalRDD => l.rdd.id }.toSet
+      rdds.intersect(memoLblRdds).isEmpty
+    }
+    assert(deLabeled.isEmpty,
+      s"riders no longer embed the memoized labels RDD: ${deLabeled.mkString(", ")}")
+  }
+
   test("PlanSweep flags a global window over an un-collapsed stream, accepts bounded ones") {
     // third suite-wide ban (r10 verdict item 6): a WindowExec with an empty
     // partition spec buffers its input in ONE task — legal only above a
