@@ -454,7 +454,16 @@ object PlanAudit {
     // (source, n_chars) aggregate, PARTITIONED cumulative windows, and
     // never the banned exact-percentile buffer
     "x159_weighted_median" -> Seq("HashAggregate", "WindowExec|Window",
-      "(?s)\\A(?!.*percentile\\().*"))
+      "(?s)\\A(?!.*percentile\\().*"),
+    // cluster separability: ONE corpus posexplode aggregate (x33 shape),
+    // global sums broadcast back into label-cardinality work — no join or
+    // window ever touches corpus-scale rows
+    "x160_cluster_separability" -> Seq("Generate", "HashAggregate",
+      "BroadcastExchange"),
+    // SQ recon error: one row-local pass into a bounded histogram — no
+    // join, no window, codegen'd quantize/dequantize fold
+    "x161_sq_recon_error" -> Seq("HashAggregate", "codegen id",
+      "(?s)\\A(?!.*SortMergeJoin).*"))
 
   /** Execute one audited query and evaluate its plan patterns — shared by
     * the CLI main and PlanShapeSpec (so plan-shape regressions fail CI, not

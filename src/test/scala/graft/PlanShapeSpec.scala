@@ -152,7 +152,9 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll with SqlConfHelpe
       "x156_cluster_density", "x157_threshold_sweep",
       // trigram-LM score cache (TextOps)
       "x130_ccnet_buckets",
-      // quantization lineage (round 12): ppm frame + SQ codes
+      // quantization lineage (round 12): ppm frame (x94/x97, A/B-measured
+      // ~20 s win at sf10) + SQ code frame feeding both sides of x69's
+      // self-join
       "x94_pq_ann", "x97_ivfpq_ann", "x69_quantized_topk")
     // riders on the memoized LABELS frame: large-star/small-star truncates
     // its lineage to a LogicalRDD (not an InMemoryRelation), so the pin is
