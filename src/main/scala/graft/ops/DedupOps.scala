@@ -2416,11 +2416,141 @@ object DedupOps {
       .orderBy("tau_ppm")
   }
 
+  /** Cross-source duplicate ATTRIBUTION: every LSH candidate pair labeled
+    * with its (source, source) endpoints — which sources duplicate each
+    * other, and how much of the candidate mass each source pair carries.
+    * The governance view read before dropping or down-weighting a source:
+    * a source whose duplicate mass is mostly INTERNAL dedups away cheaply;
+    * one entangled with many partners contaminates the others' splits.
+    *
+    * Scale shape: rides the memoized pair lineage (candidate-scale, the
+    * expensive subtree already paid by the x02 family); the only new work
+    * is two slim (doc_id, source) probes against the corpus projection and
+    * a ≤|sources|² aggregate. share_ppm is each pair group's share of all
+    * candidates, exact integer ppm via one broadcast total.
+    */
+  val crossSourceDups: Q = Q(
+    "x162_cross_source_dups",
+    s"""WITH pairs AS ($lshPairsSql),
+       |ds AS (SELECT doc_id, coalesce(source, '(null)') AS src FROM documents),
+       |j AS (SELECT least(a.src, b.src) AS src_lo, greatest(a.src, b.src) AS src_hi, p.n_bands
+       |      FROM pairs p JOIN ds a ON a.doc_id = p.doc_a JOIN ds b ON b.doc_id = p.doc_b),
+       |g AS (SELECT src_lo, src_hi, count(*) AS n_pairs,
+       |             CAST(sum(n_bands) AS BIGINT) AS bands_sum FROM j GROUP BY 1, 2),
+       |tot AS (SELECT sum(n_pairs) AS t FROM g)
+       |SELECT src_lo, src_hi, n_pairs, bands_sum,
+       |       CAST(CAST(n_pairs AS HUGEINT) * 1000000 // t AS BIGINT) AS share_ppm
+       |FROM g, tot ORDER BY src_lo, src_hi""".stripMargin
+  ) { (s, dir) =>
+    // '(null)' sentinel on BOTH engines: least/greatest skip nulls in both,
+    // but skipping would silently fold a (null, srcN) pair into (srcN, srcN)
+    val ds = docs(s, dir)
+      .select(col("doc_id"), coalesce(col("source"), lit("(null)")).as("src"))
+    val j = lshCandidatePairs(s, dir)
+      .join(ds.select(col("doc_id").as("doc_a"), col("src").as("sa")), "doc_a")
+      .join(ds.select(col("doc_id").as("doc_b"), col("src").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("src_lo"),
+        greatest(col("sa"), col("sb")).as("src_hi"), col("n_bands"))
+    val g = j.groupBy("src_lo", "src_hi")
+      .agg(count(lit(1)).as("n_pairs"), sum("n_bands").as("bands_sum"))
+    g.crossJoin(broadcast(g.agg(sum("n_pairs").as("t"))))
+      .select(col("src_lo"), col("src_hi"), col("n_pairs"), col("bands_sum"),
+        expr("cast(cast(n_pairs as decimal(38,0)) * 1000000 div t as bigint)").as("share_ppm"))
+      .orderBy("src_lo", "src_hi")
+  }
+
+  /** Dedup SURVIVORSHIP audit: what does exact dedup DELETE, per source —
+    * kept/removed document counts and character mass under x01's rule
+    * (first doc_id per md5(text) survives), with removed shares in exact
+    * ppm. The distribution-shift check an operator reads before committing
+    * a dedup pass: a source losing 40% of its documents but 90% of its
+    * characters is shedding its long tail, not its boilerplate.
+    *
+    * Same single digest-keyed window shuffle as x01 — the shuffle moves
+    * (source, doc_id, digest, n_chars), never the text bytes.
+    */
+  val dedupImpact: Q = Q(
+    "x164_dedup_impact",
+    """WITH r AS (SELECT source, n_chars,
+      |             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |           FROM documents)
+      |SELECT source,
+      |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+      |  CAST(sum(CASE WHEN rn = 1 THEN coalesce(n_chars, 0) ELSE 0 END) AS BIGINT) AS kept_chars,
+      |  CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE coalesce(n_chars, 0) END) AS BIGINT) AS removed_chars,
+      |  CAST(CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS HUGEINT) * 1000000 // count(*) AS BIGINT) AS removed_doc_ppm,
+      |  CAST(CASE WHEN sum(coalesce(n_chars, 0)) = 0 THEN 0
+      |       ELSE CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE coalesce(n_chars, 0) END) AS HUGEINT) * 1000000
+      |            // sum(coalesce(n_chars, 0)) END AS BIGINT) AS removed_char_ppm
+      |FROM r GROUP BY source ORDER BY source NULLS FIRST""".stripMargin
+  ) { (s, dir) =>
+    val w = Window.partitionBy(col("digest")).orderBy("doc_id")
+    docs(s, dir)
+      .select(col("source"), col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("nc"),
+        md5(col("text")).as("digest"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy("source")
+      .agg(
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rn") === 1, 0L).otherwise(1L)).as("n_removed"),
+        sum(when(col("rn") === 1, col("nc")).otherwise(0L)).as("kept_chars"),
+        sum(when(col("rn") === 1, 0L).otherwise(col("nc"))).as("removed_chars"),
+        count(lit(1)).as("n_docs"))
+      .select(col("source"), col("n_kept"), col("n_removed"), col("kept_chars"),
+        col("removed_chars"),
+        expr("cast(cast(n_removed as decimal(38,0)) * 1000000 div n_docs as bigint)")
+          .as("removed_doc_ppm"),
+        expr("""cast(case when kept_chars + removed_chars = 0 then 0
+               |else cast(removed_chars as decimal(38,0)) * 1000000
+               |     div (kept_chars + removed_chars) end as bigint)""".stripMargin)
+          .as("removed_char_ppm"))
+      .orderBy("source")
+  }
+
+  /** Duplicated-shingle TOKEN share per source (Lee et al.'s duplicate-
+    * token-rate lens, NAACL'22): of each source's shingle instances, the
+    * fraction whose shingle occurs in more than one place corpus-wide —
+    * the internal-duplication level that predicts how much a dedup pass
+    * will shrink the source, readable BEFORE running the pair join.
+    *
+    * Scale shape: rides the memoized corpus shingle index (the x107
+    * family's cache); the df annotation is one map-side-combinable
+    * aggregate plus one digest-keyed re-join — both linear, both keyed on
+    * 16-hex digests, never raw trigram text.
+    */
+  val dupTokenShare: Q = Q(
+    "x165_dup_token_share",
+    s"""WITH sh AS ($shingleSql),
+       |df AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+       |j AS (SELECT d.source, s.sh, f.df
+       |      FROM sh s JOIN df f ON f.sh = s.sh JOIN documents d ON d.doc_id = s.doc_id)
+       |SELECT source, count(*) AS n_inst,
+       |  CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_inst,
+       |  CAST(count(DISTINCT sh) AS BIGINT) AS n_distinct,
+       |  CAST(CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS HUGEINT) * 1000000
+       |       // count(*) AS BIGINT) AS dup_share_ppm
+       |FROM j GROUP BY source ORDER BY source NULLS FIRST""".stripMargin
+  ) { (s, dir) =>
+    val sh = cachedShingles(s, dir)
+    val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    sh.join(df, "sh")
+      .join(docs(s, dir).select(col("doc_id"), col("source")), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_inst"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup_inst"),
+        countDistinct(col("sh")).as("n_distinct"))
+      .select(col("source"), col("n_inst"), col("n_dup_inst"), col("n_distinct"),
+        expr("cast(cast(n_dup_inst as decimal(38,0)) * 1000000 div n_inst as bigint)")
+          .as("dup_share_ppm"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] =
     Seq(exactDedup, minhashLsh, simhash, ngramJaccard, dupClusters, pagerank, splitLeakage,
       canonicalPick, curationPipeline, triangleCount, incrementalDedup, lshVerify,
       spanDedup, simhashBands, fuzzyPrefixJoin, prefixAllpairs, sortedNeighborhood,
       labelProp, minhashError, tombstonePropagate, nearDupContamination, containmentJoin,
       clusterSafeSplit, sourceMinhash, hllUnion, batchNovelty, winnowing,
-      clusterDensity, thresholdSweep)
+      clusterDensity, thresholdSweep, crossSourceDups, dedupImpact, dupTokenShare)
 }

@@ -2112,10 +2112,136 @@ object SimilarityOps {
       .orderBy("bucket")
   }
 
+  /** MMR candidate-pool size and selection count. The pool is the ONLY
+    * corpus-coupled quantity — selection work is K·PoolN scores regardless
+    * of corpus size, the property that makes greedy MMR deployable at all.
+    */
+  private val MmrPool = 24
+  private val MmrK    = 8
+
+  /** DuckDB twin of the greedy loop, unrolled: stage k scores the
+    * remaining pool against the selected set sel(k−1) and takes the
+    * arg-max (score desc, vec_id tiebreak).
+    */
+  private def mmrStagesSql: String = (2 to MmrK).map { k =>
+    // MATERIALIZED: sel(k) references sel(k−1) three times — default CTE
+    // inlining would expand the chain 3^k-fold (measured: blew the fd limit
+    // through re-opened parquet scans before computing anything)
+    s"""c$k AS (SELECT p.vec_id, p.rel_ppm, CAST(coalesce(max(f.sp), 0) AS BIGINT) AS pen
+       |  FROM pool p LEFT JOIN sf f ON f.va = p.vec_id AND f.vb IN (SELECT vec_id FROM sel${k - 1})
+       |  WHERE p.vec_id NOT IN (SELECT vec_id FROM sel${k - 1}) GROUP BY 1, 2),
+       |s$k AS MATERIALIZED (SELECT CAST($k AS BIGINT) AS rk, vec_id, rel_ppm, pen AS div_pen_ppm,
+       |  7 * rel_ppm - 3 * pen AS score_ppm FROM c$k ORDER BY score_ppm DESC, vec_id LIMIT 1),
+       |sel$k AS MATERIALIZED (SELECT vec_id FROM sel${k - 1} UNION ALL SELECT vec_id FROM s$k)""".stripMargin
+  }.mkString(",\n")
+
+  /** Maximal-marginal-relevance selection (Carbonell & Goldstein, SIGIR'98)
+    * — the diversity-aware subset pick a curation pipeline runs to choose
+    * k REPRESENTATIVE documents: greedily maximize
+    * λ·centrality − (1−λ)·max-similarity-to-already-picked (λ = 0.7,
+    * integer-scaled to 7/3 in ppm so the arg-max is exact on both engines).
+    * Relevance is cosine to the corpus MEAN vector; each step's diversity
+    * penalty is the max cosine to the selected set.
+    *
+    * Scale shape: the corpus pays ONE row-local ppm projection + a 64-row
+    * mean exchange + a TakeOrdered(24) — everything after that is bounded:
+    * the greedy loop scores K·PoolN ≤ 192 candidates over a ≤24-row pool
+    * collected to the driver (the documented model-parameter-collect
+    * pattern, same class as the codebook family). Selection is inherently
+    * sequential in k; distributing a 24-row loop would only add exchanges.
+    *
+    * Determinism: vectors and the mean are exact micro-ppm integers (the
+    * x144 convention), so dots and norms-squared are exact integers; the
+    * only floating step is dot/√·/√· — the same IEEE double sequence on
+    * both engines — floored into ppm before any comparison.
+    */
+  val mmrSelect: Q = Q(
+    "x163_mmr_select",
+    s"""WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+       |e AS MATERIALIZED (SELECT vec_id, i, CAST(floor((embedding::DOUBLE[])[i] * 1000000 + 0.5) AS BIGINT) AS ppm
+       |      FROM embeddings, idx WHERE embedding IS NOT NULL),
+       |m AS (SELECT i, CAST(floor(CAST(sum(ppm) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS mp
+       |      FROM e GROUP BY i),
+       |nm AS (SELECT CAST(sum(mp * mp) AS BIGINT) AS nm2 FROM m),
+       |rv AS (SELECT e.vec_id, CAST(sum(e.ppm * m.mp) AS BIGINT) AS dotm,
+       |              CAST(sum(e.ppm * e.ppm) AS BIGINT) AS na2
+       |       FROM e JOIN m ON m.i = e.i GROUP BY e.vec_id),
+       |rel AS (SELECT vec_id,
+       |          CAST(floor(CAST(dotm AS DOUBLE) / sqrt(CAST(na2 AS DOUBLE)) / sqrt(CAST(nm2 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS rel_ppm
+       |        FROM rv, nm WHERE na2 > 0 AND nm2 > 0),
+       |pool AS MATERIALIZED (SELECT vec_id, rel_ppm FROM rel ORDER BY rel_ppm DESC, vec_id LIMIT $MmrPool),
+       |pv AS (SELECT e.vec_id, e.i, e.ppm FROM e JOIN pool p ON p.vec_id = e.vec_id),
+       |pn AS (SELECT vec_id, CAST(sum(ppm * ppm) AS BIGINT) AS n2 FROM pv GROUP BY vec_id),
+       |pd AS (SELECT a.vec_id AS va, b.vec_id AS vb, CAST(sum(a.ppm * b.ppm) AS BIGINT) AS dd
+       |       FROM pv a JOIN pv b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2),
+       |sim AS (SELECT va, vb,
+       |          CAST(floor(CAST(dd AS DOUBLE) / sqrt(CAST(x.n2 AS DOUBLE)) / sqrt(CAST(y.n2 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS sp
+       |        FROM pd JOIN pn x ON x.vec_id = pd.va JOIN pn y ON y.vec_id = pd.vb),
+       |sf AS MATERIALIZED (SELECT va, vb, sp FROM sim UNION ALL SELECT vb, va, sp FROM sim),
+       |s1 AS MATERIALIZED (SELECT CAST(1 AS BIGINT) AS rk, vec_id, rel_ppm, CAST(0 AS BIGINT) AS div_pen_ppm,
+       |       7 * rel_ppm AS score_ppm FROM pool ORDER BY score_ppm DESC, vec_id LIMIT 1),
+       |sel1 AS MATERIALIZED (SELECT vec_id FROM s1),
+       |$mmrStagesSql
+       |SELECT rk, vec_id, rel_ppm, div_pen_ppm, score_ppm
+       |FROM (${(1 to MmrK).map(k => s"SELECT * FROM s$k").mkString(" UNION ALL ")}) u
+       |ORDER BY rk""".stripMargin
+  ) { (s, dir) =>
+    val ppm = transform(col("embedding"), v => floor(v.cast("double") * 1000000 + 0.5).cast("long"))
+    val ev = embs(s, dir).where(col("embedding").isNotNull)
+      .select(col("vec_id"), ppm.as("pv"))
+    // corpus mean in exact ppm ints — one 64-row exchange (x144's shape)
+    val mean = ev.select(posexplode(col("pv")).as(Seq("p", "v")))
+      .groupBy((col("p") + 1).as("i"))
+      .agg(sum("v").as("sd"), count(lit(1)).as("cnt"))
+      .select(col("i"), floor(col("sd").cast("double") / col("cnt") + 0.5).cast("long").as("mp"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("mp")))),
+        x => x.getField("mp")).as("mv"))
+    val rel = ev.crossJoin(broadcast(mean))
+      .withColumn("dotm", aggregate(zip_with(col("pv"), col("mv"), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("na2", aggregate(transform(col("pv"), a => a * a),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("nm2", aggregate(transform(col("mv"), a => a * a),
+        lit(0L), (acc, x) => acc + x))
+      .where(col("na2") > 0 && col("nm2") > 0)
+      .select(col("vec_id"), col("pv"),
+        floor(col("dotm").cast("double") / sqrt(col("na2").cast("double")) /
+          sqrt(col("nm2").cast("double")) * 1000000 + 0.5).cast("long").as("rel_ppm"),
+        col("na2"))
+    val pool = rel.orderBy(col("rel_ppm").desc, col("vec_id")).limit(MmrPool).collect()
+    final case class Cand(id: Long, rel: Long, v: Array[Long], n2: Long)
+    val cands = pool.map(r =>
+      Cand(r.getLong(0), r.getLong(2), r.getSeq[Long](1).toArray, r.getLong(3)))
+    def simPpm(a: Cand, b: Cand): Long = {
+      var dd = 0L; var i = 0
+      val n = math.min(a.v.length, b.v.length)
+      while (i < n) { dd += a.v(i) * b.v(i); i += 1 }
+      math.floor(dd.toDouble / math.sqrt(a.n2.toDouble) / math.sqrt(b.n2.toDouble)
+        * 1000000 + 0.5).toLong
+    }
+    val chosen    = scala.collection.mutable.ArrayBuffer.empty[Cand]
+    val remaining = scala.collection.mutable.ArrayBuffer(cands.toSeq: _*)
+    val out       = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+    var rk = 1L
+    while (rk <= MmrK && remaining.nonEmpty) {
+      val scored = remaining.map { c =>
+        val pen = if (chosen.isEmpty) 0L else chosen.map(simPpm(c, _)).max
+        (c, pen, 7 * c.rel - 3 * pen)
+      }
+      val (best, pen, score) = scored.minBy { case (c, _, sc) => (-sc, c.id) }
+      out += ((rk, best.id, best.rel, pen, score))
+      chosen += best
+      remaining -= best
+      rk += 1
+    }
+    import s.implicits._
+    out.toSeq.toDF("rk", "vec_id", "rel_ppm", "div_pen_ppm", "score_ppm").orderBy("rk")
+  }
+
   val all: Seq[Q] = Seq(cosineNearDup, cosineTopK, annLsh, annMultiprobe, annIvf,
     annMultitable, labelCentroids, kmeansIter, semanticDedup, quantizedTopK,
     labelAffinity, annRecall, pqAnn, ivfpqAnn, bitextMargin, annRankEval,
     embeddingMoments, kcenterCoreset, jlDistortion, dimQuantiles, labelDispersion,
     embeddingOutliers, rrfFusion, centroidConfusion, covOffdiag, embeddingDrift,
-    clusterSeparability, sqReconError)
+    clusterSeparability, sqReconError, mmrSelect)
 }

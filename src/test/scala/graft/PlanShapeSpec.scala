@@ -150,6 +150,8 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll with SqlConfHelpe
       "x88_span_dedup", "x113_minhash_error", "x118_neardup_contamination",
       "x137_cluster_split", "x139_source_minhash", "x142_hll_union",
       "x156_cluster_density", "x157_threshold_sweep",
+      // round 12: pair-lineage attribution + shingle-index dup-share riders
+      "x162_cross_source_dups", "x165_dup_token_share",
       // trigram-LM score cache (TextOps)
       "x130_ccnet_buckets",
       // quantization lineage (round 12): ppm frame (x94/x97, A/B-measured

@@ -2393,4 +2393,129 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(grp.exists(_._2 == med) && grp.exists(_._2 == p90))
     }
   }
+
+  test("x162 cross-source attribution equals a re-derivation from x02 pairs") {
+    val out = SparkEntry.queries("x162_cross_source_dups")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val srcOf = graft.ops.Tables(spark, sfDir, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse("(null)")).toMap
+    val pairs = SparkEntry.queries("x02_minhash_lsh")(spark, sfDir).collect()
+      .map(r => (srcOf(r.getLong(0)), srcOf(r.getLong(1)), r.getLong(2)))
+    val groups = pairs.groupBy { case (a, b, _) =>
+      if (a <= b) (a, b) else (b, a)
+    }
+    val total = pairs.length.toLong
+    assert(out.keySet == groups.keySet)
+    for ((k, g) <- groups) {
+      val nPairs = g.length.toLong
+      val bands  = g.map(_._3).sum
+      val share  = (BigInt(nPairs) * 1000000 / total).toLong
+      assert(out(k) == ((nPairs, bands, share)), s"source pair $k")
+    }
+  }
+
+  test("x163 MMR selection equals a brute-force greedy re-derivation") {
+    val out = SparkEntry.queries("x163_mmr_select")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // structural invariants first: ranks 1..k, distinct picks, row-wise
+    // score identity. (Winning scores are NOT monotone in general: a
+    // NEGATIVE max-cosine penalty can push a later step's score above the
+    // pure-relevance first pick — observed on the sf0.001 corpus.)
+    assert(out.map(_._1).toSeq == (1L to out.length))
+    assert(out.map(_._2).distinct.length == out.length)
+    for ((_, _, rel, pen, score) <- out) assert(score == 7 * rel - 3 * pen)
+    // independent re-derivation from the raw float vectors
+    val vecs = graft.ops.Tables(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .filter(!_.isNullAt(1))
+      .map(r => (r.getLong(0), r.getSeq[Float](1)
+        .map(v => math.floor(v.toDouble * 1000000 + 0.5).toLong).toArray))
+    val dims = vecs.head._2.length
+    val mean = (0 until dims).map { d =>
+      val s = vecs.map(_._2(d)).sum
+      math.floor(s.toDouble / vecs.length + 0.5).toLong
+    }.toArray
+    val nm2 = mean.map(m => m * m).sum
+    def relOf(v: Array[Long]): (Long, Long) = {
+      val dot = v.indices.map(i => v(i) * mean(i)).sum
+      val na2 = v.map(x => x * x).sum
+      (math.floor(dot.toDouble / math.sqrt(na2.toDouble) / math.sqrt(nm2.toDouble)
+        * 1000000 + 0.5).toLong, na2)
+    }
+    val pool = vecs.filter(_._2.exists(_ != 0L))
+      .map { case (id, v) => val (r, n2) = relOf(v); (id, r, v, n2) }
+      .sortBy { case (id, r, _, _) => (-r, id) }.take(24)
+    def sim(a: (Long, Long, Array[Long], Long), b: (Long, Long, Array[Long], Long)): Long = {
+      val dot = a._3.indices.map(i => a._3(i) * b._3(i)).sum
+      math.floor(dot.toDouble / math.sqrt(a._4.toDouble) / math.sqrt(b._4.toDouble)
+        * 1000000 + 0.5).toLong
+    }
+    var chosen = Vector.empty[(Long, Long, Array[Long], Long)]
+    var remaining = pool.toVector
+    val expect = (1 to 8).flatMap { rk =>
+      if (remaining.isEmpty) None else {
+        val scored = remaining.map { c =>
+          val pen = if (chosen.isEmpty) 0L else chosen.map(sim(c, _)).max
+          (c, pen, 7 * c._2 - 3 * pen)
+        }
+        val (best, pen, score) = scored.minBy { case (c, _, sc) => (-sc, c._1) }
+        chosen :+= best
+        remaining = remaining.filterNot(_._1 == best._1)
+        Some((rk.toLong, best._1, best._2, pen, score))
+      }
+    }
+    assert(out.toSeq == expect)
+  }
+
+  test("x164 dedup impact equals a collect-side survivorship re-derivation") {
+    val out = SparkEntry.queries("x164_dedup_impact")(spark, sfDir).collect()
+      .map(r => Option(r.getString(0)) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    val rows = graft.ops.Tables(spark, sfDir, "documents")
+      .select("source", "doc_id", "n_chars", "text").collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2), Option(r.getString(3))))
+    // survivors: min doc_id per text value (md5 grouping ≡ text grouping)
+    val kept = rows.groupBy(_._4).values.map(_.minBy(_._2)._2).toSet
+    assert(out.keySet == rows.map(_._1).toSet)
+    for ((src, grp) <- rows.groupBy(_._1)) {
+      val (k, rm) = grp.partition(r => kept(r._2))
+      val kc = k.map(_._3).sum; val rc = rm.map(_._3).sum
+      val docPpm  = (BigInt(rm.length) * 1000000 / grp.length).toLong
+      val charPpm = if (kc + rc == 0) 0L else (BigInt(rc) * 1000000 / (kc + rc)).toLong
+      assert(out(src) ==
+        ((k.length.toLong, rm.length.toLong, kc, rc, docPpm, charPpm)), s"source $src")
+    }
+  }
+
+  test("x165 dup-token share equals a collect-side shingle-df re-derivation") {
+    val out = SparkEntry.queries("x165_dup_token_share")(spark, sfDir).collect()
+      .map(r => Option(r.getString(0)) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    def md5hex16(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val rows = graft.ops.Tables(spark, sfDir, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), Option(r.getString(2))))
+    val inst = rows.flatMap { case (id, src, text) =>
+      val w = text.getOrElse("").split(" ", -1)
+      val shingles =
+        if (text.isEmpty || w.length < 3) Set.empty[String]
+        else (0 to w.length - 3).map(i => md5hex16(s"${w(i)} ${w(i + 1)} ${w(i + 2)}")).toSet
+      shingles.map(sh => (id, src, sh))
+    }
+    val df = inst.groupBy(_._3).view.mapValues(_.length).toMap
+    val bySrc = inst.groupBy(_._2).filter(_._2.nonEmpty)
+    assert(out.keySet == bySrc.keySet)
+    for ((src, g) <- bySrc) {
+      val n    = g.length.toLong
+      val dup  = g.count(i => df(i._3) > 1).toLong
+      val dist = g.map(_._3).distinct.length.toLong
+      val ppm  = (BigInt(dup) * 1000000 / n).toLong
+      assert(out(src) == ((n, dup, dist, ppm)), s"source $src")
+    }
+  }
 }
