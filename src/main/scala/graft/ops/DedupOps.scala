@@ -1462,8 +1462,12 @@ object DedupOps {
     * dominant cost of the exact all-pairs plan, and the self-join consumes
     * the index twice — cached, the windows run once per (session, dir) and
     * both join sides read the materialized rows. Prefix rows are a strict
-    * subset of the shingle index (|d| − ⌈0.6|d|⌉ + 1 per doc), so this is
-    * smaller than shinglesCache, which it derives from.
+    * subset of the shingle index (|d| − ⌈0.6|d|⌉ + 2 per doc — ONE rank
+    * past the minimal k=1 prefix, so the candidate stage can demand TWO
+    * shared prefix tokens; see prefixCandidatePairs), so this is smaller
+    * than shinglesCache, which it derives from. x127's keff extension
+    * selects rk ≤ n − mo + keff ≤ the minimal k=1 length by construction,
+    * so the extra rank is invisible to it.
     */
   private val prefixIndexCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
@@ -1480,7 +1484,7 @@ object DedupOps {
       // filters (below) need them, and they're free here — both windows
       // already computed them
       ranked
-        .where(col("rk") <= col("n") - expr("(3*n + 4) div 5") + 1)
+        .where(col("rk") <= col("n") - expr("(3*n + 4) div 5") + 2)
         .select("doc_id", "sh", "rk", "n")
         .cache()
     })
@@ -1520,13 +1524,26 @@ object DedupOps {
       //    3(na+nb); pruning is lossless because each retained qualifying
       //    pair retains its first-match row.
       //  - PAIR-SPECIFIC PREFIX (the strongest cut): the stored prefix uses
-      //    the threshold-only length n − ⌈0.6n⌉ + 1 ≈ 0.4n (correct before
+      //    the threshold-only length n − ⌈0.6n⌉ + 2 ≈ 0.4n (correct before
       //    the partner's size is known), but once BOTH sizes are on the
       //    row the required overlap is α = ⌈3(na+nb)/8⌉ ≥ ⌈0.75·min⌉, and
-      //    any qualifying pair must share a token within the SHORTER
-      //    pair-specific prefixes n − α + 1 ≈ 0.25n. Rows whose match sits
-      //    beyond either pair-specific prefix cannot be a qualifying
-      //    pair's first match — dropping them before distinct is lossless.
+      //    any qualifying pair must share ≥ 2 tokens within the SHORTER
+      //    pair-specific prefixes n − α + 2 ≈ 0.25n (the k-extension
+      //    lemma below). Rows beyond either pair-specific prefix cannot be
+      //    among a qualifying pair's first TWO matches — dropped.
+      //  - MATCH-COUNT FLOOR k = 2 (x127's keff discipline applied at the
+      //    symmetric threshold — the round-12 fix for the sf10 straggler):
+      //    if |A∩B| ≥ α then the global-order ranks of the first k common
+      //    tokens satisfy rank_A(c_k) ≤ na − (i − k) ≤ na − α + k (i − k
+      //    common tokens still follow c_k), so the (n − α + k)-prefixes
+      //    share ≥ k tokens for ANY k ≤ α. With k = 2 the single-rare-
+      //    shingle false positives that dominated the 100× candidate set
+      //    vanish (measured: 6.88M → see BASELINE §2.1-r12; final output
+      //    provably identical). α ≥ 2 ⟺ na + nb ≥ 3, so the only escape
+      //    is the two-singleton pair (na = nb = 1), kept at count ≥ 1.
+      //    Every filter above is per-row SOUND for qualifying pairs (ub
+      //    bounds true overlap at every match row), so all ≥ 2 qualifying
+      //    matches survive to the aggregate — the floor is lossless.
       val alpha = expr("(3*(a.n + b.n) + 7) div 8")
       val ub = least(col("a.rk"), col("b.rk")) +
         least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk"))
@@ -1534,11 +1551,13 @@ object DedupOps {
         .join(prefix.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
         .where(lit(3) * greatest(col("a.n"), col("b.n")) <=
           lit(5) * least(col("a.n"), col("b.n")))
-        .where(col("a.rk") <= col("a.n") - alpha + 1 &&
-          col("b.rk") <= col("b.n") - alpha + 1)
+        .where(col("a.rk") <= col("a.n") - alpha + 2 &&
+          col("b.rk") <= col("b.n") - alpha + 2)
         .where(lit(8) * ub >= lit(3) * (col("a.n") + col("b.n")))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("np"), max(col("a.n") + col("b.n")).as("nsum"))
+        .where(col("np") >= 2 || col("nsum") <= 2)
+        .select("doc_a", "doc_b")
         .cache()
     })
   }
