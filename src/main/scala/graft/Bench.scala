@@ -131,8 +131,15 @@ object Bench {
     // the per-pass load rides INTO the JSON artifact so a future reader can
     // see neighbor-load distortion per pass without consulting prose
     // (VERDICT r6 item 2 — bench_full_sf1's x88 read 18.2 s under ~25 load)
+    // union of every NAMED live memo entry across the four memo families —
+    // diffed around each query so the artifact says which caches the query
+    // BUILT (vs read): r12 verdict item 4, rider timings move when payer
+    // order changes and family-level attribution can't name the cache
+    def liveMemoKeys: Set[String] =
+      ops.DedupOps.memoKeys ++ ops.PipelineOps.memoKeys ++
+        ops.TextOps.memoKeys ++ ops.SimilarityOps.memoKeys
     def pass(): (Seq[(String, Double)], List[String], Double, Double,
-                 Map[String, TaskStats]) = {
+                 Map[String, TaskStats], Map[String, Seq[String]]) = {
       // fresh cross-query memo per pass: x02/x31/x47/x55 share a cached LSH
       // pair lineage — legitimate within a pass (one lineage, four
       // queries), but a best-of over passes must never time a cache read
@@ -147,10 +154,9 @@ object Bench {
       // fill is attributed even though x02 already claimed the dedup memo
       var payers = List.empty[String]
       var taskStats = Map.empty[String, TaskStats]
+      var paidMemos = Map.empty[String, Seq[String]]
       val timings = named.map { case (name, fn) =>
-        val memoBefore =
-          Seq(ops.DedupOps.memoSize, ops.PipelineOps.memoSize, ops.TextOps.memoSize,
-            ops.SimilarityOps.memoSize)
+        val keysBefore = liveMemoKeys
         if (wantTaskStats) drainTaskStats() // discard the previous query's tail
         val t0 = System.nanoTime()
         val ok = try { materialize(fn(spark, sfDir)); true }
@@ -175,15 +181,17 @@ object Bench {
             }
             false
           }
-        val memoAfter =
-          Seq(ops.DedupOps.memoSize, ops.PipelineOps.memoSize, ops.TextOps.memoSize,
-            ops.SimilarityOps.memoSize)
-        if (memoBefore.zip(memoAfter).exists { case (b, a) => b == 0 && a > 0 })
-          payers ::= name
+        // per-query NAMED attribution: which caches this query built. A
+        // cache appearing while the query ran means THIS query paid its
+        // lineage; a query that only reads an existing cache pays nothing.
+        // (Finer than the old family-level 0→>0 test: x107 after x02 builds
+        // dedup.prefix_index even though the dedup family was already warm.)
+        val paid = (liveMemoKeys -- keysBefore).toSeq.sorted
+        if (paid.nonEmpty) { payers ::= name; paidMemos += (name -> paid) }
         if (wantTaskStats) taskStats += (name -> drainTaskStats())
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity)
       }
-      (timings, payers.reverse.distinct, loadStart, loadavg, taskStats)
+      (timings, payers.reverse.distinct, loadStart, loadavg, taskStats, paidMemos)
     }
     val passes = (1 to runs).map(_ => pass())
     val results = passes.map(_._1)
@@ -208,6 +216,17 @@ object Bench {
       ps.map(p => "\"" + p + "\"").mkString("[", ",", "]")
     val payers = passes.map(p => payersArr(p._2)).mkString("[", ",", "]")
     val loads = passes.map(p => s"[${fmt(p._3)},${fmt(p._4)}]").mkString("[", ",", "]")
+    // per-query paid_memos from the pass that WON the best-of-min (same
+    // discipline as task_skew: the reported timing and the reported memo
+    // attribution describe the same execution) — r12 verdict item 4
+    def paidJson(pm: Map[String, Seq[String]]): String = pm.toSeq.sortBy(_._1)
+      .map { case (n, ks) => "\"" + n + "\":" + ks.map("\"" + _ + "\"").mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val wonPaid: Map[String, Seq[String]] = results.flatMap { case (name, best) =>
+      passes.find(p => p._1.exists { case (n, v) => n == name && v == best })
+        .flatMap(_._6.get(name)).map(name -> _)
+    }.toMap
+    val paidMemosJson = paidJson(wonPaid)
     // task-skew per query from the pass that WON the best-of-min (the
     // reported timing and the reported straggler profile describe the same
     // execution); ratio = max/med task ms, the straggler-impact number;
@@ -250,10 +269,10 @@ object Bench {
     val skewField = skewJson.map(j => s""","task_skew":$j""").getOrElse("") +
       maxTaskRows.map(m => s""","max_task_rows":$m""").getOrElse("")
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","ok":$ok,"runs":$runs,"agg":"min","queries":$qs,"errors":$errJson,"loadavg_per_pass":$loads,"memo_payers":$payers,"sf":"$sfDir","artifact":"$out"$skewField}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","ok":$ok,"runs":$runs,"agg":"min","queries":$qs,"errors":$errJson,"loadavg_per_pass":$loads,"memo_payers":$payers,"paid_memos":$paidMemosJson,"sf":"$sfDir","artifact":"$out"$skewField}"""
     val perPass = passes.zipWithIndex
-      .map { case ((rs, ps, l0, l1, _), i) =>
-        s"""{"pass":${i + 1},"memo_payer":"${ps.headOption.getOrElse("")}","memo_payers":${payersArr(ps)},"loadavg":[${fmt(l0)},${fmt(l1)}],"queries":${qJson(rs)}}""" }
+      .map { case ((rs, ps, l0, l1, _, pm), i) =>
+        s"""{"pass":${i + 1},"memo_payer":"${ps.headOption.getOrElse("")}","memo_payers":${payersArr(ps)},"paid_memos":${paidJson(pm)},"loadavg":[${fmt(l0)},${fmt(l1)}],"queries":${qJson(rs)}}""" }
       .mkString("[", ",", "]")
     val outPath = java.nio.file.Paths.get(out)
     if (outPath.getParent != null) java.nio.file.Files.createDirectories(outPath.getParent)

@@ -58,14 +58,24 @@ object DedupDiag {
     val (x107Rows, tX107) = timed(
       SparkEntry.queries("x107_prefix_allpairs")(spark, sfDir).count())
 
-    // x127 stage attribution (round 8): the quantity that killed the first
-    // sf10 run was the PAIR COUNT entering verify (30.8M pairs → ~9B verify
-    // join rows), not the candidate join volume — report it so a corpus
-    // change that re-inflates it is visible in one diag run
-    val (contPairs, tContCand) = timed(
-      ops.DedupOps.containmentCandidates(spark, sfDir).count())
+    // x127 stage attribution (round 8; widened round 13 per the r12 verdict:
+    // its solo sfx10 numbers spanned 51.7–103.7 s with verify-pair counts
+    // stable, and "load band" was an inference without per-stage timings).
+    // Four stages, each timed over the previous one's CACHED output so a
+    // number names ONE stage: probe-prefix volume (what a keff tightening
+    // would shrink), the keff-floored candidate aggregate (pre-length-
+    // filter), the container-length filter, and the exact verify.
+    val (contPrefixRows, tContPrefix) = timed(
+      ops.DedupOps.containmentPrefix(spark, sfDir).count())
+    val contRaw = ops.DedupOps.containmentCandRaw(spark, sfDir).cache()
+    val (contRawPairs, tContRaw) = timed(contRaw.count())
+    val contCl = ops.DedupOps.containmentCandidatesFrom(spark, sfDir, contRaw).cache()
+    val (contPairs, tContCand) = timed(contCl.count())
+    val (x127Out, tX127Verify) = timed(
+      ops.DedupOps.containmentVerify(spark, sfDir, contCl).count())
     val (x127Rows, tX127) = timed(
       SparkEntry.queries("x127_containment_join")(spark, sfDir).count())
+    contRaw.unpersist(); contCl.unpersist()
 
     // x124 stage attribution (round 8): the production chunk stage is the
     // native CdcChunkDigests expression (sec_cdc_digests); the SQL-HOF cut
@@ -127,7 +137,8 @@ object DedupDiag {
       s""""band_rows":$bandRows,"buckets":${buckets.getLong(0)},"max_bucket":${buckets.getLong(1)},"bucket_pair_rows":${buckets.getLong(2)},""" +
       s""""candidate_pairs":$nPairs,"lsss_rounds":$rounds,"clusters":${clusterStats.getLong(0)},"max_cluster":${clusterStats.getLong(1)},""" +
       s""""prefix_rows":$prefixRows,"prefix_cand_pairs":$candRows,"x107_rows":$x107Rows,""" +
-      s""""containment_verify_pairs":$contPairs,"x127_rows":$x127Rows,""" +
+      s""""containment_prefix_rows":$contPrefixRows,"containment_raw_pairs":$contRawPairs,""" +
+      s""""containment_verify_pairs":$contPairs,"x127_verify_rows":$x127Out,"x127_rows":$x127Rows,""" +
       s""""cdc_cuts":$nCuts,"cdc_chunks":$nChunks,"x124_rows":$x124Rows,""" +
       s""""x129_rows":$x129Rows,"sec_x129_seed":$tKcSeed,"sec_x129_rounds":$tKcRounds,"sec_x129_assign":$tKcAssign,""" +
       s""""x139_sources":$srcSigRows,"x139_audit_set_rows":$auditSetRows,"x139_rows":$x139Rows,""" +
@@ -136,7 +147,8 @@ object DedupDiag {
       s""""sec_x142_exact_n":$tHllBase,"sec_x142_sketch":$tX142Sketch,"sec_x142":$tX142,""" +
       s""""sec_scan":$tDocs,"sec_shingle":$tShingle,"sec_bands":$tBands,"sec_pairs":$tPairs,"sec_cluster":$tCluster,""" +
       s""""sec_prefix_windows":$tPrefix,"sec_prefix_join":$tCand,"sec_x107_verify":$tX107,""" +
-      s""""sec_containment_cand":$tContCand,"sec_x127":$tX127,""" +
+      s""""sec_x127_prefix":$tContPrefix,"sec_x127_cand_join":$tContRaw,""" +
+      s""""sec_containment_cand":$tContCand,"sec_x127_verify":$tX127Verify,"sec_x127":$tX127,""" +
       s""""sec_cdc_hof":$tCdcHof,"sec_cdc_digests":$tCdcDigests,"sec_x124":$tX124}""")
     spark.stop()
   }

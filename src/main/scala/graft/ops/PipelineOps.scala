@@ -426,6 +426,12 @@ object PipelineOps {
 
   private[graft] def memoSize: Int = noveltyCache.size
 
+  /** Named live memo entries — see DedupOps.memoKeys (Bench's per-query
+    * paid_memos attribution).
+    */
+  private[graft] def memoKeys: Set[String] =
+    if (noveltyCache.nonEmpty) Set("pipeline.novelty") else Set.empty
+
   /** Same contract as DedupOps.clearMemo: Bench drops the memo between
     * timing passes so a best-of-N never times a cache read where pass 1
     * timed the real gram lineage.

@@ -106,6 +106,13 @@ object SimilarityOps {
   /** Live memo entries (Bench's memo-payer attribution). */
   private[graft] def memoSize: Int = ppmCache.size + sqCodesCache.size
 
+  /** Named live memo entries — see DedupOps.memoKeys (Bench's per-query
+    * paid_memos attribution).
+    */
+  private[graft] def memoKeys: Set[String] = Seq(
+    "sim.ppm" -> ppmCache.size, "sim.sq_codes" -> sqCodesCache.size,
+  ).collect { case (n, c) if c > 0 => n }.toSet
+
   /** Drop the memoized quantization lineages (Bench calls this between
     * timing passes — same contract as DedupOps.clearMemo).
     */
@@ -2153,13 +2160,27 @@ object SimilarityOps {
     * Determinism: vectors and the mean are exact micro-ppm integers (the
     * x144 convention), so dots and norms-squared are exact integers; the
     * only floating step is dot/√·/√· — the same IEEE double sequence on
-    * both engines — floored into ppm before any comparison.
+    * both engines — floored into ppm before any comparison. Ragged or
+    * null-element vectors are excluded IDENTICALLY on both sides (len=64,
+    * no NULL elements) before the ppm projection — without the shared
+    * guard DuckDB's sum() would skip NULL ppm terms (keeping a vector
+    * with a partial dot) while Spark's aggregate() null-propagates and
+    * the na2 > 0 filter drops it (ADVICE r12).
+    *
+    * NOTE: unlike every other query in the file, CONSTRUCTING this
+    * DataFrame runs Spark jobs eagerly — the ≤24-row pool collect and the
+    * greedy loop execute at query-build time (the documented
+    * model-parameter-collect pattern). A plan-shape sweep or dry
+    * enumeration of SparkEntry.queries("x163_mmr_select") therefore pays
+    * full corpus scans; don't read it as "free" in a plan-only pass.
     */
   val mmrSelect: Q = Q(
     "x163_mmr_select",
     s"""WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
        |e AS MATERIALIZED (SELECT vec_id, i, CAST(floor((embedding::DOUBLE[])[i] * 1000000 + 0.5) AS BIGINT) AS ppm
-       |      FROM embeddings, idx WHERE embedding IS NOT NULL),
+       |      FROM embeddings, idx
+       |      WHERE embedding IS NOT NULL AND len(embedding) = 64
+       |        AND len(list_filter(embedding, x -> x IS NULL)) = 0),
        |m AS (SELECT i, CAST(floor(CAST(sum(ppm) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS mp
        |      FROM e GROUP BY i),
        |nm AS (SELECT CAST(sum(mp * mp) AS BIGINT) AS nm2 FROM m),
@@ -2187,7 +2208,10 @@ object SimilarityOps {
        |ORDER BY rk""".stripMargin
   ) { (s, dir) =>
     val ppm = transform(col("embedding"), v => floor(v.cast("double") * 1000000 + 0.5).cast("long"))
-    val ev = embs(s, dir).where(col("embedding").isNotNull)
+    // same exclusion as the oracle's e-CTE: fixed 64-wide, no NULL elements
+    val ev = embs(s, dir)
+      .where(col("embedding").isNotNull && size(col("embedding")) === 64 &&
+        !exists(col("embedding"), _.isNull))
       .select(col("vec_id"), ppm.as("pv"))
     // corpus mean in exact ppm ints — one 64-row exchange (x144's shape)
     val mean = ev.select(posexplode(col("pv")).as(Seq("p", "v")))

@@ -370,6 +370,12 @@ object TextOps {
 
   private[graft] def memoSize: Int = scoreCache.size
 
+  /** Named live memo entries — see DedupOps.memoKeys (Bench's per-query
+    * paid_memos attribution).
+    */
+  private[graft] def memoKeys: Set[String] =
+    if (scoreCache.nonEmpty) Set("text.score") else Set.empty
+
   /** Same contract as DedupOps.clearMemo (Bench drops memos between
     * best-of-N passes so pass 2 never times a cache read).
     */

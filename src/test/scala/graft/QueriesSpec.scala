@@ -2518,4 +2518,59 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(out(src) == ((n, dup, dist, ppm)), s"source $src")
     }
   }
+
+  test("x166 span excision cross-checks x88, x164 and x165 (r12 verdict item 5)") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("x166_span_excise")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // internal accounting identities + the corpus must exercise the signal
+    out.foreach { r =>
+      val (nd, touched, emptied) = (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("docs_touched"), r.getAs[Long]("docs_emptied"))
+      val (tot, exc, kept, ppm) = (r.getAs[Long]("total_words"),
+        r.getAs[Long]("excised_words"), r.getAs[Long]("kept_words"),
+        r.getAs[Long]("kept_ppm"))
+      assert(emptied <= touched && touched <= nd)
+      assert(exc >= 0 && exc <= tot && kept == tot - exc)
+      assert(ppm == (BigInt(kept) * 1000000 / tot).toLong)
+    }
+    assert(out.map(_.getAs[Long]("excised_words")).sum > 0)
+
+    // vs x88 (same df≥2 distinct-docs 5-gram rule): a doc is touched by
+    // excision ⟺ x88 reports a duplicated span in it — and every touched
+    // doc loses at least one whole 5-gram (≥ 5 words)
+    val cut = graft.ops.DedupOps.spanCutWords(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cut_words")).toMap
+    val dupDocs = SparkEntry.queries("x88_span_dedup")(spark, sfDir).collect()
+      .filter(_.getAs[Long]("n_dup") > 0).map(_.getAs[Long]("doc_id")).toSet
+    assert(cut.keySet == dupDocs,
+      s"excision-touched docs must equal x88's dup-span docs (${cut.size} vs ${dupDocs.size})")
+    assert(cut.values.forall(_ >= 5L), "a touched doc loses at least one whole 5-gram")
+
+    // vs x164 (exact-dup survivorship): an exact-duplicate doc of ≥ 5 words
+    // is FULLY emptied — every one of its 5-grams has a cross-doc twin
+    val docs = graft.ops.Tables(spark, sfDir, "documents")
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), md5(col("text")).as("dg"),
+        size(split(col("text"), " ")).cast("long").as("n")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val dgCount = docs.groupBy(_._2).view.mapValues(_.length).toMap
+    // (sf0.001 carries no exact-dup pair — the check bites when one exists;
+    // the synthetic near-dups below still exercise the x88 equality above)
+    val exactDups = docs.filter(d => dgCount(d._2) >= 2 && d._3 >= 5)
+    exactDups.foreach { case (id, _, n) =>
+      assert(cut.get(id).contains(n), s"exact-dup doc $id must be fully excised ($n words)")
+    }
+
+    // vs x165 (trigram dup-token share): a duplicated 5-gram contains
+    // duplicated trigrams, so any source with excised words has dup
+    // trigram instances
+    val dupInst = SparkEntry.queries("x165_dup_token_share")(spark, sfDir).collect()
+      .map(r => Option(r.getString(0)) -> r.getAs[Long]("n_dup_inst")).toMap
+    out.foreach { r =>
+      if (r.getAs[Long]("excised_words") > 0)
+        assert(dupInst.getOrElse(Option(r.getString(0)), 0L) > 0,
+          s"source ${r.getString(0)}: excised words imply dup trigram instances")
+    }
+  }
 }
