@@ -141,8 +141,19 @@ object StreamOps {
     * (AvailableNow) and returns the sink table. Checkpoint is a throwaway
     * temp dir — identity of the "subscription" in reference terms (O-8).
     */
+  /** `fileSink = true` lands the stream's append output in a parquet
+    * directory and reads it back as a batch frame, instead of the memory
+    * sink. The memory sink COLLECTS every output row to the driver — fine
+    * for the windowed/sessionized queries whose output is aggregate-sized,
+    * but a stream-stream JOIN's output is data-sized: on the 100× hostile
+    * fixture the hot user's legitimate view×click pairs overflowed
+    * spark.driver.maxResultSize before any rollup ran (round 13). A real
+    * deployment writes a join's firehose to storage/a topic and aggregates
+    * downstream; the file sink is that shape — driver state stays at file
+    * metadata, the batch rollup runs executor-side.
+    */
   private def runStream(s: SparkSession, dir: String, sinkName: String, mode: String,
-      table: String = "events")(
+      table: String = "events", fileSink: Boolean = false)(
       transform: DataFrame => DataFrame): DataFrame = {
     // events.ts has shipped as both TIMESTAMP(NANOS) and timestamp[us]-NTZ;
     // the legacy nanos conf must be set BEFORE the schema read below —
@@ -189,14 +200,26 @@ object StreamOps {
     val shards = math.max(1L, math.min(prev.toLong, bytes / (2L << 20) + 1)).toInt
     lastStateShards = shards
     s.conf.set("spark.sql.shuffle.partitions", shards)
-    try {
-      val q = transform(stream).writeStream
-        .format("memory").queryName(sinkName).outputMode(mode)
-        .option("checkpointLocation", Files.createTempDirectory(s"graft-$sinkName").toString)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-    s.table(sinkName)
+    if (fileSink) {
+      val outDir = Files.createTempDirectory(s"graft-$sinkName-out").toString
+      try {
+        val q = transform(stream).writeStream
+          .format("parquet").option("path", outDir).outputMode(mode)
+          .option("checkpointLocation", Files.createTempDirectory(s"graft-$sinkName").toString)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.read.parquet(outDir)
+    } else {
+      try {
+        val q = transform(stream).writeStream
+          .format("memory").queryName(sinkName).outputMode(mode)
+          .option("checkpointLocation", Files.createTempDirectory(s"graft-$sinkName").toString)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table(sinkName)
+    }
   }
 
   /** Genuine micro-batch pipeline: readStream → event-time tumbling window
@@ -370,6 +393,26 @@ object StreamOps {
     * the shape that holds on an unbounded topic. Inner-join matches emit
     * in the micro-batch that completes them; the per-bucket rollup runs on
     * the bounded sink output (x18's pattern).
+    *
+    * TIME-BUCKETED equi-key (round 13 — the hot-key fix the full-surface
+    * skew gate forced): Spark's symmetric hash join keys state on the
+    * EQUALITY columns only and applies the time band as a per-row filter
+    * over the key's whole retained state, so a hot user (the skew
+    * fixture's 1-in-10 user_id=1 — a bot, a null-ish default key) turns
+    * one state partition into |views|×|clicks| predicate evaluations in
+    * ONE task: measured at 100×, task CPU exceeded 3,600 s on one core
+    * with 31 idle (the run was killed, not finished). The fix is the
+    * interval-join shape Flink applies internally: coarsen time into
+    * 30-minute buckets ON the equi-key — each view explodes into its two
+    * candidate CLICK buckets (band length == bucket width ⇒ any
+    * qualifying click lies in bucket(vts) or bucket(vts)+1), clicks carry
+    * their own bucket, and the hash key becomes (user, cbucket).
+    * LOSSLESS and duplicate-free: buckets partition time, so every
+    * qualifying (view, click) pair meets on exactly ONE key — the
+    * bucket containing cts. The hot key's state shards across time
+    * buckets (per-key pair work drops from |hot|² to Σ_b |v_b|·|c_b|,
+    * and the buckets parallelize); the benign cost is a ×2 view-side
+    * state row count. Same oracle, same output, spec-pinned.
     */
   val streamStreamJoin: Q = Q(
     "x51_stream_stream_join",
@@ -379,15 +422,20 @@ object StreamOps {
       |  ON v.user_id = c.user_id AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
       |GROUP BY bucket ORDER BY bucket""".stripMargin
   ) { (s, dir) =>
-    runStream(s, dir, "x51_sink", "append") { ev =>
+    runStream(s, dir, "x51_sink", "append", fileSink = true) { ev =>
       val v = ev.where(col("event_type") === "view")
         .select(col("user_id"), col("ts").as("vts"))
         .withWatermark("vts", "1 hour")
+        .withColumn("cb", explode(array(
+          expr("unix_micros(vts) div 1800000000"),
+          expr("unix_micros(vts) div 1800000000 + 1"))))
       val c = ev.where(col("event_type") === "click")
         .select(col("user_id").as("c_user"), col("ts").as("cts"))
         .withWatermark("cts", "1 hour")
+        .withColumn("ccb", expr("unix_micros(cts) div 1800000000"))
       v.join(c,
         col("user_id") === col("c_user") &&
+          col("cb") === col("ccb") &&
           col("cts") >= col("vts") &&
           col("cts") <= col("vts") + expr("INTERVAL 30 MINUTES"))
     }
@@ -440,6 +488,14 @@ object StreamOps {
     * matched pairs are watermark-independent (bounded replay), unmatched
     * views require `vts + 30min < min(max_v, max_c) − 1h`. State stays
     * bounded by the same 30-minute band + 1-hour delay as x51.
+    *
+    * Carries x51's round-13 TIME-BUCKETED equi-key (see there for the
+    * hot-key measurement and the losslessness argument). The outer-join
+    * wrinkle the inner join doesn't have: each view's TWO bucket rows
+    * emit independent null rows when unmatched, so the batch rollup
+    * reconciles per (user_id, vts) — both rows null ⟺ the view is truly
+    * unmatched (count nn/2); a null row beside a matched sibling is the
+    * empty other bucket, dropped. Same oracle, same output.
     */
   val streamStreamLeftOuter: Q = Q(
     "x60_stream_outer_join",
@@ -460,22 +516,41 @@ object StreamOps {
       |       CAST(sum(um) AS BIGINT) AS n_unmatched
       |FROM rows_ GROUP BY bucket ORDER BY bucket NULLS FIRST""".stripMargin
   ) { (s, dir) =>
-    runStream(s, dir, "x60_sink", "append") { ev =>
+    runStream(s, dir, "x60_sink", "append", fileSink = true) { ev =>
       val v = ev.where(col("event_type") === "view")
         .select(col("user_id"), col("ts").as("vts"))
         .withWatermark("vts", "1 hour")
+        .withColumn("cb", explode(array(
+          expr("unix_micros(vts) div 1800000000"),
+          expr("unix_micros(vts) div 1800000000 + 1"))))
       val c = ev.where(col("event_type") === "click")
         .select(col("user_id").as("c_user"), col("ts").as("cts"))
         .withWatermark("cts", "1 hour")
+        .withColumn("ccb", expr("unix_micros(cts) div 1800000000"))
       v.join(c,
         col("user_id") === col("c_user") &&
+          col("cb") === col("ccb") &&
           col("cts") >= col("vts") &&
           col("cts") <= col("vts") + expr("INTERVAL 30 MINUTES"),
         "leftOuter")
     }
+      // Reconcile the ×2 bucket fan-out on the BOUNDED sink output (x18's
+      // pattern — batch, not a second stateful op): per (user_id, vts)
+      // group of d identical views, matched pairs pass through untouched
+      // (each true pair met on exactly one bucket key), while null rows
+      // need the pair of bucket rows collapsed — a view's two rows are
+      // BOTH null iff no click matched anywhere in its band, so the true
+      // unmatched count is nn/2 when no match exists and 0 otherwise (a
+      // null row next to a matched sibling is just the empty other bucket).
+      .groupBy(col("user_id"), col("vts"))
+      .agg(
+        sum(when(col("c_user").isNotNull, 1L).otherwise(0L)).as("nm"),
+        sum(when(col("c_user").isNull, 1L).otherwise(0L)).as("nn"))
+      .select(col("user_id"),
+        (col("nm") + when(col("nm") === 0, expr("nn div 2")).otherwise(0L)).as("rows"),
+        when(col("nm") === 0, expr("nn div 2")).otherwise(0L).as("unm"))
       .groupBy((col("user_id") % 10).as("bucket"))
-      .agg(count(lit(1)).as("n_rows"),
-        sum(when(col("c_user").isNull, 1L).otherwise(0L)).as("n_unmatched"))
+      .agg(sum(col("rows")).as("n_rows"), sum(col("unm")).as("n_unmatched"))
       .orderBy("bucket")
   }
 
