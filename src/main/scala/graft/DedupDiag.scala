@@ -64,9 +64,13 @@ object DedupDiag {
     // Four stages, each timed over the previous one's CACHED output so a
     // number names ONE stage: probe-prefix volume (what a keff tightening
     // would shrink), the keff-floored candidate aggregate (pre-length-
-    // filter), the container-length filter, and the exact verify.
-    val (contPrefixRows, tContPrefix) = timed(
-      ops.DedupOps.containmentPrefix(spark, sfDir).count())
+    // filter), the container-length filter, and the exact verify. The
+    // prefix frame is cached HERE (not just its memoized index) so
+    // sec_x127_cand_join doesn't re-run the keff filter/projection and
+    // overlap sec_x127_prefix (ADVICE r13); CacheManager plan-matching
+    // makes containmentCandRaw's internal rebuild hit this cache.
+    val contPrefix = ops.DedupOps.containmentPrefix(spark, sfDir).cache()
+    val (contPrefixRows, tContPrefix) = timed(contPrefix.count())
     val contRaw = ops.DedupOps.containmentCandRaw(spark, sfDir).cache()
     val (contRawPairs, tContRaw) = timed(contRaw.count())
     val contCl = ops.DedupOps.containmentCandidatesFrom(spark, sfDir, contRaw).cache()
@@ -75,7 +79,7 @@ object DedupDiag {
       ops.DedupOps.containmentVerify(spark, sfDir, contCl).count())
     val (x127Rows, tX127) = timed(
       SparkEntry.queries("x127_containment_join")(spark, sfDir).count())
-    contRaw.unpersist(); contCl.unpersist()
+    contPrefix.unpersist(); contRaw.unpersist(); contCl.unpersist()
 
     // x124 stage attribution (round 8): the production chunk stage is the
     // native CdcChunkDigests expression (sec_cdc_digests); the SQL-HOF cut

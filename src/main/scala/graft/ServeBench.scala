@@ -3,7 +3,6 @@ package graft
 import java.net.URI
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import java.nio.file.Files
-import java.util.concurrent.{ConcurrentLinkedQueue, CountDownLatch}
 
 import org.apache.spark.sql.SparkSession
 
@@ -11,26 +10,40 @@ import graft.serve.{BeamServer, Jwt}
 import graft.store.InMemoryStore
 import graft.topics.TopicTable
 
-/** Serving-path latency envelope (r12 verdict item 6): StreamBench measures
-  * pipeline cadence, but the serve layer's one implied reference SLA — the
-  * e2e test's <121 s ingest→deliver bound (reference src/e2e/e2etest.go) —
-  * had specs and no measured counterpart. This drives the REAL HTTP stack
-  * (BeamServer routes, JWT auth, the 200-slot semaphore, TopicTable parquet
-  * segments) with N concurrent pollers over M topics and reports per-op
-  * latency quantiles, so BASELINE gets a p50/p99 row a reader can hold
-  * against the reference's bound.
+/** Serving-path latency envelope (r12 verdict item 6; extended round 14 per
+  * the r13 verdict item 5): StreamBench measures pipeline cadence, but the
+  * serve layer's one implied reference SLA — the e2e test's <121 s
+  * ingest→deliver bound (reference src/e2e/e2etest.go) — had specs and no
+  * measured counterpart. This drives the REAL HTTP stack (BeamServer routes,
+  * JWT auth, the 200-slot semaphore, TopicTable parquet segments) with N
+  * concurrent pollers over M topics and reports per-op latency quantiles.
   *
   * Workload per poller iteration, round-robin over its topic:
   *   1. POST /v2/firehose (~120 B JSON payload) — ingest latency
-  *   2. GET  /v2/poll?batchSize=10              — drain-poll latency (200)
-  *   3. GET  /v2/poll on the now-empty topic    — empty-poll latency (204)
+  *   2. GET  /v2/poll?batchSize=10              — drain-poll step
+  *   3. GET  /v2/poll on the now-empty topic    — empty-poll step
   * The destructive cursor makes each iteration self-cleaning, so the
   * segment directory stays bounded and every poll measures the same work.
   *
+  * Round-14 changes:
+  *  - Per-STATUS quantiles (`poll_200` / `poll_204`) beside the per-step
+  *    ones: with pollers > topics the drain and empty steps interleave
+  *    across threads and both see {200, 204}, so the step labels alone
+  *    don't measure what they claim (ADVICE r13 item 1).
+  *  - 429s are COUNTED (`n_429`), not failures: the 200-slot semaphore's
+  *    saturation point is the measurement, not an error (VERDICT r13 item
+  *    5). `bad` keeps meaning "status nobody expected".
+  *  - SERVE_BENCH_SWEEP="32,64,128,256" runs the loop at each concurrency
+  *    against one server instance to locate the knee; one JSON line with a
+  *    `levels` array.
+  *  - SSE push path: publish→client-received latency through GET /v2/sse
+  *    (the webhook/SSE delivery side the reference's e2e bound is about),
+  *    SERVE_BENCH_PUSH_MSGS per topic (default 30, 0 disables).
+  *
   * Env knobs: SERVE_BENCH_POLLERS (default 32), SERVE_BENCH_TOPICS (8),
-  * SERVE_BENCH_ITERS (per poller, 50), SPARK_GRAFT_CPUS (32).
-  * Output: one JSON line with p50/p90/p99/max microseconds per op and
-  * throughput, plus a bench_runs/ artifact (same contract as Bench).
+  * SERVE_BENCH_ITERS (per poller, 50), SERVE_BENCH_SWEEP, SERVE_BENCH_PUSH_MSGS,
+  * SPARK_GRAFT_CPUS (32).
+  * Output: one JSON line (+ bench_runs/ artifact, same contract as Bench).
   */
 object ServeBench {
   def main(args: Array[String]): Unit = {
@@ -38,6 +51,10 @@ object ServeBench {
     val nPollers = sys.env.getOrElse("SERVE_BENCH_POLLERS", "32").toInt
     val nTopics = sys.env.getOrElse("SERVE_BENCH_TOPICS", "8").toInt
     val iters = sys.env.getOrElse("SERVE_BENCH_ITERS", "50").toInt
+    val sweep: Seq[Int] = sys.env.get("SERVE_BENCH_SWEEP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq)
+      .getOrElse(Seq(nPollers))
+    val pushMsgs = sys.env.getOrElse("SERVE_BENCH_PUSH_MSGS", "30").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-serve-bench")
@@ -61,24 +78,25 @@ object ServeBench {
     // one client per poller thread — connection reuse mirrors a real
     // long-lived consumer, and sharing one client would serialize on its
     // internal connection pool locks rather than the server under test
-    final class Poller(id: Int) extends Thread {
+    final class Poller(id: Int, topicsN: Int) extends Thread {
       val http = HttpClient.newHttpClient()
-      val topic = s"persistent/tenant-a/ns/bench-t${id % nTopics}"
-      val ingestUs = new java.util.ArrayDeque[Long]()
-      val pollUs = new java.util.ArrayDeque[Long]()
-      val emptyUs = new java.util.ArrayDeque[Long]()
-      var bad = 0
-      def timed(r: HttpRequest, wantAny: Set[Int], sink: java.util.ArrayDeque[Long]): Unit = {
+      val topic = s"persistent/tenant-a/ns/bench-t${id % topicsN}"
+      // (status, us) per step — statuses are classified AFTER the run so
+      // the per-status quantiles describe what each request actually did
+      val ingestS = new java.util.ArrayDeque[(Int, Long)]()
+      val pollS = new java.util.ArrayDeque[(Int, Long)]()
+      val emptyS = new java.util.ArrayDeque[(Int, Long)]()
+      def timed(r: HttpRequest, sink: java.util.ArrayDeque[(Int, Long)]): Unit = {
         val t0 = System.nanoTime()
         val resp = http.send(r, HttpResponse.BodyHandlers.ofString())
         val us = (System.nanoTime() - t0) / 1000
-        if (wantAny(resp.statusCode())) sink.add(us) else bad += 1
+        sink.add((resp.statusCode(), us)); ()
       }
       def post(): HttpRequest = HttpRequest.newBuilder(
           URI.create(s"$base/v2/firehose/$topic"))
         .header("Authorization", s"Bearer $token")
         .POST(HttpRequest.BodyPublishers.ofString(
-          s"""{"poller":$id,"seq":${ingestUs.size},"pad":"xxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxx"}"""))
+          s"""{"poller":$id,"seq":${ingestS.size},"pad":"xxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxx"}"""))
         .build()
       def get(): HttpRequest = HttpRequest.newBuilder(
           URI.create(s"$base/v2/poll/$topic?batchSize=10"))
@@ -86,9 +104,9 @@ object ServeBench {
         .GET().build()
       override def run(): Unit = {
         for (_ <- 1 to iters) {
-          timed(post(), Set(200), ingestUs)
-          timed(get(), Set(200, 204), pollUs)
-          timed(get(), Set(204, 200), emptyUs)
+          timed(post(), ingestS)
+          timed(get(), pollS)
+          timed(get(), emptyS)
         }
       }
     }
@@ -96,21 +114,14 @@ object ServeBench {
     // warmup: exercise ingest + poll + the codegen/parquet paths once per
     // topic so the timed loop doesn't absorb first-touch JIT/IO costs
     {
-      val w = new Poller(0)
+      val w = new Poller(0, nTopics)
       for (t <- 0 until nTopics) {
-        val p = new Poller(t)
-        p.timed(p.post(), Set(200), p.ingestUs)
-        p.timed(p.get(), Set(200, 204), p.pollUs)
+        val p = new Poller(t, nTopics)
+        p.timed(p.post(), p.ingestS)
+        p.timed(p.get(), p.pollS)
       }
       w.http.send(w.get(), HttpResponse.BodyHandlers.ofString())
     }
-
-    val pollers = (0 until nPollers).map(new Poller(_))
-    val t0 = System.nanoTime()
-    pollers.foreach(_.start())
-    pollers.foreach(_.join())
-    val wallSec = (System.nanoTime() - t0) / 1e9
-    val loadEnd = loadavg
 
     import scala.jdk.CollectionConverters._
     def q(all: Seq[Long]): String = {
@@ -118,16 +129,112 @@ object ServeBench {
       def at(p: Double): Long = if (s.isEmpty) -1 else s((p * (s.length - 1)).round.toInt)
       s"""{"n":${s.length},"p50_us":${at(0.50)},"p90_us":${at(0.90)},"p99_us":${at(0.99)},"max_us":${if (s.isEmpty) -1 else s.last}}"""
     }
-    val ing = pollers.flatMap(_.ingestUs.asScala)
-    val pol = pollers.flatMap(_.pollUs.asScala)
-    val emp = pollers.flatMap(_.emptyUs.asScala)
-    val bad = pollers.map(_.bad).sum
-    val totalReqs = ing.size + pol.size + emp.size
-    val rps = totalReqs / wallSec
+
+    /** One concurrency level against the shared server; returns the JSON
+      * fragment for this level. 429s count toward n_429 (the semaphore
+      * doing its job — the number the knee sweep exists to find); any other
+      * unexpected status is `bad`.
+      */
+    def runLevel(n: Int): (String, Int) = {
+      val pollers = (0 until n).map(new Poller(_, nTopics))
+      val t0 = System.nanoTime()
+      pollers.foreach(_.start())
+      pollers.foreach(_.join())
+      val wallSec = (System.nanoTime() - t0) / 1e9
+      val ing = pollers.flatMap(_.ingestS.asScala)
+      val pol = pollers.flatMap(_.pollS.asScala)
+      val emp = pollers.flatMap(_.emptyS.asScala)
+      val all = ing ++ pol ++ emp
+      val n429 = all.count(_._1 == 429)
+      val bad = ing.count(s => s._1 != 200 && s._1 != 429) +
+        (pol ++ emp).count(s => s._1 != 200 && s._1 != 204 && s._1 != 429)
+      val ok = all.filter(_._1 != 429)
+      val rps = all.size / wallSec
+      val frag =
+        s"""{"pollers":$n,"wall_sec":${f"$wallSec%.2f"},"req_per_sec":${f"$rps%.1f"},""" +
+        s""""n_429":$n429,"bad":$bad,""" +
+        s""""ingest":${q(ing.filter(_._1 == 200).map(_._2))},""" +
+        s""""poll":${q(pol.filter(s => s._1 == 200 || s._1 == 204).map(_._2))},""" +
+        s""""empty_poll":${q(emp.filter(s => s._1 == 200 || s._1 == 204).map(_._2))},""" +
+        s""""poll_200":${q((pol ++ emp).filter(_._1 == 200).map(_._2))},""" +
+        s""""poll_204":${q((pol ++ emp).filter(_._1 == 204).map(_._2))}}"""
+      val _ = ok
+      (frag, bad)
+    }
+
+    val levelResults = sweep.map(n => (n, runLevel(n)))
+    val levelsJson = levelResults.map { case (n, (frag, _)) => frag }.mkString("[", ",", "]")
+    val badTotal = levelResults.map(_._2._2).sum
+
+    // ---- SSE push path: publish→client-received latency ----------------
+    // One subscriber per topic on GET /v2/sse (HttpURLConnection — streams
+    // chunked bodies line-by-line); publisher embeds System.nanoTime() in
+    // the payload, subscriber parses it back out of the `data:` line. A
+    // warmup message per topic absorbs the hub's streaming-query start.
+    def pushPhase(): String = {
+      if (pushMsgs <= 0) return """{"n":0}"""
+      val deltas = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      var lost = 0
+      val http = HttpClient.newHttpClient()
+      for (t <- 0 until nTopics) {
+        val topic = s"persistent/tenant-a/ns/push-t$t"
+        val url = new java.net.URL(s"$base/v2/sse/$topic")
+        val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestProperty("Authorization", s"Bearer $token")
+        conn.setReadTimeout(15000)
+        conn.connect()
+        val reader = new java.io.BufferedReader(
+          new java.io.InputStreamReader(conn.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
+        val received = new java.util.concurrent.atomic.AtomicInteger(0)
+        val warmSeen = new java.util.concurrent.CountDownLatch(1)
+        val doneLatch = new java.util.concurrent.CountDownLatch(1)
+        val sub = new Thread(() => {
+          try {
+            var line = reader.readLine()
+            while (line != null && received.get() < pushMsgs) {
+              if (line.startsWith("data: ")) {
+                val body = line.substring(6)
+                val m = """"t0":(\d+)""".r.findFirstMatchIn(body)
+                if (body.contains("\"warm\":1")) warmSeen.countDown()
+                else m.foreach { mm =>
+                  deltas.add(System.nanoTime() - mm.group(1).toLong)
+                  received.incrementAndGet()
+                }
+              }
+              line = if (received.get() < pushMsgs) reader.readLine() else null
+            }
+          } catch { case _: java.io.IOException => () }
+          doneLatch.countDown()
+        })
+        sub.setDaemon(true)
+        sub.start()
+        def publish(body: String): Int = {
+          val r = HttpRequest.newBuilder(URI.create(s"$base/v2/firehose/$topic"))
+            .header("Authorization", s"Bearer $token")
+            .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+          http.send(r, HttpResponse.BodyHandlers.ofString()).statusCode()
+        }
+        // warmup rides the hub's query start; bounded wait so a wedged hub
+        // surfaces as lost samples, not a hang
+        publish("""{"warm":1}""")
+        warmSeen.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        for (i <- 1 to pushMsgs) {
+          publish(s"""{"i":$i,"t0":${System.nanoTime()}}""")
+          Thread.sleep(50) // one message per trigger window, not one batch
+        }
+        if (!doneLatch.await(20, java.util.concurrent.TimeUnit.SECONDS))
+          lost += pushMsgs - received.get()
+        conn.disconnect()
+      }
+      val ds = deltas.asScala.toSeq.map(_ / 1000L)
+      s"""{"n":${ds.size},"lost":$lost,${q(ds).drop(1)}"""
+    }
+    val pushJson = pushPhase()
+
+    val loadEnd = loadavg
     val line =
-      s"""{"metric":"serve_latency","pollers":$nPollers,"topics":$nTopics,"iters":$iters,""" +
-      s""""wall_sec":${f"$wallSec%.2f"},"req_per_sec":${f"$rps%.1f"},"bad":$bad,""" +
-      s""""ingest":${q(ing)},"poll":${q(pol)},"empty_poll":${q(emp)},""" +
+      s"""{"metric":"serve_latency","topics":$nTopics,"iters":$iters,""" +
+      s""""levels":$levelsJson,"push_sse":$pushJson,""" +
       s""""loadavg":[${f"$loadStart%.2f"},${f"$loadEnd%.2f"}]}"""
     val stamp = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss")
       .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now())
@@ -138,6 +245,6 @@ object ServeBench {
     server.stop()
     spark.stop()
     println(line)
-    if (bad > 0) sys.exit(1)
+    if (badTotal > 0) sys.exit(1)
   }
 }

