@@ -58,11 +58,21 @@ object StageDiag {
       // query would pay solo (the bench pass-1 shape)
       ops.DedupOps.clearMemo(); ops.PipelineOps.clearMemo()
       ops.TextOps.clearMemo(); ops.SimilarityOps.clearMemo()
-      val df = SparkEntry.queries(name)(spark, sfDir)
+      val df0 = SparkEntry.queries(name)(spark, sfDir)
+      // SPARK_GRAFT_DIAG_HASHED=1 reproduces Bench.materialize's exact plan
+      // (the xxhash64 projection on top) so stage attribution describes the
+      // SAME execution the bench timed, not a cousin plan
+      val df = if (sys.env.contains("SPARK_GRAFT_DIAG_HASHED"))
+        df0.select(org.apache.spark.sql.functions.xxhash64(
+          df0.columns.map(c => org.apache.spark.sql.functions.col(c).cast("string")): _*).as("h"))
+      else df0
       spark.sparkContext.setJobDescription(s"stagediag:$name")
       val t0 = System.nanoTime()
       val nOut = df.queryExecution.toRdd.count()
       val wall = (System.nanoTime() - t0) / 1e9
+      if (sys.env.contains("SPARK_GRAFT_DIAG_PLAN"))
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.SimpleMode))
       Thread.sleep(600) // listener bus drain
       println(f"===== $name  wall=$wall%.2f s  out=$nOut rows =====")
       import scala.jdk.CollectionConverters._

@@ -108,14 +108,18 @@ object CorpusStatsOps {
     // the dominant cost and run BEFORE the first exchange — on a
     // single-row-group corpus file that stage would serialize.
     val d = Tables.computeParallel(docs(s, dir))
-    val pairs = d
-      .select(explode(when(size(ws) >= 2,
-        transform(sequence(lit(1), size(ws) - 1),
-          i => struct(element_at(ws, i).as("w1"), element_at(ws, i + 1).as("w2"))))
+    // split once per row (round 14, the shingledDocs O(L²) fix — each
+    // element_at(ws, i) re-split the text when inlined)
+    val dw = d.select(split(col("text"), " ").as("wp"))
+    val wp = col("wp")
+    val pairs = dw
+      .select(explode(when(size(wp) >= 2,
+        transform(sequence(lit(1), size(wp) - 1),
+          i => struct(element_at(wp, i).as("w1"), element_at(wp, i + 1).as("w2"))))
         .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
     val bc  = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
-    val uni = d.select(explode(ws).as("word"))
+    val uni = dw.select(explode(wp).as("word"))
     val uc  = uni.groupBy("word").agg(count(lit(1)).as("c_w"))
     val tot = uni.agg(count(lit(1)).as("t"))
     bc.join(uc.select(col("word").as("w1"), col("c_w").as("c_a")), "w1")
@@ -146,11 +150,14 @@ object CorpusStatsOps {
       |FROM chunks a JOIN chunks b ON a.ch = b.ch AND a.source < b.source
       |GROUP BY source_a, source_b ORDER BY source_a, source_b""".stripMargin
   ) { (s, dir) =>
+    // split once per row (round 14 — each slice(ws, ...) re-split inlined)
+    val wp = col("wp")
     val chunks = docs(s, dir)
+      .select(col("source"), split(col("text"), " ").as("wp"))
       .select(col("source"),
-        explode(when(size(ws) >= 8,
-          transform(sequence(lit(0), floor(size(ws) / lit(8)).cast("int") - 1),
-            i => md5(array_join(slice(ws, i * 8 + 1, lit(8)), " "))))
+        explode(when(size(wp) >= 8,
+          transform(sequence(lit(0), floor(size(wp) / lit(8)).cast("int") - 1),
+            i => md5(array_join(slice(wp, i * 8 + 1, lit(8)), " "))))
           .otherwise(array().cast("array<string>"))).as("ch"))
       .distinct()
     chunks.as("a")
@@ -505,11 +512,18 @@ object CorpusStatsOps {
       |  FROM (SELECT string_split(text, ' ') AS w FROM documents))
       |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 40""".stripMargin
   ) { (s, dir) =>
-    val w = split(col("text"), " ")
+    // MATERIALIZE THE SPLIT ONCE (round 14): inlining `split(text)` into
+    // the transform lambdas makes every element_at(w, i) re-split the whole
+    // text — O(L²) string work per row, caught by jstack inside the 100×
+    // map stage (StringSplit.nullSafeEval under ConcatWs per element). The
+    // explicit projection keeps ONE split per row (CollapseProject refuses
+    // to re-inline a non-cheap expression used many times).
+    val w = col("w")
     // computeParallel: the ×3(len−1) pair explode is the dominant CPU and
     // runs before the aggregate's exchange — serialized on a single-file
     // corpus scan without the spread (6.4 → ~1 s at sf0.1)
     Tables.computeParallel(docs(s, dir))
+      .select(split(col("text"), " ").as("w"))
       .select(explode(flatten(
         transform(sequence(lit(1), lit(3)), k =>
           when(size(w) > k,
@@ -745,6 +759,8 @@ object CorpusStatsOps {
       |       CAST((sq + 20 * gmean) // (n_docs + 20) - sq // n_docs AS BIGINT) AS shift_ppm
       |FROM s CROSS JOIN g ORDER BY source NULLS FIRST""".stripMargin
   ) { (s, dir) =>
+    // inlined split: pure-scalar uses, codegen CSE dedups it (an explicit
+    // projection measured SLOWER on this class — see TextOps.hits scaladoc)
     val w = split(col("text"), " ")
     val q = Tables(s, dir, "documents").where(col("text").isNotNull)
       .select(col("source"),
@@ -801,8 +817,10 @@ object CorpusStatsOps {
       |  UNION ALL SELECT 'mean_doc_tokens_milli', n_tokens * 1000 // n_docs FROM a)
       |ORDER BY metric""".stripMargin
   ) { (s, dir) =>
-    val wsp = split(col("text"), " ")
+    // split once per row (round 14 — five uses re-split it when inlined)
+    val wsp = col("wsp")
     val d = Tables(s, dir, "documents").where(col("text").isNotNull)
+      .select(col("text"), col("lang"), col("source"), split(col("text"), " ").as("wsp"))
       .select(md5(col("text")).as("dig"), col("lang"), col("source"),
         size(wsp).cast("long").as("tok"), length(col("text")).cast("long").as("chars"),
         (size(wsp) >= 5 &&

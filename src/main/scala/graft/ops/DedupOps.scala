@@ -39,12 +39,19 @@ object DedupOps {
     * the generator), the full-corpus callers pass the whole table.
     */
   private def shingledDocs(d: DataFrame): DataFrame = {
-    val w = split(col("text"), " ")
     // computeParallel: trigram construction + one MD5 per position run
     // before the distinct's exchange — the dominant cost of the whole LSH
     // lineage, serialized on a single-row-group corpus file. Identity for
     // already-parallel inputs (x86's candidate slice arrives post-join).
-    Tables.computeParallel(d).select(
+    // The split is MATERIALIZED in its own projection (round 14): inlined,
+    // every element_at(w, i+k) re-split the whole text — O(L²) per row,
+    // jstack-caught (StringSplit.nullSafeEval under ConcatWs per element);
+    // projected, CollapseProject keeps the one split per row because the
+    // alias is non-cheap and used many times.
+    val w = col("w")
+    Tables.computeParallel(d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(
         col("doc_id"),
         explode(
           when(size(w) >= 3,
@@ -1709,12 +1716,16 @@ object DedupOps {
   private def spanPositions(s: SparkSession, dir: String): DataFrame = {
     evictStopped()
     spanPosCache.getOrElseUpdate((s, dir), {
-      val w = split(col("text"), " ")
       // one row per 5-gram POSITION (not distinct): the duplicated fraction
       // weights a span by how often the document repeats it. The 1-based
       // start position `p` rides along (x88 ignores it; x166's excision
       // needs it to turn dup digests back into covered word intervals).
-      Tables.computeParallel(docs(s, dir)).select(
+      // Split materialized once per row (round 14, the shingledDocs O(L²)
+      // fix — five element_at per position re-split the text when inlined).
+      val w = col("w")
+      Tables.computeParallel(docs(s, dir))
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(
           col("doc_id"),
           posexplode(
             when(size(w) >= 5,
@@ -1851,10 +1862,12 @@ object DedupOps {
        |SELECT doc_a, doc_b, CAST(hd AS BIGINT) AS hd
        |FROM pairs WHERE hd <= 1 ORDER BY doc_a, doc_b""".stripMargin
   ) { (s, dir) =>
-    val w = split(col("text"), " ")
+    // split once per row (round 14 — the size filter and the slice each
+    // re-split the text when inlined)
     val p = Tables.computeParallel(docs(s, dir))
-      .where(size(w) >= 8)
-      .select(col("doc_id"), slice(w, 1, 8).as("w"))
+      .select(col("doc_id"), split(col("text"), " ").as("w0"))
+      .where(size(col("w0")) >= 8)
+      .select(col("doc_id"), slice(col("w0"), 1, 8).as("w"))
     val keys = p.select(col("doc_id"),
       explode(expr(
         "transform(sequence(0, 7), k -> md5(array_join(filter(w, (x, i) -> i != k), ' ')))"))
@@ -2340,10 +2353,11 @@ object DedupOps {
       |GROUP BY 1, 2 HAVING count(*) >= 2
       |ORDER BY n_shared DESC, doc_a, doc_b""".stripMargin
   ) { (s, dir) =>
-    val w = split(col("text"), " ")
+    // split once per row (round 14 — the size filter re-split it inlined)
     val grams = docs(s, dir)
-      .where(col("text").isNotNull && size(w) >= 8)
-      .select(col("doc_id"), w.as("w"))
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= 8)
       .withColumn("hs", transform(sequence(lit(1), size(col("w")) - 3),
         i => substring(md5(array_join(slice(col("w"), i, lit(4)), " ")), 1, 16)))
     // row-local winnow: per window start j (1-based), the rightmost

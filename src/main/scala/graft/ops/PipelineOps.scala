@@ -43,8 +43,11 @@ object PipelineOps {
       |       CAST(count(*) - count(DISTINCT ch) AS BIGINT) AS n_dup
       |FROM chunks GROUP BY source ORDER BY source NULLS FIRST""".stripMargin
   ) { (s, dir) =>
-    val w = split(col("text"), " ")
+    // split materialized once per row (round 14, the shingledDocs O(L²)
+    // fix — each slice(w, i*8+1, 8) re-split the text when inlined)
+    val w = col("w")
     docs(s, dir)
+      .select(col("source"), split(col("text"), " ").as("w"))
       .select(col("source"),
         explode(when(size(w) >= 8,
           transform(sequence(lit(0), floor(size(w) / lit(8)).cast("int") - 1),
@@ -107,8 +110,11 @@ object PipelineOps {
       |FROM corpus JOIN bench USING (g)
       |GROUP BY corpus.doc_id ORDER BY doc_id""".stripMargin
   ) { (s, dir) =>
-    val w = split(col("text"), " ")
+    // split materialized once per row (round 14, the shingledDocs O(L²)
+    // fix — each slice(w, i, 8) re-split the text when inlined)
+    val w = col("w")
     def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"),
         explode(when(size(w) >= 8,
           transform(sequence(lit(1), size(w) - 7),
@@ -404,15 +410,18 @@ object PipelineOps {
     * and the verify join.
     */
   private def novGrams(df: DataFrame): DataFrame = {
-    val w = split(col("text"), " ")
-    df.select(col("doc_id"),
-      explode(when(size(w) >= 8,
-        transform(sequence(lit(1), size(w) - 7),
-          i => substring(md5(concat_ws(" ",
-            element_at(w, i), element_at(w, i + 1), element_at(w, i + 2),
-            element_at(w, i + 3), element_at(w, i + 4), element_at(w, i + 5),
-            element_at(w, i + 6), element_at(w, i + 7))), 1, 16)))
-        .otherwise(array().cast("array<string>"))).as("g"))
+    // split materialized once per row (round 14, the shingledDocs O(L²)
+    // fix — EIGHT element_at per gram position re-split the text inlined)
+    val w = col("w")
+    df.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        explode(when(size(w) >= 8,
+          transform(sequence(lit(1), size(w) - 7),
+            i => substring(md5(concat_ws(" ",
+              element_at(w, i), element_at(w, i + 1), element_at(w, i + 2),
+              element_at(w, i + 3), element_at(w, i + 4), element_at(w, i + 5),
+              element_at(w, i + 6), element_at(w, i + 7))), 1, 16)))
+          .otherwise(array().cast("array<string>"))).as("g"))
   }
 
   /** (reference grams, incoming grams), both cached: the bloom build is an
@@ -593,6 +602,8 @@ object PipelineOps {
       |FROM o CROSS JOIN b WHERE cum <= budget
       |GROUP BY source ORDER BY source NULLS FIRST""".stripMargin
   ) { (s, dir) =>
+    // inlined split: pure-scalar uses, codegen CSE dedups it (an explicit
+    // projection measured SLOWER on this class — see TextOps.hits scaladoc)
     val w = split(col("text"), " ")
     val base = docs(s, dir).where(col("text").isNotNull)
       .select(col("doc_id"), col("source"),
@@ -930,14 +941,18 @@ object PipelineOps {
       |            // sum(wcnt) AS BIGINT) AS kept_ppm
       |FROM r GROUP BY source ORDER BY source NULLS FIRST""".stripMargin
   ) { (s, dir) =>
-    val w = split(col("text"), " ")
+    // split materialized once per row (round 14, the shingledDocs O(L²)
+    // fix — each slice(w, i*20+1, 20) re-split the text when inlined)
+    val w = col("w")
     val n = size(w)
-    val passages = docs(s, dir).select(
-      col("source"), col("doc_id"),
-      posexplode(transform(sequence(lit(0), ((n - 1) / lit(20)).cast("int")), i =>
-        struct(
-          substring(md5(concat_ws(" ", slice(w, i * 20 + 1, lit(20)))), 1, 16).as("dg"),
-          least(lit(20), n - i * 20).as("wcnt")))).as(Seq("pos", "pa")))
+    val passages = docs(s, dir)
+      .select(col("source"), col("doc_id"), split(col("text"), " ").as("w"))
+      .select(
+        col("source"), col("doc_id"),
+        posexplode(transform(sequence(lit(0), ((n - 1) / lit(20)).cast("int")), i =>
+          struct(
+            substring(md5(concat_ws(" ", slice(w, i * 20 + 1, lit(20)))), 1, 16).as("dg"),
+            least(lit(20), n - i * 20).as("wcnt")))).as(Seq("pos", "pa")))
       .select(col("source"), col("doc_id"), col("pos"),
         col("pa.dg").as("dg"), col("pa.wcnt").as("wcnt"))
     val rn = row_number().over(Window.partitionBy("dg").orderBy("doc_id", "pos"))

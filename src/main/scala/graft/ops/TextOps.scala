@@ -31,6 +31,14 @@ object TextOps {
   /** n matching words for one language profile (array intersection count —
     * no explode, stays inside whole-stage codegen).
     */
+  /** Stopword-profile count over the inlined split: for PURE-SCALAR uses
+    * (size / array_distinct / one whole-array filter) whole-stage codegen's
+    * common-subexpression elimination already evaluates the split once per
+    * row, and an explicit split projection measured SLOWER (x09 16.3 →
+    * 40.1 s at 100×, round-14 A/B) — the O(L²) re-split hazard only exists
+    * for per-ELEMENT lambda references (element_at/slice inside transform),
+    * which interpreted HOF eval re-computes per element.
+    */
   private def hits(lang: String): Column =
     size(filter(split(col("text"), " "), w => w.isInCollection(stopwords(lang))))
 
@@ -102,6 +110,8 @@ object TextOps {
        |      FROM documents)
        |ORDER BY doc_id""".stripMargin
   ) { (s, dir) =>
+    // inlined split is optimal here: pure-scalar uses, codegen CSE dedups
+    // it (the explicit projection measured 2.5x SLOWER — see hits scaladoc)
     val w = split(col("text"), " ")
     val base = docs(s, dir).select(
       col("doc_id"),
@@ -509,6 +519,8 @@ object TextOps {
        |      FROM documents)
        |GROUP BY source ORDER BY source NULLS FIRST""".stripMargin
   ) { (s, dir) =>
+    // inlined split is optimal here: pure-scalar uses, codegen CSE dedups
+    // it (the explicit projection measured SLOWER — see hits scaladoc)
     val w = split(col("text"), " ")
     val flags = docs(s, dir).select(
       col("source"),
@@ -950,12 +962,15 @@ object TextOps {
          |       CAST(sum(CASE WHEN fail_only THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_only
          |FROM g GROUP BY gate ORDER BY gate""".stripMargin
     ) { (s, dir) =>
-      val wsp = split(col("text"), " ")
-      val f = docs(s, dir).where(col("text").isNotNull).select(
-        (size(wsp) >= 5).as("g1"),
-        (size(array_distinct(wsp)) * 10 >= size(wsp) * 3).as("g2"),
-        (length(regexp_replace(col("text"), " ", "")) <= lit(12) * size(wsp)).as("g3"),
-        (size(filter(wsp, w => w.isInCollection(stopAll))) >= 1).as("g4"))
+      // split once per row (round 14 — six uses re-split it when inlined)
+      val wsp = col("wsp")
+      val f = docs(s, dir).where(col("text").isNotNull)
+        .select(col("text"), split(col("text"), " ").as("wsp"))
+        .select(
+          (size(wsp) >= 5).as("g1"),
+          (size(array_distinct(wsp)) * 10 >= size(wsp) * 3).as("g2"),
+          (length(regexp_replace(col("text"), " ", "")) <= lit(12) * size(wsp)).as("g3"),
+          (size(filter(wsp, w => w.isInCollection(stopAll))) >= 1).as("g4"))
       val others = Map(
         1 -> (col("g2") && col("g3") && col("g4")),
         2 -> (col("g1") && col("g3") && col("g4")),
@@ -1227,6 +1242,8 @@ object TextOps {
       |            // (CAST(n_docs AS HUGEINT) * (n_docs - 1) // 2) END AS BIGINT) AS tau_a_ppm
       |FROM agg, ta, tb""".stripMargin
   ) { (s, dir) =>
+    // inlined split is optimal here: pure-scalar uses, codegen CSE dedups
+    // it (the explicit projection measured SLOWER — see hits scaladoc)
     val wsp = split(col("text"), " ")
     val cells = docs(s, dir)
       .where(col("text").isNotNull && col("n_chars").isNotNull)
