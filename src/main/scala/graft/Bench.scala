@@ -96,17 +96,23 @@ object Bench {
             }
         })
     if (wantTaskStats) registerTaskListener(spark)
-    case class TaskStats(n: Int, maxMs: Long, medMs: Long, maxRows: Long)
+    // sum_ms (round 14): max_ms ≈ wall with a tiny median does NOT imply a
+    // serial task — 32 CONCURRENT uniform tasks each span their stage's
+    // wall too, and with 2×32+2 tasks the median lands on the cheap half
+    // (the r13 "single-task domination" reading; jstack + per-stage
+    // StageDiag showed the heavy stages fully parallel). sum_ms/wall is
+    // the disambiguator: ≈1 means serial, ≫1 means parallel.
+    case class TaskStats(n: Int, maxMs: Long, medMs: Long, maxRows: Long, sumMs: Long)
     def drainTaskStats(): TaskStats = {
       var prev = -1; var cur = taskDurs.size(); var spins = 0
       while (cur != prev && spins < 25) { Thread.sleep(20); prev = cur; cur = taskDurs.size(); spins += 1 }
       val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
       var v = taskDurs.poll()
       while (v != null) { buf += v; v = taskDurs.poll() }
-      if (buf.isEmpty) TaskStats(0, 0L, 0L, 0L)
+      if (buf.isEmpty) TaskStats(0, 0L, 0L, 0L, 0L)
       else {
         val s = buf.map(_._1).sorted
-        TaskStats(s.length, s.last, s(s.length / 2), buf.map(_._2).max)
+        TaskStats(s.length, s.last, s(s.length / 2), buf.map(_._2).max, s.sum)
       }
     }
     // optional subset (comma-separated names) for scale-exponent runs at
@@ -242,7 +248,7 @@ object Bench {
         val ratio = if (st.medMs > 0) st.maxMs.toDouble / st.medMs else -1.0
         "\"" + name +
           s"""":{"tasks":${st.n},"max_ms":${st.maxMs},"med_ms":${st.medMs},""" +
-          s""""ratio":${fmt(ratio)},"max_rows":${st.maxRows}}"""
+          s""""ratio":${fmt(ratio)},"max_rows":${st.maxRows},"sum_ms":${st.sumMs}}"""
       }.mkString("{", ",", "}")
     }
     // suite-wide widest task (shuffle-read records) — one number a reader

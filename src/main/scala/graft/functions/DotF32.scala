@@ -113,4 +113,25 @@ object GraftFunctions {
         aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
           lit(0.0), (acc, v) => acc + v)
     }
+
+  /** Codegen'd integer dot product (x69's quantized scoring hot loop);
+    * HOF fallback keeps identical fold semantics.
+    */
+  def dotI64(a: Column, b: Column): Column =
+    (columnBridge, exprOf(a), exprOf(b)) match {
+      case (Some(toCol), Some(ae), Some(be)) => toCol(DotI64(ae, be))
+      case _ =>
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    }
+
+  /** Per-subspace nearest-codebook-entry positions (1-based, first-min ties
+    * — see [[SubspaceArgmin]]); `hofFallback` supplies the original
+    * higher-order-function composition when the classic bridge is absent.
+    */
+  def subspaceArgmin(v: Column, cb: Array[Array[Array[Long]]], subDim: Int)(
+      hofFallback: => Column): Column =
+    (columnBridge, exprOf(v)) match {
+      case (Some(toCol), Some(ve)) => toCol(SubspaceArgmin(ve, cb, subDim))
+      case _                       => hofFallback
+    }
 }

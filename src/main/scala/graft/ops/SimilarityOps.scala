@@ -621,11 +621,13 @@ object SimilarityOps {
     // memoized code frame (sqCodes): consumed by both sides of the
     // quantized self-join — one scan + transform instead of two
     val codes = sqCodes(s, dir)
-    // integer dot product of the centered codes: a zip_with/aggregate fold
-    // over exact int64 — products are ≤ 128²·64 ≈ 2^20, no overflow risk
-    val qdot = aggregate(
-      zip_with(col("q.codes"), col("c.codes"), (a, b) => a * b),
-      lit(0L), (acc, x) => acc + x)
+    // integer dot product of the centered codes — exact int64, products are
+    // ≤ 128²·64 ≈ 2^20, no overflow risk. Codegen'd DotI64 (round 14, guide
+    // §4): the interpreted zip_with/aggregate fold ran once per candidate
+    // pair — 240M boxed lambda evaluations at the 100× gate, ~30 s of the
+    // 36 s wall (StageDiag) — where the native loop participates in
+    // whole-stage codegen.
+    val qdot = graft.functions.GraftFunctions.dotI64(col("q.codes"), col("c.codes"))
     val wTop = Window.partitionBy("q_id").orderBy(col("qdot").desc, col("n_id"))
     // the QUERY side broadcasts (x06's shape) — the corpus scan stays
     // partition-parallel and is never shuffled
@@ -810,19 +812,31 @@ object SimilarityOps {
           acc + (comp - cval) * (comp - cval)
         }))
 
-    /** Chosen centroid id: first minimum over ascending cids — the same
-      * (dist, cid) tie-break as the oracle's row_number.
+    /** One pass, all 16 subspaces: positions from the native
+      * [[graft.functions.SubspaceArgmin]] loop (round 14, guide §4 — the
+      * HOF formulation ran one interpreted aggregate fold per entry per
+      * subspace per row), then positions → ids via O(1) literal lookups.
+      * The position array is MATERIALIZED in its own projection so the
+      * 16-use id lookup reads an attribute instead of re-running the
+      * argmin per element (the x92 re-evaluation lesson). The
+      * bridge-unavailable fallback is the original HOF argmin with
+      * identical first-min ties.
       */
-    def codeCol(sIdx: Int, ids: Seq[Long], vals: Seq[Seq[Long]]): Column = {
-      val d = distArr(sIdx, vals)
-      element_at(typedLit(ids), array_position(d, array_min(d)).cast("int"))
-    }
-
-    def assignCodes(ids: Array[Seq[Long]], vals: Array[Seq[Seq[Long]]]): DataFrame =
-      e.select(col("vec_id"),
-          posexplode(array((0 until 16).map(sx => codeCol(sx, ids(sx), vals(sx))): _*))
+    def assignCodes(ids: Array[Seq[Long]], vals: Array[Seq[Seq[Long]]]): DataFrame = {
+      val cbJava: Array[Array[Array[Long]]] = vals.map(_.map(_.toArray).toArray)
+      val idsLit = typedLit(ids.toSeq)
+      val pos = graft.functions.GraftFunctions.subspaceArgmin(col("v"), cbJava, 4)(
+        array((0 until 16).map { sx =>
+          val d = distArr(sx, vals(sx))
+          array_position(d, array_min(d)).cast("int")
+        }: _*))
+      e.select(col("vec_id"), pos.as("pos"))
+        .select(col("vec_id"),
+          posexplode(transform(sequence(lit(0), lit(15)), sx =>
+            element_at(element_at(idsLit, sx + 1), element_at(col("pos"), sx + 1))))
             .as(Seq("s", "cid")))
         .select(col("vec_id"), col("s").cast("long").as("s"), col("cid"))
+    }
 
     // seed codebook: the 64 lowest-id vectors' subvectors
     val seedRows = e.where(col("vec_id") < 64).orderBy("vec_id").collect()
@@ -968,9 +982,20 @@ object SimilarityOps {
       transform(sequence(lit(0), lit(63)), j =>
         element_at(vc, j + 1) - element_at(element_at(typedLit(centVals), cpos), j + 1))
 
-    val withCell = e.withColumn("cd", centDists(col("v")))
-      .withColumn("cpos", array_position(col("cd"), array_min(col("cd"))).cast("int"))
+    // Corpus-side cell assignment via the native SubspaceArgmin loop
+    // (round 14, guide §4 — one "subspace" of width 64 over the whole
+    // vector; the HOF centDists ran an interpreted 64-term fold per
+    // centroid per row). The full distance ARRAY is only needed for the
+    // 2nd-nearest probe, which is query-side — computed below on the ~400
+    // query rows where interpreted cost is irrelevant.
+    val centValsJava: Array[Array[Long]] = centVals.map(_.toArray).toArray
+    val withCell = e
+      .withColumn("cposArr",
+        graft.functions.GraftFunctions.subspaceArgmin(col("v"), Array(centValsJava), 64)(
+          array(array_position(centDists(col("v")), array_min(centDists(col("v")))).cast("int"))))
+      .withColumn("cpos", element_at(col("cposArr"), 1))
       .withColumn("gid", element_at(typedLit(centIds), col("cpos")))
+      .drop("cposArr")
     val r = withCell.withColumn("rv", residual(col("v"), col("cpos")))
 
     // --- shared residual PQ codebook: the 64 lowest-id residuals
@@ -988,19 +1013,29 @@ object SimilarityOps {
             element_at(element_at(typedLit(vals), c + 1), j + 1)
           acc + d * d
         }))
-    def codeCol(vec: Column, sIdx: Int): Column = {
-      val d = distArr(vec, sIdx, seedValsPerS(sIdx))
-      element_at(typedLit(seedIds), array_position(d, array_min(d)).cast("int"))
-    }
-
-    // one corpus pass: cell id + 16 codes, all row-local
-    val codes = r.select(col("vec_id"), col("gid"),
-        posexplode(array((0 until 16).map(sx => codeCol(col("rv"), sx)): _*)).as(Seq("s", "cid")))
+    // one corpus pass: cell id + 16 codes, all row-local — positions from
+    // the native SubspaceArgmin loop, materialized so the 16-use id lookup
+    // reads an attribute (the x92 re-evaluation lesson); fallback is the
+    // original HOF argmin with identical first-min ties
+    val seedCbJava: Array[Array[Array[Long]]] = seedValsPerS.map(_.map(_.toArray).toArray)
+    val codes = r
+      .withColumn("pcs",
+        graft.functions.GraftFunctions.subspaceArgmin(col("rv"), seedCbJava, 4)(
+          array((0 until 16).map { sx =>
+            val d = distArr(col("rv"), sx, seedValsPerS(sx))
+            array_position(d, array_min(d)).cast("int")
+          }: _*)))
+      .select(col("vec_id"), col("gid"),
+        posexplode(transform(sequence(lit(0), lit(15)), sx =>
+          element_at(typedLit(seedIds), element_at(col("pcs"), sx + 1)))).as(Seq("s", "cid")))
       .select(col("vec_id"), col("gid"), col("s").cast("long").as("s"), col("cid"))
 
-    // --- query side: probe the 2 nearest cells, per-cell residual, ADC table
+    // --- query side: probe the 2 nearest cells, per-cell residual, ADC
+    // table. The full distance array (for the 2nd-nearest mask) is built
+    // HERE, on query rows only.
     val masked = expr("transform(cd, (x, i) -> CASE WHEN i + 1 = cpos THEN CAST(9223372036854775807 AS BIGINT) ELSE x END)")
     val q = withCell.where(col("vec_id") % 50 === 0 && col("vec_id") < 20000)
+      .withColumn("cd", centDists(col("v")))
       .withColumn("cd2", masked)
       .withColumn("cpos2", array_position(col("cd2"), array_min(col("cd2"))).cast("int"))
       .select(col("vec_id").as("q_id"), col("v"),
