@@ -300,8 +300,20 @@ object Bench {
     // diagnosed the cap). Everything per-query lives in the timestamped
     // artifact and bench_last.json; this line carries only the scalars a
     // last-line JSON parse needs and stays far under the cap.
+    // per-FAMILY subtotals ride the compact line (round 15, r14 verdict
+    // item 2: the driver's per-query comparator reads only the byte-capped
+    // stdout tail, so since r9 it has been per-query-blind; a 226-entry map
+    // can never fit under the cap, but the 4 family subtotals — f scalar/
+    // agg functions, r reference ops, t relational, x LLM-pipeline — give
+    // the stdout record per-area movement at ~60 bytes). The FULL
+    // per-query map remains in bench_last.json (byte-identical headline)
+    // and the timestamped artifact the line names.
+    val famJson = results.collect { case (n, v) if v >= 0 => (n.take(1), v) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (f, vs) => "\"" + f + "\":" + fmt(vs.map(_._2).sum) }
+      .mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","ok":$ok,"runs":$runs,"agg":"min","n_queries":${results.size},"errors":${errs.reverse.distinct.size}${maxTaskRows.map(m => s""","max_task_rows":$m""").getOrElse("")},"sf":"$sfDir","artifact":"$out"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","ok":$ok,"runs":$runs,"agg":"min","n_queries":${results.size},"errors":${errs.reverse.distinct.size},"families":$famJson${maxTaskRows.map(m => s""","max_task_rows":$m""").getOrElse("")},"sf":"$sfDir","artifact":"$out"}"""
     // the headline is the LAST thing on stdout — after spark.stop(), so no
     // shutdown logging can land between it and the end of the tail the
     // driver captures (BENCH_r06's parsed:null). stop() is best-effort:

@@ -172,7 +172,10 @@ object ServeBench {
     // the payload, subscriber parses it back out of the `data:` line. A
     // warmup message per topic absorbs the hub's streaming-query start.
     def pushPhase(): String = {
-      if (pushMsgs <= 0) return """{"n":0}"""
+      // schema-consistent with the measuring branch (ADVICE r14): same
+      // members, -1 quantile sentinels, zero lost
+      if (pushMsgs <= 0)
+        return """{"n":0,"lost":0,"p50_us":-1,"p90_us":-1,"p99_us":-1,"max_us":-1}"""
       val deltas = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
       var lost = 0
       val http = HttpClient.newHttpClient()
@@ -222,12 +225,18 @@ object ServeBench {
           publish(s"""{"i":$i,"t0":${System.nanoTime()}}""")
           Thread.sleep(50) // one message per trigger window, not one batch
         }
-        if (!doneLatch.await(20, java.util.concurrent.TimeUnit.SECONDS))
-          lost += pushMsgs - received.get()
+        doneLatch.await(20, java.util.concurrent.TimeUnit.SECONDS)
+        // lost = published − received however the subscriber exited: an
+        // IOException death used to count the latch down with lost still 0
+        // despite missing samples (ADVICE r14)
+        lost += math.max(0, pushMsgs - received.get())
         conn.disconnect()
       }
       val ds = deltas.asScala.toSeq.map(_ / 1000L)
-      s"""{"n":${ds.size},"lost":$lost,${q(ds).drop(1)}"""
+      // q() without its leading "n" — the count here is ds.size under the
+      // key "n" already; the old `q(ds).drop(1)` splice carried a DUPLICATE
+      // "n" member (ADVICE r14)
+      s"""{"n":${ds.size},"lost":$lost,${q(ds).drop(1).replaceFirst("\"n\":\\d+,", "")}"""
     }
     val pushJson = pushPhase()
 

@@ -11,7 +11,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * with a sequential left fold — bit-identical to the
   * `aggregate(zip_with(a, b, _*_), 0L, _+_)` composition it replaces and to
   * DuckDB's `list_dot_product` on BIGINT lists (exact integers, no rounding
-  * anywhere).
+  * anywhere) — ON DENSE, EQUAL-LENGTH INPUTS, which is the callers'
+  * contract (fixed-width code vectors). The equivalence does NOT extend to
+  * ragged or null-element arrays: `zip_with` pads the shorter side with
+  * nulls and the fold then null-propagates (NULL out), while this loop
+  * truncates to the shorter length and skips null elements (non-null sum
+  * out). Callers feeding anything other than fixed-width dense codes must
+  * use the HOF form.
   *
   * Why (round 14, guide §4 / SURVEY §4.2): x69's quantized ranking evaluates
   * the fold on every (corpus vector × query) candidate — 240M interpreted

@@ -77,4 +77,21 @@ case class SubspaceArgmin(
 
   override protected def withNewChildInternal(newChild: Expression): SubspaceArgmin =
     copy(child = newChild)
+
+  // Java arrays compare by REFERENCE under the case-class equals, so two
+  // structurally identical instances built from separate plans would never
+  // be semanticEquals — blocking expression canonicalization, codegen/CSE
+  // dedup and CacheManager plan matching (recompute risk only; results
+  // unaffected). Structural equality restores them while the hot loop
+  // keeps its primitive Array access (ADVICE r14).
+  override def equals(other: Any): Boolean = other match {
+    case that: SubspaceArgmin =>
+      child == that.child && subDim == that.subDim &&
+        java.util.Arrays.deepEquals(
+          codebook.asInstanceOf[Array[AnyRef]], that.codebook.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(subDim),
+      Integer.valueOf(java.util.Arrays.deepHashCode(codebook.asInstanceOf[Array[AnyRef]])))
 }

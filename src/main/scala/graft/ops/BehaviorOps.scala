@@ -111,33 +111,41 @@ object BehaviorOps {
       |GROUP BY src, dst ORDER BY src NULLS FIRST, dst NULLS FIRST""".stripMargin
   ) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val gapUs = 1800000000L // 30 min; ALSO the bucket width (adjacency proof)
+    val gapUs = 1800000000L // 30 min; ALSO the bucket width (skew bound)
     val ev = events(s, dir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("tsu"))
       .withColumn("bkt", expr(s"tsu div $gapUs"))
+    // Round 15 (guide §2.4 — r14 verdict item 4): the r14 plan attached the
+    // bucket−1 carry to EVERY event via an event-sized join. The counted
+    // pairs decompose exactly instead: a consecutive same-user pair is
+    // either IN-bucket (both events in one bucket — the lag below) or
+    // STRADDLING (the last event of the user's previous NON-EMPTY bucket
+    // and the first event of this one — one candidate pair per summary
+    // row, decided by the exact gap test, no adjacency argument needed).
+    // The join disappears: two independent pair streams union into the
+    // final (src, dst) hash aggregate. Skew bound unchanged — the widest
+    // window task is still the hottest (user, 30-min bucket); the summary
+    // leg is bucket-count-sized.
     val wb = Window.partitionBy("user_id", "bkt").orderBy("ts", "event_id")
-    val e2 = ev
+    val inPairs = ev
       .withColumn("prev_tsu_in", lag(col("tsu"), 1).over(wb))
       .withColumn("prev_ty_in", lag(col("event_type"), 1).over(wb))
-    // per-(user, bucket) LAST event under the (tsu, event_id) order, keyed
-    // to bucket+1 — the only cross-bucket fact a first-in-bucket row needs
-    // (an event in bucket ≤ b−2 is > 30 min away: new session regardless)
-    val bl = ev.where(col("bkt").isNotNull)
-      .groupBy(col("user_id").as("bl_user"), (col("bkt") + 1).as("bl_bkt"))
-      .agg(max(struct(col("tsu"), col("event_id"), col("event_type"))).as("last"))
-      .select(col("bl_user"), col("bl_bkt"),
-        col("last.tsu").as("prev_tsu_bd"), col("last.event_type").as("prev_ty_bd"))
-    val j = e2.join(bl,
-      col("user_id") <=> col("bl_user") && col("bkt") === col("bl_bkt"), "left")
-    // in-bucket predecessor wins; else the bucket−1 carry; a row with
-    // neither starts a session (or has null ts — no corpus ships one) and
-    // contributes no pair, exactly like the oracle's sess_id increment
-    val prevTsu = coalesce(col("prev_tsu_in"), col("prev_tsu_bd"))
-    val prevTy = when(col("prev_tsu_in").isNotNull, col("prev_ty_in"))
-      .otherwise(col("prev_ty_bd"))
-    j.where(prevTsu.isNotNull && col("tsu") - prevTsu < gapUs)
-      .select(prevTy.as("src"), col("event_type").as("dst"))
+      .where(col("prev_tsu_in").isNotNull && col("tsu") - col("prev_tsu_in") < gapUs)
+      .select(col("prev_ty_in").as("src"), col("event_type").as("dst"))
+    // per-(user, bucket) first/last event under the (tsu, event_id) order;
+    // lag over the user's summary rows = the previous non-empty bucket
+    val summ = ev.groupBy("user_id", "bkt")
+      .agg(min(struct(col("tsu"), col("event_id"), col("event_type"))).as("first"),
+        max(struct(col("tsu"), col("event_id"), col("event_type"))).as("last"))
+    val wu = Window.partitionBy("user_id").orderBy("bkt")
+    val bdPairs = summ
+      .withColumn("prev_last", lag(col("last"), 1).over(wu))
+      .where(col("prev_last").isNotNull &&
+        col("first.tsu") - col("prev_last.tsu") < gapUs)
+      .select(col("prev_last.event_type").as("src"),
+        col("first.event_type").as("dst"))
+    inPairs.unionByName(bdPairs)
       .where(col("src").isNotNull)
       .groupBy("src", "dst")
       .agg(count(lit(1)).as("n"))

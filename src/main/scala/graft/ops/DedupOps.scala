@@ -43,22 +43,18 @@ object DedupOps {
     // before the distinct's exchange — the dominant cost of the whole LSH
     // lineage, serialized on a single-row-group corpus file. Identity for
     // already-parallel inputs (x86's candidate slice arrives post-join).
-    // The split is MATERIALIZED in its own projection (round 14): inlined,
-    // every element_at(w, i+k) re-split the whole text — O(L²) per row,
-    // jstack-caught (StringSplit.nullSafeEval under ConcatWs per element);
-    // projected, CollapseProject keeps the one split per row because the
-    // alias is non-cheap and used many times.
-    val w = col("w")
+    // Round 15 (guide §4): the split/transform/element_at/concat_ws/md5
+    // chain (interpreted HOF lambda per position, a gram string + a
+    // 32-hex string allocated per shingle) is one codegen'd pass —
+    // [[graft.functions.WordNgramDigests]] digests each trigram straight
+    // from slices of the text's UTF-8 buffer. dedup = true is legal here
+    // because of the .distinct() below: per-doc first-occurrence dedup
+    // changes nothing in the distinct (doc_id, sh) set while the Generate
+    // and the exchange carry only unique digests per document.
     Tables.computeParallel(d)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(
-        col("doc_id"),
-        explode(
-          when(size(w) >= 3,
-            transform(sequence(lit(0), size(w) - 3), i =>
-              concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))
-            .otherwise(array())).as("raw"))
-      .select(col("doc_id"), substring(md5(col("raw")), 1, 16).as("sh"))
+      .select(col("doc_id"),
+        explode(graft.functions.WordNgramDigestsFunctions
+          .wordNgramDigests(col("text"), 3, dedup = true)).as("sh"))
       .distinct()
   }
 
@@ -1245,7 +1241,19 @@ object DedupOps {
        |FROM inter WHERE 5 * i >= 4 * na
        |ORDER BY doc_a, doc_b""".stripMargin
   ) { (s, dir) =>
-    containmentVerify(s, dir, containmentCandidates(s, dir))
+    // Round 15 (guide §2.4/§5 — r14 verdict item 3): the verify stage
+    // consumes the candidate list THREE times (the main join plus the two
+    // candDocs legs of the semi-join prune), and the broadcast legs prune
+    // columns differently, so exchange reuse never fires — AQE executed
+    // the candidate join + aggregate lineage 3-5× per run (1,346 tasks,
+    // StageDiag-attributed). The candidate list is PAIR-scale (keff-
+    // floored, length-filtered — the r8 bound), so an in-query EAGER
+    // localCheckpoint materializes it once per query invocation and every
+    // consumer reads the checkpointed rows. This is lineage truncation
+    // INSIDE the timed region — each Bench pass re-invokes the query
+    // function and recomputes from parquet; nothing persists across runs
+    // (the memo caches' clearMemo discipline is untouched).
+    containmentVerify(s, dir, containmentCandidates(s, dir).localCheckpoint())
   }
 
   /** SORTED-NEIGHBORHOOD near-dup (Hernández & Stolfo, SIGMOD'95 — the
@@ -1720,20 +1728,15 @@ object DedupOps {
       // weights a span by how often the document repeats it. The 1-based
       // start position `p` rides along (x88 ignores it; x166's excision
       // needs it to turn dup digests back into covered word intervals).
-      // Split materialized once per row (round 14, the shingledDocs O(L²)
-      // fix — five element_at per position re-split the text when inlined).
-      val w = col("w")
+      // Round 15 (guide §4): the per-position interpreted lambda (five
+      // element_at + concat_ws + md5-of-a-fresh-string) is one codegen'd
+      // [[graft.functions.WordNgramDigests]] pass; dedup = false keeps
+      // every POSITION (posexplode's p must stay the word index).
       Tables.computeParallel(docs(s, dir))
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
         .select(
           col("doc_id"),
-          posexplode(
-            when(size(w) >= 5,
-              transform(sequence(lit(1), size(w) - 4),
-                i => substring(md5(concat_ws(" ",
-                  element_at(w, i), element_at(w, i + 1), element_at(w, i + 2),
-                  element_at(w, i + 3), element_at(w, i + 4))), 1, 16)))
-              .otherwise(array().cast("array<string>"))).as(Seq("p0", "g")))
+          posexplode(graft.functions.WordNgramDigestsFunctions
+            .wordNgramDigests(col("text"), 5, dedup = false)).as(Seq("p0", "g")))
         .select(col("doc_id"), (col("p0") + 1).as("p"), col("g"))
         .cache()
     })
@@ -2353,22 +2356,18 @@ object DedupOps {
       |GROUP BY 1, 2 HAVING count(*) >= 2
       |ORDER BY n_shared DESC, doc_a, doc_b""".stripMargin
   ) { (s, dir) =>
-    // split once per row (round 14 — the size filter re-split it inlined)
-    val grams = docs(s, dir)
+    // Round 15 (guide §4): gram hashing + the w-bounded rightmost-argmin
+    // selection + the distinct collapse — the whole row-local stage — run
+    // as ONE codegen'd pass ([[graft.functions.WinnowFingerprints]]; the
+    // HOF formulation allocated two window slices, a reversed copy, and
+    // interpreted string comparisons PER WINDOW). The < 8-word size filter
+    // is subsumed (empty array ⇒ no rows out of the explode); the
+    // isNotNull survives for scan-level pushdown.
+    val fps = docs(s, dir)
       .where(col("text").isNotNull)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .where(size(col("w")) >= 8)
-      .withColumn("hs", transform(sequence(lit(1), size(col("w")) - 3),
-        i => substring(md5(array_join(slice(col("w"), i, lit(4)), " ")), 1, 16)))
-    // row-local winnow: per window start j (1-based), the rightmost
-    // position of the window minimum; distinct positions → distinct hashes
-    val fps = grams
-      .withColumn("ps", array_distinct(transform(sequence(lit(1), size(col("hs")) - 4),
-        j => j + lit(5) - array_position(reverse(slice(col("hs"), j, lit(5))),
-          array_min(slice(col("hs"), j, lit(5)))))))
       .select(col("doc_id"),
-        explode(array_distinct(transform(col("ps"),
-          p => element_at(col("hs"), p.cast("int"))))).as("fph"))
+        explode(graft.functions.WinnowFingerprintsFunctions
+          .winnowFingerprints(col("text"))).as("fph"))
     fps.groupBy("fph")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .where(size(col("ds")).between(2, 64))

@@ -409,20 +409,16 @@ object PipelineOps {
     * (doc_id, g) AFTER the caller's distinct — shared by the bloom build
     * and the verify join.
     */
-  private def novGrams(df: DataFrame): DataFrame = {
-    // split materialized once per row (round 14, the shingledDocs O(L²)
-    // fix — EIGHT element_at per gram position re-split the text inlined)
-    val w = col("w")
-    df.select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"),
-        explode(when(size(w) >= 8,
-          transform(sequence(lit(1), size(w) - 7),
-            i => substring(md5(concat_ws(" ",
-              element_at(w, i), element_at(w, i + 1), element_at(w, i + 2),
-              element_at(w, i + 3), element_at(w, i + 4), element_at(w, i + 5),
-              element_at(w, i + 6), element_at(w, i + 7))), 1, 16)))
-          .otherwise(array().cast("array<string>"))).as("g"))
-  }
+  private def novGrams(df: DataFrame): DataFrame =
+    // Round 15 (guide §4): the 8-element_at interpreted lambda per gram is
+    // one codegen'd [[graft.functions.WordNgramDigests]] pass. dedup = true
+    // is legal: both consumers ([[noveltyGrams]]) apply a distinct on top
+    // (ref: distinct g; inc: distinct (doc_id, g)), so per-doc
+    // first-occurrence dedup changes nothing downstream while the explode
+    // and the distinct's exchange carry only unique grams per document.
+    df.select(col("doc_id"),
+      explode(graft.functions.WordNgramDigestsFunctions
+        .wordNgramDigests(col("text"), 8, dedup = true)).as("g"))
 
   /** (reference grams, incoming grams), both cached: the bloom build is an
     * ACTION over the reference lineage and the verify join consumes it

@@ -628,16 +628,38 @@ object SimilarityOps {
     // 36 s wall (StageDiag) — where the native loop participates in
     // whole-stage codegen.
     val qdot = graft.functions.GraftFunctions.dotI64(col("q.codes"), col("c.codes"))
-    val wTop = Window.partitionBy("q_id").orderBy(col("qdot").desc, col("n_id"))
+    // Round 15 (guide §2.3/§2.4 — r14 verdict item 8): the row_number
+    // window shuffled and sorted EVERY (corpus, query) pair row —
+    // |corpus|·|queries| rows through one exchange by q_id. The top-5
+    // selection is a bounded partial aggregate instead (the x30
+    // TopKPairAgg shape): each map task forwards ≤ 5 (qdot DESC, n_id ASC)
+    // pairs per query, so the exchange carries winner arrays, never pair
+    // rows, and the pair stream dies inside the broadcast-join stage.
+    // LOSSLESS for the exact top-5: (qdot DESC, n_id ASC) is a TOTAL order
+    // (n_id is unique per query), so the global top-5 is contained in the
+    // union of per-task top-5s and the k-way ordered merge reproduces
+    // row_number's cut exactly. Null qdot (null embedding → null codes)
+    // rides the rank-last sentinel — Long.MinValue is strictly below any
+    // real centered-code dot (|qdot| ≤ 128²·64) — and decodes back to
+    // NULL, matching the window's DESC NULLS LAST (NtilePlan's x30
+    // discipline).
+    val topk = udaf(new graft.functions.TopKPairAgg(5),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
     // the QUERY side broadcasts (x06's shape) — the corpus scan stays
     // partition-parallel and is never shuffled
     codes.as("c")
       .join(broadcast(codes.where(col("vec_id") % 50 === 0 && col("vec_id") < 20000)).as("q"),
         col("c.vec_id") =!= col("q.vec_id"))
-      .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("n_id"), qdot.as("qdot"))
-      .withColumn("rk", row_number().over(wTop))
-      .where(col("rk") <= 5)
-      .select(col("q_id"), col("rk"), col("n_id"), col("qdot"))
+      .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("n_id"),
+        coalesce(qdot, lit(Long.MinValue)).as("qd"))
+      .groupBy("q_id")
+      .agg(topk(col("qd"), col("n_id")).as("picked"))
+      .select(col("q_id"), posexplode(col("picked")).as(Seq("pos", "pair")))
+      .select(col("q_id"), (col("pos") + 1).as("rk"), col("pair._2").as("n_id"),
+        when(col("pair._1") === Long.MinValue, lit(null).cast("long"))
+          .otherwise(col("pair._1")).as("qdot"))
       .orderBy("q_id", "rk")
   }
 

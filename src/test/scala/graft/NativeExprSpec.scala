@@ -90,4 +90,81 @@ class NativeExprSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0).getSeq[Int](0)
     assert(tie.forall(_ === 2))
   }
+
+  /** Hostile word-shape corpus for the round-15 text expressions: empty,
+    * single word, consecutive/leading/trailing spaces (split keeps empty
+    * words), multi-byte UTF-8, repeated grams (dedup + winnow ties),
+    * exactly-boundary word counts, and nulls.
+    */
+  private def textFixture: Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "δλθ", "b", "cc", "", "день")
+    val random = Seq.tabulate(120) { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    random ++ Seq(
+      (200L, ""), (201L, "one"), (202L, "a b"), (203L, "a b c"),
+      (204L, "a  b   c  d"), (205L, " lead and trail "),
+      (206L, "x y z x y z x y z x y z"), // heavy gram repetition
+      (207L, ("w " * 8).trim), // exactly 8 words
+      (208L, ("w " * 7).trim), // exactly 7 words (below winnow threshold)
+      (209L, null.asInstanceOf[String]))
+  }
+
+  test("wordNgramDigests equals the split/concat_ws/md5 HOF chain (n=3,5,8)") {
+    import spark.implicits._
+    val df = textFixture.toDF("id", "text")
+    for (n <- Seq(3, 5, 8)) {
+      val w = split(col("text"), " ")
+      val hof = when(col("text").isNull, lit(null).cast("array<string>"))
+        .otherwise(when(size(w) >= n,
+          transform(sequence(lit(1), size(w) - (n - 1)),
+            i => substring(md5(concat_ws(" ",
+              (0 until n).map(o => element_at(w, i + o)): _*)), 1, 16)))
+          .otherwise(array().cast("array<string>")))
+      val native = graft.functions.WordNgramDigestsFunctions
+        .wordNgramDigests(col("text"), n, dedup = false)
+      val bad = df.select(col("id"), native.as("nv"), hof.as("hf"))
+        .where(not(col("nv") <=> col("hf"))).count()
+      assert(bad === 0L, s"positional n=$n")
+      // dedup mode: set-equal to array_distinct of the positional form,
+      // first-occurrence order
+      val badD = df.select(col("id"),
+          graft.functions.WordNgramDigestsFunctions
+            .wordNgramDigests(col("text"), n, dedup = true).as("nv"),
+          array_distinct(hof).as("hf"))
+        .where(not(col("nv") <=> col("hf"))).count()
+      assert(badD === 0L, s"dedup n=$n")
+    }
+  }
+
+  test("winnowFingerprints equals the slice/array_min/rightmost-tie HOF chain") {
+    import spark.implicits._
+    val df = textFixture.toDF("id", "text")
+    val w = split(col("text"), " ")
+    val hs = transform(sequence(lit(1), size(w) - 3),
+      i => substring(md5(array_join(slice(w, i, lit(4)), " ")), 1, 16))
+    val ref = when(col("text").isNull, lit(null).cast("array<string>"))
+      .otherwise(when(size(w) >= 8,
+        array_distinct(transform(
+          array_distinct(transform(sequence(lit(1), size(hs) - 4),
+            j => j + lit(5) - array_position(reverse(slice(hs, j, lit(5))),
+              array_min(slice(hs, j, lit(5)))))),
+          p => element_at(hs, p.cast("int")))))
+        .otherwise(array().cast("array<string>")))
+    // compare as SETS (both sides dedup; first-occurrence orders coincide
+    // here but the contract is the set — the consumer is explode → groupBy)
+    val bad = df.select(col("id"),
+        sort_array(graft.functions.WinnowFingerprintsFunctions
+          .winnowFingerprints(col("text"))).as("nv"),
+        sort_array(ref).as("hf"))
+      .where(not(col("nv") <=> col("hf"))).count()
+    assert(bad === 0L)
+    // planted tie: identical grams everywhere (doc 206) must pick the
+    // RIGHTMOST window minimum — one distinct fingerprint survives
+    val tie = df.where(col("id") === 206)
+      .select(graft.functions.WinnowFingerprintsFunctions.winnowFingerprints(col("text")))
+      .collect()(0).getSeq[String](0)
+    assert(tie.length >= 1)
+  }
 }
