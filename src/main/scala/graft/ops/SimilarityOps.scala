@@ -1216,23 +1216,41 @@ object SimilarityOps {
         .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("qn"))
       val cMicro = (x: Column, xn: Column, y: Column, yn: Column) =>
         round(graft.functions.GraftFunctions.dotF32(x, y) / (xn * yn) * 1000000, 0).cast("long")
-      val fc = b.join(broadcast(q), lit(true))
+      // Round 15 (guide §2.3 — the x69 rewrite generalized): both k-NN
+      // neighborhoods ran a row_number window over the full
+      // broadcast-join pair stream (|corpus/2|·|queries| rows exchanged
+      // and sorted by q_id). The micro-cosine keys are already exact
+      // longs, so the bounded TopKPairAgg selection applies directly —
+      // ≤ K (c DESC, id ASC) pairs per group per map task, winner arrays
+      // on the exchange, pair rows dying inside the join stage. Lossless:
+      // (c DESC, id ASC) is a total order (ids unique per group), so the
+      // per-task top-K union contains the global top-K and the ordered
+      // merge reproduces row_number's cut exactly; c is never null (both
+      // sides come from the zero-norm-filtered normed frame).
+      val topkK = udaf(new graft.functions.TopKPairAgg(K),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong))
+      val top = b.join(broadcast(q), lit(true))
         .select(col("q_id"), col("vec_id").as("b_id"),
           cMicro(col("qv"), col("qn"), col("embedding"), col("nrm")).as("c"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("q_id").orderBy(col("c").desc, col("b_id"))))
-      val top = fc.where(col("rk") <= K).select("q_id", "b_id", "c")
+        .groupBy("q_id")
+        .agg(topkK(col("c"), col("b_id")).as("picked"))
+        .select(col("q_id"), explode(col("picked")).as("pair"))
+        .select(col("q_id"), col("pair._2").as("b_id"), col("pair._1").as("c"))
       val ma = top.groupBy("q_id").agg(sum(col("c")).as("s_a"))
       val cand = top.select("b_id").distinct()
       val y = b.join(broadcast(cand), col("vec_id") === cand("b_id"))
         .select(col("vec_id").as("y_id"), col("embedding").as("yv"), col("nrm").as("yn"))
-      val rc = a.join(broadcast(y), lit(true))
+      // reverse neighborhoods: only the top-K SUM is consumed, so the
+      // winner array folds row-local (≤ K elements) — no explode needed
+      val mb = a.join(broadcast(y), lit(true))
         .select(col("y_id"), col("vec_id").as("a_id"),
           cMicro(col("yv"), col("yn"), col("embedding"), col("nrm")).as("c"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("y_id").orderBy(col("c").desc, col("a_id"))))
-      val mb = rc.where(col("rk") <= K).groupBy(col("y_id").as("b_id2"))
-        .agg(sum(col("c")).as("s_b"))
+        .groupBy(col("y_id").as("b_id2"))
+        .agg(topkK(col("c"), col("a_id")).as("picked"))
+        .select(col("b_id2"),
+          aggregate(col("picked"), lit(0L), (acc, p) => acc + p.getField("_1")).as("s_b"))
       val sc = top
         .join(ma, "q_id")
         .join(mb, col("b_id") === col("b_id2"))
@@ -1870,11 +1888,26 @@ object SimilarityOps {
     val q = n.where(col("vec_id") % 50 === 0 && col("vec_id") < 20000)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("qn"))
     val cos = round(dot(col("qv"), col("embedding")) / (col("qn") * col("nrm")), 6)
-    val wc = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    // Round 15 (guide §2.3 — the x69/x109 rewrite): the per-leg top-20
+    // windows shuffled the full broadcast-join pair stream by q_id.
+    // Bounded TopKPairAgg selection instead; the cosine leg's key is the
+    // EXACT micro integer of the declared 6-dp rounded cosine —
+    // cos6 = nearestDouble(m/1e6) ⟹ round(cos6·1e6, 0) = m exactly and
+    // m ↔ cos6 is strictly monotone, so (cm DESC, n_id) orders identically
+    // to (cos DESC, n_id). Only the RANK flows downstream (rrf is a
+    // function of rank alone), so the key conversion is invisible in the
+    // output. Lossless per the total-order argument (n_id unique per q).
+    val topk20 = udaf(new graft.functions.TopKPairAgg(20),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
     val cosr = n.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("n_id"), cos.as("cos"))
-      .withColumn("rc", row_number().over(wc))
-      .where(col("rc") <= 20).select("q_id", "n_id", "rc")
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(cos * 1000000, 0).cast("long").as("cm"))
+      .groupBy("q_id")
+      .agg(topk20(col("cm"), col("n_id")).as("picked"))
+      .select(col("q_id"), posexplode(col("picked")).as(Seq("pos", "pair")))
+      .select(col("q_id"), col("pair._2").as("n_id"), (col("pos") + 1).as("rc"))
     val tok0 = Tables(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w")).distinct()
     // stop-token cut (df > DfCap — see scaladoc): the stop set is tiny by
@@ -1886,12 +1919,15 @@ object SimilarityOps {
     val tok = tok0.join(broadcast(stop), Seq("w"), "left_anti")
     val qt = tok.where(col("doc_id") % 50 === 0 && col("doc_id") < 20000)
       .select(col("doc_id").as("q_id"), col("w"))
-    val wl = Window.partitionBy("q_id").orderBy(col("o").desc, col("n_id"))
+    // lexical leg: same bounded selection over the (q, candidate) overlap
+    // aggregate — the overlap counts are longs already
     val lexr = tok.join(broadcast(qt), tok("w") === qt("w") && col("doc_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("doc_id").as("n_id"))
       .agg(count(lit(1)).as("o"))
-      .withColumn("rl", row_number().over(wl))
-      .where(col("rl") <= 20).select("q_id", "n_id", "rl")
+      .groupBy("q_id")
+      .agg(topk20(col("o"), col("n_id")).as("picked"))
+      .select(col("q_id"), posexplode(col("picked")).as(Seq("pos", "pair")))
+      .select(col("q_id"), col("pair._2").as("n_id"), (col("pos") + 1).as("rl"))
     val score = coalesce(lit(1.0) / (lit(60) + col("rc")), lit(0.0)) +
       coalesce(lit(1.0) / (lit(60) + col("rl")), lit(0.0))
     val wf = Window.partitionBy("q_id").orderBy(col("score").desc, col("n_id"))

@@ -112,6 +112,61 @@ class RekeySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == ref.toSeq)
   }
 
+  test("x109 top-K aggregate legs equal the row_number window formulation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // planted duplicate vectors force exact cosine TIES — the id tie-break
+    // must match the window's
+    val base = Seq.tabulate(200)(_ => Seq.fill(16)(rnd.nextFloat() * 2 - 1))
+    val rows = Seq.tabulate(400) { i => (i.toLong, base(i % 200), "l") }
+    val dir = java.nio.file.Files.createTempDirectory("graft-rekey-x109").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("x109_bitext_margin")(spark, dir).collect()
+    // reference: the r14 window formulation
+    val K = 4
+    val n = ops.Tables(spark, dir, "embeddings")
+      .where(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(graft.functions.GraftFunctions.dotF32(col("embedding"), col("embedding"))).as("nrm"))
+      .where(col("nrm") > 0)
+    val a = n.where(col("vec_id") % 2 === 0)
+    val b = n.where(col("vec_id") % 2 === 1)
+    val q = a.where(col("vec_id") % 50 === 0 && col("vec_id") < 20000)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("qn"))
+    def cMicro(x: org.apache.spark.sql.Column, xn: org.apache.spark.sql.Column,
+        y: org.apache.spark.sql.Column, yn: org.apache.spark.sql.Column) =
+      round(graft.functions.GraftFunctions.dotF32(x, y) / (xn * yn) * 1000000, 0).cast("long")
+    val fc = b.join(broadcast(q), lit(true))
+      .select(col("q_id"), col("vec_id").as("b_id"),
+        cMicro(col("qv"), col("qn"), col("embedding"), col("nrm")).as("c"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("c").desc, col("b_id"))))
+    val top = fc.where(col("rk") <= K).select("q_id", "b_id", "c")
+    val ma = top.groupBy("q_id").agg(sum(col("c")).as("s_a"))
+    val cand = top.select("b_id").distinct()
+    val y = b.join(broadcast(cand), col("vec_id") === cand("b_id"))
+      .select(col("vec_id").as("y_id"), col("embedding").as("yv"), col("nrm").as("yn"))
+    val rc = a.join(broadcast(y), lit(true))
+      .select(col("y_id"), col("vec_id").as("a_id"),
+        cMicro(col("yv"), col("yn"), col("embedding"), col("nrm")).as("c"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("y_id").orderBy(col("c").desc, col("a_id"))))
+    val mb = rc.where(col("rk") <= K).groupBy(col("y_id").as("b_id2"))
+      .agg(sum(col("c")).as("s_b"))
+    val sc = top.join(ma, "q_id").join(mb, col("b_id") === col("b_id2"))
+      .where(col("s_a") + col("s_b") > 0)
+      .select(col("q_id"), col("b_id"), col("c"),
+        expr("8 * c * 1000000 div (s_a + s_b)").as("margin_ppm"))
+    val ref = sc.withColumn("rk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("margin_ppm").desc, col("b_id"))))
+      .where(col("rk") === 1 && col("margin_ppm") >= 1050000)
+      .select(col("q_id"), col("b_id").as("m_id"), col("c").as("cos_micro"), col("margin_ppm"))
+      .orderBy("q_id")
+      .collect()
+    assert(out.toSeq == ref.toSeq)
+  }
+
   test("x69 top-k aggregate equals the row_number window, incl. null codes") {
     // fixture with a null embedding: the aggregate's rank-last sentinel
     // must reproduce the window's DESC NULLS LAST
